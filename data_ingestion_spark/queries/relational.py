@@ -1,0 +1,514 @@
+"""Relational query battery over the synthetic star schema (TESTDATA.md).
+
+The reference pipeline has no relational operators (SURVEY.md §2.4 documents
+the absences explicitly) — these queries exist to prove the rebuilt engine's
+coverage of the standard operator classes on Spark, each with a DuckDB oracle:
+
+scan/filter/project, hash aggregation, broadcast + shuffle joins, semi/anti
+joins, window functions, sort/limit (top-k), set operations, rollup/grouping
+sets, JSON extraction (`events.props` — the JSON-parse analog of the
+reference's json_parser.rs), and event-time windowing (`events.ts`).
+
+Scale notes (100 TB design intent, verified via .explain on local runs):
+- Filters and projections are written column-first so Catalyst pushes them
+  into the parquet scan (PushedFilters / ReadSchema).
+- Dimension tables (region, nation) are explicitly broadcast; fact-fact
+  joins shuffle on their join key and rely on AQE for skew handling.
+- Aggregations are all expressible as partial (map-side) + final hash
+  aggregates — no query collects to the driver.
+- Float aggregates are rounded identically on both sides (Spark and the
+  DuckDB oracle) because summation order is non-deterministic in any
+  distributed engine.
+
+Every output column is aliased identically in the DataFrame code and the
+oracle SQL — the driver's comparator sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregation (TPC-H Q1 shape): the flagship query (entry()).
+# --------------------------------------------------------------------------
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: 2-key hash agg with 6 aggregates over lineitem.
+
+    Plan shape at scale: parquet scan with shipdate pushdown -> partial hash
+    agg (map-side) -> shuffle on (l_returnflag, l_linestatus) [tiny key
+    cardinality ~6] -> final hash agg. No join, one shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+AGG_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 4)                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                       AS avg_price,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Scan / filter / projection — pushdown demonstration.
+# --------------------------------------------------------------------------
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan: both predicates and the 3-column projection reach the
+    parquet reader (PushedFilters + pruned ReadSchema). Pass-through values
+    (no float arithmetic) so the oracle compares raw parquet doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+SCAN_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-04-01'
+  AND l_quantity > 45
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins: fact-fact shuffle join + group agg.
+# --------------------------------------------------------------------------
+def join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem revenue rollup by market segment.
+
+    At scale: orders⋈lineitem is a shuffle join on orderkey (both sides
+    pre-filtered before the join); customer is small relative to facts and
+    joins broadcast under the threshold/AQE. countDistinct is a two-phase
+    distinct aggregate — no driver collection.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_REVENUE_BY_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey)                        AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def join_multi_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way snowflake join region→nation→customer→orders with broadcast dims.
+
+    region (5 rows) and nation (25 rows) are broadcast explicitly — at 100 TB
+    these stay broadcast while customer⋈orders shuffles on custkey.
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+JOIN_MULTI_REGION_SQL = """
+SELECT r_name, n_name,
+       count(*)                       AS n_orders,
+       round(sum(o_totalprice), 2)    AS total_price
+FROM orders
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with zero orders since 2001, counted per nation (left-anti
+    join ≡ NOT EXISTS). The order-side filter is pushed to the scan before
+    the join; at scale a shuffled left-anti on custkey."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+        .orderBy("c_nationkey")
+    )
+
+
+ANTI_JOIN_INACTIVE_CUSTOMERS_SQL = """
+SELECT c_nationkey, count(*) AS n_inactive
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 order per market segment (left-semi join ≡ EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SEMI_JOIN_ACTIVE_CUSTOMERS_SQL = """
+SELECT c_mktsegment, count(*) AS n_active
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions: top-k per group.
+# --------------------------------------------------------------------------
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number window, deterministic
+    tie-break on orderkey). Single shuffle on the partition key; the rank
+    filter cuts each partition before anything leaves the executor."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+WINDOW_TOPK_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) revenue per supplier over ship date — frame-based
+    window aggregate. Rows restricted to one quarter so output stays small."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-02-01").cast("timestamp"))
+        & (F.col("l_suppkey") <= 5)
+    )
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).over(w), 2).alias(
+            "running_revenue"
+        ),
+    )
+
+
+WINDOW_RUNNING_REVENUE_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice * (1 - l_discount))
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-02-01'
+  AND l_suppkey <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Sort / limit (global top-k).
+# --------------------------------------------------------------------------
+def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price. Spark executes orderBy+limit as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    driver; no full sort at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .limit(10)
+    )
+
+
+SORT_LIMIT_TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+def setop_customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys present in BOTH customer and supplier (INTERSECT — a
+    distinct + hash semi-join under the hood)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+SETOP_CUSTOMER_SUPPLIER_NATIONS_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup / grouping sets.
+# --------------------------------------------------------------------------
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority): multi-level aggregate (grouping sets) in one
+    pass — Spark expands to a single Expand + hash aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ROLLUP_ORDER_PRIORITY_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON extraction — the relational analog of the reference's JSON parser
+# (src/infrastructure/parsers/json_parser.rs): semi-structured payloads in a
+# string column projected to typed fields.
+# --------------------------------------------------------------------------
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over events.props ({"k": int}) then aggregate by event type.
+
+    JVM-side from_json (no Python UDF); at scale this is a narrow transform
+    fused into the scan stage by whole-stage codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (
+        ev.withColumn("k", F.from_json(F.col("props"), schema).getField("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_EVENTS_SQL = """
+SELECT event_type,
+       count(*)                                                     AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))       AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-time windowing (batch analog of the streaming tumbling window).
+# --------------------------------------------------------------------------
+def time_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day aggregate over events.ts. Window start is emitted as a
+    formatted string so the oracle comparison is engine-neutral. The same
+    groupBy(window(...)) shape runs under Structured Streaming with a
+    watermark (see data_ingestion_spark/streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+TIME_WINDOW_EVENTS_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar string/date functions (reference's only scalar surface: lowercase,
+# split, formatting — ingestion_service.rs:150,81 — generalized).
+# --------------------------------------------------------------------------
+def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar pipeline over part: codegen'd JVM expressions,
+    zero UDFs."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.lower(F.col("p_type")).alias("type_lower"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.element_at(F.split(F.col("p_type"), " "), -1).alias("type_last_word"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_with_tax"),
+    )
+
+
+SCALAR_FUNCTIONS_PART_SQL = """
+SELECT p_partkey,
+       upper(p_brand)                        AS brand_upper,
+       lower(p_type)                         AS type_lower,
+       length(p_name)                        AS name_len,
+       list_extract(string_split(p_type, ' '), len(string_split(p_type, ' ')))
+                                             AS type_last_word,
+       round(p_retailprice * 1.1, 2)         AS price_with_tax
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# Ingest-metrics query: the relational restatement of the reference's audit
+# counts (documents.len() logging, ingestion_service.rs:77) over a real table.
+# --------------------------------------------------------------------------
+def ingest_metrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document counts + size totals — what the reference logs
+    per-file, expressed as a grouped aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+INGEST_METRICS_BY_SOURCE_SQL = """
+SELECT source,
+       count(*)                AS n_docs,
+       sum(n_chars)            AS total_chars,
+       round(avg(n_chars), 4)  AS avg_chars
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES: dict = {
+    "agg_pricing_summary": (agg_pricing_summary, AGG_PRICING_SUMMARY_SQL),
+    "scan_filter_project": (scan_filter_project, SCAN_FILTER_PROJECT_SQL),
+    "join_revenue_by_segment": (join_revenue_by_segment, JOIN_REVENUE_BY_SEGMENT_SQL),
+    "join_multi_region": (join_multi_region, JOIN_MULTI_REGION_SQL),
+    "anti_join_inactive_customers": (
+        anti_join_inactive_customers,
+        ANTI_JOIN_INACTIVE_CUSTOMERS_SQL,
+    ),
+    "semi_join_active_customers": (
+        semi_join_active_customers,
+        SEMI_JOIN_ACTIVE_CUSTOMERS_SQL,
+    ),
+    "window_topk_orders": (window_topk_orders, WINDOW_TOPK_ORDERS_SQL),
+    "window_running_revenue": (window_running_revenue, WINDOW_RUNNING_REVENUE_SQL),
+    "sort_limit_top_orders": (sort_limit_top_orders, SORT_LIMIT_TOP_ORDERS_SQL),
+    "setop_customer_supplier_nations": (
+        setop_customer_supplier_nations,
+        SETOP_CUSTOMER_SUPPLIER_NATIONS_SQL,
+    ),
+    "rollup_order_priority": (rollup_order_priority, ROLLUP_ORDER_PRIORITY_SQL),
+    "json_extract_events": (json_extract_events, JSON_EXTRACT_EVENTS_SQL),
+    "time_window_events": (time_window_events, TIME_WINDOW_EVENTS_SQL),
+    "scalar_functions_part": (scalar_functions_part, SCALAR_FUNCTIONS_PART_SQL),
+    "ingest_metrics_by_source": (ingest_metrics_by_source, INGEST_METRICS_BY_SOURCE_SQL),
+}

@@ -1,0 +1,89 @@
+"""SparkSession construction tuned for the test harness (local[32]) while
+keeping every knob cluster-appropriate.
+
+Design notes for 100 TB scale (the real target; local mode only verifies
+correctness):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned partition counts when the
+  input is 1000x larger.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number under AQE; on a
+  real cluster set it ~2-3x total cores and let AQE coalesce.
+- Arrow enabled: every Pandas-UDF operator in this repo moves data via Arrow
+  batches, never row-at-a-time pickling.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "data_ingestion_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-appropriate defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table (see TESTDATA.md) as a DataFrame.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable) and
+    convert with integer division so sub-microsecond digits TRUNCATE —
+    matching DuckDB's ns→µs cast semantics exactly.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register all testdata tables as temp views for the SQL API."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

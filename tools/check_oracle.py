@@ -1,0 +1,123 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry from __spark_entry__.py at a given scale
+factor, runs the matching ``oracle_sql()`` in DuckDB over the same parquet
+tables, and compares row count, column names (sorted), and values
+(order-insensitive, exact for ints/strings, tight tolerance report for
+floats). Exit code 1 on any mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        errs.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return errs
+    if len(sdf) != len(odf):
+        errs.append(f"rows: spark={len(sdf)} oracle={len(odf)}")
+        return errs
+    s, o = canon(sdf), canon(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sv = pd.to_numeric(sv, errors="coerce").astype(float)
+            ov = pd.to_numeric(ov, errors="coerce").astype(float)
+            both_nan = sv.isna() & ov.isna()
+            diff = (sv - ov).abs()
+            bad = ~both_nan & ~(diff == 0)
+            nexact = int(bad.sum())
+            if nexact:
+                mx = float(diff[bad].max())
+                msg = f"col {c}: {nexact} non-bitwise-equal floats, max_abs_diff={mx:.3e}"
+                if mx > 1e-9 or math.isnan(mx):
+                    errs.append(msg)
+                else:
+                    print(f"    warn {name}: {msg}")
+        else:
+            if not sv.astype(str).equals(ov.astype(str)):
+                nbad = int((sv.astype(str) != ov.astype(str)).sum())
+                ex = [
+                    (a, b)
+                    for a, b in zip(sv.astype(str), ov.astype(str))
+                    if a != b
+                ][:3]
+                errs.append(f"col {c}: {nbad} mismatched values, e.g. {ex}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from data_ingestion_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            if len(sdf) == 0:
+                print(f"    warn {name}: 0 rows on rows-only check")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {ex}")
+            failures += 1
+            continue
+        errs = compare(name, sdf, odf)
+        if errs:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(errs))
+        else:
+            print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs)} queries, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
