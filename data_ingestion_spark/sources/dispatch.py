@@ -1,0 +1,55 @@
+"""File-type detection + parser dispatch
+(reference: src/application/ingestion_service.rs:149-158 and
+src/infrastructure/parser_adapter.rs:32-58).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import ParseError
+from .csv_source import read_csv
+from .excel_source import read_excel
+from .json_source import read_json
+from .txt_source import read_txt
+from .xml_source import read_xml
+
+#: Extension → parser registry — the rebuild's equivalent of the reference's
+#: match-dispatch (parser_adapter.rs:32-58). New formats plug in here (the
+#: reference's extension point is the DataParser trait, ports.rs:11-14).
+PARSERS: dict[str, Callable[..., DataFrame]] = {
+    "csv": read_csv,
+    "json": read_json,
+    "txt": read_txt,
+    "xml": read_xml,
+    "xls": read_excel,  # reference routes .xls to the xlsx reader too
+    "xlsx": read_excel,
+}
+
+
+def extract_file_type(key: str) -> str:
+    """Lowercased text after the last '.' of the key
+    (reference: ingestion_service.rs:149-158)."""
+    if "." not in key.rsplit("/", 1)[-1]:
+        return ""
+    return key.rsplit(".", 1)[-1].lower()
+
+
+def parse_file(
+    spark: SparkSession,
+    path: str,
+    file_type: Optional[str] = None,
+    parser_config: Optional[dict[str, Any]] = None,
+) -> DataFrame:
+    """Dispatch ``path`` to the parser for its (detected) type.
+
+    Unknown extensions raise ParseError with the reference's message shape
+    (parser_adapter.rs:54-57).
+    """
+    ftype = file_type if file_type is not None else extract_file_type(path)
+    parser = PARSERS.get(ftype)
+    if parser is None:
+        raise ParseError(f"Unsupported file type: {ftype}")
+    return parser(spark, path, parser_config)
