@@ -1,0 +1,234 @@
+"""Deduplication operators over document tables.
+
+Four tiers, cheapest first — the standard LLM-corpus dedup ladder:
+
+1. **Exact** — hash-groupBy on content (or md5 fingerprint). One shuffle,
+   AQE handles skew. `dropDuplicates` for keep-any semantics;
+   `exact_dedup_representatives` for deterministic keep-min-id (the
+   SQL-checkable form).
+2. **N-gram Jaccard (blocked exact)** — word-shingle Jaccard over candidate
+   pairs restricted to cheap blocks (lang × length bucket). Exact within a
+   block; the block join bounds the O(n²) blowup. This is also the oracle
+   for the approximate tiers.
+3. **MinHash LSH** — `pyspark.ml.feature.MinHashLSH` over HashingTF shingle
+   vectors; `approxSimilarityJoin` keeps the candidate set sub-quadratic via
+   banding. The 100 TB path: cost ~ O(n · bands) shuffle, never all-pairs.
+4. **SimHash** — 60-bit rotation-invariant signature (md5-derived token
+   hashes, bitwise majority vote); near-dups share signatures in most bands.
+   Entirely JVM-side bit arithmetic, cross-checkable in SQL.
+
+Plus **embedding near-dup**: cosine-threshold pairs over dense vectors
+(semantic dedup) — brute-force blocked variant here, ANN variant in
+similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_hash60, tokens, word_shingles
+from ..functions.vector_functions import cosine_similarity
+
+SIMHASH_BITS = 60
+
+
+# --------------------------------------------------------------------------
+# Tier 1: exact
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Keep one row per distinct key (any row): hash-based shuffle dedup."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_representatives(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Deterministic exact dedup: one representative (min id) per distinct
+    content, with the duplicate count. Partial aggregation map-side, one
+    shuffle on the md5 fingerprint (never on the full content bytes — at
+    100 TB the fingerprint shuffle is 16 bytes/row vs document bytes)."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Tier 2: blocked exact n-gram Jaccard
+# --------------------------------------------------------------------------
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[Column],
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All pairs within a block with shingle-Jaccard ≥ threshold.
+
+    Set semantics via array_intersect/array_union (both dedup — matching
+    DuckDB's list_intersect/list_distinct). The self-join shuffles both
+    sides on the block key; block design caps pair counts per partition.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(tokens(F.col(text_col)), k).alias("shingles"),
+        F.struct(*block_cols).alias("block"),
+    ).filter(F.size("shingles") > 0)
+    a = base.alias("a")
+    b = base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Tier 3: MinHash LSH (approximate, sub-quadratic)
+# --------------------------------------------------------------------------
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    jaccard_distance_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHashLSH banding.
+
+    shingle → HashingTF (sparse indicator vector) → MinHashLSH →
+    approxSimilarityJoin. Candidate generation is the banded OR-construction
+    (num_hash_tables bands), so the join is O(candidates), not O(n²) —
+    the property that survives 100 TB. Output distances are LSH-estimated
+    Jaccard distances.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(tokens(F.col(text_col)), k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(base)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_distance"
+    )
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_distance"), 4).alias("est_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Tier 4: SimHash
+# --------------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document, pure bit arithmetic.
+
+    Each token hashes to 60 bits (md5-derived, cross-engine deterministic);
+    bit i of the signature is the majority vote of bit i over the document's
+    tokens. Computed as 60 conditional sums over the exploded token list —
+    one narrow explode + one grouped aggregation, no UDF.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", md5_hash60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col("id"), sig.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    sig_df: DataFrame, max_hamming: int = 3, band_bits: int = 15
+) -> DataFrame:
+    """Near-dup candidates from SimHash signatures: band the 60 bits into
+    60/band_bits chunks; pairs agreeing on ≥1 band (pigeonhole guarantee for
+    hamming ≤ bands-1) are verified with an exact popcount filter."""
+    n_bands = SIMHASH_BITS // band_bits
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("simhash"), bi * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = sig_df.select("id", "simhash", F.explode(bands).alias("bk"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding (semantic) near-dup
+# --------------------------------------------------------------------------
+def embedding_near_dup(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Cosine-threshold pairs over dense embeddings (brute-force all pairs).
+
+    Exact but O(n²) — correct at oracle scale; at 100 TB use the LSH-bucketed
+    candidate generation in similarity.hyperplane_lsh_pairs and verify with
+    this expression on the candidates only.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

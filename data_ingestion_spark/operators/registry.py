@@ -1,0 +1,266 @@
+"""Driver-contract registry for the §2.5 extension operators.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+The oracle SQL is the exact ANSI twin of the Spark expression (DuckDB
+dialect); operators whose algorithm is inherently Spark-side (ML MinHashLSH
+banding, hyperplane LSH with engine-local planes) ship without an oracle and
+get the driver's rows-only check — the exact-algorithm twins (jaccard_pairs,
+embedding_near_dup) serve as their correctness anchors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_functions import BPE_ISH_PATTERN
+from ..session import load_table
+from . import dedup, similarity, text
+
+# SQL fragments kept in lockstep with functions/text_functions.py
+_SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
+_SQL_HASH60 = "(('0x' || substr(md5({c}), 1, 15))::BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_representatives(docs, "text", "doc_id").orderBy("doc_id")
+
+
+DEDUP_EXACT_DOCS_SQL = """
+SELECT md5(text)   AS fingerprint,
+       min(doc_id) AS doc_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def dedup_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact 3-shingle Jaccard near-dup pairs (threshold 0.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
+        k=3,
+        threshold=0.3,
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_JACCARD_PAIRS_DOCS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars // 200 AS bucket,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ) AS shingles
+  FROM (SELECT doc_id, lang, n_chars, {_SQL_TOKENS.format(c='text')} AS toks
+        FROM documents)
+), nonempty AS (
+  SELECT * FROM base WHERE len(shingles) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+FROM nonempty a
+JOIN nonempty b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.3
+"""
+
+
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (approximate; rows-only check —
+    anchored by the exact dedup_jaccard_pairs_docs twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup(
+        docs, id_col="doc_id", text_col="text", k=3,
+        jaccard_distance_threshold=0.7,
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2**i}::BIGINT ELSE 0 END)"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_HASH60.format(c='t.tok')} AS h
+  FROM documents, unnest({_SQL_TOKENS.format(c='text')}) AS t(tok)
+), votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS simhash FROM votes
+"""
+
+
+DEDUP_SIMHASH_DOCS_SQL = _simhash_oracle()
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: brute-force cosine pairs ≥ 0.4 (the synthetic
+    embeddings are near-orthogonal; 0.4 selects the extreme tail)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_EMBEDDING_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+KNN_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidate pairs re-ranked by exact cosine (approximate;
+    rows-only — anchored by dedup_embedding_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_pairs(
+        emb, bits=16, band_bits=4, threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.text_quality(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_EN = ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"])
+
+TEXT_QUALITY_DOCS_SQL = f"""
+SELECT doc_id,
+       len(toks)                                            AS n_tokens,
+       length(text)                                         AS n_chars_computed,
+       round(length(text)::DOUBLE / greatest(len(toks), 1), 4)  AS avg_token_len,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / greatest(length(text), 1), 4)                AS punct_ratio,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 4)                AS alpha_ratio,
+       round(len(list_filter(toks, x -> x IN ({_EN})))::DOUBLE
+             / greatest(len(toks), 1), 4)                   AS stopword_ratio
+FROM (SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS toks FROM documents)
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in text.LANG_PROFILES.items()
+    )
+    langs = list(text.LANG_PROFILES)
+    best = f"greatest({', '.join('hits_' + l for l in langs)})"
+    case = " ".join(
+        f"WHEN hits_{l} = best AND best > 0 THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH hits AS (
+  SELECT doc_id,
+       {hits}
+  FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents)
+), scored AS (
+  SELECT doc_id, {best} AS best, * FROM hits
+)
+SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang FROM scored
+"""
+
+
+LANG_ID_DOCS_SQL = _lang_id_oracle()
+
+
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TOKEN_COUNT_DOCS_SQL = f"""
+SELECT doc_id,
+       len({_SQL_TOKENS.format(c='text')})                       AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}', 0)) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text").orderBy("doc_id")
+
+
+FINGERPRINT_DOCS_SQL = f"""
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       {_SQL_HASH60.format(c='text')} AS fingerprint60
+FROM documents
+"""
+
+
+QUERIES: dict = {
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
+    "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
+    "dedup_minhash_docs": (dedup_minhash_docs, None),
+    "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_DOCS_SQL),
+    "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMBEDDING_PAIRS_SQL),
+    "knn_cosine_topk": (knn_cosine_topk, KNN_COSINE_TOPK_SQL),
+    "knn_lsh_pairs": (knn_lsh_pairs, None),
+    "text_quality_docs": (text_quality_docs, TEXT_QUALITY_DOCS_SQL),
+    "lang_id_docs": (lang_id_docs, LANG_ID_DOCS_SQL),
+    "token_count_docs": (token_count_docs, TOKEN_COUNT_DOCS_SQL),
+    "fingerprint_docs": (fingerprint_docs, FINGERPRINT_DOCS_SQL),
+}

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — exact; one broadcast of the query vectors,
+  one pass over the corpus, per-partition top-k via the rank window. The
+  correctness baseline, and perfectly serviceable when queries are few.
+- **Random-hyperplane LSH** — the scale path: each vector gets a b-bit
+  signature from sign(v·r_i) against b shared random hyperplanes; bucket-join
+  on band keys generates candidates (O(n·bands), never O(n²)); candidates
+  are re-ranked with the exact cosine. At 100 TB the corpus side shuffles
+  on band keys only, and the hyperplanes stay a broadcast literal.
+
+All vector math is the JVM-side expressions in functions/vector_functions —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector_functions import cosine_similarity
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Rank ties on the ROUNDED similarity break by neighbor id so the output
+    is engine-deterministic. queries is broadcast (small side); the window
+    partitions by query so per-query top-k reduces before the final sort.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _deterministic_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Pseudo-random unit-free hyperplanes, reproducible across runs.
+
+    Deterministic from (seed, dim, bits) via a splitmix64-style integer mix —
+    no RNG state, safe to regenerate identically on driver restarts.
+    """
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            x = (seed * 0x9E3779B97F4A7C15 + b * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & (
+                2**64 - 1
+            )
+            x ^= x >> 30
+            x = (x * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+            x ^= x >> 27
+            x = (x * 0x94D049BB133111EB) & (2**64 - 1)
+            x ^= x >> 31
+            # map to (-1, 1); sign structure is all LSH needs
+            u = struct.unpack(">q", struct.pack(">Q", x))[0]
+            row.append(u / 2**63)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(vec_col, planes: list[list[float]]):
+    """b-bit signature column: bit i = sign(v · plane_i), as a long."""
+    sig = None
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(d > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    band_bits: int = 4,
+    threshold: float = 0.8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: hyperplane-LSH candidates, exact
+    cosine verification. Collisions in any of bits/band_bits bands make a
+    candidate; similar vectors (small angle) collide with high probability."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _deterministic_hyperplanes(dim, bits, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    n_bands = bits // band_bits
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("sig"), bi * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = base.select("id", "v", F.explode(bands).alias("bk"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,82 @@
+"""Text-analysis operators over document tables (SURVEY.md §2.5).
+
+Language-ID (stopword n-gram heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. All pure column expressions — narrow transforms that fuse
+into the scan stage; nothing here shuffles except explicit aggregations.
+
+Each operator has an exact ANSI-SQL twin in operators/registry.py (the
+DuckDB oracle); keep them in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import bpe_ish_tokens, md5_hash60, stopword_hits, tokens
+
+#: Tiny deterministic stopword profiles (public common-word lists). The
+#: heuristic is profile-hit argmax — standard n-gram/stopword language ID
+#: in its simplest checkable form.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "den"],
+}
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Predict language by stopword-profile argmax; 'und' (undetermined)
+    when no profile hits. Ties break by profile order (en, es, fr, de)."""
+    toks = tokens(F.col(text_col))
+    hits = {lang: stopword_hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # reversed so earlier profiles win ties (last when() wins in a chain
+    # evaluated first — build from lowest priority up)
+    for lang in reversed(list(LANG_PROFILES)):
+        pred = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring features: token/char counts, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio — the standard cheap
+    heuristics an LLM-corpus filter thresholds on."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    sw = stopword_hits(toks, LANG_PROFILES["en"])
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_computed"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
+        F.round(sw / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counts under both tokenizers (whitespace and BPE-ish regex)."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(F.col(text_col))).alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: full-content md5 plus a 60-bit integer hash
+    (cheap join/partition key for dedup pipelines)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        md5_hash60(F.col(text_col)).alias("fingerprint60"),
+    )

@@ -1,0 +1,102 @@
+"""Multimodal binary-column plumbing: real Spark dataflow (binaryFile →
+sniff/metadata/decode-features), real header parsing, stubbed codecs."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from data_ingestion_spark.operators import multimodal as mm
+
+
+def png_bytes(w=16, h=8) -> bytes:
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    )
+
+
+def wav_bytes(channels=2, rate=44100, bits=16) -> bytes:
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+    )
+
+
+@pytest.fixture()
+def media_dir(tmp_path):
+    (tmp_path / "img.png").write_bytes(png_bytes())
+    (tmp_path / "sound.wav").write_bytes(wav_bytes())
+    (tmp_path / "photo.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    (tmp_path / "doc.pdf").write_bytes(b"%PDF-1.4 fake")
+    (tmp_path / "mystery.bin").write_bytes(b"\x01\x02\x03\x04")
+    return str(tmp_path)
+
+
+def test_header_parsers_unit():
+    assert mm.png_metadata(png_bytes(640, 480)) == {
+        "width": 640, "height": 480, "bit_depth": 8,
+    }
+    assert mm.wav_metadata(wav_bytes(1, 8000, 8)) == {
+        "channels": 1, "sample_rate": 8000, "bits": 8,
+    }
+    assert mm.png_metadata(b"junk") is None
+    assert mm.wav_metadata(b"RIFFxxxxAVI ") is None
+
+
+def test_binary_read_and_sniff(spark, media_dir):
+    df = mm.read_binary(spark, media_dir)
+    assert {"path", "length", "content", "modificationTime"} <= set(df.columns)
+    out = {r["path"].rsplit("/", 1)[-1]: r["format"]
+           for r in mm.sniff_format(df).select("path", "format").collect()}
+    assert out == {
+        "img.png": "png", "sound.wav": "wav", "photo.jpg": "jpeg",
+        "doc.pdf": "pdf", "mystery.bin": "unknown",
+    }
+
+
+def test_metadata_extraction(spark, media_dir):
+    df = mm.read_binary(spark, media_dir)
+    meta = {r["path"].rsplit("/", 1)[-1]: r.asDict()
+            for r in mm.extract_metadata(df).collect()}
+    assert meta["img.png"]["width"] == 16 and meta["img.png"]["height"] == 8
+    assert meta["sound.wav"]["sample_rate"] == 44100
+    assert meta["sound.wav"]["channels"] == 2
+    assert meta["photo.jpg"]["format"] == "unknown"  # no jpeg dimension parser
+
+
+def test_metadata_pushdown_filter(spark, media_dir):
+    # predicate on metadata prunes before content ever matters
+    df = mm.read_binary(spark, media_dir, glob="*.png")
+    assert df.count() == 1
+
+
+def test_decode_features_with_fake_decoder(spark, media_dir):
+    # deterministic fake decoder: the Spark plumbing (schema, batching) is
+    # identical to a real codec path
+    def fake_decoder(data: bytes):
+        return data[:4]
+
+    def feature_fn(decoded) -> list[float]:
+        return [float(b) for b in decoded]
+
+    df = mm.read_binary(spark, media_dir, glob="*.png")
+    out = mm.decode_features(df, feature_fn, decoder=fake_decoder, dim=6).collect()
+    assert len(out) == 1
+    feats = out[0]["features"]
+    assert len(feats) == 6
+    assert feats[:4] == [137.0, 80.0, 78.0, 71.0]  # \x89 P N G
+    assert feats[4:] == [0.0, 0.0]  # padded
+
+
+def test_decode_without_decoder_raises(spark, media_dir):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    df = mm.read_binary(spark, media_dir, glob="*.png")
+    with pytest.raises((PythonException, Py4JJavaError), match="No media decoder"):
+        mm.decode_features(df, lambda d: [0.0]).collect()

@@ -1,0 +1,142 @@
+"""Unit tests for the §2.5 extension operators on crafted micro-data
+(planted duplicates, known vectors) — the oracle harness covers the
+synthetic-table scale; these pin the semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_spark.operators import dedup, similarity, text
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+NEAR_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR_B = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+OTHER = "completely different words about spark distributed computing engines"
+
+
+def test_exact_dedup_representatives(spark):
+    df = docs_df(spark, [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")])
+    out = {r["doc_id"]: r for r in dedup.exact_dedup_representatives(df, "text", "doc_id").collect()}
+    assert out[1]["n_copies"] == 3  # min-id representative for 'aaa'
+    assert out[2]["n_copies"] == 1
+    assert set(out) == {1, 2}
+
+
+def test_jaccard_pairs_finds_planted_near_dup(spark):
+    from pyspark.sql import functions as F
+
+    df = docs_df(spark, [(1, NEAR_A), (2, NEAR_B), (3, OTHER)])
+    pairs = dedup.jaccard_pairs(
+        df, "doc_id", "text", block_cols=[F.lit(1)], k=3, threshold=0.5
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.7
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    df = docs_df(spark, [(1, NEAR_A), (2, NEAR_B), (3, OTHER)])
+    pairs = dedup.minhash_near_dup(
+        df, "doc_id", "text", k=3, jaccard_distance_threshold=0.6
+    ).collect()
+    assert (1, 2) in [(p["id_a"], p["id_b"]) for p in pairs]
+
+
+def test_simhash_identical_and_near(spark):
+    df = docs_df(spark, [(1, NEAR_A), (2, NEAR_A), (3, NEAR_B), (4, OTHER)])
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+    assert all(0 <= s < 2**60 for s in sigs.values())
+
+
+def test_simhash_hamming_pairs(spark):
+    df = docs_df(spark, [(1, NEAR_A), (2, NEAR_A), (3, OTHER)])
+    sig = dedup.simhash(df, "doc_id", "text")
+    pairs = dedup.simhash_hamming_pairs(sig, max_hamming=3).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    df = vec_df(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),   # closest to 0
+            (2, [0.5, 0.5]),
+            (3, [0.0, 1.0]),   # orthogonal to 0
+        ],
+    )
+    q = df.filter("vec_id = 0")
+    out = similarity.cosine_topk(df, q, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] > 0.99
+    assert out[2]["cosine"] == 0.0
+
+
+def test_embedding_near_dup_threshold(spark):
+    df = vec_df(spark, [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])])
+    pairs = dedup.embedding_near_dup(df, "vec_id", "embedding", threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_hyperplane_lsh_finds_identical(spark):
+    base = [float(i % 7 - 3) for i in range(16)]
+    df = vec_df(
+        spark,
+        [(0, base), (1, list(base)), (2, [-x for x in base])],
+    )
+    pairs = similarity.hyperplane_lsh_pairs(
+        df, bits=8, band_bits=4, threshold=0.99, dim=16
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_language_id_real_sentences(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "el gato que vive en la casa es de un amigo"),
+            (3, "le chat est dans la maison et les oiseaux dans un arbre"),
+            (4, "der hund und die katze das ist ein tier mit den besten"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.language_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und"}
+
+
+def test_text_quality_features(spark):
+    df = docs_df(spark, [(1, "The quick fox! And the dog.")])
+    r = text.text_quality(df, "doc_id", "text").collect()[0]
+    assert r["n_tokens"] == 6
+    assert r["n_chars_computed"] == 27
+    assert r["punct_ratio"] == pytest.approx(2 / 27, abs=1e-4)
+    assert r["stopword_ratio"] == pytest.approx(3 / 6, abs=1e-4)  # the, and, the
+
+
+def test_token_counts(spark):
+    df = docs_df(spark, [(1, "hello world42 a-b")])
+    r = text.token_counts(df, "doc_id", "text").collect()[0]
+    assert r["n_ws_tokens"] == 3
+    # bpe-ish: hello, world, 42, a, -, b
+    assert r["n_bpe_tokens"] == 6
+
+
+def test_fingerprint_deterministic(spark):
+    import hashlib
+
+    df = docs_df(spark, [(1, "abc")])
+    r = text.fingerprint(df, "doc_id", "text").collect()[0]
+    assert r["fingerprint"] == hashlib.md5(b"abc").hexdigest()
+    assert r["fingerprint60"] == int(hashlib.md5(b"abc").hexdigest()[:15], 16)
