@@ -1,0 +1,91 @@
+"""Benchmark harness for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}``.
+
+Each query is timed to full materialization (``collect()``) so the figure
+includes scan + shuffle + result transfer, matching how the DuckDB oracle
+side is measured. One warm-up action runs first so JVM/session startup is
+not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_spark.queries import merged_queries  # noqa: E402
+from data_ingestion_spark.session import get_spark, load_table  # noqa: E402
+
+# Headline set: every relational operator class + the LLM-pipeline extension
+# operators. Keys must exist in merged_queries().
+HEADLINE = [
+    "agg_pricing_summary",
+    "scan_filter_project",
+    "join_revenue_by_segment",
+    "join_multi_region",
+    "anti_join_inactive_customers",
+    "window_topk_orders",
+    "sort_limit_top_orders",
+    "rollup_order_priority",
+    "json_extract_events",
+    "time_window_events",
+    "scalar_functions_part",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "dedup_simhash_docs",
+    "knn_cosine_topk",
+    "text_quality_docs",
+    "lang_id_docs",
+    "token_count_docs",
+    "fingerprint_docs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark("bench")
+    registry = merged_queries()
+
+    # Warm-up: touch the biggest table so JVM spin-up and parquet footer
+    # reads are excluded from per-query timings.
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn, _sql = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
