@@ -75,14 +75,17 @@ def jaccard_pairs(
     DuckDB's list_intersect/list_distinct). The self-join shuffles both
     sides on the block key; block design caps pair counts per partition.
     """
+    # Filter on token count (== "has >=1 shingle") BEFORE building shingles:
+    # a size(shingles)>0 filter would be pushed below the projection and
+    # re-evaluate the whole shingle expression against raw text per row.
     base = (
         df.select(
             F.col(id_col).alias("id"),
             tokens(F.col(text_col)).alias("toks"),
             F.struct(*block_cols).alias("block"),
         )
+        .filter(F.size("toks") >= k)
         .select("id", word_shingles(F.col("toks"), k).alias("shingles"), "block")
-        .filter(F.size("shingles") > 0)
     )
     a = base.alias("a")
     b = base.alias("b")
@@ -132,10 +135,10 @@ def minhash_near_dup(
     """
     base = (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= k)
         .select(
             "id", F.array_distinct(word_shingles(F.col("toks"), k)).alias("shingles")
         )
-        .filter(F.size("shingles") > 0)
     )
     mh_cols = [
         F.array_min(
@@ -188,8 +191,8 @@ def minhash_near_dup_ml(
 
     base = (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= k)
         .select("id", word_shingles(F.col("toks"), k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
     )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
