@@ -428,6 +428,48 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Session windows: Spark's native merging event-time windows (batch plan of
+# streaming/event_time.session_window_agg), oracle'd by the classic
+# gaps-and-islands formulation.
+# --------------------------------------------------------------------------
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessions over events. session_end is the last
+    EVENT time (max ts), not window.end (= last+gap), so the oracle needs no
+    interval arithmetic."""
+    from ..streaming.event_time import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_agg(ev, gap="30 minutes", key="user_id").orderBy(
+        "user_id", "session_start"
+    )
+
+
+# Spark merges an event into a session iff ts - last < gap (strictly); the
+# oracle's new-session flag is therefore diff >= gap.
+SESSION_WINDOW_EVENTS_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+)
+SELECT user_id,
+       min(ts)              AS session_start,
+       max(ts)              AS session_end,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, sess_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Scalar string/date functions (reference's only scalar surface: lowercase,
 # split, formatting — ingestion_service.rs:150,81 — generalized).
 # --------------------------------------------------------------------------
@@ -509,6 +551,7 @@ QUERIES: dict = {
     "rollup_order_priority": (rollup_order_priority, ROLLUP_ORDER_PRIORITY_SQL),
     "json_extract_events": (json_extract_events, JSON_EXTRACT_EVENTS_SQL),
     "time_window_events": (time_window_events, TIME_WINDOW_EVENTS_SQL),
+    "session_window_events": (session_window_events, SESSION_WINDOW_EVENTS_SQL),
     "scalar_functions_part": (scalar_functions_part, SCALAR_FUNCTIONS_PART_SQL),
     "ingest_metrics_by_source": (ingest_metrics_by_source, INGEST_METRICS_BY_SOURCE_SQL),
 }
