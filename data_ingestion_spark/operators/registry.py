@@ -251,6 +251,88 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Multimodal: opaque binary columns with typed metadata. The query
+# synthesizes valid PNG/WAV containers from the documents table with
+# KNOWN header fields, pushes them through the real binary operators
+# (magic-byte sniff + mapInPandas header parse), and the oracle recomputes
+# the expected fields from doc_id — a bit-level check of the binary path.
+# --------------------------------------------------------------------------
+def multimodal_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    from . import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h = d % 512 + 1, (d * 7) % 512 + 1
+                    blob = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + struct.pack(">I", 13)
+                        + b"IHDR"
+                        + struct.pack(">II", w, h)
+                        + bytes([8, 2, 0, 0, 0])
+                        + b"\x00" * 8
+                    )
+                else:
+                    ch = (d // 2) % 2 + 1
+                    sr = 8000 * (d % 5 + 1)
+                    blob = (
+                        b"RIFF"
+                        + struct.pack("<I", 36)
+                        + b"WAVE"
+                        + b"fmt "
+                        + struct.pack("<I", 16)
+                        + struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+                        + b"data"
+                    )
+                paths.append(str(d))
+                blobs.append(blob)
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    binary = docs.mapInPandas(_synth, schema="path string, content binary")
+    sniffed = multimodal.sniff_format(binary).select(
+        "path", F.col("format").alias("sniffed")
+    )
+    meta = multimodal.extract_metadata(binary)
+    return (
+        meta.join(sniffed, "path")
+        .select(
+            "path",
+            "format",
+            "sniffed",
+            F.coalesce("width", F.lit(-1)).alias("width"),
+            F.coalesce("height", F.lit(-1)).alias("height"),
+            F.coalesce("channels", F.lit(-1)).alias("channels"),
+            F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+        )
+        .orderBy("path")
+    )
+
+
+MULTIMODAL_METADATA_DOCS_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS path,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS sniffed,
+       CASE WHEN doc_id % 2 = 0 THEN doc_id % 512 + 1 ELSE -1 END::INT AS width,
+       CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 512 + 1 ELSE -1 END::INT
+           AS height,
+       CASE WHEN doc_id % 2 = 1 THEN (doc_id // 2) % 2 + 1 ELSE -1 END::INT
+           AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN 8000 * (doc_id % 5 + 1) ELSE -1 END::INT
+           AS sample_rate
+FROM documents
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -263,4 +345,8 @@ QUERIES: dict = {
     "lang_id_docs": (lang_id_docs, LANG_ID_DOCS_SQL),
     "token_count_docs": (token_count_docs, TOKEN_COUNT_DOCS_SQL),
     "fingerprint_docs": (fingerprint_docs, FINGERPRINT_DOCS_SQL),
+    "multimodal_metadata_docs": (
+        multimodal_metadata_docs,
+        MULTIMODAL_METADATA_DOCS_SQL,
+    ),
 }

@@ -1,0 +1,198 @@
+"""Driver-gated queries for the INGESTION surface (SURVEY.md §2.1–§2.3).
+
+Each query runs the real pipeline end-to-end — rule match → dispatch →
+parse → enrich → parquet sink — on deterministic in-query fixtures, then
+returns the sunk table. The DuckDB oracle is the expected output as a
+literal ``VALUES`` relation, so the driver's value-hash compare checks the
+parsers bit-for-bit (the automated version of the reference's
+dev-test.sh + manual mongosh inspection, SURVEY.md §3.3).
+
+``log_id`` is excluded from outputs (uuid-random per run); ``file_name``
+enrichment IS included — it's deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import IngestionPipeline
+from ..rules import DEFAULT_RULES
+
+
+def _run_pipeline(spark: SparkSession, files: dict[str, str], keys: list[str]):
+    """Write fixture files under a temp bucket, ingest each key, return the
+    pipeline (fresh warehouse per call — queries must be rerunnable)."""
+    tmp = tempfile.mkdtemp(prefix="ingestq_")
+    landing = os.path.join(tmp, "landing")
+    bucket = os.path.join(landing, "qbucket")
+    for rel, content in files.items():
+        path = os.path.join(bucket, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(content)
+    pipe = IngestionPipeline(
+        spark,
+        warehouse_dir=os.path.join(tmp, "wh"),
+        rules=DEFAULT_RULES,
+        base_dir=landing,
+    )
+    for key in keys:
+        pipe.process_key("qbucket", key)
+    return pipe
+
+
+# --------------------------------------------------------------------------
+# CSV: headers + ragged-row column_{i} fallback (§2.2 P1/P3)
+# --------------------------------------------------------------------------
+def ingest_csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = _run_pipeline(
+        spark,
+        {
+            "uploads/people.csv": (
+                "name,age,city\n"
+                "John,30,NYC\n"
+                "Jane,25,LA,extra1,extra2\n"  # ragged → column_3, column_4
+                "Bob,41,SF\n"
+            )
+        },
+        ["uploads/people.csv"],
+    )
+    out = pipe.sink.read_table("csv_data")
+    return out.select(
+        "name", "age", "city", "column_3", "column_4", "file_name"
+    ).orderBy("name")
+
+
+INGEST_CSV_DOCS_SQL = """
+SELECT * FROM (VALUES
+  ('Bob',  '41', 'SF',  NULL,     NULL,
+   'qbucket/uploads/people.csv'),
+  ('Jane', '25', 'LA',  'extra1', 'extra2',
+   'qbucket/uploads/people.csv'),
+  ('John', '30', 'NYC', NULL,     NULL,
+   'qbucket/uploads/people.csv')
+) t(name, age, city, column_3, column_4, file_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON passthrough: native types preserved (§2.2 P5)
+# --------------------------------------------------------------------------
+def ingest_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = _run_pipeline(
+        spark,
+        {
+            "uploads/data.json": (
+                '[{"name": "Alice", "value": 100, "active": true},'
+                ' {"name": "Bob", "value": 2.5, "active": false}]'
+            )
+        },
+        ["uploads/data.json"],
+    )
+    out = pipe.sink.read_table("json_data")
+    return out.select("name", "value", "active", "file_name").orderBy("name")
+
+
+INGEST_JSON_DOCS_SQL = """
+SELECT * FROM (VALUES
+  ('Alice', 100.0, true,  'qbucket/uploads/data.json'),
+  ('Bob',   2.5,   false, 'qbucket/uploads/data.json')
+) t(name, value, active, file_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# TXT: 1-based line_number + content (§2.2 P6)
+# --------------------------------------------------------------------------
+def ingest_txt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = _run_pipeline(
+        spark,
+        {"logs/app.txt": "service started\nprocessing batch\ndone\n"},
+        ["logs/app.txt"],
+    )
+    out = pipe.sink.read_table("text_logs")
+    return out.select("line_number", "content", "file_name").orderBy("line_number")
+
+
+INGEST_TXT_DOCS_SQL = """
+SELECT * FROM (VALUES
+  (1, 'service started',  'qbucket/logs/app.txt'),
+  (2, 'processing batch', 'qbucket/logs/app.txt'),
+  (3, 'done',             'qbucket/logs/app.txt')
+) t(line_number, content, file_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# XML: <record> elements, attributes + child-element text (§2.2 P7)
+# --------------------------------------------------------------------------
+def ingest_xml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = _run_pipeline(
+        spark,
+        {
+            "uploads/recs.xml": (
+                "<data>"
+                "<record id='1' kind='a'><name>X</name><score>9</score></record>"
+                "<record id='2'><name>Y</name></record>"
+                "</data>"
+            )
+        },
+        ["uploads/recs.xml"],
+    )
+    out = pipe.sink.read_table("xml_data")
+    return out.select("id", "kind", "name", "score", "file_name").orderBy("id")
+
+
+INGEST_XML_DOCS_SQL = """
+SELECT * FROM (VALUES
+  ('1', 'a',  'X', '9',  'qbucket/uploads/recs.xml'),
+  ('2', NULL, 'Y', NULL, 'qbucket/uploads/recs.xml')
+) t(id, kind, name, score, file_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# Audit log: per-file Success/Failed statuses incl. the unsupported-type
+# rejection path (§2.2 P9 + §2.3 L1/L2)
+# --------------------------------------------------------------------------
+def ingest_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = _run_pipeline(
+        spark,
+        {
+            "uploads/a.csv": "h1,h2\nv1,v2\n",
+            "uploads/bad.pdf": "%PDF-fake",
+        },
+        [],
+    )
+    for key in ["uploads/a.csv", "uploads/bad.pdf"]:
+        try:
+            pipe.process_key("qbucket", key)
+        except Exception:  # noqa: BLE001 — rejection path is the point
+            pass
+    cur = pipe.log.current_status()
+    return cur.select(
+        "file_name",
+        "status",
+        F.col("end_time").isNotNull().alias("finalized"),
+    ).orderBy("file_name")
+
+
+INGEST_AUDIT_LOG_SQL = """
+SELECT * FROM (VALUES
+  ('qbucket/uploads/a.csv',   'Success', true),
+  ('qbucket/uploads/bad.pdf', 'Failed',  true)
+) t(file_name, status, finalized)
+"""
+
+
+QUERIES: dict = {
+    "ingest_csv_docs": (ingest_csv_docs, INGEST_CSV_DOCS_SQL),
+    "ingest_json_docs": (ingest_json_docs, INGEST_JSON_DOCS_SQL),
+    "ingest_txt_docs": (ingest_txt_docs, INGEST_TXT_DOCS_SQL),
+    "ingest_xml_docs": (ingest_xml_docs, INGEST_XML_DOCS_SQL),
+    "ingest_audit_log": (ingest_audit_log, INGEST_AUDIT_LOG_SQL),
+}
