@@ -23,17 +23,22 @@ from ..pipeline import IngestionPipeline
 from ..rules import DEFAULT_RULES
 
 
-def _run_pipeline(spark: SparkSession, files: dict[str, str], keys: list[str]):
+def _run_pipeline(spark: SparkSession, files: dict, keys: list[str]):
     """Write fixture files under a temp bucket, ingest each key, return the
-    pipeline (fresh warehouse per call — queries must be rerunnable)."""
+    pipeline (fresh warehouse per call — queries must be rerunnable).
+    File values: str → text file; callable → invoked with the target path
+    (e.g. the xlsx writer)."""
     tmp = tempfile.mkdtemp(prefix="ingestq_")
     landing = os.path.join(tmp, "landing")
     bucket = os.path.join(landing, "qbucket")
     for rel, content in files.items():
         path = os.path.join(bucket, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            f.write(content)
+        if callable(content):
+            content(path)
+        else:
+            with open(path, "w") as f:
+                f.write(content)
     pipe = IngestionPipeline(
         spark,
         warehouse_dir=os.path.join(tmp, "wh"),
@@ -156,6 +161,42 @@ SELECT * FROM (VALUES
 
 
 # --------------------------------------------------------------------------
+# Excel: sheet-0 headers, stringified cells, overflow-cells DROPPED
+# (§2.2 P8 — contrast CSV's column_{i} keep)
+# --------------------------------------------------------------------------
+def ingest_excel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.xlsx_writer import make_xlsx
+
+    pipe = _run_pipeline(
+        spark,
+        {
+            "reports/q1.xlsx": lambda p: make_xlsx(
+                p,
+                [
+                    [
+                        ["product", "qty", "price"],
+                        ["Widget", 5, 9.99],
+                        ["Gadget", 2, 19.5, "OVERFLOW-DROPPED"],
+                    ]
+                ],
+                shared=True,
+            )
+        },
+        ["reports/q1.xlsx"],
+    )
+    out = pipe.sink.read_table("excel_reports")
+    return out.select("product", "qty", "price", "file_name").orderBy("product")
+
+
+INGEST_EXCEL_DOCS_SQL = """
+SELECT * FROM (VALUES
+  ('Gadget', '2', '19.5', 'qbucket/reports/q1.xlsx'),
+  ('Widget', '5', '9.99', 'qbucket/reports/q1.xlsx')
+) t(product, qty, price, file_name)
+"""
+
+
+# --------------------------------------------------------------------------
 # Audit log: per-file Success/Failed statuses incl. the unsupported-type
 # rejection path (§2.2 P9 + §2.3 L1/L2)
 # --------------------------------------------------------------------------
@@ -194,5 +235,6 @@ QUERIES: dict = {
     "ingest_json_docs": (ingest_json_docs, INGEST_JSON_DOCS_SQL),
     "ingest_txt_docs": (ingest_txt_docs, INGEST_TXT_DOCS_SQL),
     "ingest_xml_docs": (ingest_xml_docs, INGEST_XML_DOCS_SQL),
+    "ingest_excel_docs": (ingest_excel_docs, INGEST_EXCEL_DOCS_SQL),
     "ingest_audit_log": (ingest_audit_log, INGEST_AUDIT_LOG_SQL),
 }
