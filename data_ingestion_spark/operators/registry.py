@@ -251,6 +251,30 @@ FROM documents
 """
 
 
+def knn_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with n_probe == n_lists: exhaustive probing, so the result
+    is EXACT and shares knn_cosine_topk's oracle — this gates the whole IVF
+    machinery (centroid assignment, list equi-join, per-list ranking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists=8)
+    return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat at n_probe=2 of 8 lists — the production latency/recall
+    trade (approximate; rows-only check, recall asserted in pytest against
+    the exact twin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists=8)
+    return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal: opaque binary columns with typed metadata. The query
 # synthesizes valid PNG/WAV containers from the documents table with
@@ -341,6 +365,8 @@ QUERIES: dict = {
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMBEDDING_PAIRS_SQL),
     "knn_cosine_topk": (knn_cosine_topk, KNN_COSINE_TOPK_SQL),
     "knn_lsh_pairs": (knn_lsh_pairs, None),
+    "knn_ivf_exact_topk": (knn_ivf_exact_topk, KNN_COSINE_TOPK_SQL),
+    "knn_ivf_topk": (knn_ivf_topk, None),
     "text_quality_docs": (text_quality_docs, TEXT_QUALITY_DOCS_SQL),
     "lang_id_docs": (lang_id_docs, LANG_ID_DOCS_SQL),
     "token_count_docs": (token_count_docs, TOKEN_COUNT_DOCS_SQL),

@@ -98,6 +98,107 @@ def hyperplane_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid list(s).
+
+    Centroids are a broadcast literal (n_lists × dim floats); the dot
+    products are JVM-side expressions, so assignment is a narrow map — at
+    100 TB this runs at ingest and ``list_id`` becomes a partition column,
+    making every probe a partition-pruned scan.
+    """
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            dots,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct((-d).alias("negd"), i.alias("idx")),
+        )
+    )
+    probes = F.slice(ranked, 1, n_probe)
+    return df.withColumn(
+        list_col, F.explode(F.transform(probes, lambda s: s["idx"]))
+    )
+
+
+def ivf_centroids_from_sample(
+    df: DataFrame, n_lists: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic centroid seeds: the n_lists lowest-id vectors.
+
+    A stand-in for k-means training that keeps the operator fully
+    reproducible (and oracle-checkable); on a real corpus run
+    ml.clustering.KMeans once offline and feed its centers in — the
+    search-path code is identical either way.
+    """
+    rows = df.orderBy(id_col).limit(n_lists).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: probe the ``n_probe`` nearest inverted
+    lists per query, exact cosine inside the probed lists only.
+
+    With ``n_probe == len(centroids)`` this is EXACT (equals cosine_topk) —
+    the correctness anchor; recall/latency trade via n_probe. The join is
+    an equi-join on list_id (shuffle/prune on a small int key), never a
+    cross join — the property that survives a 100 TB corpus.
+    """
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        centroids,
+        vec_col="cv",
+        n_probe=1,
+    )
+    q = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        centroids,
+        vec_col="qv",
+        n_probe=n_probe,
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -140,3 +140,38 @@ def test_fingerprint_deterministic(spark):
     r = text.fingerprint(df, "doc_id", "text").collect()[0]
     assert r["fingerprint"] == hashlib.md5(b"abc").hexdigest()
     assert r["fingerprint60"] == int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from data_ingestion_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 3")
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists=4)
+    exact = {
+        tuple(r)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf_full = {
+        tuple(r)
+        for r in similarity.ivf_topk(emb, queries, cents, k=5, n_probe=4).collect()
+    }
+    assert ivf_full == exact and len(exact) == 15
+
+
+def test_ivf_partial_probe_recall(spark):
+    from data_ingestion_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 10")
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists=8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, queries, cents, k=5, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
