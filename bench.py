@@ -36,11 +36,14 @@ HEADLINE = [
     "rollup_order_priority",
     "json_extract_events",
     "time_window_events",
+    "session_window_events",
     "scalar_functions_part",
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "dedup_simhash_docs",
     "knn_cosine_topk",
+    "knn_ivf_topk",
+    "multimodal_metadata_docs",
     "text_quality_docs",
     "lang_id_docs",
     "token_count_docs",

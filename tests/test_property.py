@@ -1,0 +1,151 @@
+"""Property-based parser round-trips (Hypothesis) — SURVEY.md §5.2 item 4.
+
+The reference has no randomized tests; these cover the edge cases inline
+fixtures miss: quoting, empty fields, unicode, ragged widths, numeric
+payloads. Each property writes a generated file, runs the REAL source
+reader, and asserts the parsed documents equal what the generator intended.
+"""
+
+from __future__ import annotations
+
+import csv as csv_mod
+import io
+import json
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_ingestion_spark.sources.csv_source import read_csv
+from data_ingestion_spark.sources.json_source import read_json
+from data_ingestion_spark.sources.txt_source import read_txt
+
+# Spark-session-backed properties: few, fat examples — each example pays a
+# Spark job, so 10 examples × broad generators beats 100 narrow ones.
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable unicode without CSV/line-break structure; Spark's csv reader
+# treats empty string as null, so cells are non-empty
+_cell = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "S", "Zs"), blacklist_characters=',"\r\n'
+    ),
+    min_size=1,
+    max_size=12,
+).map(lambda s: s.strip() or "x")
+
+_header = st.lists(
+    st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=8),
+    min_size=1,
+    max_size=5,
+    unique=True,
+)
+
+
+@_SETTINGS
+@given(headers=_header, rows=st.lists(st.lists(_cell, min_size=1, max_size=5), max_size=8))
+def test_csv_roundtrip(spark, tmp_path_factory, headers, rows):
+    """Quoted-writer CSV → read_csv: header cells map positionally; extra
+    cells get column_{i}; short rows pad with null."""
+    tmp = tmp_path_factory.mktemp("csvprop")
+    path = os.path.join(str(tmp), "f.csv")
+    buf = io.StringIO()
+    w = csv_mod.writer(buf, quoting=csv_mod.QUOTE_ALL, lineterminator="\n")
+    w.writerow(headers)
+    for r in rows:
+        w.writerow(r)
+    with open(path, "w") as f:
+        f.write(buf.getvalue())
+
+    out = read_csv(spark, path).collect()
+    assert len(out) == len(rows)
+    width = max([len(headers)] + [len(r) for r in rows])
+    names = headers + [f"column_{i}" for i in range(len(headers), width)]
+    got = sorted([tuple(r[n] for n in names) for r in out])
+    want = sorted(
+        tuple(r[i] if i < len(r) else None for i in range(len(names))) for r in rows
+    )
+    assert got == want
+
+
+# per-key value types are kept consistent across documents — Spark's JSON
+# schema union would (correctly) widen a key that is int in one doc and
+# bool in another to string, which is union semantics, not a round-trip bug
+_typed_value = {
+    "i": st.integers(min_value=-(2**31), max_value=2**31),
+    "b": st.booleans(),
+    "s": st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N", "Zs")), max_size=12
+    ),
+}
+_typed_key = st.tuples(
+    st.sampled_from("ibs"), st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+).map(lambda t: f"{t[0]}_{t[1]}")
+
+
+def _norm(v):
+    # include the type name: Python would otherwise equate True == 1
+    return (type(v).__name__, str(v))
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.dictionaries(_typed_key, st.none(), min_size=1, max_size=4).flatmap(
+            lambda keys: st.fixed_dictionaries(
+                {k: _typed_value[k[0]] for k in keys}
+            )
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_json_array_roundtrip(spark, tmp_path_factory, docs):
+    """Top-level JSON array → one document per element, native types kept."""
+    tmp = tmp_path_factory.mktemp("jsonprop")
+    path = os.path.join(str(tmp), "f.json")
+    with open(path, "w") as f:
+        json.dump(docs, f, ensure_ascii=False)
+
+    out = [r.asDict() for r in read_json(spark, path).collect()]
+    assert len(out) == len(docs)
+    # row order not guaranteed → compare as multisets
+    keyed = sorted(
+        tuple(sorted((k, _norm(v)) for k, v in d.items() if v is not None))
+        for d in out
+    )
+    wanted = sorted(
+        tuple(sorted((k, _norm(v)) for k, v in d.items())) for d in docs
+    )
+    assert keyed == wanted
+
+
+@_SETTINGS
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("L", "N", "P", "Zs"), blacklist_characters="\r\n"
+            ),
+            min_size=1,
+            max_size=20,
+        ).map(lambda s: s if s.strip() else "x"),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_txt_line_numbers(spark, tmp_path_factory, lines):
+    """1-based line_number matches file order for arbitrary unicode lines."""
+    tmp = tmp_path_factory.mktemp("txtprop")
+    path = os.path.join(str(tmp), "f.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    out = read_txt(spark, path).orderBy("line_number").collect()
+    assert [(r["line_number"], r["content"]) for r in out] == [
+        (i + 1, line) for i, line in enumerate(lines)
+    ]
