@@ -70,6 +70,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     convert with integer division so sub-microsecond digits TRUNCATE —
     matching DuckDB's ns→µs cast semantics exactly.
     """
+    # The driver's correctness harness uses its OWN SparkSession — pin every
+    # query-critical conf at call time, not only in get_spark(): UTC session
+    # timezone keeps timestamp/date_format semantics aligned with DuckDB's
+    # tz-naive timestamps regardless of host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         df = spark.read.parquet(path)
