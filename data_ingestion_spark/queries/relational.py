@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..session import load_table
+from ..session import load_table, register_tables
 
 
 # --------------------------------------------------------------------------
@@ -427,6 +427,90 @@ GROUP BY 1, 2
 """
 
 
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all 4 grouping sets in one Expand pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+CUBE_ORDER_STATUS_PRIORITY_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)                    AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status. Explicit
+    pivot values keep the output schema static (required both for the
+    oracle compare and for a sane plan — value discovery would add a
+    driver-side distinct scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s.lower()}") for s in statuses],
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_PRIORITY_BY_STATUS_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface + correlated scalar subquery: customers whose
+    max order exceeds 1.9x their own average. Catalyst decorrelates the
+    subqueries into aggregates + joins — no per-row re-execution."""
+    register_tables(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               round((SELECT max(o_totalprice) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 2) AS max_order
+        FROM customer c
+        WHERE (SELECT max(o_totalprice) FROM orders o
+               WHERE o.o_custkey = c.c_custkey)
+              > 1.9 * (SELECT avg(o_totalprice) FROM orders o
+                       WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+SQL_CORRELATED_SUBQUERY_SQL = """
+SELECT c.c_custkey, c.c_name,
+       round((SELECT max(o_totalprice) FROM orders o
+              WHERE o.o_custkey = c.c_custkey), 2) AS max_order
+FROM customer c
+WHERE (SELECT max(o_totalprice) FROM orders o
+       WHERE o.o_custkey = c.c_custkey)
+      > 1.9 * (SELECT avg(o_totalprice) FROM orders o
+               WHERE o.o_custkey = c.c_custkey)
+ORDER BY c.c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Session windows: Spark's native merging event-time windows (batch plan of
 # streaming/event_time.session_window_agg), oracle'd by the classic
@@ -549,6 +633,18 @@ QUERIES: dict = {
         SETOP_CUSTOMER_SUPPLIER_NATIONS_SQL,
     ),
     "rollup_order_priority": (rollup_order_priority, ROLLUP_ORDER_PRIORITY_SQL),
+    "cube_order_status_priority": (
+        cube_order_status_priority,
+        CUBE_ORDER_STATUS_PRIORITY_SQL,
+    ),
+    "pivot_priority_by_status": (
+        pivot_priority_by_status,
+        PIVOT_PRIORITY_BY_STATUS_SQL,
+    ),
+    "sql_correlated_subquery": (
+        sql_correlated_subquery,
+        SQL_CORRELATED_SUBQUERY_SQL,
+    ),
     "json_extract_events": (json_extract_events, JSON_EXTRACT_EVENTS_SQL),
     "time_window_events": (time_window_events, TIME_WINDOW_EVENTS_SQL),
     "session_window_events": (session_window_events, SESSION_WINDOW_EVENTS_SQL),
