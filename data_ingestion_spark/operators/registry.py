@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text_functions import BPE_ISH_PATTERN
 from ..session import load_table
-from . import dedup, similarity, text
+from . import dedup, similarity, skew, text
 
 # SQL fragments kept in lockstep with functions/text_functions.py
 _SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
@@ -251,6 +251,36 @@ FROM documents
 """
 
 
+def skew_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over events by event_type (a
+    low-cardinality, skew-prone key) — identical results to a plain
+    groupBy, hot keys spread over 32 reducers first. Oracle is the
+    UNSALTED GROUP BY: equivalence is the correctness claim."""
+    ev = load_table(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        keys=["event_type"],
+        salt_from="event_id",
+        buckets=32,
+        partials={
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "sum_value": (F.sum("value"), F.sum("sum_value")),
+        },
+    )
+    return out.select(
+        "event_type", "n_events", F.round("sum_value", 2).alias("sum_value")
+    ).orderBy("event_type")
+
+
+SKEW_SALTED_AGG_EVENTS_SQL = """
+SELECT event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 def knn_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with n_probe == n_lists: exhaustive probing, so the result
     is EXACT and shares knn_cosine_topk's oracle — this gates the whole IVF
@@ -375,4 +405,5 @@ QUERIES: dict = {
         multimodal_metadata_docs,
         MULTIMODAL_METADATA_DOCS_SQL,
     ),
+    "skew_salted_agg_events": (skew_salted_agg_events, SKEW_SALTED_AGG_EVENTS_SQL),
 }

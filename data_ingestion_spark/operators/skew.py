@@ -1,0 +1,83 @@
+"""Skew mitigation: salting for hot keys.
+
+AQE's skew-join splitting (on in session.py) handles most skew at runtime,
+but two cases still need explicit salting at 100 TB:
+
+1. **Skewed aggregation** — a single hot group key funnels to one reducer.
+   ``salted_agg`` does a two-phase aggregate: phase 1 groups on
+   (key, salt) spreading the hot key over N partitions (map-side partials
+   still apply), phase 2 merges the N partials per key. Works for any
+   algebraic aggregate (sum/count/min/max; avg = sum+count then divide).
+2. **Skewed join against a small-ish build side** — ``salted_join``
+   replicates each build-side row N ways (explode over salt values) and
+   salts the probe side randomly-but-deterministically (hash-mod on a
+   stable column), so one hot probe key spreads over N tasks.
+
+Both are plain DataFrame transforms — no partitioner surgery — so Catalyst
+still owns the physical plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_from: Column | str, buckets: int) -> DataFrame:
+    """Deterministic salt in [0, buckets): xxhash64-mod on a stable column
+    (NOT rand() — retries/speculative tasks must re-derive the same salt)."""
+    c = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    return df.withColumn("_salt", F.pmod(F.xxhash64(c), F.lit(buckets)))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_from: str,
+    buckets: int,
+    partials: dict[str, tuple[Column, Column]],
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    ``partials`` maps output-column name → (phase1_agg_expr, phase2_merge_expr)
+    where the phase-2 expression references the phase-1 column by name, e.g.::
+
+        salted_agg(df, ["k"], "id", 32,
+                   {"n":   (F.count(F.lit(1)),  F.sum("n")),
+                    "tot": (F.sum("v"),         F.sum("tot"))})
+
+    Identical results to ``df.groupBy(keys).agg(...)`` for algebraic
+    aggregates; the hot key's rows split over ``buckets`` reducers first.
+    """
+    phase1 = (
+        with_salt(df, salt_from, buckets)
+        .groupBy(*keys, "_salt")
+        .agg(*[expr.alias(name) for name, (expr, _) in partials.items()])
+    )
+    return phase1.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_, merge) in partials.items()]
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    buckets: int,
+    probe_salt_from: str,
+) -> DataFrame:
+    """Inner equi-join where ``probe`` has hot values of ``on``.
+
+    The build side explodes ×buckets (fine for dimension-sized builds that
+    are too big to broadcast but small next to the probe side); the probe
+    side computes one deterministic salt. Join key becomes (on, salt) —
+    the hot key now lands on ``buckets`` distinct reducers.
+    """
+    salted_probe = with_salt(probe, probe_salt_from, buckets)
+    exploded_build = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<bigint>"))
+    )
+    out = salted_probe.join(exploded_build, [on, "_salt"])
+    return out.drop("_salt")

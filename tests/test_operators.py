@@ -175,3 +175,55 @@ def test_ivf_partial_probe_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import skew
+    from data_ingestion_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plain = {
+        (r["event_type"], r["n"], round(r["tot"], 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"], r["n"], round(r["tot"], 6))
+        for r in skew.salted_agg(
+            ev,
+            keys=["event_type"],
+            salt_from="event_id",
+            buckets=16,
+            partials={
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "tot": (F.sum("value"), F.sum("tot")),
+            },
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain_join(spark):
+    from data_ingestion_spark.operators import skew
+    from data_ingestion_spark.session import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_name"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    plain = {
+        (r["o_orderkey"], r["c_name"])
+        for r in orders.join(cust, "o_custkey").collect()
+    }
+    salted = {
+        (r["o_orderkey"], r["c_name"])
+        for r in skew.salted_join(
+            orders, cust, on="o_custkey", buckets=8, probe_salt_from="o_orderkey"
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0
