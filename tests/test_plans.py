@@ -113,3 +113,45 @@ def test_exact_dedup_shuffles_fingerprint_not_content(spark):
     assert "partial_" in plan
     exchanges = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
     assert exchanges and all("text" not in ln for ln in exchanges), exchanges
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key pre-partitions data at write
+    time — the join then needs NO Exchange on either side. This is the
+    co-located-join strategy for repeated 100 TB fact-dim joins."""
+    from data_ingestion_spark.session import load_table
+
+    # warehouse.dir is a static conf on a shared session; managed tables
+    # land in the default warehouse and are dropped (with files) in finally
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        cust = load_table(spark, SF_DIR, "customer")
+        (
+            orders.write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable("b_orders")
+        )
+        (
+            cust.withColumnRenamed("c_custkey", "o_custkey")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable("b_cust")
+        )
+        joined = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: zero shuffles
+        n = joined.count()
+        assert n == spark.table("b_orders").count()  # every order has a customer
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
