@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text_functions import BPE_ISH_PATTERN
 from ..session import load_table
-from . import dedup, similarity, skew, text
+from . import dedup, similarity, skew, temporal, text
 
 # SQL fragments kept in lockstep with functions/text_functions.py
 _SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
@@ -251,6 +251,77 @@ FROM documents
 """
 
 
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's latest order at-or-before
+    the event time (union-merge window formulation — one shuffle, no
+    inequality join). Orders are deduped to one per (custkey, date) with max
+    orderkey first, since both engines' as-of tie-break at equal timestamps
+    would otherwise be arbitrary."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = temporal.asof_join(
+        ev,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", "o_orderkey").orderBy("event_id")
+
+
+ASOF_JOIN_EVENTS_ORDERS_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: same-user event pairs where the follower lands within 1
+    hour of the leader — binned equi-join, exact predicate post-join (never
+    an inequality nested-loop join). The canonical funnel/attribution
+    shape."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    lead = ev.select(
+        "user_id", F.col("event_id").alias("lead_id"), F.col("ts").alias("lead_ts")
+    )
+    follow = ev.select(
+        "user_id",
+        F.col("event_id").alias("follow_id"),
+        F.col("ts").alias("follow_ts"),
+    )
+    out = temporal.range_join_binned(
+        follow,
+        lead,
+        key="user_id",
+        left_ts="follow_ts",
+        right_start="lead_ts",
+        interval_seconds=3600,
+    ).filter(F.col("lead_id") != F.col("follow_id"))
+    return out.select("lead_id", "follow_id").orderBy("lead_id", "follow_id")
+
+
+RANGE_JOIN_EVENT_PAIRS_SQL = """
+SELECT a.event_id AS lead_id, b.event_id AS follow_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL 1 HOUR
+ AND a.event_id <> b.event_id
+"""
+
+
 def skew_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over events by event_type (a
     low-cardinality, skew-prone key) — identical results to a plain
@@ -406,4 +477,12 @@ QUERIES: dict = {
         MULTIMODAL_METADATA_DOCS_SQL,
     ),
     "skew_salted_agg_events": (skew_salted_agg_events, SKEW_SALTED_AGG_EVENTS_SQL),
+    "asof_join_events_orders": (
+        asof_join_events_orders,
+        ASOF_JOIN_EVENTS_ORDERS_SQL,
+    ),
+    "range_join_event_pairs": (
+        range_join_event_pairs,
+        RANGE_JOIN_EVENT_PAIRS_SQL,
+    ),
 }

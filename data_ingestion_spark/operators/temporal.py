@@ -1,0 +1,131 @@
+"""Temporal joins Spark lacks natively: as-of and range (interval) joins.
+
+Both are expressed as compositions of existing DataFrame ops (the brief's
+preferred tier for custom operators) — no UDFs, no cartesian products:
+
+- **As-of join** — the union-merge formulation: tag both sides, union,
+  one window per key ordered by time carrying the right side's columns
+  forward with ``last(ignorenulls)``. Cost: ONE shuffle on the join key
+  (the window), regardless of how many right rows precede each left row.
+  The naive inequality-join formulation Spark would otherwise plan is a
+  BroadcastNestedLoopJoin — O(n·m) per key — which this avoids entirely.
+- **Range join** — equi-join on a time-bin key (bin width = interval
+  length, so any qualifying pair shares a bin or adjacent bins), exact
+  interval predicate applied post-join. Turns an inequality join into a
+  hash join with bounded fan-out ×2.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right_ts <= left_ts`` and the same ``key`` (inclusive, like DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts``). Left rows with no prior right row
+    keep nulls (left-join semantics).
+
+    ``tolerance`` (e.g. ``'7 days'``) additionally requires
+    ``left_ts - right_ts <= tolerance``, nulling out stale matches —
+    pandas.merge_asof's tolerance semantics.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_values],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rt"),
+    )
+    tagged_right = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            tagged_left.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c) for c in right_values],
+        F.col(right_ts).alias("_rt"),
+    )
+    # right rows sort BEFORE left rows at equal timestamps → inclusive <=
+    merged = tagged_left.unionByName(tagged_right)
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.select(
+        "_k",
+        "_t",
+        "_side",
+        "_lrow",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_values],
+        F.last("_rt", ignorenulls=True).over(w).alias("_rt"),
+    ).filter(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = F.col("_t") > F.col("_rt") + F.expr(f"INTERVAL {tolerance}")
+        carried = carried.select(
+            "_k",
+            "_t",
+            "_side",
+            "_lrow",
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in right_values
+            ],
+            "_rt",
+        )
+    return carried.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns], *right_values
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_start: str,
+    interval_seconds: int,
+) -> DataFrame:
+    """Inner join on ``key`` where
+    ``right_start <= left_ts < right_start + interval_seconds``.
+
+    Bin width == interval length ⇒ any qualifying (left, right) pair has
+    ``left_bin ∈ {right_bin, right_bin + 1}``; the right side explodes ×2
+    into both bins and the exact predicate filters after the hash join.
+    """
+    binw = F.lit(interval_seconds)
+    lbin = (F.unix_timestamp(F.col(left_ts)) / binw).cast("long")
+    rbin = (F.unix_timestamp(F.col(right_start)) / binw).cast("long")
+    lt = left.withColumn("_bin", lbin)
+    rt = right.withColumn(
+        "_bin", F.explode(F.array(rbin, rbin + 1))
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l._bin") == F.col("r._bin"))
+        & (F.col(f"l.{left_ts}") >= F.col(f"r.{right_start}"))
+        & (
+            F.unix_timestamp(F.col(f"l.{left_ts}"))
+            < F.unix_timestamp(F.col(f"r.{right_start}")) + binw
+        )
+    )
+    out = lt.alias("l").join(rt.alias("r"), cond)
+    return out.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in right.columns if c != key],
+    )

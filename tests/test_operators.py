@@ -227,3 +227,74 @@ def test_salted_join_equals_plain_join(spark):
         ).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_asof_join_basic_and_tolerance(spark):
+    from datetime import datetime
+
+    from data_ingestion_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 10), "e1"),
+            (1, datetime(2024, 1, 20), "e2"),
+            (2, datetime(2024, 1, 5), "e3"),
+        ],
+        "k int, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 10), 100),   # same-instant → inclusive match
+            (1, datetime(2024, 1, 12), 200),
+            (3, datetime(2024, 1, 1), 300),
+        ],
+        "k int, rts timestamp, val int",
+    )
+    out = {
+        r["ev"]: r["val"]
+        for r in temporal.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts", right_values=["val"]
+        ).collect()
+    }
+    assert out == {"e1": 100, "e2": 200, "e3": None}
+
+    tol = {
+        r["ev"]: r["val"]
+        for r in temporal.asof_join(
+            left,
+            right,
+            key="k",
+            left_ts="ts",
+            right_ts="rts",
+            right_values=["val"],
+            tolerance="5 days",
+        ).collect()
+    }
+    # e2 is 8 days after its match → nulled by tolerance
+    assert tol == {"e1": 100, "e2": None, "e3": None}
+
+
+def test_range_join_binned_boundaries(spark):
+    from datetime import datetime
+
+    from data_ingestion_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 30), "in"),
+         (1, datetime(2024, 1, 1, 1, 0), "at-end"),
+         (1, datetime(2023, 12, 31, 23, 59), "before"),
+         (2, datetime(2024, 1, 1, 0, 30), "wrong-key")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0), "w1")], "k int, start timestamp, w string"
+    )
+    got = {
+        r["tag"]
+        for r in temporal.range_join_binned(
+            left, right, key="k", left_ts="ts", right_start="start",
+            interval_seconds=3600,
+        ).collect()
+    }
+    # half-open [start, start+1h): 'at-end' and 'before' excluded
+    assert got == {"in"}

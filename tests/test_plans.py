@@ -155,3 +155,10 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_temporal_joins_avoid_nested_loop(spark):
+    for name in ["asof_join_events_orders", "range_join_event_pairs"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
