@@ -152,6 +152,80 @@ def _no_decoder(data: bytes) -> Any:
     )
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    decoder: Decoder = _no_decoder,
+    encoder: Callable[[Any, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Decode → resize → re-encode over binary image content, Arrow-batched.
+
+    ``decoder``/``encoder`` are injected (PIL.Image.open / img.resize().save
+    on a real cluster; deterministic fakes in tests — this container ships
+    no codecs). The Spark contract — schema ``(path, content, width,
+    height)``, per-partition batching, binary pass-through — is identical
+    either way.
+    """
+
+    def _enc(decoded: Any, w: int, h: int) -> bytes:
+        if encoder is None:
+            raise NotImplementedError(
+                "No image encoder available; inject encoder= on a cluster "
+                "with codecs (e.g. PIL resize + save-to-bytes)."
+            )
+        return encoder(decoded, w, h)
+
+    schema = "path string, content binary, width int, height int"
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                resized = _enc(decoder(bytes(content)), width, height)
+                out_rows.append(
+                    {"path": path, "content": resized, "width": width, "height": height}
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["path", "content", "width", "height"]
+            )
+
+    return df.select("path", "content").mapInPandas(_run, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int,
+    decoder: Callable[[bytes], Iterator[Any]] = _no_decoder,
+    frame_encoder: Callable[[Any], bytes] | None = None,
+) -> DataFrame:
+    """Video/audio frame sampling: one output row per kept frame
+    (every ``every_n``-th), exploding each container into
+    ``(path, frame_index, frame)`` — the UDTF-shaped mapInPandas pattern
+    (input rows ≠ output rows). ``decoder`` yields frames (ffmpeg/PyAV on a
+    real cluster; deterministic fake in tests)."""
+
+    schema = "path string, frame_index int, frame binary"
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for i, frame in enumerate(decoder(bytes(content))):
+                    if i % every_n == 0:
+                        blob = (
+                            frame_encoder(frame)
+                            if frame_encoder is not None
+                            else bytes(frame)
+                        )
+                        rows.append(
+                            {"path": path, "frame_index": i, "frame": blob}
+                        )
+            yield pd.DataFrame(rows, columns=["path", "frame_index", "frame"])
+
+    return df.select("path", "content").mapInPandas(_run, schema=schema)
+
+
 def decode_features(
     df: DataFrame,
     feature_fn: Callable[[Any], list[float]],

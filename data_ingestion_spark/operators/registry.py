@@ -458,6 +458,35 @@ FROM documents
 """
 
 
+def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document: k=5 char-gram 60-bit
+    hashes, window-of-4 minima, distinct. Exploded rows; exact DuckDB
+    replay as the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4).orderBy(
+        "doc_id", "winnow_hash"
+    )
+
+
+WINNOW_FINGERPRINT_DOCS_SQL = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(text) - 5 + 2),
+           i -> (('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT)
+         ) AS hs
+  FROM documents
+  WHERE len(text) >= 5 + 4 - 1
+)
+SELECT doc_id,
+       unnest(list_distinct(list_transform(
+           range(1, len(hs) - 4 + 2),
+           i -> list_min(hs[i:i+3])
+       ))) AS winnow_hash
+FROM hs
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -472,6 +501,10 @@ QUERIES: dict = {
     "lang_id_docs": (lang_id_docs, LANG_ID_DOCS_SQL),
     "token_count_docs": (token_count_docs, TOKEN_COUNT_DOCS_SQL),
     "fingerprint_docs": (fingerprint_docs, FINGERPRINT_DOCS_SQL),
+    "winnow_fingerprint_docs": (
+        winnow_fingerprint_docs,
+        WINNOW_FINGERPRINT_DOCS_SQL,
+    ),
     "multimodal_metadata_docs": (
         multimodal_metadata_docs,
         MULTIMODAL_METADATA_DOCS_SQL,

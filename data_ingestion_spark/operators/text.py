@@ -80,3 +80,39 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.col(text_col)).alias("fingerprint"),
         md5_hash60(F.col(text_col)).alias("fingerprint60"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-fingerprinting algorithm,
+    Schleimer/Wilkerson/Aiken 2003): hash every character k-gram, keep the
+    MINIMUM hash of each sliding window of w consecutive k-grams, emit the
+    distinct selected hashes per document.
+
+    Guarantees: any shared substring of length ≥ k+w-1 between two documents
+    yields at least one shared fingerprint — the partial-overlap detector
+    exact dedup can't provide. The classic formulation rolls a Rabin-Karp
+    hash sequentially; set-semantically only "hash per k-gram + windowed
+    min" matters, which vectorizes as array expressions (k-gram hash =
+    md5_hash60 of substring — deterministic across engines, so the DuckDB
+    oracle can replay it exactly).
+
+    Output: (id, winnow_hash) exploded rows — a join/groupBy-ready shape:
+    overlap detection = self-join on winnow_hash.
+    """
+    c = text_col
+    hashes = (
+        f"transform(sequence(1, length({c}) - {k} + 1), "
+        f"i -> cast(conv(substring(md5(substring({c}, i, {k})), 1, 15), 16, 10) "
+        "as bigint))"
+    )
+    mins = (
+        f"transform(sequence(1, size(hs) - {w} + 1), "
+        f"i -> array_min(slice(hs, i, {w})))"
+    )
+    return (
+        df.filter(F.length(c) >= k + w - 1)
+        .select(F.col(id_col), F.expr(hashes).alias("hs"))
+        .select(F.col(id_col), F.explode(F.array_distinct(F.expr(mins))).alias("winnow_hash"))
+    )

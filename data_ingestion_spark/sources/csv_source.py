@@ -93,6 +93,10 @@ def read_csv(
         .option("header", has_header_row)
         .option("delimiter", delimiter)
         .option("nullValue", _NULL_SENTINEL)
+        # RFC 4180 dialect (what the reference's Rust csv crate speaks):
+        # quotes escape by doubling; backslash is a LITERAL character.
+        # Spark's default escape='\' would silently eat backslashes.
+        .option("escape", '"')
         .option("mode", "PERMISSIVE")
         .csv(path)
     )

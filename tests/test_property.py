@@ -65,9 +65,11 @@ def test_csv_roundtrip(spark, tmp_path_factory, headers, rows):
     assert len(out) == len(rows)
     width = max([len(headers)] + [len(r) for r in rows])
     names = headers + [f"column_{i}" for i in range(len(headers), width)]
-    got = sorted([tuple(r[n] for n in names) for r in out])
+    nonesort = lambda t: tuple((v is None, v or "") for v in t)  # noqa: E731
+    got = sorted([tuple(r[n] for n in names) for r in out], key=nonesort)
     want = sorted(
-        tuple(r[i] if i < len(r) else None for i in range(len(names))) for r in rows
+        (tuple(r[i] if i < len(r) else None for i in range(len(names))) for r in rows),
+        key=nonesort,
     )
     assert got == want
 
