@@ -280,6 +280,61 @@ def simhash_hamming_pairs(
 
 
 # --------------------------------------------------------------------------
+# Cluster resolution: near-dup pairs → connected components
+# --------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over a pair list by iterative min-label
+    propagation: every node repeatedly adopts ``min(own label, neighbor
+    labels)`` until fixpoint. Converges in O(graph diameter) rounds — for
+    near-dup clusters (dense cliques plus short chains) that is a handful.
+
+    This turns pairwise near-dup output (jaccard_pairs / minhash_near_dup /
+    simhash_hamming_pairs / embedding_near_dup) into dedup CLUSTERS: keep
+    ``id == component`` as the canonical document, drop the rest.
+
+    Scale shape: each round is one shuffle join on node id + one grouped min
+    — the standard distributed CC loop. ``localCheckpoint`` truncates the
+    lineage each round (an iterative plan would otherwise grow exponentially)
+    and the converged-check count is the per-round action that also
+    materializes it. At 100 TB, swap in the large-star/small-star variant
+    only if diameters get pathological; near-dup graphs don't.
+
+    Returns (id, component) — component = min node id reachable.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        stepped = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                labels["id"],
+                labels["comp"].alias("old_comp"),
+                F.least(
+                    labels["comp"], F.coalesce(F.col("ncomp"), labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = stepped.select("id", "comp")
+        if changed == 0:
+            break
+    return labels
+
+
+# --------------------------------------------------------------------------
 # Embedding (semantic) near-dup
 # --------------------------------------------------------------------------
 def embedding_near_dup(

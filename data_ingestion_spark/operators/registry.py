@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text_functions import BPE_ISH_PATTERN
 from ..session import load_table
-from . import dedup, similarity, skew, temporal, text
+from . import dedup, sampling, similarity, skew, temporal, text
 
 # SQL fragments kept in lockstep with functions/text_functions.py
 _SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
@@ -487,6 +487,119 @@ FROM hs
 """
 
 
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (blocked exact Jaccard ≥ 0.3) resolved into dedup
+    CLUSTERS via iterative min-label connected components. The oracle
+    replays the transitive closure with a recursive CTE — iterative Spark
+    vs recursive SQL, same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
+        k=3,
+        threshold=0.3,
+    )
+    return (
+        dedup.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_DOCS_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, n_chars // 200 AS bucket,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ) AS shingles
+  FROM (SELECT doc_id, lang, n_chars, {_SQL_TOKENS.format(c='text')} AS toks
+        FROM documents)
+), nonempty AS (
+  SELECT * FROM base WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nonempty a
+  JOIN nonempty b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT id AS doc_id, min(r) AS component
+FROM reach GROUP BY id
+"""
+
+
+def sample_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by md5 of doc_id — reproducible on
+    any partitioning/engine, unlike seed-based df.sample()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", percent=10).select(
+        "doc_id", "source", "lang"
+    ).orderBy("doc_id")
+
+
+SAMPLE_DOCS_HASH_SQL = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_SQL_HASH60.format(c='doc_id::VARCHAR')} % 100 < 10
+"""
+
+
+def cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep the 20 longest documents per source
+    (deterministic n_chars-desc, doc_id tie-break ranking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.cap_per_key(
+        docs,
+        key_cols=["source"],
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        cap=20,
+    ).select("source", "doc_id", "n_chars", "rk").orderBy("source", "rk")
+
+
+CAP_PER_SOURCE_DOCS_SQL = """
+SELECT source, doc_id, n_chars, rk
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization pass (lowercase / strip non-alnum / collapse
+    whitespace) — emitted as md5 of the normalized text so the compare stays
+    compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.normalize(docs, "doc_id", "text")
+        .select("doc_id", F.md5("norm_text").alias("norm_md5"))
+        .orderBy("doc_id")
+    )
+
+
+NORMALIZE_TEXT_DOCS_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS norm_md5
+FROM documents
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -505,6 +618,10 @@ QUERIES: dict = {
         winnow_fingerprint_docs,
         WINNOW_FINGERPRINT_DOCS_SQL,
     ),
+    "dedup_clusters_docs": (dedup_clusters_docs, DEDUP_CLUSTERS_DOCS_SQL),
+    "sample_docs_hash": (sample_docs_hash, SAMPLE_DOCS_HASH_SQL),
+    "cap_per_source_docs": (cap_per_source_docs, CAP_PER_SOURCE_DOCS_SQL),
+    "normalize_text_docs": (normalize_text_docs, NORMALIZE_TEXT_DOCS_SQL),
     "multimodal_metadata_docs": (
         multimodal_metadata_docs,
         MULTIMODAL_METADATA_DOCS_SQL,

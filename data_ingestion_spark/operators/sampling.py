@@ -1,0 +1,53 @@
+"""Deterministic sampling / quota operators for corpus construction.
+
+Training-data pipelines need REPRODUCIBLE sampling: `df.sample()` is
+seed+partitioning dependent (a repartition changes the sample), which makes
+runs impossible to diff. These operators derive keep/drop decisions from a
+content hash instead — the same row is kept in every run, on any cluster
+layout, and the decision is re-derivable by any engine (the DuckDB oracles
+replay it exactly).
+
+Scale shape: hash_sample is a narrow per-row filter fused into the scan
+stage (no shuffle, no sort); cap_per_key is one shuffle on the quota key +
+a per-partition rank cut — rows beyond the cap never leave the executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text_functions import md5_hash60
+
+
+def hash_sample(
+    df: DataFrame, key_col: Column | str, percent: int, modulus: int = 100
+) -> Column | DataFrame:
+    """Keep rows whose md5-derived 60-bit key hash lands in
+    ``[0, percent)`` mod ``modulus`` — a deterministic ``percent/modulus``
+    sample, stable across runs, partitionings, and engines.
+
+    ``key_col`` is cast to string before hashing so integer ids hash
+    identically everywhere (DuckDB twin:
+    ``('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT % modulus``).
+    """
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return df.filter(md5_hash60(c.cast("string")) % modulus < percent)
+
+
+def cap_per_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column], cap: int
+) -> DataFrame:
+    """Quota enforcement: keep at most ``cap`` rows per key, chosen by the
+    deterministic ``order_cols`` ranking (e.g. best-quality-first, or id for
+    pure reproducibility). The per-domain/per-source cap every corpus
+    pipeline applies so one crawl host can't dominate the mix.
+
+    One shuffle on ``key_cols``; the row_number cut happens inside the
+    window stage so only ``cap`` rows per key survive it.
+    """
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+    )

@@ -82,6 +82,18 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical text normalization (the pre-dedup cleanup pass): lowercase,
+    strip everything but ``[a-z0-9 ]``, collapse whitespace runs, trim.
+    Pure codegen'd JVM expressions; DuckDB twin uses the same two
+    regex_replace steps with the 'g' flag.
+    """
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.trim(F.regexp_replace(c, r" +", " "))
+    return df.select(F.col(id_col), c.alias("norm_text"))
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
 ) -> DataFrame:

@@ -612,7 +612,174 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Full outer join: per-nation wealthy customers vs wealthy suppliers —
+# asymmetric sides so both null-extension directions are exercised.
+# --------------------------------------------------------------------------
+def full_outer_join_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides on nationkey. Aggregating
+    BEFORE the join keeps the join input at key-cardinality size (25 rows
+    here; at 100 TB still one row per nation), so the full-outer itself is
+    trivial regardless of fact size."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+FULL_OUTER_JOIN_NATION_BALANCE_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS (the general form behind rollup/cube).
+# --------------------------------------------------------------------------
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS ((status), (priority), ()) — three grouping
+    shapes in one Expand + hash-agg pass (vs three scans if written as a
+    UNION ALL)."""
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)                    AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+GROUPING_SETS_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (interpolated) — the sort-based aggregate class.
+# --------------------------------------------------------------------------
+def percentile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per return flag (Spark
+    `percentile` ≡ DuckDB `quantile_cont` — both use rank = p·(n−1)).
+    For the 100 TB path use approx_percentile (see ndv_hll_events for the
+    sketch-tier pattern); this exact form is the correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILE_LINEITEM_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4)       AS p50_qty,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Multiple DISTINCT aggregates in one pass (Expand-based rewrite).
+# --------------------------------------------------------------------------
+def multi_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT user) + count(DISTINCT type) + count(*) per day —
+    Catalyst rewrites N distincts into one Expand + two-level aggregate,
+    not N scans."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+MULTI_DISTINCT_EVENTS_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)    AS n_users,
+       count(DISTINCT event_type) AS n_types,
+       count(*)                   AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Sketch tier: HyperLogLog distinct-count estimate (rows-only check — HLL
+# implementations differ across engines by design; multi_distinct_events is
+# the exact anchor for the same grouping).
+# --------------------------------------------------------------------------
+def ndv_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd 1%) per event type — the sketch
+    that replaces exact distinct at 100 TB: constant memory per group, no
+    distinct Expand blowup, mergeable across partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict = {
+    "full_outer_join_nation_balance": (
+        full_outer_join_nation_balance,
+        FULL_OUTER_JOIN_NATION_BALANCE_SQL,
+    ),
+    "grouping_sets_orders": (grouping_sets_orders, GROUPING_SETS_ORDERS_SQL),
+    "percentile_lineitem": (percentile_lineitem, PERCENTILE_LINEITEM_SQL),
+    "multi_distinct_events": (multi_distinct_events, MULTI_DISTINCT_EVENTS_SQL),
+    "ndv_hll_events": (ndv_hll_events, None),
     "agg_pricing_summary": (agg_pricing_summary, AGG_PRICING_SUMMARY_SQL),
     "scan_filter_project": (scan_filter_project, SCAN_FILTER_PROJECT_SQL),
     "join_revenue_by_segment": (join_revenue_by_segment, JOIN_REVENUE_BY_SEGMENT_SQL),

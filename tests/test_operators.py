@@ -315,3 +315,48 @@ def test_winnow_shared_substring_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["winnow_hash"])
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3]) or True
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 + island pair 10-11; transitive closure must merge the
+    # chain even though (1,3) is not a direct edge
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (99, 3)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["comp"] for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 99: 1, 10: 10, 11: 10}
+
+
+def test_hash_sample_deterministic_and_stable_under_repartition(spark):
+    from data_ingestion_spark.operators import sampling
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in sampling.hash_sample(df, "k", percent=10).collect()}
+    b = {
+        r["k"]
+        for r in sampling.hash_sample(df.repartition(7), "k", percent=10).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert 40 < len(a) < 200  # ~10% of 1000
+
+
+def test_cap_per_key_keeps_top_n(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("s1", i, i * 10) for i in range(5)] + [("s2", 9, 1)],
+        "source string, doc_id long, n_chars long",
+    )
+    out = sampling.cap_per_key(
+        df, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()], cap=2
+    ).collect()
+    got = sorted((r["source"], r["doc_id"], r["rk"]) for r in out)
+    assert got == [("s1", 3, 2), ("s1", 4, 1), ("s2", 9, 1)]
+
+
+def test_normalize_text(spark):
+    df = docs_df(spark, [(1, "  Hello,\tWORLD!!  42  "), (2, "a-b_c")])
+    out = {r["doc_id"]: r["norm_text"] for r in text.normalize(df, "doc_id", "text").collect()}
+    assert out == {1: "hello world 42", 2: "a b c"}
