@@ -600,6 +600,43 @@ FROM documents
 """
 
 
+def mix_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mix: 80% of src0, 50% of src1, 10% of src2, rest
+    dropped — one narrow deterministic filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_mix(
+        docs, "doc_id", "source", {"src0": 80, "src1": 50, "src2": 10}
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+MIX_CORPUS_DOCS_SQL = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_SQL_HASH60.format(c='doc_id::VARCHAR')} % 100 <
+      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+                  WHEN 'src2' THEN 10 ELSE 0 END
+"""
+
+
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (k-means update step), exploded to
+    (grp, dim, centroid_val) rows — shuffle key count is labels × dims."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.group_centroids(emb, "label", "embedding").orderBy("grp", "dim")
+
+
+# 64 = the embeddings table's (constant) dimensionality at every sf
+# (TESTDATA.md tables are generated with dim=64); the WHERE guard keeps the
+# oracle correct even if a shorter vector ever appears.
+EMBEDDING_CENTROIDS_BY_LABEL_SQL = """
+SELECT label AS grp, i - 1 AS dim,
+       round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
+FROM embeddings, generate_series(1, 64) AS s(i)
+WHERE i <= len(embedding)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -622,6 +659,11 @@ QUERIES: dict = {
     "sample_docs_hash": (sample_docs_hash, SAMPLE_DOCS_HASH_SQL),
     "cap_per_source_docs": (cap_per_source_docs, CAP_PER_SOURCE_DOCS_SQL),
     "normalize_text_docs": (normalize_text_docs, NORMALIZE_TEXT_DOCS_SQL),
+    "mix_corpus_docs": (mix_corpus_docs, MIX_CORPUS_DOCS_SQL),
+    "embedding_centroids_by_label": (
+        embedding_centroids_by_label,
+        EMBEDDING_CENTROIDS_BY_LABEL_SQL,
+    ),
     "multimodal_metadata_docs": (
         multimodal_metadata_docs,
         MULTIMODAL_METADATA_DOCS_SQL,

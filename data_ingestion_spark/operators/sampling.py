@@ -51,3 +51,27 @@ def cap_per_key(
         df.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= cap)
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, int],
+    modulus: int = 100,
+) -> DataFrame:
+    """Per-source sampling rates in one pass: keep a row iff its
+    deterministic key hash lands under its source's rate (percent of
+    ``modulus``). Sources absent from ``weights`` are dropped (rate 0).
+
+    This is corpus mixing — upsample wiki, downsample crawl — as a single
+    narrow filter: no shuffle, no per-source scans, stable across runs, and
+    exactly replayable in SQL (CASE on source + the same md5 hash).
+    """
+    c = F.col(key_col)
+    rate = F.lit(None).cast("int")
+    for src, pct in sorted(weights.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(rate)
+    return df.filter(
+        md5_hash60(c.cast("string")) % modulus < F.coalesce(rate, F.lit(0))
+    )

@@ -248,3 +248,22 @@ def hyperplane_lsh_pairs(
     return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def group_centroids(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """Per-group mean vector — the k-means update step / class-prototype
+    aggregate, kept fully distributed.
+
+    Emitted EXPLODED as (grp, dim, centroid_val): posexplode is a narrow
+    transform, the groupBy(grp, dim) is one shuffle whose key count is
+    n_groups × dim (tiny), and partial aggregation means each executor ships
+    one partial sum per (grp, dim) — at 100 TB the shuffle is KBs. Collect
+    back to array form with array_agg over a dim-sorted window only when a
+    downstream op needs vectors (ivf_assign takes plain lists).
+    """
+    ex = df.select(
+        F.col(group_col).alias("grp"), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    return ex.groupBy("grp", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val")
+    )

@@ -15,9 +15,12 @@ from .event_time import (
     tumbling_window_counts,
 )
 from .ingest_stream import IngestionStreamLoop
+from .stream_joins import dedup_events, interval_join
 
 __all__ = [
     "IngestionStreamLoop",
+    "dedup_events",
+    "interval_join",
     "session_window_agg",
     "sliding_window_counts",
     "stream_events_from_dir",

@@ -360,3 +360,39 @@ def test_normalize_text(spark):
     df = docs_df(spark, [(1, "  Hello,\tWORLD!!  42  "), (2, "a-b_c")])
     out = {r["doc_id"]: r["norm_text"] for r in text.normalize(df, "doc_id", "text").collect()}
     assert out == {1: "hello world 42", 2: "a b c"}
+
+
+def test_weighted_mix_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import sampling
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )
+    out = sampling.weighted_mix(df, "k", "src", {"s0": 100, "s1": 50, "s2": 0})
+    counts = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("s0") == 1000  # 100% kept
+    assert "s2" not in counts  # 0% kept
+    assert 350 < counts.get("s1", 0) < 650  # ~50%
+    again = sampling.weighted_mix(
+        df.repartition(5), "k", "src", {"s0": 100, "s1": 50, "s2": 0}
+    )
+    assert {r["k"] for r in again.collect()} == {r["k"] for r in out.collect()}
+
+
+def test_group_centroids_known_vectors(spark):
+    out = similarity.group_centroids(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0]), (1, [3.0, 2.0]), (2, [10.0, 20.0])],
+            "label int, embedding array<double>",
+        ),
+        "label",
+        "embedding",
+    ).collect()
+    got = {(r["grp"], r["dim"]): r["centroid_val"] for r in out}
+    assert got == {(1, 0): 2.0, (1, 1): 1.0, (2, 0): 10.0, (2, 1): 20.0}

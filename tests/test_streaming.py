@@ -179,3 +179,76 @@ def test_sessionize_stream_closed_sessions(spark, tmp_path):
         if r["session_start"] != last_start[r["user_id"]]
     }
     assert got == expected and len(expected) > 0
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join + streaming dedup
+# ---------------------------------------------------------------------------
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    from data_ingestion_spark.streaming import interval_join, stream_events_from_dir
+
+    events_batch = load_table(spark, SF_DIR, "events").filter("user_id < 15")
+    src = str(tmp_path / "events_join_src")
+    events_batch.write.parquet(src)
+
+    def sides(df):
+        clicks = df.filter("event_type = 'click'").select(
+            "user_id",
+            df["event_id"].alias("click_id"),
+            df["ts"].alias("click_ts"),
+        )
+        buys = df.filter("event_type = 'purchase'").select(
+            df["user_id"].alias("b_user_id"),
+            df["event_id"].alias("buy_id"),
+            df["ts"].alias("buy_ts"),
+        ).withColumnRenamed("b_user_id", "user_id")
+        return clicks, buys
+
+    bc, bb = sides(spark.read.parquet(src))
+    batch = {
+        (r["click_id"], r["buy_id"])
+        for r in interval_join(
+            bc, bb, "user_id", "click_ts", "buy_ts", within_seconds=3600
+        ).collect()
+    }
+
+    sc_, sb = sides(stream_events_from_dir(spark, src))
+    joined = interval_join(
+        sc_, sb, "user_id", "click_ts", "buy_ts", within_seconds=3600,
+        watermark="2 hours",
+    ).select("click_id", "buy_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_sjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = {tuple(r) for r in spark.table("t_sjoin").collect()}
+    assert stream == batch and len(batch) > 0
+
+
+def test_streaming_dedup_collapses_redelivery(spark, tmp_path):
+    from data_ingestion_spark.streaming import dedup_events, stream_events_from_dir
+
+    base = load_table(spark, SF_DIR, "events").filter("user_id < 10")
+    src = str(tmp_path / "events_dup_src")
+    # simulate at-least-once redelivery: every event lands twice
+    base.write.parquet(src)
+    base.write.mode("append").parquet(src)
+
+    n_unique = base.select("event_id").distinct().count()
+    deduped = dedup_events(
+        stream_events_from_dir(spark, src), keys=["event_id"], watermark="1 hour"
+    ).select("event_id")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_sdedup").collect()
+    assert len(got) == len({r["event_id"] for r in got}) == n_unique
