@@ -771,7 +771,74 @@ def ndv_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# EXCEPT set operation (INTERSECT's twin, see setop_customer_supplier_nations).
+# --------------------------------------------------------------------------
+def except_wealthy_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with a >9500-balance customer but no >9500-balance supplier
+    (EXCEPT ≡ distinct + left-anti hash join)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return cust.subtract(supp).orderBy("nationkey")
+
+
+EXCEPT_WEALTHY_NATIONS_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
+"""
+
+
+# --------------------------------------------------------------------------
+# Date/time scalar battery (timestamps are the one typed value in the
+# reference — its audit log, models.rs:20-21 — generalized to the full
+# calendar-function surface).
+# --------------------------------------------------------------------------
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extraction + date arithmetic over order dates, all
+    codegen'd JVM expressions."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+DATE_FUNCTIONS_ORDERS_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate)                                      AS yr,
+       quarter(o_orderdate)                                   AS qtr,
+       month(o_orderdate)                                     AS mon,
+       day(o_orderdate)                                       AS dom,
+       dayofweek(o_orderdate) + 1                             AS dow,
+       date_diff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_to_2002,
+       strftime(o_orderdate, '%Y-%m')                         AS ym,
+       last_day(o_orderdate::DATE)::VARCHAR                   AS month_end
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
 QUERIES: dict = {
+    "except_wealthy_nations": (except_wealthy_nations, EXCEPT_WEALTHY_NATIONS_SQL),
+    "date_functions_orders": (date_functions_orders, DATE_FUNCTIONS_ORDERS_SQL),
     "full_outer_join_nation_balance": (
         full_outer_join_nation_balance,
         FULL_OUTER_JOIN_NATION_BALANCE_SQL,
