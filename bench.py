@@ -48,6 +48,17 @@ HEADLINE = [
     "lang_id_docs",
     "token_count_docs",
     "fingerprint_docs",
+    "percentile_lineitem",
+    "multi_distinct_events",
+    "asof_join_events_orders",
+    "range_join_event_pairs",
+    "skew_salted_agg_events",
+    "winnow_fingerprint_docs",
+    "sample_docs_hash",
+    "cap_per_source_docs",
+    "normalize_text_docs",
+    "mix_corpus_docs",
+    "embedding_centroids_by_label",
 ]
 
 

@@ -473,7 +473,7 @@ WITH hs AS (
   SELECT doc_id,
          list_transform(
            range(1, len(text) - 5 + 2),
-           i -> (('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT)
+           i -> substr(md5(substr(text, i, 5)), 1, 15)
          ) AS hs
   FROM documents
   WHERE len(text) >= 5 + 4 - 1
