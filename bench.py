@@ -5,10 +5,11 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": sf}``.
 
-Each query is timed to full materialization (``collect()``) so the figure
-includes scan + shuffle + result transfer, matching how the DuckDB oracle
-side is measured. One warm-up action runs first so JVM/session startup is
-not billed to the first query.
+Each query is timed to full materialization on the driver (Arrow-batched
+``toPandas()``) so the figure includes scan + shuffle + result transfer,
+matching how the DuckDB oracle side is measured (``con.sql(...).df()`` is
+also a to-pandas materialization). One warm-up action runs first so
+JVM/session startup is not billed to the first query.
 """
 
 from __future__ import annotations
@@ -82,7 +83,7 @@ def main() -> None:
     for name in HEADLINE:
         fn, _sql = registry[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).toPandas()
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt

@@ -463,9 +463,10 @@ def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, window-of-4 minima, distinct. Exploded rows; exact DuckDB
     replay as the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4).orderBy(
-        "doc_id", "winnow_hash"
-    )
+    # No orderBy: the output is ~90 fingerprints/doc (440k rows at sf0.1) and
+    # the driver's value-hash compare is order-insensitive — a global sort
+    # here would be a pure-waste range-partition shuffle.
+    return text.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
 
 
 WINNOW_FINGERPRINT_DOCS_SQL = """
