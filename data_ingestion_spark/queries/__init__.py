@@ -11,11 +11,12 @@ from __future__ import annotations
 
 def merged_queries() -> dict:
     """All query registries merged — the single source for __spark_entry__."""
-    from . import ingestion, relational, tpch
+    from . import advanced, ingestion, relational, tpch
 
     out: dict = {}
     out.update(relational.QUERIES)
     out.update(tpch.QUERIES)
+    out.update(advanced.QUERIES)
     out.update(ingestion.QUERIES)
     try:
         from ..operators import registry as ops_registry
