@@ -11,11 +11,12 @@ from __future__ import annotations
 
 def merged_queries() -> dict:
     """All query registries merged — the single source for __spark_entry__."""
-    from . import advanced, ingestion, relational, tpch
+    from . import advanced, ingestion, relational, tpch, tpch2
 
     out: dict = {}
     out.update(relational.QUERIES)
     out.update(tpch.QUERIES)
+    out.update(tpch2.QUERIES)
     out.update(advanced.QUERIES)
     out.update(ingestion.QUERIES)
     try:
