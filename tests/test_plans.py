@@ -162,3 +162,31 @@ def test_temporal_joins_avoid_nested_loop(spark):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tpch2_dims_broadcast_no_cartesian(spark):
+    """Every Q3/Q5/Q8/Q9/Q10/Q15/Q20 plan must broadcast its dimension
+    side(s) and never degrade to a nested-loop/cartesian join; the only
+    sort-merge joins allowed are the fact-fact equi-joins."""
+    for name in [
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q10_returned_items",
+        "tpch_q15_top_supplier",
+        "tpch_q20_excess_volume",
+    ]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_tpch2_topk_is_take_ordered(spark):
+    """Q3/Q10's LIMIT must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), not a global Sort followed by Limit."""
+    for name in ["tpch_q3_shipping_priority", "tpch_q10_returned_items"]:
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
