@@ -373,13 +373,19 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     schema = T.StructType([T.StructField("k", T.LongType())])
+    # avg is emitted as exact-bigint sum / exact-bigint count in ONE IEEE-754
+    # double division: both engines divide the same exactly-representable
+    # operands, so the result is bit-identical (round(avg(...), 4) on doubles
+    # is NOT engine-stable — round-1 hash-fail).
     return (
         ev.withColumn("k", F.from_json(F.col("props"), schema).getField("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
             F.sum("k").alias("sum_k"),
+        )
+        .withColumn(
+            "avg_k", F.col("sum_k").cast("double") / F.col("n_events")
         )
         .orderBy("event_type")
     )
@@ -387,9 +393,10 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_EXTRACT_EVENTS_SQL = """
 SELECT event_type,
-       count(*)                                                     AS n_events,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))       AS sum_k
+       count(*)                                               AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE
+         / count(*)                                           AS avg_k
 FROM events
 GROUP BY event_type
 """
@@ -591,12 +598,16 @@ def ingest_metrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document counts + size totals — what the reference logs
     per-file, expressed as a grouped aggregate."""
     docs = load_table(spark, sf_dir, "documents")
+    # Exact-int sum / count in one double division — bit-stable across
+    # engines (see json_extract_events).
     return (
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .withColumn(
+            "avg_chars", F.col("total_chars").cast("double") / F.col("n_docs")
         )
         .orderBy("source")
     )
@@ -604,9 +615,9 @@ def ingest_metrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INGEST_METRICS_BY_SOURCE_SQL = """
 SELECT source,
-       count(*)                AS n_docs,
-       sum(n_chars)            AS total_chars,
-       round(avg(n_chars), 4)  AS avg_chars
+       count(*)                            AS n_docs,
+       sum(n_chars)                        AS total_chars,
+       sum(n_chars)::DOUBLE / count(*)     AS avg_chars
 FROM documents
 GROUP BY source
 """
@@ -720,6 +731,45 @@ GROUP BY l_returnflag
 """
 
 
+def percentile_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier percentiles: ``approx_percentile`` (Greenwald-Khanna
+    summaries — mergeable, bounded memory per group) — the 100 TB twin of
+    ``percentile_lineitem``'s exact sort-based aggregate.
+
+    Gated contract: the sketch always emits an actual observed value (never
+    an interpolation), and at oracle scale the accuracy parameter (1e5 >
+    group row count at sf0.01) drives the rank error below one row — the
+    estimate IS the discrete percentile, so the oracle compares values
+    directly via ``quantile_disc`` (verified bit-equal at sf0.001/sf0.01).
+    At bench/production scale the same plan runs with bounded memory and a
+    tiny mergeable state instead of the exact form's full per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = F.lit(100000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", F.lit(0.5), acc).alias("p50_qty"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias(
+                "p50_price"
+            ),
+            F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias(
+                "p90_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILE_APPROX_LINEITEM_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5)      AS p50_qty,
+       quantile_disc(l_extendedprice, 0.5) AS p50_price,
+       quantile_disc(l_extendedprice, 0.9) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # Multiple DISTINCT aggregates in one pass (Expand-based rewrite).
 # --------------------------------------------------------------------------
@@ -759,16 +809,39 @@ GROUP BY 1
 def ndv_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++, rsd 1%) per event type — the sketch
     that replaces exact distinct at 100 TB: constant memory per group, no
-    distinct Expand blowup, mergeable across partitions."""
+    distinct Expand blowup, mergeable across partitions.
+
+    Gated contract: the sketch estimate itself is engine-specific, so the
+    output emits the EXACT distinct count plus a ``sketch_within_5pct``
+    boolean asserting |approx − exact| ≤ 5·rsd·exact. The oracle recomputes
+    the exact count and expects the flag TRUE — a checkable accuracy bound
+    instead of round 1's ``no_oracle`` row. (The production 100 TB query
+    drops the exact column and keeps only the sketch.)"""
     ev = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    exact = F.countDistinct("user_id")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            exact.alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
+            (
+                F.abs(approx.cast("double") - exact)
+                <= 0.05 * exact.cast("double")
+            ).alias("sketch_within_5pct"),
         )
         .orderBy("event_type")
     )
+
+
+NDV_HLL_EVENTS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*)                AS n_events,
+       true                    AS sketch_within_5pct
+FROM events
+GROUP BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -845,8 +918,12 @@ QUERIES: dict = {
     ),
     "grouping_sets_orders": (grouping_sets_orders, GROUPING_SETS_ORDERS_SQL),
     "percentile_lineitem": (percentile_lineitem, PERCENTILE_LINEITEM_SQL),
+    "percentile_approx_lineitem": (
+        percentile_approx_lineitem,
+        PERCENTILE_APPROX_LINEITEM_SQL,
+    ),
     "multi_distinct_events": (multi_distinct_events, MULTI_DISTINCT_EVENTS_SQL),
-    "ndv_hll_events": (ndv_hll_events, None),
+    "ndv_hll_events": (ndv_hll_events, NDV_HLL_EVENTS_SQL),
     "agg_pricing_summary": (agg_pricing_summary, AGG_PRICING_SUMMARY_SQL),
     "scan_filter_project": (scan_filter_project, SCAN_FILTER_PROJECT_SQL),
     "join_revenue_by_segment": (join_revenue_by_segment, JOIN_REVENUE_BY_SEGMENT_SQL),
