@@ -50,6 +50,8 @@ HEADLINE = [
     "token_count_docs",
     "fingerprint_docs",
     "percentile_lineitem",
+    "percentile_approx_lineitem",
+    "tpch_q6_forecast_revenue",
     "multi_distinct_events",
     "asof_join_events_orders",
     "range_join_event_pairs",

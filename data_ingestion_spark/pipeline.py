@@ -127,14 +127,23 @@ class IngestionPipeline:
             "log_id", F.lit(log_id)
         )
         try:
-            rows = self.sink.insert_documents(rule.target_table, enriched)
-        except Exception as ex:  # noqa: BLE001 — sink failures → Failed log
             try:
-                self.log.finalize_log(log_id, file.file_name, start, False, str(ex))
-            except Exception:  # noqa: BLE001,S110
-                pass  # finalize errors swallowed (ingestion_service.rs:124)
-            return IngestResult(file.file_name, rule.target_table, log_id, 0,
-                                "Failed", str(ex))
+                rows = self.sink.insert_documents(rule.target_table, enriched)
+            except Exception as ex:  # noqa: BLE001 — sink failures → Failed log
+                try:
+                    self.log.finalize_log(
+                        log_id, file.file_name, start, False, str(ex)
+                    )
+                except Exception:  # noqa: BLE001,S110
+                    pass  # finalize errors swallowed (ingestion_service.rs:124)
+                return IngestResult(file.file_name, rule.target_table, log_id, 0,
+                                    "Failed", str(ex))
+        finally:
+            # CSV parse caches itself so slack-column detection and the sink
+            # share one file scan — release after the write either way.
+            cache = getattr(df, "_csv_cache", None)
+            if cache is not None:
+                cache.unpersist()
         try:
             self.log.finalize_log(log_id, file.file_name, start, True, None)
         except Exception:  # noqa: BLE001,S110

@@ -81,12 +81,13 @@ _PRIORITY = [
 
 def merged_queries() -> dict:
     """All query registries merged, ``_PRIORITY`` names first."""
-    from . import advanced, ingestion, relational, tpch, tpch2
+    from . import advanced, ingestion, relational, tpch, tpch2, tpch3
 
     pool: dict = {}
     pool.update(relational.QUERIES)
     pool.update(tpch.QUERIES)
     pool.update(tpch2.QUERIES)
+    pool.update(tpch3.QUERIES)
     pool.update(advanced.QUERIES)
     pool.update(ingestion.QUERIES)
     try:

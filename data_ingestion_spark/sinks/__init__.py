@@ -8,6 +8,17 @@ ships it via a connector when one is on the classpath.
 """
 
 from .parquet_sink import ParquetSink
-from .document_sink import DocumentSink
+from .document_sink import (
+    DocumentSink,
+    JsonLinesWriter,
+    make_couchdb_writer,
+    make_mongo_writer,
+)
 
-__all__ = ["ParquetSink", "DocumentSink"]
+__all__ = [
+    "ParquetSink",
+    "DocumentSink",
+    "JsonLinesWriter",
+    "make_couchdb_writer",
+    "make_mongo_writer",
+]

@@ -52,21 +52,38 @@ class JsonLinesWriter:
             os.remove(part)
 
 
-def make_mongo_writer(uri: str, database: str, batch_size: int = 1000) -> BulkWriter:
-    """Bulk writer over pymongo, import-gated (not in this container)."""
-    try:
-        import pymongo  # noqa: F401
-    except ImportError as ex:  # pragma: no cover - container has no pymongo
-        raise NotImplementedError(
-            "pymongo is not installed; use JsonLinesWriter or add the "
-            "mongo-spark-connector jar and write via df.write.format('mongodb')"
-        ) from ex
+def make_mongo_writer(
+    uri: str,
+    database: str,
+    batch_size: int = 1000,
+    client_factory: Optional[Callable[[], object]] = None,
+) -> BulkWriter:
+    """Bulk writer with pymongo insert_many batching (reference:
+    src/infrastructure/mongodb/data_repo.rs:32-59 — render + bulk insert).
+
+    ``client_factory`` injects the connection (tests drive a fake client;
+    production omits it and gets ``pymongo.MongoClient(uri)``). The factory
+    runs EXECUTOR-side, once per partition — one connection per partition,
+    batched inserts, never per-row."""
+    if client_factory is None:
+        try:
+            import pymongo  # noqa: F401
+        except ImportError as ex:
+            raise NotImplementedError(
+                "pymongo is not installed; inject client_factory, use "
+                "JsonLinesWriter, or add the mongo-spark-connector jar and "
+                "write via df.write.format('mongodb')"
+            ) from ex
+
+        def client_factory() -> object:  # pragma: no cover - needs pymongo
+            import pymongo
+
+            return pymongo.MongoClient(uri)
+
     import json
 
-    def _write(target_table: str, docs: Iterator[str]) -> None:  # pragma: no cover
-        import pymongo
-
-        client = pymongo.MongoClient(uri)
+    def _write(target_table: str, docs: Iterator[str]) -> None:
+        client = client_factory()
         coll = client[database][target_table]
         batch = []
         for doc in docs:
@@ -77,6 +94,53 @@ def make_mongo_writer(uri: str, database: str, batch_size: int = 1000) -> BulkWr
         if batch:
             coll.insert_many(batch)
         client.close()
+
+    return _write
+
+
+def make_couchdb_writer(
+    base_url: str,
+    batch_size: int = 1000,
+    transport: Optional[Callable[[str, bytes], object]] = None,
+) -> BulkWriter:
+    """CouchDB bulk writer via the ``_bulk_docs`` REST endpoint (reference:
+    src/infrastructure/couchdb/data_repo.rs:22-59) — POST
+    ``{base_url}/{db}/_bulk_docs`` with ``{"docs": [...]}`` JSON payloads.
+
+    ``transport(url, body) -> response`` injects the HTTP layer (tests use a
+    fake recording transport; production omits it and gets stdlib urllib —
+    no external dependency). Runs executor-side per partition, batched."""
+    if transport is None:
+
+        def transport(url: str, body: bytes) -> object:  # pragma: no cover
+            import urllib.request
+
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.read()
+
+    import json
+
+    def _write(target_table: str, docs: Iterator[str]) -> None:
+        url = f"{base_url.rstrip('/')}/{target_table}/_bulk_docs"
+
+        def _flush(batch: list) -> None:
+            payload = json.dumps({"docs": batch}).encode("utf-8")
+            transport(url, payload)
+
+        batch: list = []
+        for doc in docs:
+            batch.append(json.loads(doc))
+            if len(batch) >= batch_size:
+                _flush(batch)
+                batch = []
+        if batch:
+            _flush(batch)
 
     return _write
 

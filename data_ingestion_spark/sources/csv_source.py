@@ -51,9 +51,32 @@ _NULL_SENTINEL = "\u0000"
 DEFAULT_RAGGED_EXTRA = 16
 
 
+def _resolve_header_file(spark: SparkSession, path: str) -> str:
+    """For a directory input, the header is read from the lexicographically
+    first file (deterministic — round 1 let the text reader pick an
+    arbitrary one). Driver-side Hadoop FS listing: metadata only, no job."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath) or fs.getFileStatus(hpath).isFile():
+        return path
+    files = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        files.append(str(it.next().getPath()))
+    if not files:
+        raise ParseError(f"Empty CSV directory: {path}")
+    return min(files)
+
+
 def _read_header_line(spark: SparkSession, path: str, delimiter: str) -> list[str]:
-    """Fetch and CSV-parse only the first line of the file (quote-aware)."""
-    first = spark.read.text(path).limit(1).collect()
+    """Fetch and CSV-parse only the first line of the file (quote-aware).
+
+    Known limit (documented): a QUOTED header cell containing an embedded
+    newline is not reassembled by the LIMIT-1 line read — headers must be
+    single-line (true of every reference fixture; the reference's csv crate
+    shares the assumption for its header row)."""
+    first = spark.read.text(_resolve_header_file(spark, path)).limit(1).collect()
     if not first:
         raise ParseError(f"Empty CSV file: {path}")
     reader = _csv.reader(io.StringIO(first[0]["value"]), delimiter=delimiter)
@@ -103,13 +126,13 @@ def read_csv(
 
     # Restore present-but-empty fields: null at position i with a non-null
     # anywhere after it was an empty field, not a missing one. Pure codegen
-    # expressions — no UDF.
-    last_idx = F.greatest(
-        *[
-            F.when(F.col(f"_f{i}").isNotNull(), F.lit(i)).otherwise(F.lit(-1))
-            for i in range(width)
-        ]
-    )
+    # expressions — no UDF. (greatest() needs ≥2 args — width 1 has no
+    # later position, so _last is just the 0/-1 presence marker.)
+    pos_marks = [
+        F.when(F.col(f"_f{i}").isNotNull(), F.lit(i)).otherwise(F.lit(-1))
+        for i in range(width)
+    ]
+    last_idx = F.greatest(*pos_marks) if width > 1 else pos_marks[0]
     df = df.withColumn("_last", last_idx).select(
         *[
             F.when(
@@ -121,13 +144,20 @@ def read_csv(
         ]
     )
 
-    # Which slack columns actually carry data? One pass.
+    # Which slack columns actually carry data? The live-extras aggregate
+    # needs one full pass, and the caller's consumption is a second — so the
+    # parsed frame is persisted (memory-and-disk) and BOTH read the cache:
+    # one file scan total. The cache handle rides on the returned DataFrame
+    # (`_csv_cache`); IngestionPipeline unpersists it after the sink write.
     extra_cols = [f"_f{i}" for i in range(len(headers), width)]
+    cached = None
     if extra_cols:
-        counts = df.agg(
+        cached = df.persist()
+        counts = cached.agg(
             *[F.count(F.col(c)).alias(c) for c in extra_cols]
         ).collect()[0]
         live_extras = [c for c in extra_cols if counts[c] > 0]
+        df = cached
     else:
         live_extras = []
 
@@ -138,4 +168,7 @@ def read_csv(
         idx = int(c[2:])
         # reference keys overflow fields column_{overall 0-based index}
         select.append(F.col(c).alias(f"column_{idx}"))
-    return df.select(*select)
+    out = df.select(*select)
+    if cached is not None:
+        out._csv_cache = cached  # type: ignore[attr-defined]
+    return out

@@ -133,6 +133,10 @@ def read_excel(
     if not first:
         raise ParseError(f"No Excel files at: {path}")
     headers, _ = rows_to_documents(read_xlsx_rows(bytes(first[0]["content"]), sheet_index))
+    # Duplicate header names collapse to ONE column (the reference's
+    # map-insert makes the last duplicate win per row) — keep first
+    # occurrence order, unique names only.
+    headers = list(dict.fromkeys(headers))
     if not headers:
         schema = "path string" if include_path else "__empty string"
         empty = spark.createDataFrame([], schema)
@@ -151,13 +155,14 @@ def read_excel(
                 hdrs, rows = rows_to_documents(read_xlsx_rows(bytes(content), sheet_index))
                 for row in rows:
                     paths.append(p)
+                    # last-wins per row on duplicate headers (reference
+                    # map-insert semantics), then exactly ONE append per
+                    # global header — missing cols → ""
+                    rowmap: dict[str, str] = {}
                     for h, v in zip(hdrs, row):
-                        if h in data:
-                            data[h].append(v)
-                    # workbooks with differing headers: missing cols → ""
+                        rowmap[h] = v
                     for h in headers:
-                        if len(data[h]) < len(paths):
-                            data[h].append("")
+                        data[h].append(rowmap.get(h, ""))
             out = pd.DataFrame(data)
             if include_path:
                 out.insert(0, "path", paths)

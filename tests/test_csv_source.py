@@ -85,3 +85,23 @@ def test_quoted_fields(spark, tmp_path):
     p = write(tmp_path, "q.csv", 'a,b\n"x,y",2\n')
     rows = as_dicts(read_csv(spark, p))
     assert rows == [{"a": "x,y", "b": "2"}]
+
+
+def test_single_column_no_slack(spark, tmp_path):
+    # width == 1 (one header, ragged_extra_columns=0) must not crash the
+    # greatest()-based present-but-empty restore
+    p = write(tmp_path, "one.csv", "h\nv1\n\nv2\n")
+    rows = [r["h"] for r in read_csv(spark, p, {"ragged_extra_columns": 0}).collect()]
+    assert sorted(x for x in rows if x is not None) == ["v1", "v2"]
+
+
+def test_directory_header_from_first_file(spark, tmp_path):
+    # multi-file reads take the header from the lexicographically FIRST file
+    d = tmp_path / "csvs"
+    d.mkdir()
+    (d / "b.csv").write_text("name,age\nBob,41\n")
+    (d / "a.csv").write_text("name,age\nAlice,30\n")
+    df = read_csv(spark, str(d))
+    assert sorted(df.columns) == ["age", "name"]
+    got = sorted(r["name"] for r in df.collect() if r["name"] != "name")
+    assert got == ["Alice", "Bob"]

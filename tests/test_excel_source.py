@@ -85,3 +85,15 @@ def test_read_xlsx_rows_numbers_and_gaps(tmp_path):
     with zipfile.ZipFile(p, "w") as zf:
         zf.writestr("xl/worksheets/sheet1.xml", xml)
     assert read_xlsx_rows(open(p, "rb").read()) == [["", "", "7"]]
+
+
+def test_duplicate_headers_last_wins(spark, tmp_path):
+    # reference map-insert: duplicate header names collapse to one column,
+    # the LAST duplicate's value wins per row
+    p = make_xlsx(
+        str(tmp_path / "dup.xlsx"),
+        [[["name", "val", "name"], ["first", "1", "second"], ["x", "2", "y"]]],
+    )
+    rows = sorted(as_dicts(read_excel(spark, p)), key=lambda r: r["val"])
+    assert list(rows[0].keys()) == ["name", "val"]
+    assert rows == [{"name": "second", "val": "1"}, {"name": "y", "val": "2"}]

@@ -83,3 +83,45 @@ def test_txt_distributed_mode(spark, tmp_path):
     rows = sorted(as_dicts(df), key=lambda r: r["line_number"])
     assert [r["content"] for r in rows] == lines
     assert [r["line_number"] for r in rows] == list(range(1, 101))
+
+
+def test_txt_distributed_multisplit(spark, tmp_path):
+    """Pin the distributed-mode ordering guarantee when ONE file spans
+    MULTIPLE input splits (the monotonically_increasing_id assumption)."""
+    lines = [f"row-{i:06d}-" + "x" * 120 for i in range(5000)]
+    p = write(tmp_path, "huge.txt", "\n".join(lines) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        df = read_txt(spark, p, {"mode": "distributed"})
+        assert df.rdd.getNumPartitions() >= 1
+        src = spark.read.text(p)
+        assert src.rdd.getNumPartitions() > 4  # the premise: really split
+        rows = sorted(as_dicts(df), key=lambda r: r["line_number"])
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert [r["content"] for r in rows] == lines
+
+
+def test_txt_multifile_trailing_trim_per_file(spark, tmp_path):
+    """Short files in a directory read must trim their OWN trailing empty
+    line (round-1 used the global max position — a shorter file kept a
+    spurious empty final row)."""
+    d = tmp_path / "txts"
+    d.mkdir()
+    (d / "long.txt").write_text("a\nb\nc\nd\n")
+    (d / "short.txt").write_text("x\ny\n")
+    rows = as_dicts(read_txt(spark, str(d)))
+    contents = sorted(r["content"] for r in rows)
+    assert contents == ["a", "b", "c", "d", "x", "y"]  # no "" rows
+    assert sum(1 for r in rows if r["line_number"] == 1) == 2
+
+
+def test_txt_auto_mode_switches_on_size(spark, tmp_path):
+    p = write(tmp_path, "auto.txt", "a\nb\nc\n")
+    # tiny threshold → auto picks distributed; result identical either way
+    rows = sorted(
+        as_dicts(read_txt(spark, p, {"wholefile_max_bytes": 2})),
+        key=lambda r: r["line_number"],
+    )
+    assert [r["content"] for r in rows] == ["a", "b", "c"]

@@ -190,3 +190,104 @@ def test_tpch2_topk_is_take_ordered(spark):
     for name in ["tpch_q3_shipping_priority", "tpch_q10_returned_items"]:
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_embedding_pairs_is_bucketed_not_nested_loop(spark):
+    """Round 1 gated the brute-force all-pairs join here
+    (BroadcastNestedLoopJoin); the gated plan is now the hyperplane-LSH
+    band equi-join + exact verify and must never regress."""
+    plan = plan_of(spark, "dedup_embedding_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_extension_ops_no_nested_loop_no_python(spark):
+    """No extension operator may plan a nested-loop/cartesian join, and no
+    Python stage may appear outside the two sanctioned non-native readers
+    (excel, xml) and the multimodal decode path."""
+    for name in [
+        "dedup_exact_docs",
+        "dedup_jaccard_pairs_docs",
+        "dedup_minhash_docs",
+        "dedup_simhash_docs",
+        "dedup_embedding_pairs",
+        "knn_lsh_pairs",
+        "knn_ivf_exact_topk",
+        "knn_ivf_topk",
+        "winnow_fingerprint_docs",
+        "sample_docs_hash",
+        "cap_per_source_docs",
+        "normalize_text_docs",
+        "mix_corpus_docs",
+        "embedding_centroids_by_label",
+        "skew_salted_agg_events",
+        "asof_join_events_orders",
+        "range_join_event_pairs",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_knn_cosine_broadcast_only_queries(spark):
+    """Brute-force kNN must broadcast the (tiny) query side; the corpus
+    never shuffles for the scoring pass."""
+    plan = plan_of(spark, "knn_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the nested-loop here is corpus × broadcast(5 queries) — bounded by the
+    # broadcast side; a CartesianProduct (both sides shuffled) is the bug
+    assert "CartesianProduct" not in plan
+
+
+def test_approx_percentile_no_full_sort(spark):
+    """The sketch-tier percentile must aggregate (partial+final summaries),
+    never plan a per-group global Sort the way exact percentile does."""
+    plan = plan_of(spark, "percentile_approx_lineitem")
+    assert "partial_percentile_approx" in plan
+
+
+def test_tpch3_dims_broadcast_no_cartesian(spark):
+    for name in [
+        "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock",
+        "tpch_q16_parts_supplier",
+        "tpch_q21_waiting_supplier",
+    ]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_q6_pushdown_and_single_agg(spark):
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    pushed = [
+        line for line in plan.splitlines() if line.startswith("PushedFilters")
+    ]
+    assert any("GreaterThan" in ln or "LessThan" in ln for ln in pushed), pushed
+    assert "partial_sum" in plan
+
+
+def test_csv_read_single_file_scan(spark, tmp_path):
+    """The parsed CSV caches itself so slack-column detection and the
+    consumer share ONE file scan — the consumer plan must read the cache
+    (InMemoryTableScan), not re-scan the file."""
+    p = tmp_path / "c.csv"
+    p.write_text("a,b\n1,2\n3,4,5\n")
+    from data_ingestion_spark.sources import read_csv
+
+    df = read_csv(spark, str(p))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    try:
+        assert "InMemoryTableScan" in plan
+    finally:
+        cache = getattr(df, "_csv_cache", None)
+        if cache is not None:
+            cache.unpersist()
