@@ -57,6 +57,9 @@ HEADLINE = [
     "range_join_event_pairs",
     "skew_salted_agg_events",
     "winnow_fingerprint_docs",
+    "chunk_docs",
+    "pii_scrub_docs",
+    "decontaminate_docs",
     "sample_docs_hash",
     "cap_per_source_docs",
     "normalize_text_docs",

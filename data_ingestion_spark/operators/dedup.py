@@ -280,6 +280,54 @@ def simhash_hamming_pairs(
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap vs a held-out corpus
+# --------------------------------------------------------------------------
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Training-set decontamination: flag documents sharing any word
+    ``k``-gram with a benchmark/eval corpus (the n-gram overlap check every
+    LLM data pipeline runs before training; production uses k ≈ 8–13, the
+    short synthetic fixtures use k=3).
+
+    Scale shape: both sides shingle narrowly, then join on the 60-bit
+    n-gram HASH — the shuffle moves 8-byte keys, never gram text. The
+    benchmark side (distinct hashed grams of the eval sets — small by
+    construction) broadcasts, so the corpus side never shuffles at all:
+    flagging 100 TB is a map-side semi-join + one count aggregation.
+
+    Returns (id, n_hits) for contaminated documents only — n_hits =
+    distinct overlapping grams; anti-join the ids against the corpus to
+    drop them.
+    """
+    d_grams = (
+        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "id",
+            F.explode(F.array_distinct(word_shingles(F.col("toks"), k))).alias(
+                "gram"
+            ),
+        )
+        .select("id", md5_hash60(F.col("gram")).alias("gram_h"))
+    )
+    b_grams = (
+        benchmark.select(tokens(F.col(text_col)).alias("toks"))
+        .select(F.explode(word_shingles(F.col("toks"), k)).alias("gram"))
+        .select(md5_hash60(F.col("gram")).alias("gram_h"))
+        .distinct()
+    )
+    return (
+        d_grams.join(F.broadcast(b_grams), "gram_h")
+        .groupBy("id")
+        .agg(F.countDistinct("gram_h").alias("n_hits"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Cluster resolution: near-dup pairs → connected components
 # --------------------------------------------------------------------------
 def connected_components(

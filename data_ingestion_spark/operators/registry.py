@@ -115,6 +115,32 @@ SELECT doc_id, {sig} AS simhash FROM votes
 DEDUP_SIMHASH_DOCS_SQL = _simhash_oracle()
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (hamming ≤ 3) via pigeonhole banding: 60 bits
+    in 4 × 15-bit bands — any pair within hamming 3 MUST agree on ≥1 band,
+    so the banded candidate join + exact popcount verify is EXACTLY the
+    brute-force result (the oracle replays it all-pairs; recall here is a
+    theorem, not a probability)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize signatures before the self-join: the 60-way vote expression
+    # would otherwise be duplicated into BOTH join sides (plan blowup —
+    # 50s of planning at sf0.01). At scale signatures are persisted columns
+    # anyway; localCheckpoint is the in-session equivalent.
+    sig = dedup.simhash(docs, "doc_id", "text").localCheckpoint(eager=True)
+    return dedup.simhash_hamming_pairs(sig, max_hamming=3, band_bits=15).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM ({DEDUP_SIMHASH_DOCS_SQL}) a
+JOIN ({DEDUP_SIMHASH_DOCS_SQL}) b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs ≥ 0.4 via the BUCKETED plan: hyperplane-LSH
     band equi-join generates candidates, exact cosine verifies — never an
@@ -258,6 +284,110 @@ SELECT doc_id,
        md5(text) AS fingerprint,
        {_SQL_HASH60.format(c='text')} AS fingerprint60
 FROM documents
+"""
+
+
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunks (size 32, stride 24) over documents — the
+    context-packing pass; md5 per chunk keeps the compare compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs, "doc_id", "text", size=32, stride=24).orderBy(
+        "doc_id", "chunk_start"
+    )
+
+
+CHUNK_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+), ex AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS chunk_start
+  FROM toks WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_start,
+       len(list_slice(toks, chunk_start, chunk_start + 31)) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_start, chunk_start + 31), ' '))
+         AS chunk_md5
+FROM ex
+"""
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + audit counts. The fixture corpus carries no PII, so
+    the query APPENDS deterministic synthetic PII (email+IP on even doc_ids,
+    phone on odd) before scrubbing — the oracle replays the same synthesis,
+    making the redaction path value-checked end to end (same pattern as
+    multimodal_metadata_docs' synthesized containers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 THEN "
+            "concat(text, ' contact user', doc_id, '@example.com from 10.', "
+            "doc_id % 256, '.0.1') "
+            "ELSE concat(text, ' call +1 555-', "
+            "lpad(cast(doc_id % 1000 as string), 3, '0'), '-0199') END"
+        ),
+    )
+    return text.pii_scrub(seeded, "doc_id", "text").orderBy("doc_id")
+
+
+PII_SCRUB_DOCS_SQL = """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           concat(text, ' contact user', doc_id, '@example.com from 10.',
+                  doc_id % 256, '.0.1')
+         ELSE concat(text, ' call +1 555-',
+                     lpad((doc_id % 1000)::VARCHAR, 3, '0'), '-0199') END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text,
+           '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ips,
+       len(regexp_extract_all(text, '\\+\\d \\d{3}-\\d{3}-\\d{4}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+           '\\+\\d \\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g')) AS scrub_md5
+FROM seeded
+"""
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 3-gram with
+    the pseudo-benchmark slice (doc_id % 97 == 0). Hash-keyed broadcast
+    overlap join — see dedup.contamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return (
+        dedup.contamination(corpus, benchmark, "doc_id", "text", k=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')
+         ))) AS gram
+  FROM toks
+), hashed AS (
+  SELECT doc_id, {_SQL_HASH60.format(c='gram')} AS gram_h FROM grams
+)
+SELECT a.doc_id, count(DISTINCT a.gram_h) AS n_hits
+FROM hashed a
+JOIN (SELECT DISTINCT gram_h FROM hashed WHERE doc_id % 97 = 0) b
+  USING (gram_h)
+WHERE a.doc_id % 97 <> 0
+GROUP BY a.doc_id
 """
 
 
@@ -653,6 +783,7 @@ QUERIES: dict = {
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
     "dedup_minhash_docs": (dedup_minhash_docs, None),
     "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_DOCS_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMBEDDING_PAIRS_SQL),
     "knn_cosine_topk": (knn_cosine_topk, KNN_COSINE_TOPK_SQL),
     "knn_lsh_pairs": (knn_lsh_pairs, None),
@@ -680,6 +811,9 @@ QUERIES: dict = {
         MULTIMODAL_METADATA_DOCS_SQL,
     ),
     "skew_salted_agg_events": (skew_salted_agg_events, SKEW_SALTED_AGG_EVENTS_SQL),
+    "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
+    "pii_scrub_docs": (pii_scrub_docs, PII_SCRUB_DOCS_SQL),
+    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_DOCS_SQL),
     "asof_join_events_orders": (
         asof_join_events_orders,
         ASOF_JOIN_EVENTS_ORDERS_SQL,

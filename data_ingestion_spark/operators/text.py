@@ -16,6 +16,13 @@ from pyspark.sql import functions as F
 
 from ..functions import bpe_ish_tokens, md5_hash60, stopword_hits, tokens
 
+#: PII patterns — dialect-portable (identical semantics in Java regex and
+#: RE2/DuckDB: no lookaround, no backrefs), kept in lockstep with the
+#: oracle SQL in operators/registry.py.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE = r"\+\d \d{3}-\d{3}-\d{4}"
+
 #: Tiny deterministic stopword profiles (public common-word lists). The
 #: heuristic is profile-hit argmax — standard n-gram/stopword language ID
 #: in its simplest checkable form.
@@ -92,6 +99,70 @@ def normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
     c = F.trim(F.regexp_replace(c, r" +", " "))
     return df.select(F.col(id_col), c.alias("norm_text"))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-size token chunks — the pre-training windowing pass
+    (context packing / RAG chunking). ``stride < size`` gives ``size -
+    stride`` tokens of overlap between consecutive chunks; the tail chunk
+    may be shorter.
+
+    Shape: tokenize (narrow) → explode the chunk-start sequence → slice per
+    start. One explode, zero shuffles, zero UDFs — chunking 100 TB is a pure
+    map stage whose output partitioning follows the input. Chunk text is
+    emitted as md5 so downstream compares/dedup move 16-byte digests, not
+    chunk bodies.
+
+    Output: (id, chunk_start [1-based token index], n_chunk_tokens,
+    chunk_md5).
+    """
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    ex = base.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_start"), F.lit(size))
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_start"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction pass: emails / IPv4s / phone numbers replaced by typed
+    placeholder tokens, with per-document match counts (the audit metric a
+    scrubbing job reports). Pure JVM regex expressions — a narrow map stage
+    at any scale.
+
+    Scrub order matters and is pinned: emails first (their domains would
+    otherwise be visible to the IP pattern's digit-dot runs), then IPs,
+    then phones. Output: (id, n_emails, n_ips, n_phones, scrub_md5) — the
+    scrubbed body is emitted as md5 to keep compares compact.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
 
 
 def winnow_fingerprints(

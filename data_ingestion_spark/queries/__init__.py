@@ -32,6 +32,7 @@ _PRIORITY = [
     "dedup_jaccard_pairs_docs",
     "dedup_minhash_docs",
     "dedup_simhash_docs",
+    "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "knn_cosine_topk",
     "knn_lsh_pairs",
@@ -64,18 +65,17 @@ _PRIORITY = [
     "tpch_q12_shipmode",
     "tpch_q16_parts_supplier",
     "tpch_q21_waiting_supplier",
+    "chunk_docs",
+    "pii_scrub_docs",
+    "decontaminate_docs",
     # Past the round-1 cap (registered position 51) — now inside the window
     "regexp_extract_docs",
     # Representative round-1-green relational shapes fill the window
     "agg_pricing_summary",
     "scan_filter_project",
     "join_revenue_by_segment",
-    "window_topk_orders",
-    "grouping_sets_orders",
-    "pivot_priority_by_status",
     "sql_correlated_subquery",
     "percentile_lineitem",
-    "session_window_events",
 ]
 
 

@@ -396,3 +396,64 @@ def test_group_centroids_known_vectors(spark):
     ).collect()
     got = {(r["grp"], r["dim"]): r["centroid_val"] for r in out}
     assert got == {(1, 0): 2.0, (1, 1): 1.0, (2, 0): 10.0, (2, 1): 20.0}
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], "id long, text string")
+    rows = sorted(
+        text.chunk_tokens(df, "id", "text", size=3, stride=2).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    assert [(r.chunk_start, r.n_chunk_tokens) for r in rows] == [
+        (1, 3), (3, 3), (5, 3), (7, 1),
+    ]
+    import hashlib
+
+    assert rows[0].chunk_md5 == hashlib.md5(b"a b c").hexdigest()
+    assert rows[1].chunk_md5 == hashlib.md5(b"c d e").hexdigest()  # overlap
+    assert rows[-1].chunk_md5 == hashlib.md5(b"g").hexdigest()  # short tail
+
+
+def test_chunk_tokens_empty_doc_no_rows(spark):
+    df = spark.createDataFrame([(1, "   ")], "id long, text string")
+    assert text.chunk_tokens(df, "id", "text").count() == 0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    import hashlib
+
+    body = "mail bob@corp.example.org from 192.168.0.1 or +1 555-123-4567 now"
+    df = spark.createDataFrame([(1, body)], "id long, text string")
+    r = text.pii_scrub(df, "id", "text").collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+    expect = "mail <EMAIL> from <IP> or <PHONE> now"
+    assert r.scrub_md5 == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_pii_scrub_clean_text_untouched(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, "no pii here at all")], "id long, text string")
+    r = text.pii_scrub(df, "id", "text").collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (0, 0, 0)
+    assert r.scrub_md5 == hashlib.md5(b"no pii here at all").hexdigest()
+
+
+def test_contamination_overlap_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown" + more
+            (2, "totally unrelated words here"),
+            (3, "quick brown fox runs away"),   # shares "quick brown fox"
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id long, text string"
+    )
+    got = {
+        r.id: r.n_hits
+        for r in dedup.contamination(docs, bench, "doc_id", "text", k=3).collect()
+    }
+    # doc 1 shares 'the quick brown' and 'quick brown fox'; doc 3 shares one
+    assert got == {1: 2, 3: 1}

@@ -224,6 +224,9 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "skew_salted_agg_events",
         "asof_join_events_orders",
         "range_join_event_pairs",
+        "chunk_docs",
+        "pii_scrub_docs",
+        "decontaminate_docs",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
