@@ -196,12 +196,51 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 
 
 def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH candidate pairs re-ranked by exact cosine (approximate;
-    rows-only — anchored by dedup_embedding_pairs)."""
+    """Hyperplane-LSH candidate pairs re-ranked by exact cosine. The planes
+    are deterministic (splitmix64 from seed 42), so the DuckDB oracle
+    replays the ENTIRE algorithm — signature, banding, candidate join,
+    verify — with the same plane values embedded as literals: the
+    approximate operator is value-checked, not rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hyperplane_lsh_pairs(
         emb, bits=16, band_bits=4, threshold=0.35
     ).orderBy("id_a", "id_b")
+
+
+def _knn_lsh_pairs_oracle(bits: int = 16, band_bits: int = 4, dim: int = 64) -> str:
+    planes = similarity._deterministic_hyperplanes(dim, bits, seed=42)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0 "
+        f"THEN {2**i}::BIGINT ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, v, {bi} AS band, (sig >> {bi * band_bits}) & {mask} AS key "
+        "FROM sigs"
+        for bi in range(n_bands)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id AS id, embedding AS v, {sig_terms} AS sig
+  FROM embeddings
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va::DOUBLE[], vb::DOUBLE[]), 6) AS cosine
+FROM cand
+WHERE round(list_cosine_similarity(va::DOUBLE[], vb::DOUBLE[]), 6) >= 0.35
+"""
+
+
+KNN_LSH_PAIRS_SQL = _knn_lsh_pairs_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -506,14 +545,64 @@ def knn_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat at n_probe=2 of 8 lists — the production latency/recall
-    trade (approximate; rows-only check, recall asserted in pytest against
-    the exact twin)."""
+    trade. Centroid seeds are deterministic (the 8 lowest-id vectors), so
+    the DuckDB oracle replays the full IVF algorithm — assignment, probe
+    selection, list-restricted scoring, ranking — and the approximate
+    operator is value-checked (recall vs the exact twin additionally
+    asserted in pytest)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     cents = similarity.ivf_centroids_from_sample(emb, n_lists=8)
     return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=2).orderBy(
         "query_id", "rank"
     )
+
+
+#: Full SQL replay of IVF-Flat (n_lists=8, n_probe=2, k=10): centroids are
+#: the 8 lowest-vec_id embeddings (ivf_centroids_from_sample); assignment
+#: ranks centroid dot products descending with index ascending tie-break
+#: (ivf_assign's array_sort on (-dot, idx)); scoring/ranking mirrors
+#: KNN_COSINE_TOPK_SQL on the probed lists only.
+KNN_IVF_TOPK_SQL = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+), corpus_assign AS (
+  SELECT neighbor_id, cv2, cid FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv2, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC
+           ) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+), query_probe AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_inner_product(q.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC
+           ) AS rk
+    FROM embeddings q, cents c
+    WHERE q.vec_id < 5
+  ) WHERE rk <= 2
+), scored AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.qv::DOUBLE[], a.cv2::DOUBLE[]), 6)
+           AS cosine
+  FROM query_probe p
+  JOIN corpus_assign a ON a.cid = p.cid
+  WHERE a.neighbor_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
 
 
 # --------------------------------------------------------------------------
@@ -786,9 +875,9 @@ QUERIES: dict = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMBEDDING_PAIRS_SQL),
     "knn_cosine_topk": (knn_cosine_topk, KNN_COSINE_TOPK_SQL),
-    "knn_lsh_pairs": (knn_lsh_pairs, None),
+    "knn_lsh_pairs": (knn_lsh_pairs, KNN_LSH_PAIRS_SQL),
     "knn_ivf_exact_topk": (knn_ivf_exact_topk, KNN_COSINE_TOPK_SQL),
-    "knn_ivf_topk": (knn_ivf_topk, None),
+    "knn_ivf_topk": (knn_ivf_topk, KNN_IVF_TOPK_SQL),
     "text_quality_docs": (text_quality_docs, TEXT_QUALITY_DOCS_SQL),
     "lang_id_docs": (lang_id_docs, LANG_ID_DOCS_SQL),
     "token_count_docs": (token_count_docs, TOKEN_COUNT_DOCS_SQL),

@@ -97,9 +97,9 @@ def merged_queries() -> dict:
     except ImportError:
         pass
 
-    out: dict = {}
-    for name in _PRIORITY:
-        if name in pool:
-            out[name] = pool.pop(name)
+    missing = [name for name in _PRIORITY if name not in pool]
+    if missing:  # a typo here would silently drop a query out of the window
+        raise KeyError(f"_PRIORITY names not in any registry: {missing}")
+    out: dict = {name: pool.pop(name) for name in _PRIORITY}
     out.update(pool)
     return out
