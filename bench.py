@@ -49,6 +49,7 @@ HEADLINE = [
     "lang_id_docs",
     "token_count_docs",
     "fingerprint_docs",
+    "tfidf_docs",
     "percentile_lineitem",
     "percentile_approx_lineitem",
     "tpch_q6_forecast_revenue",

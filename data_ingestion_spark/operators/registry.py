@@ -313,6 +313,38 @@ FROM documents
 """
 
 
+def tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (see text.tfidf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(((SELECT count(DISTINCT doc_id) FROM documents) + 1)
+                          / (dfreq.df + 1)::DOUBLE), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+"""
+
+
 def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.fingerprint(docs, "doc_id", "text").orderBy("doc_id")
@@ -882,6 +914,7 @@ QUERIES: dict = {
     "lang_id_docs": (lang_id_docs, LANG_ID_DOCS_SQL),
     "token_count_docs": (token_count_docs, TOKEN_COUNT_DOCS_SQL),
     "fingerprint_docs": (fingerprint_docs, FINGERPRINT_DOCS_SQL),
+    "tfidf_docs": (tfidf_docs, TFIDF_DOCS_SQL),
     "winnow_fingerprint_docs": (
         winnow_fingerprint_docs,
         WINNOW_FINGERPRINT_DOCS_SQL,

@@ -165,6 +165,49 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+) -> DataFrame:
+    """Per-document top-N terms by TF-IDF — the corpus-analysis staple
+    (keyword extraction / vocabulary pruning).
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) with df = number of
+    documents containing the term and N = corpus size (the smoothed form, so
+    ubiquitous terms score ~0 instead of dividing by zero).
+
+    Scale shape: explode → (doc, term) count [shuffle 1, partial-agg'd] →
+    term document-frequency [shuffle 2 on term, 8-byte-ish keys] → equi-join
+    tf⋈df on term [reuses shuffle 2's partitioning] → per-doc top-N window
+    [shuffle 3 on doc id]. N is a one-row aggregate broadcast into the
+    expression. Ranking uses the ROUNDED score (6 dp) with term tie-break so
+    the output is engine-deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    # N fetched driver-side (one-row action, like IVF's centroid seeds) and
+    # folded in as a literal — a one-row crossJoin would plan a
+    # BroadcastNestedLoopJoin for no benefit.
+    n_docs = df.select(F.countDistinct(F.col(id_col))).first()[0]
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+            6,
+        ),
+    )
+    w = W.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("id", "term", "tfidf", "rk")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
 ) -> DataFrame:

@@ -42,6 +42,7 @@ _PRIORITY = [
     "lang_id_docs",
     "token_count_docs",
     "fingerprint_docs",
+    "tfidf_docs",
     "winnow_fingerprint_docs",
     "dedup_clusters_docs",
     "sample_docs_hash",
@@ -72,7 +73,6 @@ _PRIORITY = [
     "regexp_extract_docs",
     # Representative round-1-green relational shapes fill the window
     "agg_pricing_summary",
-    "scan_filter_project",
     "join_revenue_by_segment",
     "sql_correlated_subquery",
     "percentile_lineitem",

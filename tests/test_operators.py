@@ -457,3 +457,26 @@ def test_contamination_overlap_counts(spark):
     }
     # doc 1 shares 'the quick brown' and 'quick brown fox'; doc 3 shares one
     assert got == {1: 2, 3: 1}
+
+
+def test_tfidf_top_terms_ordering(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry common common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.tfidf_top_terms(docs, "doc_id", "text", top_n=2).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.id, r.rk)):
+        by_doc.setdefault(r.id, []).append(r.term)
+    # 'common' is in every doc -> idf = ln(4/4) = 0 -> never a top term
+    assert by_doc[1][0] == "apple"          # tf=2 on a rare term wins
+    assert "common" not in by_doc[1][:1] + by_doc[2][:1] + by_doc[3][:1]
+    import math
+
+    # apple: tf=2, df=1, N=3 -> tfidf = 2 * ln((3+1)/(1+1)) = 2 ln 2
+    apple = [r for r in rows if r.term == "apple"][0]
+    assert apple.tfidf == round(2 * math.log(2), 6)

@@ -227,6 +227,7 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "chunk_docs",
         "pii_scrub_docs",
         "decontaminate_docs",
+        "tfidf_docs",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
