@@ -134,7 +134,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SIMHASH_PAIRS_SQL = f"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM ({DEDUP_SIMHASH_DOCS_SQL}) a
 JOIN ({DEDUP_SIMHASH_DOCS_SQL}) b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
@@ -191,7 +191,8 @@ scored AS (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -255,8 +256,8 @@ _EN = ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"])
 
 TEXT_QUALITY_DOCS_SQL = f"""
 SELECT doc_id,
-       len(toks)                                            AS n_tokens,
-       length(text)                                         AS n_chars_computed,
+       CAST(len(toks) AS INTEGER)                           AS n_tokens,
+       CAST(length(text) AS INTEGER)                        AS n_chars_computed,
        round(length(text)::DOUBLE / greatest(len(toks), 1), 4)  AS avg_token_len,
        round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
              / greatest(length(text), 1), 4)                AS punct_ratio,
@@ -307,8 +308,8 @@ def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNT_DOCS_SQL = f"""
 SELECT doc_id,
-       len({_SQL_TOKENS.format(c='text')})                       AS n_ws_tokens,
-       len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}', 0)) AS n_bpe_tokens
+       CAST(len({_SQL_TOKENS.format(c='text')}) AS INTEGER)      AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}', 0)) AS INTEGER) AS n_bpe_tokens
 FROM documents
 """
 
@@ -341,7 +342,7 @@ WITH toks AS (
                             ORDER BY tfidf DESC, term ASC) AS rk
   FROM scored
 )
-SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 3
 """
 
 
@@ -374,8 +375,9 @@ WITH toks AS (
   SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS chunk_start
   FROM toks WHERE len(toks) > 0
 )
-SELECT doc_id, chunk_start,
-       len(list_slice(toks, chunk_start, chunk_start + 31)) AS n_chunk_tokens,
+SELECT doc_id, CAST(chunk_start AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(toks, chunk_start, chunk_start + 31)) AS INTEGER)
+         AS n_chunk_tokens,
        md5(array_to_string(list_slice(toks, chunk_start, chunk_start + 31), ' '))
          AS chunk_md5
 FROM ex
@@ -414,10 +416,10 @@ WITH seeded AS (
 )
 SELECT doc_id,
        len(regexp_extract_all(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INTEGER AS n_emails,
        len(regexp_extract_all(text,
-           '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ips,
-       len(regexp_extract_all(text, '\\+\\d \\d{3}-\\d{3}-\\d{4}')) AS n_phones,
+           '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}'))::INTEGER AS n_ips,
+       len(regexp_extract_all(text, '\\+\\d \\d{3}-\\d{3}-\\d{4}'))::INTEGER AS n_phones,
        md5(regexp_replace(regexp_replace(regexp_replace(text,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
@@ -633,7 +635,8 @@ WITH cents AS (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -831,7 +834,7 @@ def cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CAP_PER_SOURCE_DOCS_SQL = """
-SELECT source, doc_id, n_chars, rk
+SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rk
 FROM (
   SELECT source, doc_id, n_chars,
          row_number() OVER (PARTITION BY source
@@ -891,7 +894,7 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (TESTDATA.md tables are generated with dim=64); the WHERE guard keeps the
 # oracle correct even if a shorter vector ever appears.
 EMBEDDING_CENTROIDS_BY_LABEL_SQL = """
-SELECT label AS grp, i - 1 AS dim,
+SELECT label AS grp, CAST(i - 1 AS INTEGER) AS dim,
        round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
 FROM embeddings, generate_series(1, 64) AS s(i)
 WHERE i <= len(embedding)

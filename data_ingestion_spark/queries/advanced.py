@@ -316,7 +316,7 @@ def regexp_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGEXP_EXTRACT_DOCS_SQL = """
 SELECT doc_id,
-       len(regexp_extract_all(lower(text), '[a-z]{6,}')) AS n_long,
+       len(regexp_extract_all(lower(text), '[a-z]{6,}'))::INTEGER AS n_long,
        coalesce(regexp_extract_all(lower(text), '[a-z]{6,}')[1], '')
            AS first_long
 FROM documents

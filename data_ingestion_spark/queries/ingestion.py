@@ -103,7 +103,8 @@ def ingest_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INGEST_JSON_DOCS_SQL = """
-SELECT * FROM (VALUES
+SELECT name, CAST(value AS DOUBLE) AS value, active, file_name
+FROM (VALUES
   ('Alice', 100.0, true,  'qbucket/uploads/data.json'),
   ('Bob',   2.5,   false, 'qbucket/uploads/data.json')
 ) t(name, value, active, file_name)
@@ -124,7 +125,8 @@ def ingest_txt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INGEST_TXT_DOCS_SQL = """
-SELECT * FROM (VALUES
+SELECT CAST(line_number AS BIGINT) AS line_number, content, file_name
+FROM (VALUES
   (1, 'service started',  'qbucket/logs/app.txt'),
   (2, 'processing batch', 'qbucket/logs/app.txt'),
   (3, 'done',             'qbucket/logs/app.txt')

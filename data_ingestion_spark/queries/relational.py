@@ -394,7 +394,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_EXTRACT_EVENTS_SQL = """
 SELECT event_type,
        count(*)                                               AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE
          / count(*)                                           AS avg_k
 FROM events
@@ -616,7 +616,7 @@ def ingest_metrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 INGEST_METRICS_BY_SOURCE_SQL = """
 SELECT source,
        count(*)                            AS n_docs,
-       sum(n_chars)                        AS total_chars,
+       sum(n_chars)::BIGINT                AS total_chars,
        sum(n_chars)::DOUBLE / count(*)     AS avg_chars
 FROM documents
 GROUP BY source
