@@ -114,6 +114,7 @@ def minhash_near_dup(
     num_hash_tables: int = 8,
     jaccard_distance_threshold: float = 0.8,
     seed: int = 42,
+    hash_fn=None,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash LSH, entirely in codegen'd
     JVM expressions (no ML pipeline, no Python in the hot path).
@@ -132,7 +133,16 @@ def minhash_near_dup(
     keys + O(candidates) verify joins. Shingle arrays are NOT carried through
     the band explode (they'd multiply shuffle bytes by num_hash_tables);
     candidates rejoin the base table by id instead.
+
+    ``hash_fn(shingle_col, table_idx) -> Column`` overrides the per-table
+    hash family. Default: ``xxhash64(s, seed+i)`` — fastest JVM path.
+    Passing the md5-based portable family (see registry.dedup_minhash_docs)
+    makes the WHOLE algorithm replayable in DuckDB, turning the approximate
+    operator into a value-checked one at identical banding semantics.
     """
+    if hash_fn is None:
+        def hash_fn(s, i):
+            return F.xxhash64(s, F.lit(seed + i))
     base = (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= k)
@@ -142,7 +152,7 @@ def minhash_near_dup(
     )
     mh_cols = [
         F.array_min(
-            F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+            F.transform("shingles", lambda s, i=i: hash_fn(s, i))
         ).alias(f"mh{i}")
         for i in range(num_hash_tables)
     ]

@@ -1,11 +1,12 @@
 """Driver-contract registry for the §2.5 extension operators.
 
-Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql).
 The oracle SQL is the exact ANSI twin of the Spark expression (DuckDB
-dialect); operators whose algorithm is inherently Spark-side (ML MinHashLSH
-banding, hyperplane LSH with engine-local planes) ship without an oracle and
-get the driver's rows-only check — the exact-algorithm twins (jaccard_pairs,
-embedding_near_dup) serve as their correctness anchors.
+dialect). EVERY entry is value-checked — including the approximate
+operators, whose algorithms are deterministic and therefore replayable:
+the oracles re-execute hyperplane-LSH (plane literals), IVF-Flat (centroid
+seeds + probe selection), pigeonhole-banded SimHash, and MinHash banding
+(portable md5-60bit hash family) end to end.
 """
 
 from __future__ import annotations
@@ -76,13 +77,65 @@ WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
 
 
 def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (approximate; rows-only check —
-    anchored by the exact dedup_jaccard_pairs_docs twin)."""
+    """MinHash-LSH near-dup candidates, gated with a FULL DuckDB replay:
+    the hash family here is the portable 60-bit md5 (``hash60('i:'||s)``)
+    instead of the default xxhash64 (which DuckDB lacks), so the oracle
+    re-executes signature → banding → candidate join → exact-Jaccard verify
+    bit-for-bit. Banding semantics and cost shape are identical to the
+    xxhash64 production default (dedup.minhash_near_dup's hash_fn arg)."""
+    from ..functions import md5_hash60
+
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_near_dup(
         docs, id_col="doc_id", text_col="text", k=3,
         jaccard_distance_threshold=0.7,
+        hash_fn=lambda s, i: md5_hash60(F.concat(F.lit(f"{i}:"), s)),
     ).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle(num_hash_tables: int = 8) -> str:
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"{_SQL_HASH60.format(c=chr(39) + str(i) + ':' + chr(39) + ' || s')})) AS mh{i}"
+        for i in range(num_hash_tables)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {i} AS band, mh{i} AS key FROM sigs"
+        for i in range(num_hash_tables)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents)
+  WHERE len(toks) >= 3
+), sigs AS (
+  SELECT id, {mh}
+  FROM base
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+         AS est_jaccard
+FROM cand
+JOIN base sa ON sa.id = cand.id_a
+JOIN base sb ON sb.id = cand.id_b
+WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+      >= (1.0 - 0.7)
+"""
+
+
+DEDUP_MINHASH_DOCS_SQL = _minhash_oracle()
 
 
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,7 +958,7 @@ GROUP BY 1, 2
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
-    "dedup_minhash_docs": (dedup_minhash_docs, None),
+    "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_DOCS_SQL),
     "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_DOCS_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMBEDDING_PAIRS_SQL),
