@@ -943,6 +943,50 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.group_centroids(emb, "label", "embedding").orderBy("grp", "dim")
 
 
+def kmeans_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations, k=4 (see similarity.kmeans_centroids);
+    the oracle replays both rounds in SQL — assignment argmax with cid
+    tie-break, per-dim means rounded 6 dp between rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_centroids(
+        emb, vec_col="embedding", k=4, n_iter=2, id_col="vec_id"
+    ).orderBy("grp", "dim")
+
+
+KMEANS_CENTROIDS_EMBEDDINGS_SQL = """
+WITH cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC) AS rk
+    FROM embeddings e, cents0 c
+  ) WHERE rk = 1
+), c1 AS (
+  SELECT cid, i - 1 AS dim, round(avg(e.embedding[i]::DOUBLE), 6) AS c
+  FROM a1 JOIN embeddings e USING (vec_id), generate_series(1, 64) s(i)
+  GROUP BY cid, i
+), c1l AS (
+  SELECT cid, list(c ORDER BY dim) AS cv FROM c1 GROUP BY cid
+), a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC) AS rk
+    FROM embeddings e, c1l c
+  ) WHERE rk = 1
+)
+SELECT CAST(cid AS INTEGER) AS grp, CAST(i - 1 AS INTEGER) AS dim,
+       round(avg(e.embedding[i]::DOUBLE), 6) AS centroid_val
+FROM a2 JOIN embeddings e USING (vec_id), generate_series(1, 64) s(i)
+GROUP BY cid, i
+"""
+
+
 # 64 = the embeddings table's (constant) dimensionality at every sf
 # (TESTDATA.md tables are generated with dim=64); the WHERE guard keeps the
 # oracle correct even if a shorter vector ever appears.
@@ -983,6 +1027,10 @@ QUERIES: dict = {
     "embedding_centroids_by_label": (
         embedding_centroids_by_label,
         EMBEDDING_CENTROIDS_BY_LABEL_SQL,
+    ),
+    "kmeans_centroids_embeddings": (
+        kmeans_centroids_embeddings,
+        KMEANS_CENTROIDS_EMBEDDINGS_SQL,
     ),
     "multimodal_metadata_docs": (
         multimodal_metadata_docs,

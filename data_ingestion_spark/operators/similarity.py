@@ -250,6 +250,57 @@ def hyperplane_lsh_pairs(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means, the distributed-iterative-algorithm representative:
+    seeds = the ``k`` lowest-id vectors (deterministic), then ``n_iter``
+    rounds of [broadcast-literal centroid assignment (ivf_assign's argmax
+    dot expression) → per-(cluster, dim) mean aggregation → collect the
+    k×dim centroid table to the driver] — exactly ml.clustering.KMeans'
+    dataflow: per round, one narrow map + one shuffle whose key count is
+    k·dim, with only the tiny centroid table crossing the driver.
+
+    Centroid components are ROUNDED to 6 dp between rounds, which makes the
+    whole iteration engine-stable: the next round's assignment dots are
+    computed from identical doubles in both Spark and the DuckDB oracle
+    (which unrolls the same fixed number of rounds in SQL), so an
+    approximate, iterative algorithm becomes value-checkable end to end.
+
+    Empty clusters keep their previous centroid (can't occur on the
+    near-orthogonal fixture — both engines take the same trivial branch).
+
+    Returns (grp, dim, centroid_val) exploded rows for the final centroids.
+    """
+    cents = ivf_centroids_from_sample(df, k, id_col=id_col, vec_col=vec_col)
+    dim = len(cents[0])
+    spark = df.sparkSession
+    for _ in range(n_iter):
+        assigned = ivf_assign(
+            df.select(F.col(vec_col).alias("v")), cents, vec_col="v", n_probe=1
+        )
+        rows = (
+            assigned.select("list_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("list_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("c"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cluster -> keep previous
+        for r in rows:
+            new[r["list_id"]][r["dim"]] = float(r["c"])
+        cents = new
+    out = [
+        (grp, d, float(cents[grp][d])) for grp in range(k) for d in range(dim)
+    ]
+    return spark.createDataFrame(
+        out, "grp int, dim int, centroid_val double"
+    )
+
+
 def group_centroids(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
     """Per-group mean vector — the k-means update step / class-prototype
     aggregate, kept fully distributed.

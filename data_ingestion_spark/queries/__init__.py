@@ -50,6 +50,7 @@ _PRIORITY = [
     "normalize_text_docs",
     "mix_corpus_docs",
     "embedding_centroids_by_label",
+    "kmeans_centroids_embeddings",
     "multimodal_metadata_docs",
     "skew_salted_agg_events",
     "asof_join_events_orders",
@@ -74,7 +75,6 @@ _PRIORITY = [
     # Representative round-1-green relational shapes fill the window
     "agg_pricing_summary",
     "join_revenue_by_segment",
-    "sql_correlated_subquery",
     "percentile_lineitem",
 ]
 

@@ -480,3 +480,22 @@ def test_tfidf_top_terms_ordering(spark):
     # apple: tf=2, df=1, N=3 -> tfidf = 2 * ln((3+1)/(1+1)) = 2 ln 2
     apple = [r for r in rows if r.term == "apple"][0]
     assert apple.tfidf == round(2 * math.log(2), 6)
+
+
+def test_kmeans_centroids_converges_on_planted_clusters(spark):
+    pts = (
+        [(0, [10.0, 0.0]), (1, [0.0, 10.0])]  # seeds, one per true cluster
+        + [(i, [10.0 + (i % 3) * 0.3, (i % 2) * 0.2]) for i in range(2, 12)]
+        + [(i, [(i % 2) * 0.2, 10.0 + (i % 3) * 0.3]) for i in range(12, 22)]
+    )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = {
+        (r.grp, r.dim): r.centroid_val
+        for r in similarity.kmeans_centroids(
+            df, vec_col="embedding", k=2, n_iter=3, id_col="vec_id"
+        ).collect()
+    }
+    assert len(got) == 4  # 2 clusters x 2 dims
+    # cluster 0 centers near x≈10, y≈0; cluster 1 mirrored
+    assert got[(0, 0)] > 9 and got[(0, 1)] < 1
+    assert got[(1, 0)] < 1 and got[(1, 1)] > 9
