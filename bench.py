@@ -101,6 +101,10 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                # headline set GREW round over round (round 1: 33 queries;
+                # round 2 adds 6 new operators) — normalize cross-round
+                # totals by n_queries or compare per-query timings.
+                "n_queries": len(HEADLINE),
                 "queries": timings,
                 "sf": sf_val,
             }

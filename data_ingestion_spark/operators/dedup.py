@@ -115,6 +115,8 @@ def minhash_near_dup(
     jaccard_distance_threshold: float = 0.8,
     seed: int = 42,
     hash_fn=None,
+    band_r: int = 1,
+    materialize: bool = False,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash LSH, entirely in codegen'd
     JVM expressions (no ML pipeline, no Python in the hot path).
@@ -139,6 +141,14 @@ def minhash_near_dup(
     Passing the md5-based portable family (see registry.dedup_minhash_docs)
     makes the WHOLE algorithm replayable in DuckDB, turning the approximate
     operator into a value-checked one at identical banding semantics.
+
+    ``band_r`` = minhashes AND-ed per band (classic (b, r) LSH):
+    ``num_hash_tables // band_r`` bands, candidate iff ALL r hashes of some
+    band agree — P(candidate) = 1−(1−j^r)^b. r=1 (the OR-construction)
+    maximizes recall but floods the verify stage when baseline inter-doc
+    similarity is high (a tiny-vocabulary corpus at r=1 yields ~100× the
+    candidates of r=2 for the same table count); raise r to trade recall
+    for candidate volume.
     """
     if hash_fn is None:
         def hash_fn(s, i):
@@ -150,17 +160,36 @@ def minhash_near_dup(
             "id", F.array_distinct(word_shingles(F.col("toks"), k)).alias("shingles")
         )
     )
+    if materialize:
+        base = base.localCheckpoint(eager=True)
+
+    def _table_hash(idx):
+        # One-ARG lambda per table: a defaulted second param (lambda s,
+        # i=i: ...) makes PySpark treat it as an (element, index) lambda
+        # and silently bind the array POSITION over the table index.
+        return lambda s: hash_fn(s, idx)
+
     mh_cols = [
-        F.array_min(
-            F.transform("shingles", lambda s, i=i: hash_fn(s, i))
-        ).alias(f"mh{i}")
+        F.array_min(F.transform("shingles", _table_hash(i))).alias(f"mh{i}")
         for i in range(num_hash_tables)
     ]
     sigs = base.select("id", *mh_cols)
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
+    n_bands = num_hash_tables // band_r
     bands = F.array(
         *[
-            F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("key"))
-            for i in range(num_hash_tables)
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{bi * band_r + j}").cast("string")
+                        for j in range(band_r)
+                    ],
+                ).alias("key"),
+            )
+            for bi in range(n_bands)
         ]
     )
     exploded = sigs.select("id", F.explode(bands).alias("bk"))

@@ -76,32 +76,58 @@ WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
 """
 
 
+_MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _minhash_ab(i: int) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients for table i."""
+    a = (1103515245 * i + 12345) % _MINHASH_P or 1
+    b = (7919 * i + 17) % _MINHASH_P
+    return a, b
+
+
 def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, gated with a FULL DuckDB replay:
-    the hash family here is the portable 60-bit md5 (``hash60('i:'||s)``)
-    instead of the default xxhash64 (which DuckDB lacks), so the oracle
-    re-executes signature → banding → candidate join → exact-Jaccard verify
-    bit-for-bit. Banding semantics and cost shape are identical to the
-    xxhash64 production default (dedup.minhash_near_dup's hash_fn arg)."""
+    instead of the default xxhash64 family (which DuckDB lacks), each table
+    hash is the universal family ``(a_i·h + b_i) mod (2^31−1)`` over ONE
+    portable 60-bit md5 base hash per shingle — one md5 per shingle total,
+    so the cost shape matches the xxhash64 production default
+    (dedup.minhash_near_dup's hash_fn arg) while the oracle re-executes
+    signature → banding → candidate join → exact-Jaccard verify
+    bit-for-bit."""
     from ..functions import md5_hash60
 
     docs = load_table(spark, sf_dir, "documents")
+
+    def portable(s, i):
+        a, b = _minhash_ab(i)
+        return (md5_hash60(s) % _MINHASH_P) * F.lit(a) % _MINHASH_P + F.lit(b)
+
     return dedup.minhash_near_dup(
         docs, id_col="doc_id", text_col="text", k=3,
         jaccard_distance_threshold=0.7,
-        hash_fn=lambda s, i: md5_hash60(F.concat(F.lit(f"{i}:"), s)),
+        hash_fn=portable,
+        band_r=2,
+        materialize=True,
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_oracle(num_hash_tables: int = 8) -> str:
+def _minhash_oracle(num_hash_tables: int = 8, band_r: int = 2) -> str:
+    h = _SQL_HASH60.format(c="s")
     mh = ",\n         ".join(
         f"list_min(list_transform(shingles, s -> "
-        f"{_SQL_HASH60.format(c=chr(39) + str(i) + ':' + chr(39) + ' || s')})) AS mh{i}"
+        f"(({h} % {_MINHASH_P}) * {_minhash_ab(i)[0]} % {_MINHASH_P}"
+        f" + {_minhash_ab(i)[1]}))) AS mh{i}"
         for i in range(num_hash_tables)
     )
     bands = " UNION ALL ".join(
-        f"SELECT id, {i} AS band, mh{i} AS key FROM sigs"
-        for i in range(num_hash_tables)
+        "SELECT id, {bi} AS band, {key} AS key FROM sigs".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"mh{bi * band_r + j}::VARCHAR" for j in range(band_r)
+            ),
+        )
+        for bi in range(num_hash_tables // band_r)
     )
     return f"""
 WITH base AS (
