@@ -151,3 +151,69 @@ def test_txt_line_numbers(spark, tmp_path_factory, lines):
     assert [(r["line_number"], r["content"]) for r in out] == [
         (i + 1, line) for i, line in enumerate(lines)
     ]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=5),
+        min_size=0,
+        max_size=60,
+    ),
+    size=st.integers(min_value=2, max_value=10),
+    overlap=st.integers(min_value=0, max_value=5),
+)
+@_SETTINGS
+def test_chunk_tokens_covers_every_token(spark, words, size, overlap):
+    """Every token lands in ≥1 chunk; chunk starts advance by the stride;
+    consecutive chunks overlap by exactly size − stride tokens."""
+    from data_ingestion_spark.operators.text import chunk_tokens
+
+    stride = max(size - overlap, 1)
+    df = spark.createDataFrame([(1, " ".join(words))], "id long, text string")
+    rows = sorted(
+        chunk_tokens(df, "id", "text", size=size, stride=stride).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    n = len([w for w in words if w])
+    if n == 0:
+        assert rows == []
+        return
+    starts = [r.chunk_start for r in rows]
+    assert starts == list(range(1, n + 1, stride))
+    # coverage: the union of [start, start+len) spans 1..n with no gaps
+    covered = set()
+    for r in rows:
+        covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+    assert covered == set(range(1, n + 1))
+    for r in rows:
+        assert 1 <= r.n_chunk_tokens <= size
+
+
+@given(
+    body=st.text(
+        alphabet="abc @.-+0123456789\n", min_size=0, max_size=120
+    )
+)
+@_SETTINGS
+def test_pii_scrub_idempotent(spark, body):
+    """Scrubbing an already-scrubbed document changes nothing (placeholders
+    contain no scrubbable patterns), and counts are non-negative."""
+    import hashlib
+
+    from data_ingestion_spark.operators.text import pii_scrub
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, body)], "id long, text string")
+    first = pii_scrub(df, "id", "text").collect()[0]
+    # apply the same replacement chain in python to get the scrubbed body,
+    # then scrub again via spark
+    from data_ingestion_spark.operators.text import PII_EMAIL, PII_IPV4, PII_PHONE
+    import re
+
+    scrubbed = re.sub(PII_EMAIL, "<EMAIL>", body)
+    scrubbed = re.sub(PII_IPV4, "<IP>", scrubbed)
+    scrubbed = re.sub(PII_PHONE, "<PHONE>", scrubbed)
+    assert first.scrub_md5 == hashlib.md5(scrubbed.encode()).hexdigest()
+    df2 = spark.createDataFrame([(1, scrubbed)], "id long, text string")
+    second = pii_scrub(df2, "id", "text").collect()[0]
+    assert second.scrub_md5 == hashlib.md5(scrubbed.encode()).hexdigest()
