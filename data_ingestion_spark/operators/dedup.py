@@ -117,6 +117,7 @@ def minhash_near_dup(
     hash_fn=None,
     band_r: int = 1,
     materialize: bool = False,
+    prehash_fn=None,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash LSH, entirely in codegen'd
     JVM expressions (no ML pipeline, no Python in the hot path).
@@ -142,6 +143,14 @@ def minhash_near_dup(
     makes the WHOLE algorithm replayable in DuckDB, turning the approximate
     operator into a value-checked one at identical banding semantics.
 
+    ``prehash_fn(shingle_col) -> Column``: optional shared base hash. When
+    given, each shingle is hashed ONCE into a sibling ``hvals`` array (paid
+    once, inside the materialization when ``materialize=True``) and
+    ``hash_fn`` receives the prehashed value instead of the raw shingle.
+    Without it, an expensive base hash inside ``hash_fn`` (e.g. md5) is
+    re-evaluated per table — Spark does not CSE across separate
+    higher-order-function lambda bodies, so 8 tables = 8 md5 passes.
+
     ``band_r`` = minhashes AND-ed per band (classic (b, r) LSH):
     ``num_hash_tables // band_r`` bands, candidate iff ALL r hashes of some
     band agree — P(candidate) = 1−(1−j^r)^b. r=1 (the OR-construction)
@@ -160,6 +169,8 @@ def minhash_near_dup(
             "id", F.array_distinct(word_shingles(F.col("toks"), k)).alias("shingles")
         )
     )
+    if prehash_fn is not None:
+        base = base.withColumn("hvals", F.transform("shingles", prehash_fn))
     if materialize:
         base = base.localCheckpoint(eager=True)
 
@@ -169,8 +180,9 @@ def minhash_near_dup(
         # and silently bind the array POSITION over the table index.
         return lambda s: hash_fn(s, idx)
 
+    hash_src = "hvals" if prehash_fn is not None else "shingles"
     mh_cols = [
-        F.array_min(F.transform("shingles", _table_hash(i))).alias(f"mh{i}")
+        F.array_min(F.transform(hash_src, _table_hash(i))).alias(f"mh{i}")
         for i in range(num_hash_tables)
     ]
     sigs = base.select("id", *mh_cols)

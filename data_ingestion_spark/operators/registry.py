@@ -99,9 +99,15 @@ def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    def portable(s, i):
+    def prehash(s):
+        # ONE md5 per shingle, shared by all tables via minhash_near_dup's
+        # prehash_fn hook (each table re-hashing would cost 8 md5 passes —
+        # Spark doesn't CSE across separate transform() lambda bodies).
+        return md5_hash60(s) % _MINHASH_P
+
+    def portable(h, i):
         a, b = _minhash_ab(i)
-        return (md5_hash60(s) % _MINHASH_P) * F.lit(a) % _MINHASH_P + F.lit(b)
+        return h * F.lit(a) % _MINHASH_P + F.lit(b)
 
     return dedup.minhash_near_dup(
         docs, id_col="doc_id", text_col="text", k=3,
@@ -109,6 +115,7 @@ def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn=portable,
         band_r=2,
         materialize=True,
+        prehash_fn=prehash,
     ).orderBy("id_a", "id_b")
 
 

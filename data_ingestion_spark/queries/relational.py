@@ -749,12 +749,18 @@ def percentile_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.percentile_approx("l_quantity", F.lit(0.5), acc).alias("p50_qty"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias(
-                "p50_price"
-            ),
-            F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias(
-                "p90_price"
-            ),
+            # ONE sketch serves both price quantiles (array-of-percentages
+            # form) — a per-quantile call would build an independent GK
+            # summary per quantile per group.
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), acc
+            ).alias("p_price"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_qty",
+            F.element_at("p_price", 1).alias("p50_price"),
+            F.element_at("p_price", 2).alias("p90_price"),
         )
         .orderBy("l_returnflag")
     )

@@ -73,14 +73,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # The driver's correctness harness uses its OWN SparkSession — pin every
     # query-critical conf at call time, not only in get_spark(): UTC session
     # timezone keeps timestamp/date_format semantics aligned with DuckDB's
-    # tz-naive timestamps regardless of host TZ.
+    # tz-naive timestamps regardless of host TZ. nanosAsLong is set BEFORE
+    # the first read: reacting to the PARQUET_TYPE_ILLEGAL failure instead
+    # costs a whole failed footer-read job per fresh session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
