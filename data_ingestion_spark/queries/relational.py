@@ -712,9 +712,21 @@ def percentile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+            # One aggregation buffer (value-counts map) serves all three
+            # price quantiles via the array-of-percentages form; separate
+            # percentile() calls would each build their own map over the
+            # same ~600k near-distinct values.
+            F.percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.25), F.lit(0.75), F.lit(0.99)),
+            ).alias("p_price"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_qty",
+            F.round(F.element_at("p_price", 1), 4).alias("p25_price"),
+            F.round(F.element_at("p_price", 2), 4).alias("p75_price"),
+            F.round(F.element_at("p_price", 3), 4).alias("p99_price"),
         )
         .orderBy("l_returnflag")
     )
