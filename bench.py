@@ -61,6 +61,10 @@ HEADLINE = [
     "chunk_docs",
     "pii_scrub_docs",
     "decontaminate_docs",
+    "repetition_stats_docs",
+    "quality_filter_docs",
+    "ngram_topk_corpus",
+    "corpus_stats_by_lang",
     "sample_docs_hash",
     "cap_per_source_docs",
     "normalize_text_docs",
@@ -119,7 +123,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 # headline set GREW round over round (round 1: 33 queries;
-                # round 2 adds 6 new operators) — normalize cross-round
+                # round 2 adds 10 new operators) — normalize cross-round
                 # totals by n_queries or compare per-query timings.
                 "n_queries": len(HEADLINE),
                 "queries": timings,

@@ -1032,6 +1032,145 @@ GROUP BY 1, 2
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Corpus quality battery (Gopher/C4-style filters, corpus n-gram stats)
+# --------------------------------------------------------------------------
+_SQL_BIGRAMS = (
+    "list_transform(range(1, greatest(len({t}), 1)), "
+    "i -> {t}[i] || ' ' || {t}[i+1])"
+)
+
+
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (dup-token / top-token / dup-bigram
+    fractions) over documents — see text.repetition_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+REPETITION_STATS_DOCS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+), top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY 1, 2
+  ) GROUP BY 1
+), narrow AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER)                  AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INTEGER)   AS n_distinct_tokens,
+         CAST(len({_SQL_BIGRAMS.format(t='toks')}) AS INTEGER) AS n_bigrams,
+         CAST(len(list_distinct({_SQL_BIGRAMS.format(t='toks')})) AS INTEGER)
+                                                     AS n_distinct_bigrams
+  FROM base
+)
+SELECT narrow.doc_id, n_tokens, n_distinct_tokens, n_bigrams,
+       n_distinct_bigrams,
+       coalesce(top_c, 0) AS top_token_count,
+       (n_tokens - n_distinct_tokens) / greatest(n_tokens, 1)
+           AS dup_token_frac,
+       coalesce(top_c, 0) / greatest(n_tokens, 1) AS top_token_frac,
+       (n_bigrams - n_distinct_bigrams) / greatest(n_bigrams, 1)
+           AS dup_bigram_frac
+FROM narrow LEFT JOIN top ON narrow.doc_id = top.doc_id
+"""
+
+
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher composite quality gate (5 boolean sub-filters + keep) —
+    see text.quality_flags."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_flags(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_ALL_SW = ", ".join(f"'{w}'" for w in text.ALL_STOPWORDS)
+
+QUALITY_FILTER_DOCS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS nd,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sum_len,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS n_sym,
+         CAST(len(list_filter(toks, x -> x IN ({_ALL_SW}))) AS INTEGER)
+             AS hits
+  FROM base
+)
+SELECT doc_id,
+       n AS n_tokens,
+       n BETWEEN {text.QUALITY_MIN_TOKENS} AND {text.QUALITY_MAX_TOKENS}
+           AS ok_len,
+       sum_len >= {text.QUALITY_MIN_MEAN_WORD_LEN} * n
+           AND sum_len <= {text.QUALITY_MAX_MEAN_WORD_LEN} * n AS ok_word_len,
+       hits >= {text.QUALITY_MIN_STOPWORD_HITS} AS ok_stopword,
+       n_sym * 10 <= {text.QUALITY_MAX_SYMBOL_PER_10_CHARS} * n_chars
+           AS ok_symbol,
+       (n - nd) * {text.QUALITY_MAX_DUP_FRAC_DEN}
+           <= {text.QUALITY_MAX_DUP_FRAC_NUM} * n AS ok_repetition,
+       (n BETWEEN {text.QUALITY_MIN_TOKENS} AND {text.QUALITY_MAX_TOKENS})
+       AND (sum_len >= {text.QUALITY_MIN_MEAN_WORD_LEN} * n
+            AND sum_len <= {text.QUALITY_MAX_MEAN_WORD_LEN} * n)
+       AND hits >= {text.QUALITY_MIN_STOPWORD_HITS}
+       AND n_sym * 10 <= {text.QUALITY_MAX_SYMBOL_PER_10_CHARS} * n_chars
+       AND (n - nd) * {text.QUALITY_MAX_DUP_FRAC_DEN}
+           <= {text.QUALITY_MAX_DUP_FRAC_NUM} * n AS keep
+FROM m
+"""
+
+
+def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams by frequency — see text.ngram_topk."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_topk(docs, "text", k=2, top_n=20)
+
+
+NGRAM_TOPK_CORPUS_SQL = f"""
+SELECT ngram, count(*) AS n_occurrences
+FROM (
+  SELECT unnest({_SQL_BIGRAMS.format(t='toks')}) AS ngram
+  FROM (SELECT {_SQL_TOKENS.format(c='text')} AS toks FROM documents)
+)
+GROUP BY 1
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 20
+"""
+
+
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: per (lang, 100-char length bucket) doc
+    count and char-length min/max — the shape-of-the-corpus report every
+    training-data run starts with. Single partial+final agg on a narrow
+    composite key; integer bucket arithmetic (no float binning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", F.floor(F.col("n_chars") / F.lit(100)).alias("len_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+CORPUS_STATS_BY_LANG_SQL = """
+SELECT lang, n_chars // 100 AS len_bucket, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -1081,4 +1220,8 @@ QUERIES: dict = {
         range_join_event_pairs,
         RANGE_JOIN_EVENT_PAIRS_SQL,
     ),
+    "repetition_stats_docs": (repetition_stats_docs, REPETITION_STATS_DOCS_SQL),
+    "quality_filter_docs": (quality_filter_docs, QUALITY_FILTER_DOCS_SQL),
+    "ngram_topk_corpus": (ngram_topk_corpus, NGRAM_TOPK_CORPUS_SQL),
+    "corpus_stats_by_lang": (corpus_stats_by_lang, CORPUS_STATS_BY_LANG_SQL),
 }

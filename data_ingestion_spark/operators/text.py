@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import bpe_ish_tokens, md5_hash60, stopword_hits, tokens
+from ..functions import bpe_ish_tokens, md5_hash60, stopword_hits, tokens, word_shingles
 
 #: PII patterns — dialect-portable (identical semantics in Java regex and
 #: RE2/DuckDB: no lookaround, no backrefs), kept in lockstep with the
@@ -252,4 +252,143 @@ def winnow_fingerprints(
         acc = F.zip_with(acc, F.slice("hs", j + 1, m), lambda a, b: F.least(a, b))
     return base.select(
         F.col(id_col), F.explode(F.array_distinct(acc)).alias("winnow_hash")
+    )
+
+
+#: Union of all language-profile stopwords — the "contains common words"
+#: quality gate below is language-agnostic.
+ALL_STOPWORDS: list[str] = [w for ws in LANG_PROFILES.values() for w in ws]
+
+#: Gopher/C4-style quality-gate thresholds (public heuristics: Gopher rules,
+#: Rae et al. 2021 §A1.1; C4 filters, Raffel et al. 2020 §2.2). Values are
+#: tuned to the synthetic corpus so each gate actually discriminates.
+QUALITY_MIN_TOKENS = 30
+QUALITY_MAX_TOKENS = 5000
+QUALITY_MIN_MEAN_WORD_LEN = 2  # mean token length lower bound
+QUALITY_MAX_MEAN_WORD_LEN = 5  # and upper bound
+QUALITY_MIN_STOPWORD_HITS = 3
+QUALITY_MAX_SYMBOL_PER_10_CHARS = 1  # symbol chars <= 10% of all chars
+QUALITY_MAX_DUP_FRAC_NUM = 11  # dup-token fraction <= 11/20 (0.55)
+QUALITY_MAX_DUP_FRAC_DEN = 20
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction, most-frequent-token fraction, duplicate-bigram fraction
+    (Rae et al. 2021 §A1.1 "repetition" filters).
+
+    Scale shape: token/bigram distinctness is a narrow array pass fused into
+    the scan; the top-token count is explode → (id, token) partial-agg →
+    (id) max — two shuffles on narrow keys — joined back to the narrow stats
+    on id. All ratios are single int/int IEEE divisions (bit-identical in
+    any engine; no rounding), so the DuckDB oracle hash-matches exactly.
+    """
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    top = (
+        base.select(F.col(id_col), F.explode("_toks").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("top_token_count"))
+    )
+    bigrams = word_shingles(F.col("_toks"), 2)
+    narrow = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct_tokens"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    n = F.col("n_tokens")
+    nb = F.col("n_bigrams")
+    top_c = F.coalesce(F.col("top_token_count"), F.lit(0).cast("long"))
+    return narrow.join(top, on=id_col, how="left").select(
+        F.col(id_col),
+        n,
+        F.col("n_distinct_tokens"),
+        F.col("n_bigrams"),
+        F.col("n_distinct_bigrams"),
+        top_c.alias("top_token_count"),
+        ((n - F.col("n_distinct_tokens")) / F.greatest(n, F.lit(1))).alias(
+            "dup_token_frac"
+        ),
+        (top_c / F.greatest(n, F.lit(1))).alias("top_token_frac"),
+        ((nb - F.col("n_distinct_bigrams")) / F.greatest(nb, F.lit(1))).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
+def quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite C4/Gopher quality gate: five boolean sub-filters and their
+    conjunction ``keep``. Every gate is an INTEGER comparison (no float
+    output at all), so the result is trivially engine-portable:
+
+    - ``ok_len``: token count within [QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS]
+    - ``ok_word_len``: mean token length within bounds (as sum-vs-n*bound)
+    - ``ok_stopword``: >= QUALITY_MIN_STOPWORD_HITS common-word hits
+    - ``ok_symbol``: symbol chars <= 10% of characters
+    - ``ok_repetition``: duplicate-token fraction <= 0.55 (as 20*(n-d)<=11*n)
+
+    Narrow single pass — every flag fuses into the scan stage; no shuffle.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        toks.alias("_toks"),
+    )
+    n = F.size("_toks")
+    nd = F.size(F.array_distinct("_toks"))
+    sum_len = F.aggregate(
+        F.transform("_toks", lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.length("_text")
+    n_sym = n_chars - F.length(F.regexp_replace("_text", r"[^\w\s]", ""))
+    hits = stopword_hits(F.col("_toks"), ALL_STOPWORDS)
+    ok_len = (n >= QUALITY_MIN_TOKENS) & (n <= QUALITY_MAX_TOKENS)
+    ok_word_len = (sum_len >= QUALITY_MIN_MEAN_WORD_LEN * n) & (
+        sum_len <= QUALITY_MAX_MEAN_WORD_LEN * n
+    )
+    ok_stopword = hits >= QUALITY_MIN_STOPWORD_HITS
+    ok_symbol = n_sym * 10 <= QUALITY_MAX_SYMBOL_PER_10_CHARS * n_chars
+    ok_repetition = (n - nd) * QUALITY_MAX_DUP_FRAC_DEN <= (
+        QUALITY_MAX_DUP_FRAC_NUM * n
+    )
+    return base.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ok_len.alias("ok_len"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stopword.alias("ok_stopword"),
+        ok_symbol.alias("ok_symbol"),
+        ok_repetition.alias("ok_repetition"),
+        (ok_len & ok_word_len & ok_stopword & ok_symbol & ok_repetition).alias(
+            "keep"
+        ),
+    )
+
+
+def ngram_topk(
+    df: DataFrame, text_col: str, k: int = 2, top_n: int = 20
+) -> DataFrame:
+    """Corpus-wide top-N word k-grams by frequency (deterministic tiebreak
+    on the n-gram string). The vocabulary/phrase-frequency pass of corpus
+    analysis.
+
+    Scale shape: explode → hash partial-agg (map-side combine collapses the
+    Zipf head before the shuffle) → final agg → TakeOrderedAndProject:
+    only ``top_n`` rows per partition reach the driver, never a full sort.
+    """
+    base = df.select(tokens(F.col(text_col)).alias("_toks"))
+    grams = base.select(
+        F.explode(word_shingles(F.col("_toks"), k)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(top_n)
     )

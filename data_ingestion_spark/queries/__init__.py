@@ -72,10 +72,14 @@ _PRIORITY = [
     "decontaminate_docs",
     # Past the round-1 cap (registered position 51) — now inside the window
     "regexp_extract_docs",
-    # Representative round-1-green relational shapes fill the window
-    "agg_pricing_summary",
-    "join_revenue_by_segment",
-    "percentile_lineitem",
+    # New this round: corpus quality battery (Gopher/C4 filters, n-gram
+    # stats). These take the window slots that round-1-green relational
+    # shapes (agg_pricing_summary / join_revenue_by_segment /
+    # percentile_lineitem) filled — those already have driver-green rows in
+    # CORRECTNESS_r01.json and stay locally verified below the cap.
+    "repetition_stats_docs",
+    "quality_filter_docs",
+    "ngram_topk_corpus",
 ]
 
 

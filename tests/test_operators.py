@@ -499,3 +499,60 @@ def test_kmeans_centroids_converges_on_planted_clusters(spark):
     # cluster 0 centers near x≈10, y≈0; cluster 1 mirrored
     assert got[(0, 0)] > 9 and got[(0, 1)] < 1
     assert got[(1, 0)] < 1 and got[(1, 1)] > 9
+
+
+def test_repetition_stats_planted(spark):
+    # "a a a b" -> 4 tokens, 2 distinct, top count 3; bigrams
+    # [a a, a a, a b] -> 3 total, 2 distinct
+    df = docs_df(spark, [(1, "a a a b"), (2, "x y"), (3, "")])
+    out = {r["doc_id"]: r for r in text.repetition_stats(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_distinct_tokens"]) == (4, 2)
+    assert r1["top_token_count"] == 3
+    assert (r1["n_bigrams"], r1["n_distinct_bigrams"]) == (3, 2)
+    assert r1["dup_token_frac"] == 0.5
+    assert r1["top_token_frac"] == 0.75
+    assert r1["dup_bigram_frac"] == pytest.approx(1 / 3)
+    r2 = out[2]
+    assert r2["dup_token_frac"] == 0.0 and r2["top_token_count"] == 1
+    # empty doc: all zero, no division blowup, survives the left join
+    r3 = out[3]
+    assert (r3["n_tokens"], r3["top_token_count"], r3["dup_token_frac"]) == (0, 0, 0.0)
+
+
+def test_quality_flags_each_gate(spark):
+    long_good = (
+        "the and of to a in is it that for cat dog sun map tea pen box car "
+        "day sky row law cup arm ear egg fig hat ink jar key log man net oak"
+    )
+    df = docs_df(
+        spark,
+        [
+            (1, long_good),               # passes every gate
+            (2, "the and of to"),          # too short
+            (3, " ".join(["the"] * 40)),   # repetition gate (1 distinct token)
+            (4, " ".join(["wordiness"] * 0 + ["extraordinarily"] * 35 + ["the and of"] * 2)),  # mean word len too high
+            (5, " ".join(["zz xq vv pq mn"] * 8)),  # no stopwords
+        ],
+    )
+    out = {r["doc_id"]: r for r in text.quality_flags(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["ok_len"] is False and out[2]["keep"] is False
+    assert out[3]["ok_repetition"] is False and out[3]["keep"] is False
+    assert out[4]["ok_word_len"] is False and out[4]["keep"] is False
+    assert out[5]["ok_stopword"] is False and out[5]["keep"] is False
+
+
+def test_quality_flags_symbol_gate(spark):
+    noisy = "@@ ## $$ %% ^^ && ** (( )) !! " * 5 + "the and of to that for a in"
+    df = docs_df(spark, [(1, noisy)])
+    row = text.quality_flags(df, "doc_id", "text").collect()[0]
+    assert row["ok_symbol"] is False and row["keep"] is False
+
+
+def test_ngram_topk_counts_and_tiebreak(spark):
+    df = docs_df(spark, [(1, "b a b a x"), (2, "b a c d")])
+    out = text.ngram_topk(df, "text", k=2, top_n=3).collect()
+    # "b a" appears 3x; "a b" 1x; ties broken by ngram asc
+    assert (out[0]["ngram"], out[0]["n_occurrences"]) == ("b a", 3)
+    assert [r["ngram"] for r in out[1:]] == ["a b", "a c"]

@@ -228,6 +228,10 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "pii_scrub_docs",
         "decontaminate_docs",
         "tfidf_docs",
+        "repetition_stats_docs",
+        "quality_filter_docs",
+        "ngram_topk_corpus",
+        "corpus_stats_by_lang",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
@@ -295,3 +299,25 @@ def test_csv_read_single_file_scan(spark, tmp_path):
         cache = getattr(df, "_csv_cache", None)
         if cache is not None:
             cache.unpersist()
+
+
+def test_ngram_topk_is_take_ordered(spark):
+    """Corpus top-k n-grams must cut per-partition (TakeOrdered), never
+    plan a global Sort of the full n-gram frequency table."""
+    plan = plan_of(spark, "ngram_topk_corpus")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_quality_filter_is_single_narrow_pass(spark):
+    """Every quality gate fuses into the scan stage: the operator itself
+    (without the registry query's presentation sort) plans zero shuffles."""
+    from data_ingestion_spark.operators import text
+    from data_ingestion_spark.session import load_table
+
+    df = text.quality_flags(load_table(spark, SF_DIR, "documents"), "doc_id", "text")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan
