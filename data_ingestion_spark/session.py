@@ -82,6 +82,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Naive parquet timestamp[us] columns infer as TIMESTAMP_NTZ under Spark 4
+    # (spark.sql.parquet.inferTimestampNTZ.enabled=true). NTZ forbids casts
+    # like ts::long that the query battery relies on; with the session tz
+    # pinned to UTC, NTZ -> TIMESTAMP is wall-clock preserving and matches
+    # DuckDB's tz-naive timestamp semantics, so normalize every NTZ column.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
