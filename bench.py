@@ -70,6 +70,11 @@ HEADLINE = [
     "normalize_text_docs",
     "mix_corpus_docs",
     "embedding_centroids_by_label",
+    "pack_sequences_docs",
+    "dup_ngram_fraction_docs",
+    "inverted_index_terms",
+    "split_docs_hash",
+    "quantize_embeddings",
 ]
 
 

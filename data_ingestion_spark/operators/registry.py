@@ -1171,6 +1171,150 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Training-data pipeline: sequence packing, substring-dup profiling,
+# inverted index, dataset splits, embedding quantization
+# --------------------------------------------------------------------------
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-split training-sequence packing (256-token
+    sequences), parallel per source shard — see text.pack_sequences."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, "doc_id", "text", target=256).orderBy(
+        "shard", "doc_id"
+    )
+
+
+PACK_SEQUENCES_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT source AS shard, doc_id,
+         len({_SQL_TOKENS.format(c='text')}) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tokens::BIGINT AS n_tokens,
+         (sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) - n_tokens)::BIGINT AS start
+  FROM toks WHERE n_tokens > 0
+)
+SELECT shard, doc_id, n_tokens,
+       (start // 256)::BIGINT AS seq_id,
+       (start % 256)::BIGINT AS seq_offset
+FROM c
+"""
+
+
+def dup_ngram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated 5-gram profile (Lee et al. substring-dedup
+    metric) — see text.dup_ngram_fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dup_ngram_fraction(docs, "doc_id", "text", k=5).orderBy("id")
+
+
+DUP_NGRAM_FRACTION_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+), grams AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 4, 0)),
+           i -> array_to_string(list_slice(t, i, i + 4), ' ')
+         ))) AS gram
+  FROM toks
+), hashed AS (
+  SELECT id, {_SQL_HASH60.format(c='gram')} AS gram_h FROM grams
+), dfq AS (
+  SELECT gram_h, count(DISTINCT id) AS nd FROM hashed GROUP BY gram_h
+)
+SELECT id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+       floor(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 10000.0
+             / count(*) + 0.5)::BIGINT AS dup_bp
+FROM hashed JOIN dfq USING (gram_h)
+GROUP BY id
+"""
+
+
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the mid-frequency BIGRAM band (df in [3, 40];
+    the fixture's unigram vocabulary is ~30 near-ubiquitous words, so
+    bigrams give the realistic Zipf spectrum) — see text.inverted_index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.inverted_index(
+        docs, "doc_id", "text", min_df=3, max_df=40, k=2
+    ).orderBy("term")
+
+
+INVERTED_INDEX_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+), td AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> array_to_string(list_slice(t, i, i + 1), ' ')
+         ))) AS term
+  FROM toks
+), dfq AS (
+  SELECT term, count(*)::BIGINT AS df_docs FROM td GROUP BY term
+  HAVING count(*) BETWEEN 3 AND 40
+)
+SELECT term, df_docs,
+       array_to_string(list_sort(list(id)), ',') AS postings
+FROM td JOIN dfq USING (term)
+GROUP BY term, df_docs
+"""
+
+
+def split_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by doc_id hash — see
+    sampling.assign_splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.assign_splits(docs, "doc_id")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_DOCS_HASH_SQL = f"""
+SELECT doc_id, h % 100 AS bucket,
+       CASE WHEN h % 100 < 80 THEN 'train'
+            WHEN h % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_SQL_HASH60.format(c='doc_id::VARCHAR')} AS h FROM documents)
+"""
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — see
+    similarity.quantize_int8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb, "vec_id", "embedding").orderBy("vec_id")
+
+
+QUANTIZE_EMBEDDINGS_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> v::DOUBLE) AS x,
+         greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))),
+                  1e-12) / 127.0 AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id,
+         len(x)::BIGINT AS n_dims,
+         floor(scale * 1000000.0 + 0.5)::BIGINT AS scale_micro,
+         list_transform(x, v -> floor(v / scale + 0.5)::INTEGER) AS qq
+  FROM s
+)
+SELECT vec_id, n_dims, scale_micro,
+       list_min(qq)::BIGINT AS q_min,
+       list_max(qq)::BIGINT AS q_max,
+       array_to_string(qq, ',') AS q
+FROM q
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -1224,4 +1368,12 @@ QUERIES: dict = {
     "quality_filter_docs": (quality_filter_docs, QUALITY_FILTER_DOCS_SQL),
     "ngram_topk_corpus": (ngram_topk_corpus, NGRAM_TOPK_CORPUS_SQL),
     "corpus_stats_by_lang": (corpus_stats_by_lang, CORPUS_STATS_BY_LANG_SQL),
+    "pack_sequences_docs": (pack_sequences_docs, PACK_SEQUENCES_DOCS_SQL),
+    "dup_ngram_fraction_docs": (
+        dup_ngram_fraction_docs,
+        DUP_NGRAM_FRACTION_DOCS_SQL,
+    ),
+    "inverted_index_terms": (inverted_index_terms, INVERTED_INDEX_TERMS_SQL),
+    "split_docs_hash": (split_docs_hash, SPLIT_DOCS_HASH_SQL),
+    "quantize_embeddings": (quantize_embeddings, QUANTIZE_EMBEDDINGS_SQL),
 }

@@ -75,3 +75,38 @@ def weighted_mix(
     return df.filter(
         md5_hash60(c.cast("string")) % modulus < F.coalesce(rate, F.lit(0))
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 80), ("val", 10), ("test", 10)),
+    modulus: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash: the dataset-split
+    pass of every training pipeline, as a pure narrow projection.
+
+    Each row's md5-derived 60-bit hash mod ``modulus`` picks a bucket;
+    consecutive ranges of buckets map to splits in the order given (sizes
+    are percents of ``modulus`` and must sum to it). Hash-based assignment
+    means a document keeps its split across reruns, repartitions, engines,
+    and corpus growth — appending new documents never migrates old ones
+    between splits (the property seed-based randomSplit lacks).
+
+    Adds (bucket, split) to the input's columns; zero shuffles.
+    """
+    sizes = [pct for _, pct in splits]
+    if sum(sizes) != modulus:
+        raise ValueError(f"split sizes {sizes} must sum to modulus={modulus}")
+    bucket = md5_hash60(F.col(key_col).cast("string")) % modulus
+    edges = []
+    acc = 0
+    for name, pct in splits:
+        acc += pct
+        edges.append((name, acc))
+    # last split is the fallthrough; earlier ranges win via when() built
+    # highest-edge-first so the lowest matching upper bound lands on top
+    expr = F.lit(splits[-1][0])
+    for name, upper in reversed(edges[:-1]):
+        expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
+    return df.select("*", bucket.alias("bucket"), expr.alias("split"))

@@ -318,3 +318,41 @@ def group_centroids(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
     return ex.groupBy("grp", "dim").agg(
         F.round(F.avg("val"), 6).alias("centroid_val")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    standard 4x footprint cut before ANN index build / vector transport
+    (FAISS SQ8-style: per-vector absmax scaling).
+
+    q_i = floor(x_i / scale + 0.5) with scale = absmax / 127, computed as
+    pure JVM array expressions (transform / array_max); floor(x + 0.5) is
+    used instead of round() because IEEE floor and division are bit-exact
+    in every engine while round()'s tie behavior is not. The scale is
+    emitted as integer micros (scale_micro) for the same reason. Zero
+    shuffles — a narrow map stage at any scale.
+
+    Output: (id, n_dims, scale_micro, q_min, q_max, q [comma-joined ints]).
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    # materialize scale BEFORE the per-element lambda: inlining it would
+    # re-evaluate array_max once per element (O(d^2) per vector)
+    staged = df.select(
+        F.col(id_col),
+        x.alias("_x"),
+        (F.greatest(absmax, F.lit(1e-12)) / F.lit(127.0)).alias("_scale"),
+    )
+    q = F.transform(
+        F.col("_x"), lambda v: F.floor(v / F.col("_scale") + F.lit(0.5)).cast("int")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size(F.col("_x")).cast("long").alias("n_dims"),
+        F.floor(F.col("_scale") * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "scale_micro"
+        ),
+        F.array_min(q).cast("long").alias("q_min"),
+        F.array_max(q).cast("long").alias("q_max"),
+        F.array_join(q, ",").alias("q"),
+    )

@@ -392,3 +392,128 @@ def ngram_topk(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(top_n)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: int = 256,
+    shard_col: str = "source",
+) -> DataFrame:
+    """Training-sequence packing: concatenate documents in deterministic
+    order and split every ``target`` tokens, assigning each document the
+    fixed-length training sequence its first token lands in (the greedy
+    concat-and-split packing every LLM pre-training loader performs).
+
+    Scale shape: one narrow token-count pass, then a running-sum window
+    PARTITIONED BY the shard column — packing is embarrassingly parallel
+    across shards (source / date / bucket), so no global sort and no
+    single-partition window ever materializes. At 100 TB you pack each
+    shard independently; sequence ids are only meaningful within a shard.
+
+    Output: (shard, id, n_tokens, seq_id [0-based], seq_offset [token
+    offset of the doc's first token within its sequence]).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = W.partitionBy("shard").orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return base.select(
+        "shard",
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(start / target).cast("long").alias("seq_id"),
+        (start % target).cast("long").alias("seq_offset"),
+    )
+
+
+def dup_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document duplicated-substring profile: the fraction of a doc's
+    distinct word k-grams that also appear in at least one OTHER document
+    (the corpus-overlap metric behind substring-level dedup, Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better").
+
+    Scale shape: explode per-doc DISTINCT k-gram hashes (16-byte keys, never
+    gram text) → corpus doc-frequency agg [shuffle 1, partial-agg'd] →
+    rejoin grams⋈df on the hash [reuses shuffle 1's partitioning] → per-doc
+    count agg [shuffle 2 on id]. Every shuffle key is a hash or an id;
+    document bodies never move. Docs with fewer than ``k`` tokens emit no
+    grams and are absent from the output (same in the SQL twin).
+
+    Output: (id, n_grams, n_dup_grams, dup_frac [4 dp]).
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    grams = base.select(
+        "id",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), k))).alias("gram"),
+    ).select("id", md5_hash60(F.col("gram")).alias("gram_h"))
+    dfreq = grams.groupBy("gram_h").agg(F.countDistinct("id").alias("nd"))
+    return (
+        grams.join(dfreq, "gram_h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_dup_grams",
+            # basis points via floor(x + 0.5): bit-exact IEEE ops in every
+            # engine, unlike round()'s tie handling on doubles
+            F.floor(
+                F.col("n_dup_grams") * F.lit(10000.0) / F.col("n_grams") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dup_bp"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 3,
+    max_df: int = 40,
+    k: int = 1,
+) -> DataFrame:
+    """Inverted index (term → sorted posting list) for the mid-frequency
+    vocabulary band — the retrieval/search building block over a corpus.
+
+    Scale shape: document-frequency agg FIRST [shuffle 1 on term,
+    partial-agg'd], band filter, then postings are collected ONLY for
+    surviving terms via a broadcast-able semi-join [shuffle 2]. Collecting
+    before filtering would materialize the full posting list of every
+    stopword ("the" → billions of ids) in a single aggregation buffer —
+    the classic inverted-index OOM; the df-first order bounds every
+    collect_list by ``max_df``.
+
+    Output: (term, df_docs, postings [comma-joined sorted ids]).
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t"))
+    terms = F.col("_t") if k == 1 else word_shingles(F.col("_t"), k)
+    term_docs = base.select(
+        "id", F.explode(F.array_distinct(terms)).alias("term")
+    )
+    dfreq = (
+        term_docs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .filter((F.col("df_docs") >= min_df) & (F.col("df_docs") <= max_df))
+    )
+    return (
+        term_docs.join(F.broadcast(dfreq), "term")
+        .groupBy("term", "df_docs")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("id")), ",").alias("postings")
+        )
+        .select("term", F.col("df_docs").cast("long").alias("df_docs"), "postings")
+    )

@@ -62,11 +62,16 @@ _PRIORITY = [
     # New this round
     "percentile_approx_lineitem",
     "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode",
-    "tpch_q16_parts_supplier",
-    "tpch_q21_waiting_supplier",
+    # New training-data pipeline operators take the window slots of the
+    # remaining new TPC-H shapes (q6/q11/q12/q16/q21): the TPC-H *family*
+    # already has 16 driver-green rows across rounds 1-2, while each of
+    # these is a distinct operator family with no green row yet. The
+    # demoted shapes stay registered + locally verified below the cap.
+    "pack_sequences_docs",
+    "dup_ngram_fraction_docs",
+    "inverted_index_terms",
+    "split_docs_hash",
+    "quantize_embeddings",
     "chunk_docs",
     "pii_scrub_docs",
     "decontaminate_docs",

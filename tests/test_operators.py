@@ -556,3 +556,85 @@ def test_ngram_topk_counts_and_tiebreak(spark):
     # "b a" appears 3x; "a b" 1x; ties broken by ngram asc
     assert (out[0]["ngram"], out[0]["n_occurrences"]) == ("b a", 3)
     assert [r["ngram"] for r in out[1:]] == ["a b", "a c"]
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing / dup-ngram profile / inverted index / splits / quantize
+# ---------------------------------------------------------------------------
+def test_pack_sequences_planted(spark):
+    rows = [
+        ("A", 1, "t1 t2 t3"),        # 3 tokens: start 0 -> seq 0, off 0
+        ("A", 2, "t1 t2"),           # start 3 -> seq 0, off 3
+        ("A", 3, "t1 t2 t3 t4"),     # start 5 -> seq 1, off 1 (target 4)
+        ("B", 4, "t1"),              # new shard: start 0 -> seq 0, off 0
+        ("B", 5, ""),                # zero tokens: dropped
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in text.pack_sequences(df, "doc_id", "text", target=4).collect()
+    }
+    assert (out[1]["seq_id"], out[1]["seq_offset"]) == (0, 0)
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 3)
+    assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 1)
+    assert (out[4]["shard"], out[4]["seq_id"], out[4]["seq_offset"]) == ("B", 0, 0)
+    assert 5 not in out
+
+
+def test_dup_ngram_fraction_planted(spark):
+    df = docs_df(spark, [(1, "a b c"), (2, "a b d"), (3, "z")])
+    out = {
+        r["id"]: r for r in text.dup_ngram_fraction(df, "doc_id", "text", k=2).collect()
+    }
+    # doc1 bigrams {a b, b c}; doc2 {a b, b d}; only "a b" is corpus-dup
+    assert (out[1]["n_grams"], out[1]["n_dup_grams"], out[1]["dup_bp"]) == (2, 1, 5000)
+    assert (out[2]["n_grams"], out[2]["n_dup_grams"], out[2]["dup_bp"]) == (2, 1, 5000)
+    assert 3 not in out  # fewer than k tokens -> no grams -> absent
+
+
+def test_inverted_index_band_and_postings(spark):
+    df = docs_df(spark, [(1, "x y x"), (2, "x q"), (3, "x q")])
+    out = {
+        r["term"]: r
+        for r in text.inverted_index(df, "doc_id", "text", min_df=2, max_df=3).collect()
+    }
+    # x: df 3 (in-doc repeats collapse), postings sorted; y: df 1 -> banded out
+    assert out["x"]["df_docs"] == 3 and out["x"]["postings"] == "1,2,3"
+    assert out["q"]["df_docs"] == 2 and out["q"]["postings"] == "2,3"
+    assert "y" not in out
+
+
+def test_assign_splits_deterministic_and_validated(spark):
+    from data_ingestion_spark.operators import sampling
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = sampling.assign_splits(df, "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for r in out:
+        want = "train" if r["bucket"] < 80 else ("val" if r["bucket"] < 90 else "test")
+        assert r["split"] == want
+    # deterministic: recomputing yields identical assignments
+    again = {r["doc_id"]: r["split"] for r in sampling.assign_splits(df, "doc_id").collect()}
+    assert again == {k: v["split"] for k, v in by_id.items()}
+    # every split non-empty at n=200 and sizes roughly honored
+    from collections import Counter
+
+    c = Counter(r["split"] for r in out)
+    assert set(c) == {"train", "val", "test"} and c["train"] > c["val"]
+    with pytest.raises(ValueError):
+        sampling.assign_splits(df, "doc_id", splits=(("a", 50), ("b", 40)))
+
+
+def test_quantize_int8_planted(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(df, "vec_id", "embedding").collect()}
+    r1 = out[1]
+    # scale = 1/127; q = floor(x*127 + 0.5) = [127, -63, 32]
+    assert r1["q"] == "127,-63,32"
+    assert (r1["q_min"], r1["q_max"], r1["n_dims"]) == (-63, 127, 3)
+    assert r1["scale_micro"] == 7874  # floor(1e6/127 + 0.5)
+    r2 = out[2]  # zero vector: epsilon scale, all-zero codes
+    assert r2["q"] == "0,0" and r2["q_min"] == 0 and r2["q_max"] == 0

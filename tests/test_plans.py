@@ -232,6 +232,11 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "quality_filter_docs",
         "ngram_topk_corpus",
         "corpus_stats_by_lang",
+        "pack_sequences_docs",
+        "dup_ngram_fraction_docs",
+        "inverted_index_terms",
+        "split_docs_hash",
+        "quantize_embeddings",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
