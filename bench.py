@@ -75,6 +75,8 @@ HEADLINE = [
     "inverted_index_terms",
     "split_docs_hash",
     "quantize_embeddings",
+    "pagerank_supplier_graph",
+    "covariance_embeddings",
 ]
 
 

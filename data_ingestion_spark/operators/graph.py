@@ -1,0 +1,72 @@
+"""Iterative graph operators over edge DataFrames.
+
+Companion to the connected-components labeler in dedup.py (the dedup
+clustering pass): PageRank here serves corpus-graph analyses — node
+importance over similarity graphs, link graphs, or bipartite entity graphs
+(e.g. customer↔supplier) — with fully deterministic, oracle-replayable
+iterations.
+
+Scale notes: every iteration is one equi-join (contributions) plus one
+partial-aggregated groupBy on the destination key; nothing materializes
+beyond (node, rank). ``localCheckpoint`` truncates lineage each round so
+unrolled iterations don't stack a deep plan tree (same pattern as
+dedup.connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    The classic simplified formulation (the one in the original Spark
+    examples): ``pr'(v) = (1-d)/N + d * Σ pr(u)/outdeg(u)`` over in-edges
+    ``u→v``; dangling-node mass is not redistributed. A FIXED iteration
+    count (not convergence-tested) keeps the result bit-replayable by the
+    SQL oracle — the same three join+agg rounds in chained CTEs.
+
+    Output: (node, pr_nano) — rank scaled to integer nano-units via
+    floor(pr*1e9 + 0.5), the engine-portable rounding used throughout this
+    repo (IEEE floor/division are bit-exact where round()'s ties are not).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            e.join(outdeg, "src")
+            .join(pr.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        "node", F.floor(F.col("pr") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("pr_nano")
+    )

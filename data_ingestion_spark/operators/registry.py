@@ -1315,6 +1315,97 @@ FROM q
 """
 
 
+def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the bipartite
+    customer↔supplier trade graph (distinct pairs via orders⋈lineitem) —
+    see graph.pagerank. The oracle replays all three join+agg rounds in
+    chained CTEs with every float op forced to DOUBLE."""
+    from . import graph
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return graph.pagerank(edges, n_iter=3, damping=0.85).orderBy("node")
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """Chained-CTE replay of graph.pagerank: same joins, same DOUBLE ops.
+
+    1.0::DOUBLE - 0.85::DOUBLE (not the literal 0.15) so the teleport term
+    is the bit-identical IEEE value Spark computes from (1.0 - damping).
+    """
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+p0 AS (SELECT node, (1.0::DOUBLE / nn.n) AS pr FROM nodes, nn)
+"""
+    prev = "p0"
+    for it in range(1, n_iter + 1):
+        sql += f""", p{it} AS (
+  SELECT nodes.node,
+         ((1.0::DOUBLE - 0.85::DOUBLE) / nn.n)
+           + 0.85::DOUBLE * coalesce(inf.inflow, 0.0::DOUBLE) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr / deg.deg) AS inflow
+    FROM edges e JOIN deg ON deg.src = e.src JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+  ) inf ON inf.node = nodes.node
+)"""
+        prev = f"p{it}"
+    sql += f"""
+SELECT node, floor(pr * 1e9 + 0.5)::BIGINT AS pr_nano FROM {prev}
+"""
+    return sql
+
+
+PAGERANK_SUPPLIER_GRAPH_SQL = _pagerank_oracle_sql(3)
+
+
+def covariance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle 64x64 covariance matrix of the embedding column (the
+    PCA / whitening prep aggregate) — see similarity.covariance_matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.covariance_matrix(emb, "embedding", dim=64).orderBy("i", "j")
+
+
+COVARIANCE_EMBEDDINGS_SQL = """
+WITH ex AS (
+  SELECT vec_id, g.i - 1 AS i, embedding[g.i]::DOUBLE AS x
+  FROM embeddings, generate_series(1, 64) AS g(i)
+), means AS (
+  SELECT i, avg(x) AS m FROM ex GROUP BY i
+), prods AS (
+  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS pij
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+)
+SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
+       round(p.pij - ma.m * mb.m, 6) AS cov
+FROM prods p JOIN means ma ON ma.i = p.i JOIN means mb ON mb.i = p.j
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -1376,4 +1467,9 @@ QUERIES: dict = {
     "inverted_index_terms": (inverted_index_terms, INVERTED_INDEX_TERMS_SQL),
     "split_docs_hash": (split_docs_hash, SPLIT_DOCS_HASH_SQL),
     "quantize_embeddings": (quantize_embeddings, QUANTIZE_EMBEDDINGS_SQL),
+    "pagerank_supplier_graph": (
+        pagerank_supplier_graph,
+        PAGERANK_SUPPLIER_GRAPH_SQL,
+    ),
+    "covariance_embeddings": (covariance_embeddings, COVARIANCE_EMBEDDINGS_SQL),
 }

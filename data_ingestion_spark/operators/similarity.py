@@ -356,3 +356,55 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.array_max(q).cast("long").alias("q_max"),
         F.array_join(q, ",").alias("q"),
     )
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Upper-triangle covariance matrix of an embedding column — the PCA /
+    whitening prep step (cov = E[x_i x_j] - E[x_i]E[x_j]).
+
+    Scale shape: each row expands to its d(d+1)/2 upper-triangle products
+    via nested array transforms (narrow, no join, no N x d shuffle), then
+    ONE partial-aggregated groupBy on (i, j) — the only shuffle moves
+    d(d+1)/2 partial sums per executor, independent of row count. The
+    rank-1-update join formulation (posexplode + self-join on the row id)
+    would shuffle N x d rows instead; at 100 TB that is the difference
+    between KBs and the full matrix stream.
+
+    Output: (i, j [0-based, i <= j], cov [6 dp]) — d(d+1)/2 rows.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    prods = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("_x"), i + 1, F.lit(dim)),  # elements j >= i
+                lambda xj, off: F.struct(
+                    i.alias("i"),
+                    (i + off).alias("j"),
+                    (F.get(F.col("_x"), i) * xj).alias("p"),
+                ),
+            ),
+        )
+    )
+    staged = df.select(x.alias("_x")).select(F.explode(prods).alias("t"))
+    flat = staged.select(
+        F.col("t.i").alias("i"), F.col("t.j").alias("j"), F.col("t.p").alias("p")
+    )
+    stats = flat.groupBy("i", "j").agg(F.avg("p").alias("pij"))
+    # E[x_i] from a slim second pass over the raw vector (posexplode, d-key agg)
+    mex = df.select(
+        F.posexplode(F.transform(F.col(vec_col), lambda v: v.cast("double"))).alias(
+            "dim", "val"
+        )
+    )
+    m = mex.groupBy("dim").agg(F.avg("val").alias("m"))
+    return (
+        stats.join(m.select(F.col("dim").alias("i"), F.col("m").alias("mi")), "i")
+        .join(m.select(F.col("dim").alias("j"), F.col("m").alias("mj")), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.round(F.col("pij") - F.col("mi") * F.col("mj"), 6).alias("cov"),
+        )
+    )

@@ -638,3 +638,43 @@ def test_quantize_int8_planted(spark):
     assert r1["scale_micro"] == 7874  # floor(1e6/127 + 0.5)
     r2 = out[2]  # zero vector: epsilon scale, all-zero codes
     assert r2["q"] == "0,0" and r2["q_min"] == 0 and r2["q_max"] == 0
+
+
+def test_pagerank_star_graph(spark):
+    from data_ingestion_spark.operators import graph
+
+    # star: a->b, c->b, d->b plus b->a: b should out-rank everyone
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("d", "b"), ("b", "a")], ["src", "dst"]
+    )
+    out = {r["node"]: r["pr_nano"] for r in graph.pagerank(edges, n_iter=5).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert out["b"] == max(out.values())
+    assert out["c"] == out["d"]  # symmetric leaves tie exactly
+    # total mass stays ~1 modulo dangling leak (c, d have out-edges here, so exact)
+    assert abs(sum(out.values()) / 1e9 - 1.0) < 0.35
+
+
+def test_pagerank_two_node_cycle_uniform(spark):
+    from data_ingestion_spark.operators import graph
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    out = {r["node"]: r["pr_nano"] for r in graph.pagerank(edges, n_iter=4).collect()}
+    # perfect symmetry: both exactly 0.5
+    assert out["a"] == out["b"] == 500000000
+
+
+def test_covariance_matrix_planted(spark):
+    import numpy as np
+
+    rng = [[1.0, 2.0, 3.0], [2.0, 4.0, 0.0], [3.0, 6.0, -3.0], [4.0, 8.0, 1.0]]
+    df = spark.createDataFrame([(v,) for v in rng], ["embedding"])
+    out = {
+        (r["i"], r["j"]): r["cov"]
+        for r in similarity.covariance_matrix(df, "embedding", dim=3).collect()
+    }
+    x = np.array(rng)
+    expected = np.cov(x, rowvar=False, bias=True)  # population covariance
+    assert len(out) == 6  # upper triangle of 3x3
+    for (i, j), got in out.items():
+        assert got == pytest.approx(expected[i][j], abs=1e-5), (i, j)

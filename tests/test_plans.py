@@ -237,6 +237,8 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "inverted_index_terms",
         "split_docs_hash",
         "quantize_embeddings",
+        "pagerank_supplier_graph",
+        "covariance_embeddings",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
