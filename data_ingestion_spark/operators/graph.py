@@ -25,6 +25,7 @@ def pagerank(
     dst_col: str = "dst",
     n_iter: int = 3,
     damping: float = 0.85,
+    every_node_has_out_edges: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -38,21 +39,43 @@ def pagerank(
     floor(pr*1e9 + 0.5), the engine-portable rounding used throughout this
     repo (IEEE floor/division are bit-exact where round()'s ties are not).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # Iterative algorithms MUST pin their loop-invariant inputs: without the
+    # persists below, every iteration re-executes the upstream edge
+    # derivation (often an expensive join+distinct), and the final action
+    # replays the whole chain once more per reference. Eager localCheckpoint
+    # on pr truncates the growing lineage each round — at cluster scale use
+    # reliable checkpointing; the shape is identical.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    if every_node_has_out_edges:
+        # symmetric / undirected-style edge lists (both directions present):
+        # the source-key set IS the node set, so reuse outdeg's shuffle
+        # instead of paying a second full-edge distinct
+        nodes = outdeg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     base = (1.0 - damping) / n
     for _ in range(n_iter):
+        # rank/outdeg emission rates: a node-count-sized join (tiny next to
+        # the edge list). Joining the big edge list against this SMALL side
+        # lets AQE broadcast it — the edges themselves are never re-keyed
+        # or widened, which beats pinning a (src, dst, deg) copy of the
+        # whole edge list.
+        rate = (
+            pr.withColumnRenamed("node", "src")
+            .join(outdeg, "src")
+            .select("src", (F.col("pr") / F.col("deg")).alias("c"))
+        )
         contrib = (
-            e.join(outdeg, "src")
-            .join(pr.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+            e.join(rate, "src")
+            .select(F.col("dst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
@@ -65,8 +88,13 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-    return pr.select(
+    out = pr.select(
         "node", F.floor(F.col("pr") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("pr_nano")
     )
+    e.unpersist()
+    outdeg.unpersist()
+    if not every_node_has_out_edges:
+        nodes.unpersist()
+    return out

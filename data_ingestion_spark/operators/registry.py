@@ -1324,18 +1324,27 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Integer node encoding (custkey*2 / suppkey*2+1): every shuffle and
+    # join in the iterations moves 8-byte keys; the human-readable label is
+    # attached once, at output time, not carried through the hot path.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return graph.pagerank(edges, n_iter=3, damping=0.85).orderBy("node")
+    ranked = graph.pagerank(
+        edges, n_iter=3, damping=0.85, every_node_has_out_edges=True
+    )
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c:"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long")))
+    return ranked.select(label.alias("node"), "pr_nano").orderBy("node")
 
 
 def _pagerank_oracle_sql(n_iter: int = 3) -> str:
@@ -1346,7 +1355,7 @@ def _pagerank_oracle_sql(n_iter: int = 3) -> str:
     """
     sql = """
 WITH pairs AS (
-  SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), edges AS (
   SELECT c AS src, s AS dst FROM pairs
@@ -1374,7 +1383,10 @@ p0 AS (SELECT node, (1.0::DOUBLE / nn.n) AS pr FROM nodes, nn)
 )"""
         prev = f"p{it}"
     sql += f"""
-SELECT node, floor(pr * 1e9 + 0.5)::BIGINT AS pr_nano FROM {prev}
+SELECT CASE WHEN node % 2 = 0 THEN 'c:' || (node // 2)
+            ELSE 's:' || ((node - 1) // 2) END AS node,
+       floor(pr * 1e9 + 0.5)::BIGINT AS pr_nano
+FROM {prev}
 """
     return sql
 
