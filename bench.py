@@ -77,6 +77,7 @@ HEADLINE = [
     "quantize_embeddings",
     "pagerank_supplier_graph",
     "covariance_embeddings",
+    "gapfill_events_locf",
 ]
 
 

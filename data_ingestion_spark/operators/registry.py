@@ -1418,6 +1418,39 @@ FROM prods p JOIN means ma ON ma.i = p.i JOIN means mb ON mb.i = p.j
 """
 
 
+def gapfill_events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour-grid gap filling with LOCF over per-user event value sums
+    (users ≤ 20 keep the grid bounded at tiny SFs) — see
+    temporal.gapfill_locf."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    return temporal.gapfill_locf(
+        ev, "user_id", "ts", "value", bucket_seconds=21600
+    ).orderBy("key", "bucket")
+
+
+GAPFILL_EVENTS_LOCF_SQL = """
+WITH b AS (
+  SELECT user_id AS key,
+         (floor(epoch(ts) / 21600))::BIGINT * 21600 AS bucket,
+         sum(value::DECIMAL(38,8)) AS s,
+         count(*)::BIGINT AS c
+  FROM events WHERE user_id <= 20
+  GROUP BY 1, 2
+), span AS (
+  SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY key
+), grid AS (
+  SELECT key, unnest(generate_series(lo, hi, 21600)) AS bucket FROM span
+)
+SELECT grid.key, grid.bucket,
+       coalesce(b.c, 0)::BIGINT AS n_events,
+       (last_value(b.s IGNORE NULLS) OVER (
+         PARTITION BY grid.key ORDER BY grid.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ))::DOUBLE AS filled_sum
+FROM grid LEFT JOIN b ON b.key = grid.key AND b.bucket = grid.bucket
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -1484,4 +1517,5 @@ QUERIES: dict = {
         PAGERANK_SUPPLIER_GRAPH_SQL,
     ),
     "covariance_embeddings": (covariance_embeddings, COVARIANCE_EMBEDDINGS_SQL),
+    "gapfill_events_locf": (gapfill_events_locf, GAPFILL_EVENTS_LOCF_SQL),
 }

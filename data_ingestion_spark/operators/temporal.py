@@ -129,3 +129,65 @@ def range_join_binned(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}") for c in right.columns if c != key],
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    bucket_seconds: int = 21600,
+) -> DataFrame:
+    """Regular-grid gap filling with last-observation-carried-forward — the
+    time-series densification pass (hypertable rollup / sensor downsampling):
+    bucket events per key, synthesize the key's full bucket grid, and fill
+    empty buckets with the most recent non-empty bucket's aggregate.
+
+    Engine parity notes: the per-bucket aggregate is a DECIMAL(38,8) sum
+    (exact, order-independent — the float-avg hash-instability fix this repo
+    standardizes on) and buckets are epoch-second integers. LOCF is
+    ``last(ignorenulls)`` over a rows-unbounded-preceding window.
+
+    Scale shape: one groupBy on (key, bucket), one per-key span aggregate
+    whose grid explode emits (hi-lo)/step rows per key, one equi left-join
+    grid⋈buckets, one window per key. Everything keys on (key, bucket) —
+    no inequality joins, no driver-side time math.
+
+    Output: (key, bucket [epoch s], n_events [0 for gaps], filled_sum).
+    """
+    step = int(bucket_seconds)
+    bucket = (
+        F.floor(F.col(ts_col).cast("long") / step).cast("long") * step
+    ).alias("bucket")
+    b = (
+        df.select(F.col(key_col).alias("key"), bucket, F.col(val_col).alias("v"))
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,8)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    grid = (
+        b.groupBy("key")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(step).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(b, ["key", "bucket"], "left")
+    w = (
+        W.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "key",
+        "bucket",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_events"),
+        # the DECIMAL sum is exact, so the final double cast is the same
+        # IEEE value in every engine (and pandas-friendly for compares)
+        F.last("s", ignorenulls=True).over(w).cast("double").alias("filled_sum"),
+    )

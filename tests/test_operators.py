@@ -678,3 +678,33 @@ def test_covariance_matrix_planted(spark):
     assert len(out) == 6  # upper triangle of 3x3
     for (i, j), got in out.items():
         assert got == pytest.approx(expected[i][j], abs=1e-5), (i, j)
+
+
+def test_gapfill_locf_planted(spark):
+    from datetime import datetime
+    from data_ingestion_spark.operators import temporal
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0),   # bucket 0
+        (1, datetime(2024, 1, 1, 0, 45), 5.0),    # bucket 0 (sum 15)
+        (1, datetime(2024, 1, 1, 18, 0), 7.0),    # bucket 3 -> gaps at 1, 2
+        (2, datetime(2024, 1, 1, 6, 0), 1.0),     # single-bucket key: no gaps
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r["key"], r["bucket"]): r
+        for r in temporal.gapfill_locf(
+            df, "user_id", "ts", "value", bucket_seconds=21600
+        ).collect()
+    }
+    day = int(datetime(2024, 1, 1).timestamp())
+    assert len(out) == 5  # key 1: buckets 0..3 (4 rows); key 2: 1 row
+    b0 = out[(1, day)]
+    assert b0["n_events"] == 2 and b0["filled_sum"] == 15.0
+    gap1 = out[(1, day + 21600)]
+    assert gap1["n_events"] == 0 and gap1["filled_sum"] == 15.0  # carried forward
+    gap2 = out[(1, day + 2 * 21600)]
+    assert gap2["n_events"] == 0 and gap2["filled_sum"] == 15.0
+    b3 = out[(1, day + 3 * 21600)]
+    assert b3["n_events"] == 1 and b3["filled_sum"] == 7.0
+    assert out[(2, day + 21600)]["filled_sum"] == 1.0

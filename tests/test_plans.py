@@ -239,6 +239,7 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "quantize_embeddings",
         "pagerank_supplier_graph",
         "covariance_embeddings",
+        "gapfill_events_locf",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
