@@ -374,24 +374,30 @@ def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    # bare-double products only (no per-element struct allocation in the
+    # interpreted lambda — ~2x cheaper); the flattened position p encodes
+    # (i, j), decoded AFTER aggregation via two d(d+1)/2-element literal
+    # lookup arrays, so the decode runs once per OUTPUT cell, not per input
+    # product
     prods = F.flatten(
         F.transform(
             idx,
             lambda i: F.transform(
                 F.slice(F.col("_x"), i + 1, F.lit(dim)),  # elements j >= i
-                lambda xj, off: F.struct(
-                    i.alias("i"),
-                    (i + off).alias("j"),
-                    (F.get(F.col("_x"), i) * xj).alias("p"),
-                ),
+                lambda xj: F.get(F.col("_x"), i) * xj,
             ),
         )
     )
-    staged = df.select(x.alias("_x")).select(F.explode(prods).alias("t"))
-    flat = staged.select(
-        F.col("t.i").alias("i"), F.col("t.j").alias("j"), F.col("t.p").alias("p")
+    flat = df.select(x.alias("_x")).select(F.posexplode(prods).alias("p", "v"))
+    agg = flat.groupBy("p").agg(F.avg("v").alias("pij"))
+    pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
+    i_lut = F.array(*[F.lit(i) for i, _ in pairs])
+    j_lut = F.array(*[F.lit(j) for _, j in pairs])
+    stats = agg.select(
+        F.get(i_lut, F.col("p")).alias("i"),
+        F.get(j_lut, F.col("p")).alias("j"),
+        "pij",
     )
-    stats = flat.groupBy("i", "j").agg(F.avg("p").alias("pij"))
     # E[x_i] from a slim second pass over the raw vector (posexplode, d-key agg)
     mex = df.select(
         F.posexplode(F.transform(F.col(vec_col), lambda v: v.cast("double"))).alias(
