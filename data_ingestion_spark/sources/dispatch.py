@@ -29,6 +29,34 @@ PARSERS: dict[str, Callable[..., DataFrame]] = {
 }
 
 
+def register_parser(
+    file_type: str,
+    parser: Callable[..., DataFrame],
+    overwrite: bool = False,
+) -> None:
+    """Plug a new format parser into the dispatch registry — the rebuild's
+    user-extensible surface for the reference's ``DataParser`` trait
+    (ports.rs:11-14): any callable ``(spark, path, parser_config) ->
+    DataFrame``.
+
+    Prefer pure DataFrame-expression parsers (JVM-side, like the .kv
+    example in tests/test_pipeline.py); for genuinely irregular formats a
+    Python UDTF / ``mapInPandas`` parser drops in with the same signature —
+    that is the sanctioned slow path, per the XML/Excel readers.
+
+    ``overwrite=False`` refuses to shadow a built-in so a plugin typo can't
+    silently replace the CSV parser.
+    """
+    ft = file_type.lower().lstrip(".")
+    if not ft:
+        raise ValueError("file_type must be a non-empty extension")
+    if ft in PARSERS and not overwrite:
+        raise ValueError(
+            f"parser for {ft!r} already registered (pass overwrite=True)"
+        )
+    PARSERS[ft] = parser
+
+
 def extract_file_type(key: str) -> str:
     """Lowercased text after the last '.' of the key
     (reference: ingestion_service.rs:149-158)."""

@@ -149,3 +149,47 @@ def test_orc_sink_roundtrip(spark, tmp_path):
     assert sink.insert_documents("t_orc", df.filter("id = 1")) == 1
     out = sorted((r["id"], r["v"]) for r in sink.read_table("t_orc").collect())
     assert out == [(1, "a"), (1, "a"), (2, "b")]
+
+
+def test_register_parser_plugin_kv_format(spark, tmp_path):
+    """User-extensible parser registry (the reference's DataParser trait,
+    ports.rs:11-14): plug in a pure-DataFrame '.kv' parser and dispatch
+    through the same path as the built-ins."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.sources import dispatch
+
+    def read_kv(spark, path, parser_config=None):
+        lines = spark.read.text(path)
+        pairs = F.transform(
+            F.split(F.col("value"), ";"), lambda kv: F.split(kv, "=")
+        )
+        return lines.select(
+            F.map_from_entries(
+                F.transform(pairs, lambda p: F.struct(p[0].alias("k"), p[1].alias("v")))
+            ).alias("kv")
+        ).select(F.col("kv")["a"].alias("a"), F.col("kv")["b"].alias("b"))
+
+    p = tmp_path / "data.kv"
+    p.write_text("a=1;b=2\na=3;b=4\n")
+    try:
+        dispatch.register_parser("kv", read_kv)
+        out = dispatch.parse_file(spark, str(p)).orderBy("a").collect()
+        assert [(r["a"], r["b"]) for r in out] == [("1", "2"), ("3", "4")]
+        # shadowing a built-in without overwrite is refused
+        with pytest.raises(ValueError):
+            dispatch.register_parser("csv", read_kv)
+        # bad names are refused
+        with pytest.raises(ValueError):
+            dispatch.register_parser("", read_kv)
+    finally:
+        dispatch.PARSERS.pop("kv", None)
+
+
+def test_register_parser_unknown_still_rejected(spark, tmp_path):
+    from data_ingestion_spark.sources import dispatch
+
+    p = tmp_path / "f.weird"
+    p.write_text("x")
+    with pytest.raises(ParseError, match="Unsupported file type"):
+        dispatch.parse_file(spark, str(p))
