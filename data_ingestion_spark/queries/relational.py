@@ -365,6 +365,35 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 # (src/infrastructure/parsers/json_parser.rs): semi-structured payloads in a
 # string column projected to typed fields.
 # --------------------------------------------------------------------------
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType extraction over events.props — the modern
+    semi-structured tier of the reference's JSON passthrough
+    (src/infrastructure/parsers/json_parser.rs:4-27): parse_json keeps the
+    payload as a binary variant (no schema declaration, like the
+    reference's serde_json::Value documents) and variant_get projects
+    typed paths on demand. Narrow JVM expressions, fused into the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_id",
+            F.variant_get(v, "$.k", "long").alias("k"),
+            F.variant_get(v, "$.missing", "long").alias("missing_path"),
+        )
+        .filter(F.col("k") >= 90)
+        .orderBy("event_id")
+    )
+
+
+VARIANT_PROPS_EVENTS_SQL = """
+SELECT event_id,
+       (props::JSON ->> 'k')::BIGINT AS k,
+       (props::JSON ->> 'missing')::BIGINT AS missing_path
+FROM events
+WHERE (props::JSON ->> 'k')::BIGINT >= 90
+"""
+
+
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json over events.props ({"k": int}) then aggregate by event type.
 
@@ -975,6 +1004,7 @@ QUERIES: dict = {
         SQL_CORRELATED_SUBQUERY_SQL,
     ),
     "json_extract_events": (json_extract_events, JSON_EXTRACT_EVENTS_SQL),
+    "variant_props_events": (variant_props_events, VARIANT_PROPS_EVENTS_SQL),
     "time_window_events": (time_window_events, TIME_WINDOW_EVENTS_SQL),
     "session_window_events": (session_window_events, SESSION_WINDOW_EVENTS_SQL),
     "scalar_functions_part": (scalar_functions_part, SCALAR_FUNCTIONS_PART_SQL),
