@@ -78,6 +78,9 @@ HEADLINE = [
     "pagerank_supplier_graph",
     "covariance_embeddings",
     "gapfill_events_locf",
+    "funnel_conversion_events",
+    "retention_cohorts_events",
+    "variant_props_events",
 ]
 
 

@@ -324,7 +324,119 @@ WHERE doc_id <= 1000
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel conversion: ordered event-sequence matching per user (the product-
+# analytics staple). Stage k's timestamp is the first qualifying event
+# strictly after stage k-1's — stacked conditional-min windows over ONE
+# user partitioning (Catalyst chains them in a single Window subtree, no
+# re-shuffle between stages).
+# --------------------------------------------------------------------------
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: users reaching each stage in order.
+
+    Epoch-second integers everywhere; the output is four BIGINT counts —
+    engine-hash-stable by construction.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("sec")
+    )
+    w = W.partitionBy("user_id")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("sec"))).over(w)
+    staged = ev.withColumn("v", v)
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("sec") > F.col("v")), F.col("sec"))
+    ).over(w)
+    staged = staged.withColumn("c", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("sec") > F.col("c")),
+            F.col("sec"),
+        )
+    ).over(w)
+    staged = staged.withColumn("p", p)
+    users = staged.groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+    return users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v").alias("n_view"),
+        F.count("c").alias("n_view_click"),
+        F.count("p").alias("n_full_funnel"),
+    )
+
+
+# The oracle replays the same three ordered stages as chained min-aggregate
+# CTEs (stage k joins stage k-1 and takes the first strictly-later event) —
+# identical semantics to the stacked conditional-min windows.
+FUNNEL_CONVERSION_EVENTS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events
+), v AS (
+  SELECT user_id, min(sec) AS v FROM ev WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT ev.user_id, min(ev.sec) AS c
+  FROM ev JOIN v ON v.user_id = ev.user_id
+  WHERE ev.event_type = 'click' AND ev.sec > v.v
+  GROUP BY ev.user_id
+), p AS (
+  SELECT ev.user_id, min(ev.sec) AS p
+  FROM ev JOIN c ON c.user_id = ev.user_id
+  WHERE ev.event_type = 'purchase' AND ev.sec > c.c
+  GROUP BY ev.user_id
+), users AS (SELECT DISTINCT user_id FROM ev)
+SELECT count(*)::BIGINT AS n_users,
+       (SELECT count(*) FROM v)::BIGINT AS n_view,
+       (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+       (SELECT count(*) FROM p)::BIGINT AS n_full_funnel
+FROM users
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: week-of-first-activity cohorts × weekly activity offsets
+# --------------------------------------------------------------------------
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-activity epoch
+    week; for each later week offset, how many were active again. Epoch-week
+    integers (floor(sec/604800)) keep every value engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 604800).cast("long").alias("week"),
+    )
+    weeks = ev.distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_COHORTS_EVENTS_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, floor(floor(epoch(ts)) / 604800)::BIGINT AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_week, (w.week - c.cohort_week)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM weeks w JOIN cohort c ON c.user_id = w.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict = {
+    "funnel_conversion_events": (
+        funnel_conversion_events,
+        FUNNEL_CONVERSION_EVENTS_SQL,
+    ),
+    "retention_cohorts_events": (
+        retention_cohorts_events,
+        RETENTION_COHORTS_EVENTS_SQL,
+    ),
     "tpch_q13_custdist": (tpch_q13_custdist, TPCH_Q13_CUSTDIST_SQL),
     "tpch_q18_large_volume": (tpch_q18_large_volume, TPCH_Q18_LARGE_VOLUME_SQL),
     "tpch_q22_idle_wealthy": (tpch_q22_idle_wealthy, TPCH_Q22_IDLE_WEALTHY_SQL),

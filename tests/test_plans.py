@@ -100,6 +100,9 @@ def test_no_python_udfs_in_relational_queries(spark):
         "token_count_docs",
         "fingerprint_docs",
         "dedup_minhash_docs",
+        "funnel_conversion_events",
+        "retention_cohorts_events",
+        "variant_props_events",
     ]:
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
