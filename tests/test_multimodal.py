@@ -156,3 +156,138 @@ def test_decode_without_codec_raises(spark, tmp_path):
     df = multimodal.read_binary(spark, str(d))
     with pytest.raises(Exception, match="No media decoder|NotImplementedError"):
         multimodal.decode_features(df, feature_fn=lambda x: [0.0]).collect()
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec
+# ---------------------------------------------------------------------------
+def _filtered_png(arr, ftypes):
+    """Hand-build a PNG whose scanlines use the given per-row filter types
+    (exercises decode paths our filter-0 encoder never emits)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_ingestion_spark.operators.multimodal import _PNG_SIG
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int16)
+    for y, ft in zip(range(h), ftypes):
+        row = a[y].reshape(-1).astype(np.int16)
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(c, np.int16), row[:-c]])
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(c, np.int16), row[:-c]])
+            filt = (row - ((left + prev) >> 1)) % 256
+        elif ft == 4:  # Paeth
+            left = np.concatenate([np.zeros(c, np.int16), row[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = (row - pred) % 256
+        raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_rgb():
+    import numpy as np
+
+    from data_ingestion_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+def test_png_roundtrip_gray_and_rgba():
+    import numpy as np
+
+    from data_ingestion_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(5, 7, 1), dtype=np.uint8)
+    rgba = rng.randint(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(gray)), gray)
+    assert np.array_equal(png_decode(png_encode(rgba)), rgba)
+
+
+def test_png_decode_all_filter_types():
+    import numpy as np
+
+    from data_ingestion_spark.operators.multimodal import png_decode
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 8, 3), dtype=np.uint8)
+    blob = _filtered_png(img, ftypes=[0, 1, 2, 3, 4])
+    assert np.array_equal(png_decode(blob), img)
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_ingestion_spark.operators.multimodal import _PNG_SIG, png_decode
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"JUNK")
+    # 16-bit depth PNG header -> unsupported
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob = _PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        png_decode(blob)
+
+
+def test_resize_images_with_real_png_codec(spark, tmp_path):
+    """End-to-end: binaryFile read -> mapInPandas decode/resize/encode with
+    the stdlib PNG codec — no injected fakes anywhere."""
+    import numpy as np
+
+    from data_ingestion_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    for i in range(3):
+        img = rng.randint(0, 256, size=(10 + i, 8, 3), dtype=np.uint8)
+        (tmp_path / f"img{i}.png").write_bytes(mm.png_encode(img))
+    df = mm.read_binary(spark, str(tmp_path))
+    out = mm.resize_images(
+        df,
+        width=4,
+        height=5,
+        decoder=mm.png_decode,
+        encoder=lambda arr, w, h: mm.png_encode(mm.resize_nearest(arr, w, h)),
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r["width"], r["height"]) == (4, 5)
+        decoded = mm.png_decode(bytes(r["content"]))
+        assert decoded.shape == (5, 4, 3)
