@@ -8,11 +8,13 @@ and predicate pushdown on the metadata columns.
 What's REAL here (and tested): the Spark plumbing — binary ingestion, format
 sniffing from magic bytes (pure byte expressions), container metadata parses
 (PNG/WAV header fields via stdlib struct), batch shapes, schemas, the
-mapInPandas decode pipeline, AND a pure-stdlib PNG codec (png_decode /
-png_encode / resize_nearest below: 8-bit gray/RGB/RGBA, all 5 filter types)
-so PNG pixel work runs for real with no external libraries. What's STUBBED
-(clearly, by raising NotImplementedError): decode for formats needing
-codecs this container lacks (JPEG, audio, video). ``decoder=`` injection
+mapInPandas decode pipeline, AND pure-stdlib codecs: PNG (png_decode /
+png_encode / resize_nearest: 8-bit gray/RGB/RGBA, all 5 filter types) and
+16-bit PCM WAV (wav_decode / wav_encode / audio_features) — image pixel and
+audio waveform work runs for real with no external libraries. What's
+STUBBED (clearly, by raising NotImplementedError): decode for formats
+needing codecs this container lacks (JPEG, MP3/MP4, video). ``decoder=``
+injection
 keeps those paths testable with deterministic fakes and lets a real decoder
 (Pillow, soundfile, ffmpeg) drop in unchanged on a production cluster.
 """
@@ -379,3 +381,133 @@ def resize_nearest(arr, width: int, height: int):
 def png_resize_codec(data: bytes, width: int, height: int) -> bytes:
     """decode → nearest-neighbor resize → encode, all stdlib."""
     return png_encode(resize_nearest(png_decode(data), width, height))
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib WAV PCM codec (RIFF spec): the audio analog of the PNG codec
+# above — decode/encode 16-bit PCM with no external libraries, so waveform
+# work (feature extraction, decimation resampling) runs for real in-container.
+# ---------------------------------------------------------------------------
+def wav_decode(data: bytes):
+    """Decode a 16-bit PCM WAV to ((n_samples, channels) int16 array,
+    sample_rate). Walks RIFF chunks properly (handles extra chunks like
+    LIST before data). Raises ValueError on non-PCM or non-16-bit audio —
+    callers fall back to an injected decoder."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, frames = 12, None, None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits}) — "
+                    "inject a full decoder"
+                )
+            fmt = (channels, rate)
+        elif ctype == b"data":
+            frames = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        raise ValueError("malformed WAV (missing fmt/data)")
+    channels, rate = fmt
+    arr = np.frombuffer(frames[: len(frames) - (len(frames) % (2 * channels))], dtype="<i2")
+    return arr.reshape(-1, channels), rate
+
+
+def wav_encode(samples, sample_rate: int) -> bytes:
+    """Encode an (n, channels) int16 array as a 16-bit PCM WAV."""
+    import numpy as np
+
+    a = np.ascontiguousarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    channels = a.shape[1]
+    frames = a.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    size = 4 + (8 + len(fmt)) + (8 + len(frames))
+    return (
+        b"RIFF"
+        + struct.pack("<I", size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(frames))
+        + frames
+    )
+
+
+def wav_resample_decimate(samples, factor: int):
+    """Naive every-Nth decimation (no anti-alias filter — the deterministic
+    stdlib tier; inject scipy.signal.resample for production quality)."""
+    return samples[::factor]
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-file waveform features over WAV binary content via mapInPandas:
+    duration, peak amplitude, RMS energy, zero-crossing count — the audio
+    quality-filter metrics of a multimodal corpus pipeline. Non-decodable
+    files yield nulls rather than failing the batch (corpus scans must
+    tolerate junk)."""
+    import numpy as np
+
+    schema = (
+        "path string, n_samples bigint, sample_rate int, duration_ms bigint, "
+        "peak int, rms double, zero_crossings bigint"
+    )
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    arr, rate = wav_decode(bytes(content))
+                    mono = arr.astype(np.float64).mean(axis=1)
+                    rows.append(
+                        {
+                            "path": path,
+                            "n_samples": arr.shape[0],
+                            "sample_rate": rate,
+                            "duration_ms": arr.shape[0] * 1000 // rate,
+                            "peak": int(np.abs(arr).max()) if arr.size else 0,
+                            "rms": float(np.sqrt((mono**2).mean())) if arr.size else 0.0,
+                            "zero_crossings": int(
+                                np.count_nonzero(np.diff(np.signbit(mono)))
+                            ),
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "path": path,
+                            "n_samples": None,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "peak": None,
+                            "rms": None,
+                            "zero_crossings": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_ms",
+                    "peak",
+                    "rms",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.select("path", "content").mapInPandas(_run, schema)

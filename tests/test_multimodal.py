@@ -291,3 +291,78 @@ def test_resize_images_with_real_png_codec(spark, tmp_path):
         assert (r["width"], r["height"]) == (4, 5)
         decoded = mm.png_decode(bytes(r["content"]))
         assert decoded.shape == (5, 4, 3)
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib WAV PCM codec + audio features
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from data_ingestion_spark.operators.multimodal import wav_decode, wav_encode
+
+    rng = np.random.RandomState(9)
+    mono = rng.randint(-32768, 32767, size=(400,), dtype=np.int16)
+    stereo = rng.randint(-32768, 32767, size=(300, 2), dtype=np.int16)
+    arr, rate = wav_decode(wav_encode(mono, 8000))
+    assert rate == 8000 and np.array_equal(arr[:, 0], mono)
+    arr2, rate2 = wav_decode(wav_encode(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(arr2, stereo)
+
+
+def test_wav_decode_skips_extra_chunks_and_rejects_nonpcm():
+    import struct
+
+    import numpy as np
+
+    from data_ingestion_spark.operators.multimodal import wav_decode, wav_encode
+
+    mono = np.array([1, -1, 2, -2], dtype=np.int16)
+    blob = wav_encode(mono, 16000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    listc = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = blob[:fmt_end] + listc + blob[fmt_end:]
+    arr, rate = wav_decode(spliced)
+    assert rate == 16000 and np.array_equal(arr[:, 0], mono)
+    # float PCM (fmt 3) rejected
+    bad = bytearray(blob)
+    bad[20:22] = struct.pack("<H", 3)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        wav_decode(bytes(bad))
+
+
+def test_audio_features_pipeline(spark, tmp_path):
+    import numpy as np
+
+    from data_ingestion_spark.operators import multimodal as mm
+
+    t = np.arange(8000)
+    tone = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    (tmp_path / "tone.wav").write_bytes(mm.wav_encode(tone, 8000))
+    (tmp_path / "junk.wav").write_bytes(b"not audio at all")
+    out = {r["path"].rsplit("/", 1)[-1]: r for r in
+           mm.audio_features(mm.read_binary(spark, str(tmp_path))).collect()}
+    good = out["tone.wav"]
+    assert good["n_samples"] == 8000 and good["sample_rate"] == 8000
+    assert good["duration_ms"] == 1000
+    assert 9000 <= good["peak"] <= 10000
+    assert 870 <= good["zero_crossings"] <= 890  # 440Hz over 1s ≈ 880 crossings
+    assert abs(good["rms"] - 10000 / 2**0.5) < 100
+    junk = out["junk.wav"]
+    assert junk["n_samples"] is None and junk["rms"] is None
+
+
+def test_wav_resample_decimate():
+    import numpy as np
+
+    from data_ingestion_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+        wav_resample_decimate,
+    )
+
+    x = np.arange(100, dtype=np.int16).reshape(-1, 1)
+    arr, _ = wav_decode(wav_encode(x, 8000))
+    down = wav_resample_decimate(arr, 4)
+    assert down.shape[0] == 25 and down[1, 0] == 4
