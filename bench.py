@@ -81,6 +81,8 @@ HEADLINE = [
     "funnel_conversion_events",
     "retention_cohorts_events",
     "variant_props_events",
+    "setop_multiset_priorities",
+    "map_functions_events",
 ]
 
 

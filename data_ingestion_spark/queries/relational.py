@@ -917,6 +917,90 @@ SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
 """
 
 
+def setop_multiset_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (bag semantics): INTERSECT ALL and EXCEPT ALL over
+    the order-priority multisets of open vs finished orders, tagged and
+    unioned into one result. Duplicates are PRESERVED up to the matching
+    multiplicity — the semantics dropDuplicates-based EXCEPT/INTERSECT
+    can't express (Spark: intersectAll/exceptAll ≡ grouped-count hash
+    join, same shuffle shape as the distinct forms)."""
+    o = load_table(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    both = open_p.intersectAll(done_p).withColumn("op", F.lit("intersect_all"))
+    only_open = open_p.exceptAll(done_p).withColumn("op", F.lit("except_all"))
+    return (
+        both.union(only_open)
+        .groupBy("op", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("op", "o_orderpriority")
+    )
+
+
+SETOP_MULTISET_PRIORITIES_SQL = """
+WITH open_p AS (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+), done_p AS (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+), in_both AS (
+  SELECT 'intersect_all' AS op, o_orderpriority
+  FROM (SELECT o_orderpriority FROM open_p INTERSECT ALL
+        SELECT o_orderpriority FROM done_p)
+), only_open AS (
+  SELECT 'except_all' AS op, o_orderpriority
+  FROM (SELECT o_orderpriority FROM open_p EXCEPT ALL
+        SELECT o_orderpriority FROM done_p)
+)
+SELECT op, o_orderpriority, count(*)::BIGINT AS n
+FROM (SELECT * FROM in_both UNION ALL SELECT * FROM only_open)
+GROUP BY op, o_orderpriority
+"""
+
+
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column pipeline: per-user map(event_type -> count) built
+    with map_from_entries over a collected struct array, consumed via
+    map_keys/element_at, then exploded back to rows. Exercises the map
+    column type end to end (build, access, explode) with a DuckDB twin
+    that replays the same shape relationally."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return (
+        m.select(
+            "user_id",
+            F.size(F.col("type_counts")).cast("long").alias("n_types"),
+            F.coalesce(
+                F.element_at(F.col("type_counts"), "purchase"), F.lit(0)
+            ).cast("long").alias("n_purchases"),
+            F.explode(F.col("type_counts")).alias("event_type", "n"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+MAP_FUNCTIONS_EVENTS_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events WHERE user_id <= 30
+  GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, count(*)::BIGINT AS n_types,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN n END), 0)::BIGINT
+           AS n_purchases
+  FROM counts GROUP BY user_id
+)
+SELECT c.user_id, p.n_types, p.n_purchases, c.event_type, c.n
+FROM counts c JOIN per_user p ON p.user_id = c.user_id
+"""
+
+
+
+
 # --------------------------------------------------------------------------
 # Date/time scalar battery (timestamps are the one typed value in the
 # reference — its audit log, models.rs:20-21 — generalized to the full
@@ -958,6 +1042,11 @@ WHERE o_orderkey <= 1000
 
 QUERIES: dict = {
     "except_wealthy_nations": (except_wealthy_nations, EXCEPT_WEALTHY_NATIONS_SQL),
+    "setop_multiset_priorities": (
+        setop_multiset_priorities,
+        SETOP_MULTISET_PRIORITIES_SQL,
+    ),
+    "map_functions_events": (map_functions_events, MAP_FUNCTIONS_EVENTS_SQL),
     "date_functions_orders": (date_functions_orders, DATE_FUNCTIONS_ORDERS_SQL),
     "full_outer_join_nation_balance": (
         full_outer_join_nation_balance,

@@ -103,6 +103,8 @@ def test_no_python_udfs_in_relational_queries(spark):
         "funnel_conversion_events",
         "retention_cohorts_events",
         "variant_props_events",
+        "setop_multiset_priorities",
+        "map_functions_events",
     ]:
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
