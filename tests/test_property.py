@@ -217,3 +217,85 @@ def test_pii_scrub_idempotent(spark, body):
     df2 = spark.createDataFrame([(1, scrubbed)], "id long, text string")
     second = pii_scrub(df2, "id", "text").collect()[0]
     assert second.scrub_md5 == hashlib.md5(scrubbed.encode()).hexdigest()
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),               # shard
+            st.text(alphabet="xyz ", max_size=40),     # text
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    target=st.integers(min_value=2, max_value=16),
+)
+@_SETTINGS
+def test_pack_sequences_invariants(spark, docs, target):
+    """Packing invariants for any corpus: offsets stay inside the sequence,
+    seq_ids are non-decreasing in doc order per shard, and consecutive docs
+    tile the token stream exactly (no gaps, no overlaps)."""
+    from data_ingestion_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(shard, i, text) for i, (shard, text) in enumerate(docs)],
+        ["source", "doc_id", "text"],
+    )
+    out = sorted(
+        pack_sequences(df, "doc_id", "text", target=target).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r["seq_offset"] < target
+        assert r["seq_id"] >= 0 and r["n_tokens"] > 0
+        start = r["seq_id"] * target + r["seq_offset"]
+        prev_end = by_shard.get(r["shard"], 0)
+        assert start == prev_end  # exact tiling of the concatenated stream
+        by_shard[r["shard"]] = start + r["n_tokens"]
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@_SETTINGS
+def test_quantize_int8_bounds_and_error(spark, vec):
+    """Quantization invariants: codes fit int8's [-127, 127] band (symmetric
+    absmax scaling) and dequantized error per element is at most scale/2."""
+    from data_ingestion_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    r = quantize_int8(df, "vec_id", "embedding").collect()[0]
+    codes = [int(x) for x in r["q"].split(",")]
+    assert len(codes) == len(vec) == r["n_dims"]
+    assert all(-127 <= c <= 127 for c in codes)
+    absmax = max((abs(v) for v in vec), default=0.0)
+    scale = max(absmax, 1e-12) / 127.0
+    for c, v in zip(codes, vec):
+        assert abs(c * scale - v) <= scale / 2 + 1e-9
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60, unique=True))
+@_SETTINGS
+def test_assign_splits_partition_properties(spark, keys):
+    """Every key lands in exactly one split, buckets agree with the split
+    ranges, and assignment is stable under re-computation and subsetting
+    (append-stability: a key's split never depends on the other keys)."""
+    from data_ingestion_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    full = {r["doc_id"]: (r["bucket"], r["split"]) for r in assign_splits(df, "doc_id").collect()}
+    assert set(full) == set(keys)
+    for k, (b, s) in full.items():
+        assert 0 <= b < 100
+        assert s == ("train" if b < 80 else "val" if b < 90 else "test")
+    # subset stability
+    sub = spark.createDataFrame([(keys[0],)], ["doc_id"])
+    r = assign_splits(sub, "doc_id").collect()[0]
+    assert (r["bucket"], r["split"]) == full[keys[0]]
