@@ -52,3 +52,40 @@ class ParquetSink:
 
     def table_exists(self, target_table: str) -> bool:
         return os.path.exists(self.table_path(target_table))
+
+
+def write_partitioned(
+    df,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+    max_records_per_file: int = 0,
+    sort_within: list[str] | None = None,
+) -> None:
+    """Hive-style partitioned parquet layout — the 100 TB table pattern:
+    ``partition_cols`` become directory keys so downstream predicates on
+    them are PRUNED at planning time (PartitionFilters, zero data read for
+    excluded partitions).
+
+    - ``dynamic=True`` sets partitionOverwriteMode=dynamic for this write:
+      overwrite replaces ONLY the partitions present in ``df`` (the
+      incremental-backfill semantics), never the whole table.
+    - ``sort_within`` sorts within partitions before writing (clustered
+      files -> better min/max page skipping for those columns).
+    - ``max_records_per_file`` caps file size so a skewed partition doesn't
+      produce one giant file.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if dynamic and mode == "overwrite":
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        writer = df.write.mode(mode).partitionBy(*partition_cols)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -334,3 +334,35 @@ def test_quality_filter_is_single_narrow_pass(spark):
     )
     plan = df._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan
+
+
+def test_partitioned_write_prunes_and_dynamic_overwrite(spark, tmp_path):
+    """Partition layout end-to-end: (1) a predicate on the partition column
+    compiles to partition pruning (no data files of other partitions are
+    read); (2) dynamic overwrite replaces only the partitions present in
+    the incoming batch."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.session import load_table
+    from data_ingestion_spark.sinks.parquet_sink import write_partitioned
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"], sort_within=["doc_id"])
+    back = spark.read.parquet(out)
+    langs = [r["lang"] for r in back.select("lang").distinct().collect()]
+    assert len(langs) >= 2
+    pruned = back.filter(F.col("lang") == langs[0])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pruned._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    n_before = back.filter(F.col("lang") == langs[1]).count()
+
+    # dynamic overwrite: rewrite ONLY langs[0]'s partition with 1 row
+    one = docs.filter(F.col("lang") == langs[0]).limit(1)
+    write_partitioned(one, out, ["lang"])
+    back2 = spark.read.parquet(out)
+    assert back2.filter(F.col("lang") == langs[0]).count() == 1
+    assert back2.filter(F.col("lang") == langs[1]).count() == n_before  # untouched
