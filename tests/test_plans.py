@@ -366,3 +366,30 @@ def test_partitioned_write_prunes_and_dynamic_overwrite(spark, tmp_path):
     back2 = spark.read.parquet(out)
     assert back2.filter(F.col("lang") == langs[0]).count() == 1
     assert back2.filter(F.col("lang") == langs[1]).count() == n_before  # untouched
+
+
+def test_ivf_partitioned_index_prunes_probed_lists(spark, tmp_path):
+    """The IVF scale story end-to-end: materialize the corpus partitioned
+    BY list_id (ivf_assign at ingest), then a probe touching 2 of the lists
+    must compile to partition pruning — unprobed lists are never read."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import similarity
+    from data_ingestion_spark.session import load_table
+    from data_ingestion_spark.sinks.parquet_sink import write_partitioned
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists=4)
+    indexed = similarity.ivf_assign(emb, cents, vec_col="embedding", n_probe=1)
+    out = str(tmp_path / "ivf_index")
+    write_partitioned(indexed, out, ["list_id"])
+
+    probed = spark.read.parquet(out).filter(F.col("list_id").isin(0, 2))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = probed._jdf.queryExecution().explainString(mode)
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "list_id" in pf
+    # and the probe actually returns a strict subset of the corpus
+    assert 0 < probed.count() < emb.count()

@@ -1,0 +1,114 @@
+"""Scale-sweep harness: time representative operators across sf0.001 /
+sf0.01 / sf0.1 and a synthetic 4x-sf0.1 copy, to measure how each operator's
+wall-clock grows with input size (the 100 TB readiness evidence — a
+sub-quadratic operator shows ~linear growth here; an accidental all-pairs
+or driver-side loop shows super-linear growth immediately).
+
+The 4x tier is built once under .scale_tmp/sf0.4 (gitignored) by unioning
+sf0.1 four times with id columns shifted per replica, so joins/dedup keys
+keep realistic cardinality growth instead of 4x duplicate collisions.
+
+Usage: python tools/scale_sweep.py [query ...]  → one JSON line per query:
+{"query": ..., "timings": {"0.001": s, "0.01": s, "0.1": s, "0.4": s},
+ "growth_01_to_04": r}  (r ≈ 4 means linear in rows at the top tier).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_DIR = os.path.join(REPO, ".scale_tmp", "sf0.4")
+BASE = "/root/testdata/sf0.1"
+
+#: id columns to shift per replica so key cardinality scales with rows
+ID_SHIFTS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    # dims keep their natural size — a 4x region table is not how scale works
+    "supplier": [],
+    "part": [],
+    "nation": [],
+    "region": [],
+}
+
+DEFAULT_QUERIES = [
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "agg_pricing_summary",
+    "join_revenue_by_segment",
+    "knn_cosine_topk",
+    "covariance_embeddings",
+    "pack_sequences_docs",
+    "pagerank_supplier_graph",
+    "gapfill_events_locf",
+    "funnel_conversion_events",
+]
+
+
+def build_scaled(replicas: int = 4) -> None:
+    if os.path.isdir(SCALE_DIR):
+        return
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    con = duckdb.connect()
+    for table, shifts in ID_SHIFTS.items():
+        src = os.path.join(BASE, f"{table}.parquet")
+        dst = os.path.join(SCALE_DIR, f"{table}.parquet")
+        if not os.path.exists(src):
+            continue
+        if not shifts:
+            con.sql(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT parquet)")
+            continue
+        parts = []
+        for k in range(replicas):
+            cols = ", ".join(
+                f"{c} + {k} * 100000000 AS {c}" if c in shifts else c
+                for c in con.sql(f"SELECT * FROM '{src}' LIMIT 0").columns
+            )
+            parts.append(f"SELECT {cols} FROM '{src}'")
+        union = " UNION ALL ".join(parts)
+        con.sql(f"COPY ({union}) TO '{dst}' (FORMAT parquet)")
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    build_scaled()
+
+    from data_ingestion_spark.queries import merged_queries
+    from data_ingestion_spark.session import get_spark
+
+    spark = get_spark("scale_sweep")
+    registry = merged_queries()
+    tiers = [
+        ("0.001", "/root/testdata/sf0.001"),
+        ("0.01", "/root/testdata/sf0.01"),
+        ("0.1", BASE),
+        ("0.4", SCALE_DIR),
+    ]
+    for name in names:
+        fn, _sql = registry[name]
+        fn(spark, tiers[0][1]).toPandas()  # JIT/codegen warm-up
+        timings = {}
+        for sf, d in tiers:
+            t0 = time.perf_counter()
+            fn(spark, d).toPandas()
+            timings[sf] = round(time.perf_counter() - t0, 3)
+        growth = round(timings["0.4"] / max(timings["0.1"], 1e-9), 2)
+        print(
+            json.dumps({"query": name, "timings": timings, "growth_01_to_04": growth})
+        )
+
+
+if __name__ == "__main__":
+    main()
