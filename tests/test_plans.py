@@ -393,3 +393,21 @@ def test_ivf_partitioned_index_prunes_probed_lists(spark, tmp_path):
     assert "list_id" in pf
     # and the probe actually returns a strict subset of the corpus
     assert 0 < probed.count() < emb.count()
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """A full global sort must compile to a range-partitioned Exchange
+    (sampled split points, every partition a contiguous key range — the
+    terasort shape), never a single-partition sort."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "rangepartitioning" in plan.lower(), plan[:600]
+    assert "SinglePartition" not in plan
