@@ -83,6 +83,8 @@ HEADLINE = [
     "variant_props_events",
     "setop_multiset_priorities",
     "map_functions_events",
+    "regression_stats_lineitem",
+    "zipf_slope_corpus",
 ]
 
 

@@ -1451,6 +1451,53 @@ FROM grid LEFT JOIN b ON b.key = grid.key AND b.bucket = grid.bucket
 """
 
 
+def zipf_slope_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS slope of
+    ln(freq) on ln(rank) (a healthy natural-language corpus sits near -1;
+    synthetic or template-heavy corpora flatten) — the heavy-tail
+    diagnostic of corpus analysis, as ONE regression aggregate over the
+    ranked vocabulary. Rank ties break by token text so both engines rank
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    freqs = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freqs.select(
+        F.log(F.col("freq").cast("double")).alias("lf"),
+        F.log(
+            F.row_number()
+            .over(W.orderBy(F.col("freq").desc(), F.col("tok").asc()))
+            .cast("double")
+        ).alias("lr"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.floor(F.regr_slope(F.col("lf"), F.col("lr")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("zipf_slope_micro"),
+    )
+
+
+ZIPF_SLOPE_CORPUS_SQL = f"""
+WITH freqs AS (
+  SELECT tok, count(*)::BIGINT AS freq
+  FROM (SELECT unnest({_SQL_TOKENS.format(c='text')}) AS tok FROM documents)
+  GROUP BY tok
+), ranked AS (
+  SELECT ln(freq::DOUBLE) AS lf,
+         ln((row_number() OVER (ORDER BY freq DESC, tok ASC))::DOUBLE) AS lr
+  FROM freqs
+)
+SELECT count(*)::BIGINT AS vocab_size,
+       floor(regr_slope(lf, lr) * 1e6 + 0.5)::BIGINT AS zipf_slope_micro
+FROM ranked
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -1518,4 +1565,5 @@ QUERIES: dict = {
     ),
     "covariance_embeddings": (covariance_embeddings, COVARIANCE_EMBEDDINGS_SQL),
     "gapfill_events_locf": (gapfill_events_locf, GAPFILL_EVENTS_LOCF_SQL),
+    "zipf_slope_corpus": (zipf_slope_corpus, ZIPF_SLOPE_CORPUS_SQL),
 }

@@ -892,6 +892,54 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Regression aggregates: corr / covar / regr_slope-intercept-r2 — the
+# bivariate-statistics family (both engines implement the same co-moment
+# aggregates; outputs are emitted as integer micro-units because co-moment
+# accumulation order differs between engines at the last ulp).
+# --------------------------------------------------------------------------
+def regression_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return-flag bivariate stats of (quantity, extendedprice):
+    correlation, population covariance, OLS slope/intercept/r2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+
+    def micro(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            micro(F.corr(x, y)).alias("corr_micro"),
+            micro(F.covar_pop(x, y)).alias("covar_micro"),
+            micro(F.regr_slope(y, x)).alias("slope_micro"),
+            micro(F.regr_intercept(y, x)).alias("intercept_micro"),
+            micro(F.regr_r2(y, x)).alias("r2_micro"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+REGRESSION_STATS_LINEITEM_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       floor(corr(l_extendedprice, l_quantity) * 1e6 + 0.5)::BIGINT
+         AS corr_micro,
+       floor(covar_pop(l_extendedprice, l_quantity) * 1e6 + 0.5)::BIGINT
+         AS covar_micro,
+       floor(regr_slope(l_extendedprice, l_quantity) * 1e6 + 0.5)::BIGINT
+         AS slope_micro,
+       floor(regr_intercept(l_extendedprice, l_quantity) * 1e6 + 0.5)::BIGINT
+         AS intercept_micro,
+       floor(regr_r2(l_extendedprice, l_quantity) * 1e6 + 0.5)::BIGINT
+         AS r2_micro
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # EXCEPT set operation (INTERSECT's twin, see setop_customer_supplier_nations).
 # --------------------------------------------------------------------------
 def except_wealthy_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1047,6 +1095,10 @@ QUERIES: dict = {
         SETOP_MULTISET_PRIORITIES_SQL,
     ),
     "map_functions_events": (map_functions_events, MAP_FUNCTIONS_EVENTS_SQL),
+    "regression_stats_lineitem": (
+        regression_stats_lineitem,
+        REGRESSION_STATS_LINEITEM_SQL,
+    ),
     "date_functions_orders": (date_functions_orders, DATE_FUNCTIONS_ORDERS_SQL),
     "full_outer_join_nation_balance": (
         full_outer_join_nation_balance,

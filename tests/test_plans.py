@@ -105,6 +105,7 @@ def test_no_python_udfs_in_relational_queries(spark):
         "variant_props_events",
         "setop_multiset_priorities",
         "map_functions_events",
+        "regression_stats_lineitem",
     ]:
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
@@ -245,6 +246,7 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "pagerank_supplier_graph",
         "covariance_embeddings",
         "gapfill_events_locf",
+        "zipf_slope_corpus",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
