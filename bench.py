@@ -85,6 +85,8 @@ HEADLINE = [
     "map_functions_events",
     "regression_stats_lineitem",
     "zipf_slope_corpus",
+    "fuzzy_match_parts",
+    "dq_checks_star_schema",
 ]
 
 

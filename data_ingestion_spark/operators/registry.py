@@ -1498,6 +1498,115 @@ FROM ranked
 """
 
 
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (entity-resolution shape): near-identical part
+    names via blocked Levenshtein — block on the name's first 10 chars so
+    the edit-distance predicate only ever runs INSIDE blocks (an equi-join,
+    never an all-pairs scan), then keep pairs within distance 6.
+
+    At 100 TB the block key bounds candidate fan-out exactly like the
+    n-gram blocks in dedup.jaccard_pairs; blocking by prefix is the
+    classic record-linkage first pass."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 10).alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 10).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 6)
+        .orderBy("id_a", "id_b")
+    )
+
+
+FUZZY_MATCH_PARTS_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name, substr(p_name, 1, 10) AS blk FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS edit_dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+"""
+
+
+def dq_checks_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint battery (the dbt-test shape) as ONE unioned
+    result: each row is (check, n_violations). Uniqueness via count-minus-
+    distinct, referential integrity via anti joins, null checks as
+    conditional counts — all partial-aggregated, no row ever leaves the
+    executors except the per-check scalar."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check"), F.col("n").cast("long").alias("n_violations")
+        )
+
+    dup_pk = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")
+    )
+    null_key = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n")
+    )
+    orphan_li = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_orders = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    neg_price = li.agg(
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias("n")
+    )
+    return (
+        one("orders_pk_unique", dup_pk)
+        .union(one("orders_custkey_not_null", null_key))
+        .union(one("lineitem_fk_orders", orphan_li))
+        .union(one("orders_fk_customer", orphan_orders))
+        .union(one("lineitem_price_nonnegative", neg_price))
+        .orderBy("check")
+    )
+
+
+DQ_CHECKS_STAR_SCHEMA_SQL = """
+SELECT 'orders_pk_unique' AS check,
+       (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders', count(*)::BIGINT
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_fk_customer', count(*)::BIGINT
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_price_nonnegative',
+       sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)::BIGINT
+FROM lineitem
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -1566,4 +1675,6 @@ QUERIES: dict = {
     "covariance_embeddings": (covariance_embeddings, COVARIANCE_EMBEDDINGS_SQL),
     "gapfill_events_locf": (gapfill_events_locf, GAPFILL_EVENTS_LOCF_SQL),
     "zipf_slope_corpus": (zipf_slope_corpus, ZIPF_SLOPE_CORPUS_SQL),
+    "fuzzy_match_parts": (fuzzy_match_parts, FUZZY_MATCH_PARTS_SQL),
+    "dq_checks_star_schema": (dq_checks_star_schema, DQ_CHECKS_STAR_SCHEMA_SQL),
 }

@@ -247,6 +247,8 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "covariance_embeddings",
         "gapfill_events_locf",
         "zipf_slope_corpus",
+        "fuzzy_match_parts",
+        "dq_checks_star_schema",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
