@@ -87,6 +87,7 @@ HEADLINE = [
     "zipf_slope_corpus",
     "fuzzy_match_parts",
     "dq_checks_star_schema",
+    "skew_salted_join_events",
 ]
 
 

@@ -1451,6 +1451,43 @@ FROM grid LEFT JOIN b ON b.key = grid.key AND b.bucket = grid.bucket
 """
 
 
+def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: events (probe; hot user ids) ⋈ a per-user dim
+    (build), join key widened to (user_id, salt) with the build side
+    exploded ×8 — the hot key lands on 8 reducers instead of one. The
+    oracle is the PLAIN join aggregate: salting must be semantically
+    invisible (see skew.salted_join)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = skew.salted_join(
+        ev, dim, on="user_id", buckets=8, probe_salt_from="event_id"
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.sum("value") * F.lit(100) + F.lit(0.5)).cast("long").alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SKEW_SALTED_JOIN_EVENTS_SQL = """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_events,
+       floor(sum(value) * 100 + 0.5)::BIGINT AS total_cents
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id AND c.c_custkey <= 500
+GROUP BY c_mktsegment
+"""
+
+
 def zipf_slope_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit of the corpus token-frequency distribution: OLS slope of
     ln(freq) on ln(rank) (a healthy natural-language corpus sits near -1;
@@ -1676,5 +1713,9 @@ QUERIES: dict = {
     "gapfill_events_locf": (gapfill_events_locf, GAPFILL_EVENTS_LOCF_SQL),
     "zipf_slope_corpus": (zipf_slope_corpus, ZIPF_SLOPE_CORPUS_SQL),
     "fuzzy_match_parts": (fuzzy_match_parts, FUZZY_MATCH_PARTS_SQL),
+    "skew_salted_join_events": (
+        skew_salted_join_events,
+        SKEW_SALTED_JOIN_EVENTS_SQL,
+    ),
     "dq_checks_star_schema": (dq_checks_star_schema, DQ_CHECKS_STAR_SCHEMA_SQL),
 }

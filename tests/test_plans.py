@@ -249,6 +249,7 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "zipf_slope_corpus",
         "fuzzy_match_parts",
         "dq_checks_star_schema",
+        "skew_salted_join_events",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
