@@ -1536,46 +1536,48 @@ FROM ranked
 
 
 def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string matching (entity-resolution shape): near-identical part
-    names via blocked Levenshtein — block on the name's first 10 chars so
-    the edit-distance predicate only ever runs INSIDE blocks (an equi-join,
-    never an all-pairs scan), then keep pairs within distance 6.
+    """Fuzzy string matching (entity-resolution shape): near-identical
+    customer names via blocked Levenshtein — block on the name's first 16
+    chars so the edit-distance predicate only ever runs INSIDE blocks (an
+    equi-join with bounded fan-out, never an all-pairs scan), then the
+    per-distance pair histogram for distances <= 2.
 
-    At 100 TB the block key bounds candidate fan-out exactly like the
-    n-gram blocks in dedup.jaccard_pairs; blocking by prefix is the
-    classic record-linkage first pass."""
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    a = p.select(
-        F.col("p_partkey").alias("id_a"),
-        F.col("p_name").alias("name_a"),
-        F.substring("p_name", 1, 10).alias("blk"),
+    Customer names (Customer#NNNNNNNNN) carry real distance structure;
+    part names are a 64-string fixed pool where prefix blocks contain only
+    exact duplicates — degenerate for this operator. At 100 TB the block
+    key bounds candidate fan-out exactly like dedup.jaccard_pairs' n-gram
+    blocks; prefix blocking is the classic record-linkage first pass."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 16).alias("blk"),
     )
-    b = p.select(
-        F.col("p_partkey").alias("id_b"),
-        F.col("p_name").alias("name_b"),
-        F.substring("p_name", 1, 10).alias("blk"),
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 16).alias("blk"),
     )
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= 6)
-        .orderBy("id_a", "id_b")
+        .select(F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 2)
+        .groupBy("edit_dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("edit_dist")
     )
 
 
 FUZZY_MATCH_PARTS_SQL = """
-WITH p AS (
-  SELECT p_partkey, p_name, substr(p_name, 1, 10) AS blk FROM part
+WITH b AS (
+  SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer
 )
-SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-       levenshtein(a.p_name, b.p_name)::BIGINT AS edit_dist
-FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 6
+SELECT levenshtein(a.c_name, bb.c_name)::BIGINT AS edit_dist,
+       count(*)::BIGINT AS n_pairs
+FROM b a JOIN b bb ON a.blk = bb.blk AND a.c_custkey < bb.c_custkey
+WHERE levenshtein(a.c_name, bb.c_name) <= 2
+GROUP BY 1
 """
 
 
