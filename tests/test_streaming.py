@@ -371,3 +371,66 @@ def test_running_totals_processor_logic_with_fake_state():
     assert (r2["n_events"], r2["total_value"]) == (4, 10.0)
     assert handle.state.get() == (4, 10.0)
     proc.close()
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """Late-data semantics end-to-end: run 1 processes on-time events and
+    advances the watermark (persisted in the checkpoint); run 2 appends a
+    file whose events are older than the watermark — in append mode those
+    rows must NOT resurrect already-finalized windows."""
+    from datetime import datetime
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    sink = str(tmp_path / "late_sink")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        sdf = tumbling_window_counts(
+            stream_events_from_dir(spark, src), "1 hour", watermark="30 minutes"
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: events at 10:00-12:10 -> watermark advances to ~11:40
+    write_batch([
+        (1, datetime(2024, 1, 1, 10, 5), 1, "view", 1.0),
+        (2, datetime(2024, 1, 1, 10, 50), 1, "view", 1.0),
+        (3, datetime(2024, 1, 1, 12, 10), 1, "view", 1.0),
+    ])
+    run()
+    first = spark.read.parquet(sink).collect()
+    # append mode emits only windows fully below the watermark: the 10:00
+    # window (max_ts 12:10 - 30min = 11:40 > 11:00 close)
+    emitted = {(r["window_start"].hour, r["n_events"]) for r in first}
+    assert (10, 2) in emitted
+
+    # run 2: a LATE event inside the already-finalized 10:00 window, plus a
+    # fresh on-time event that pushes the watermark further
+    write_batch([
+        (4, datetime(2024, 1, 1, 10, 20), 1, "view", 1.0),   # late -> dropped
+        (5, datetime(2024, 1, 1, 14, 0), 1, "view", 1.0),    # on time
+    ])
+    run()
+    rows = spark.read.parquet(sink).collect()
+    by_window = {}
+    for r in rows:
+        by_window.setdefault(r["window_start"].hour, 0)
+        by_window[r["window_start"].hour] += r["n_events"]
+    # the 10:00 window was NOT re-emitted with the late row: still 2 events
+    assert by_window[10] == 2
+    # and the 12:00 window closed in run 2 (watermark moved past 13:00)
+    assert by_window.get(12) == 1
