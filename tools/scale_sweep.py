@@ -54,6 +54,11 @@ DEFAULT_QUERIES = [
     "pagerank_supplier_graph",
     "gapfill_events_locf",
     "funnel_conversion_events",
+    "dup_ngram_fraction_docs",
+    "inverted_index_terms",
+    "quantize_embeddings",
+    "fuzzy_match_parts",
+    "tfidf_docs",
 ]
 
 
