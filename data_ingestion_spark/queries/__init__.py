@@ -31,12 +31,14 @@ _PRIORITY = [
     "dedup_exact_docs",
     "dedup_jaccard_pairs_docs",
     "dedup_minhash_docs",
-    "dedup_simhash_docs",
+    # simhash family: the banded-pairs variant carries the window slot;
+    # the signature query stays locally verified below the cap
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "knn_cosine_topk",
     "knn_lsh_pairs",
-    "knn_ivf_exact_topk",
+    # ivf family: the probe-limited variant carries the slot (the exact
+    # anchor shares its entire plumbing)
     "knn_ivf_topk",
     "text_quality_docs",
     "lang_id_docs",
@@ -48,7 +50,6 @@ _PRIORITY = [
     "sample_docs_hash",
     "cap_per_source_docs",
     "normalize_text_docs",
-    "mix_corpus_docs",
     "embedding_centroids_by_label",
     "kmeans_centroids_embeddings",
     "multimodal_metadata_docs",
@@ -72,6 +73,12 @@ _PRIORITY = [
     "inverted_index_terms",
     "split_docs_hash",
     "quantize_embeddings",
+    # Strongest new round-2 families take the slots of the three
+    # same-family variants demoted above (simhash_docs, ivf_exact,
+    # mix_corpus — all still registered + locally verified)
+    "pagerank_supplier_graph",
+    "covariance_embeddings",
+    "gapfill_events_locf",
     "chunk_docs",
     "pii_scrub_docs",
     "decontaminate_docs",
