@@ -1413,7 +1413,7 @@ WITH ex AS (
   GROUP BY a.i, b.i
 )
 SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
-       round(p.pij - ma.m * mb.m, 6) AS cov
+       floor((p.pij - ma.m * mb.m) * 1e6 + 0.5)::BIGINT AS cov_micro
 FROM prods p JOIN means ma ON ma.i = p.i JOIN means mb ON mb.i = p.j
 """
 

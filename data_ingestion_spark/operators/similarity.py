@@ -232,21 +232,25 @@ def hyperplane_lsh_pairs(
             for bi in range(n_bands)
         ]
     )
-    exploded = base.select("id", "v", F.explode(bands).alias("bk"))
+    # Band explode carries (id, band-key) ONLY — never the vector. Hauling
+    # v through the explode multiplies shuffle bytes by n_bands x dim (the
+    # anti-pattern minhash_near_dup documents); candidates rejoin the base
+    # table by id for the exact-cosine verify instead.
+    exploded = base.select("id", F.explode(bands).alias("bk"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
-    return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -362,55 +366,82 @@ def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Upper-triangle covariance matrix of an embedding column — the PCA /
     whitening prep step (cov = E[x_i x_j] - E[x_i]E[x_j]).
 
-    Scale shape: each row expands to its d(d+1)/2 upper-triangle products
-    via nested array transforms (narrow, no join, no N x d shuffle), then
-    ONE partial-aggregated groupBy on (i, j) — the only shuffle moves
-    d(d+1)/2 partial sums per executor, independent of row count. The
-    rank-1-update join formulation (posexplode + self-join on the row id)
-    would shuffle N x d rows instead; at 100 TB that is the difference
-    between KBs and the full matrix stream.
+    Scale shape: per-partition Gram accumulation in one Arrow-batched
+    ``mapInPandas`` pass — each batch contributes ``X.T @ X`` (BLAS dgemm),
+    a column-sum vector, and a row count, flattened to d(d+1)/2 + d + 1
+    partial sums. The ONLY shuffle moves those partials per partition (KBs,
+    invariant to row count); the earlier product-explode formulation was
+    row-linear in exploded cells (d(d+1)/2 per input row — 5.3x growth at
+    4x rows in SCALING.md) and is retired. At 100 TB the dgemm runs where
+    the data lives and the reduce tree is a single tiny groupBy.
 
-    Output: (i, j [0-based, i <= j], cov [6 dp]) — d(d+1)/2 rows.
+    Value parity: output is integer micro-units
+    ``floor(cov * 1e6 + 0.5)::BIGINT`` — a BIGINT cannot carry a -0.0, and
+    IEEE floor/multiply are engine-exact, so the DuckDB oracle's
+    differently-ordered double sums land on the same integer (last-ulp sum
+    noise ~1e-13 vs the 1e-6 grid; see repo parity rule #1).
+
+    Output: (i, j [0-based, i <= j], cov_micro BIGINT) — d(d+1)/2 rows.
     """
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    # bare-double products only (no per-element struct allocation in the
-    # interpreted lambda — ~2x cheaper); the flattened position p encodes
-    # (i, j), decoded AFTER aggregation via two d(d+1)/2-element literal
-    # lookup arrays, so the decode runs once per OUTPUT cell, not per input
-    # product
-    prods = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.slice(F.col("_x"), i + 1, F.lit(dim)),  # elements j >= i
-                lambda xj: F.get(F.col("_x"), i) * xj,
-            ),
+    n_tri = dim * (dim + 1) // 2
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = np.zeros((dim, dim), dtype=np.float64)
+        colsum = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            S += X.T @ X
+            colsum += X.sum(axis=0)
+            n += X.shape[0]
+        if n == 0:
+            return
+        iu0, iu1 = np.triu_indices(dim)
+        ps = np.concatenate([S[iu0, iu1], colsum, [float(n)]])
+        yield pd.DataFrame(
+            {"p": np.arange(len(ps), dtype=np.int64), "s": ps}
         )
+
+    partials = df.select(F.col(vec_col).alias("_v")).mapInPandas(
+        gram, "p long, s double"
     )
-    flat = df.select(x.alias("_x")).select(F.posexplode(prods).alias("p", "v"))
-    agg = flat.groupBy("p").agg(F.avg("v").alias("pij"))
+    agg = partials.groupBy("p").agg(F.sum("s").alias("s"))
+    n_df = agg.filter(F.col("p") == n_tri + dim).select(F.col("s").alias("n"))
+    means = agg.filter(
+        (F.col("p") >= n_tri) & (F.col("p") < n_tri + dim)
+    ).select((F.col("p") - n_tri).cast("int").alias("d"), F.col("s").alias("sx"))
     pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
     i_lut = F.array(*[F.lit(i) for i, _ in pairs])
     j_lut = F.array(*[F.lit(j) for _, j in pairs])
-    stats = agg.select(
-        F.get(i_lut, F.col("p")).alias("i"),
-        F.get(j_lut, F.col("p")).alias("j"),
-        "pij",
-    )
-    # E[x_i] from a slim second pass over the raw vector (posexplode, d-key agg)
-    mex = df.select(
-        F.posexplode(F.transform(F.col(vec_col), lambda v: v.cast("double"))).alias(
-            "dim", "val"
+    stats = (
+        agg.filter(F.col("p") < n_tri)
+        .select(
+            F.get(i_lut, F.col("p").cast("int")).alias("i"),
+            F.get(j_lut, F.col("p").cast("int")).alias("j"),
+            F.col("s").alias("sxy"),
         )
+        .crossJoin(F.broadcast(n_df))
     )
-    m = mex.groupBy("dim").agg(F.avg("val").alias("m"))
+    cov = F.col("sxy") / F.col("n") - (F.col("mi") / F.col("n")) * (
+        F.col("mj") / F.col("n")
+    )
     return (
-        stats.join(m.select(F.col("dim").alias("i"), F.col("m").alias("mi")), "i")
-        .join(m.select(F.col("dim").alias("j"), F.col("m").alias("mj")), "j")
+        stats.join(
+            F.broadcast(means.select(F.col("d").alias("i"), F.col("sx").alias("mi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(means.select(F.col("d").alias("j"), F.col("sx").alias("mj"))),
+            "j",
+        )
         .select(
             F.col("i").cast("long").alias("i"),
             F.col("j").cast("long").alias("j"),
-            F.round(F.col("pij") - F.col("mi") * F.col("mj"), 6).alias("cov"),
+            F.floor(cov * F.lit(1e6) + F.lit(0.5)).cast("long").alias("cov_micro"),
         )
     )

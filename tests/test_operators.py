@@ -670,14 +670,14 @@ def test_covariance_matrix_planted(spark):
     rng = [[1.0, 2.0, 3.0], [2.0, 4.0, 0.0], [3.0, 6.0, -3.0], [4.0, 8.0, 1.0]]
     df = spark.createDataFrame([(v,) for v in rng], ["embedding"])
     out = {
-        (r["i"], r["j"]): r["cov"]
+        (r["i"], r["j"]): r["cov_micro"]
         for r in similarity.covariance_matrix(df, "embedding", dim=3).collect()
     }
     x = np.array(rng)
     expected = np.cov(x, rowvar=False, bias=True)  # population covariance
     assert len(out) == 6  # upper triangle of 3x3
     for (i, j), got in out.items():
-        assert got == pytest.approx(expected[i][j], abs=1e-5), (i, j)
+        assert got / 1e6 == pytest.approx(expected[i][j], abs=1e-5), (i, j)
 
 
 def test_gapfill_locf_planted(spark):

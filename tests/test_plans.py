@@ -208,6 +208,33 @@ def test_embedding_pairs_is_bucketed_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_lsh_band_exchange_carries_no_vector(spark):
+    """The hyperplane-LSH band explode must shuffle (id, band-key) only —
+    hauling the embedding through the explode multiplies shuffle bytes by
+    n_bands x dim. Any Exchange partitioned on the band key must not list
+    the vector column in its input."""
+    plan = plan_of(spark, "knn_lsh_pairs")
+    nodes = plan.split("\n\n")
+    # the exploded side may be shuffled (hashpartitioning(bk...)) or
+    # broadcast (tiny SF) — either way the Exchange moving band keys must
+    # not also move the vector column
+    band_exchanges = [
+        n for n in nodes if "Exchange" in n and "bk#" in n
+    ]
+    assert band_exchanges, "expected an Exchange carrying the band key"
+    for node in band_exchanges:
+        assert "embedding" not in node and "v#" not in node, node
+
+
+def test_covariance_is_gram_mapinpandas_not_explode(spark):
+    """covariance_embeddings must use the per-partition Gram accumulation
+    (one MapInPandas stage, shuffle invariant to row count), never the
+    retired product-explode plan (a Generate of d(d+1)/2 cells per row)."""
+    plan = plan_of(spark, "covariance_embeddings")
+    assert "MapInPandas" in plan
+    assert "posexplode" not in plan
+
+
 def test_extension_ops_no_nested_loop_no_python(spark):
     """No extension operator may plan a nested-loop/cartesian join, and no
     Python stage may appear outside the two sanctioned non-native readers
@@ -244,7 +271,6 @@ def test_extension_ops_no_nested_loop_no_python(spark):
         "split_docs_hash",
         "quantize_embeddings",
         "pagerank_supplier_graph",
-        "covariance_embeddings",
         "gapfill_events_locf",
         "zipf_slope_corpus",
         "fuzzy_match_parts",
