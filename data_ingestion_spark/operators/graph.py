@@ -35,6 +35,16 @@ def pagerank(
     count (not convergence-tested) keeps the result bit-replayable by the
     SQL oracle — the same three join+agg rounds in chained CTEs.
 
+    Bit-replayability is engineered, not assumed: each contribution is
+    quantized to integer femto-units (``floor(pr/deg * 1e15 + 0.5)::long``)
+    BEFORE the inflow sum, so the per-node aggregation is an exact,
+    order-independent integer sum — a differently-ordered DOUBLE sum could
+    drift by an ulp between Spark's shuffle order and the oracle's and flip
+    the final nano rounding. The 1e-15 quantization grid sits six orders
+    below the 1e-9 output grid (inflow error ≤ indeg·5e-16), and every
+    remaining float op (divide, damping multiply-add) is a single IEEE
+    operation on identical inputs in both engines.
+
     Output: (node, pr_nano) — rank scaled to integer nano-units via
     floor(pr*1e9 + 0.5), the engine-portable rounding used throughout this
     repo (IEEE floor/division are bit-exact where round()'s ties are not).
@@ -71,13 +81,20 @@ def pagerank(
         rate = (
             pr.withColumnRenamed("node", "src")
             .join(outdeg, "src")
-            .select("src", (F.col("pr") / F.col("deg")).alias("c"))
+            .select(
+                "src",
+                F.floor(
+                    (F.col("pr") / F.col("deg")) * F.lit(1e15) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("c_femto"),
+            )
         )
         contrib = (
             e.join(rate, "src")
-            .select(F.col("dst").alias("node"), "c")
+            .select(F.col("dst").alias("node"), "c_femto")
             .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+            .agg(F.sum("c_femto").alias("inflow_femto"))
         )
         pr = (
             nodes.join(contrib, "node", "left")
@@ -85,7 +102,11 @@ def pagerank(
                 "node",
                 (
                     F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow_femto"), F.lit(0)).cast("double")
+                        / F.lit(1e15)
+                    )
                 ).alias("pr"),
             )
             .localCheckpoint(eager=True)

@@ -485,7 +485,10 @@ def audio_features(df: DataFrame) -> DataFrame:
                             ),
                         }
                     )
-                except ValueError:
+                # struct.error: a truncated/lying fmt chunk length makes
+                # wav_decode's struct.unpack read short — junk files must
+                # yield nulls, never fail the whole Arrow batch
+                except (ValueError, struct.error):
                     rows.append(
                         {
                             "path": path,

@@ -1352,6 +1352,9 @@ def _pagerank_oracle_sql(n_iter: int = 3) -> str:
 
     1.0::DOUBLE - 0.85::DOUBLE (not the literal 0.15) so the teleport term
     is the bit-identical IEEE value Spark computes from (1.0 - damping).
+    Inflow replays the Spark side's femto-quantized integer sum (see
+    graph.pagerank): per-edge contributions become BIGINTs before the
+    aggregation, so sum order cannot shift an ulp between engines.
     """
     sql = """
 WITH pairs AS (
@@ -1373,10 +1376,12 @@ p0 AS (SELECT node, (1.0::DOUBLE / nn.n) AS pr FROM nodes, nn)
         sql += f""", p{it} AS (
   SELECT nodes.node,
          ((1.0::DOUBLE - 0.85::DOUBLE) / nn.n)
-           + 0.85::DOUBLE * coalesce(inf.inflow, 0.0::DOUBLE) AS pr
+           + 0.85::DOUBLE
+             * (coalesce(inf.inflow_femto, 0)::DOUBLE / 1e15::DOUBLE) AS pr
   FROM nodes CROSS JOIN nn
   LEFT JOIN (
-    SELECT e.dst AS node, sum(p.pr / deg.deg) AS inflow
+    SELECT e.dst AS node,
+           sum(floor(p.pr / deg.deg * 1e15::DOUBLE + 0.5)::BIGINT) AS inflow_femto
     FROM edges e JOIN deg ON deg.src = e.src JOIN {prev} p ON p.node = e.src
     GROUP BY e.dst
   ) inf ON inf.node = nodes.node

@@ -509,8 +509,11 @@ def inverted_index(
         .agg(F.count(F.lit(1)).alias("df_docs"))
         .filter((F.col("df_docs") >= min_df) & (F.col("df_docs") <= max_df))
     )
+    # no broadcast hint: the surviving [min_df, max_df] band grows with
+    # corpus vocabulary, so a forced broadcast risks driver/executor OOM at
+    # 100 TB — AQE picks broadcast when the band is actually small
     return (
-        term_docs.join(F.broadcast(dfreq), "term")
+        term_docs.join(dfreq, "term")
         .groupBy("term", "df_docs")
         .agg(
             F.array_join(F.sort_array(F.collect_list("id")), ",").alias("postings")

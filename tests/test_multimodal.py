@@ -341,6 +341,13 @@ def test_audio_features_pipeline(spark, tmp_path):
     tone = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
     (tmp_path / "tone.wav").write_bytes(mm.wav_encode(tone, 8000))
     (tmp_path / "junk.wav").write_bytes(b"not audio at all")
+    # fmt chunk CLAIMS 16 bytes but the file ends after 4 — wav_decode's
+    # struct.unpack reads short (struct.error, not ValueError); must yield
+    # nulls, never fail the whole Arrow batch
+    (tmp_path / "lying_fmt.wav").write_bytes(
+        b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + b"\x10\x00\x00\x00"
+        + b"\x01\x00"
+    )
     out = {r["path"].rsplit("/", 1)[-1]: r for r in
            mm.audio_features(mm.read_binary(spark, str(tmp_path))).collect()}
     good = out["tone.wav"]
@@ -351,6 +358,8 @@ def test_audio_features_pipeline(spark, tmp_path):
     assert abs(good["rms"] - 10000 / 2**0.5) < 100
     junk = out["junk.wav"]
     assert junk["n_samples"] is None and junk["rms"] is None
+    lying = out["lying_fmt.wav"]
+    assert lying["n_samples"] is None and lying["rms"] is None
 
 
 def test_wav_resample_decimate():
