@@ -1675,6 +1675,87 @@ FROM lineitem
 """
 
 
+def s3_event_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-event JSON decode (streaming/s3_events.py) exercised as a batch
+    query: deterministic event bodies are synthesized from the documents
+    table — most well-formed (bucket = source, key = docs/<doc_id>.txt),
+    plus planted malformed shapes for every warn path the reference has
+    (ecs_service.rs:186-220: missing key, no Records array, invalid JSON).
+    The decode itself is `from_json` + `explode_outer` — a narrow JVM
+    projection; the aggregate proves every input row lands in exactly one
+    status bucket with the right (bucket, key) extraction."""
+    from ..streaming.s3_events import s3_event_files
+
+    docs = load_table(spark, sf_dir, "documents")
+    good = F.format_string(
+        '{"Records":[{"eventVersion":"2.1","eventSource":"aws:s3",'
+        '"s3":{"bucket":{"name":"%s"},"object":{"key":"docs/%d.txt","size":1024}}}]}',
+        F.col("source"),
+        F.col("doc_id"),
+    )
+    body = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("this is not json"))
+        .when(F.col("doc_id") % 7 == 0, F.lit('{"Event":"s3:TestEvent"}'))
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.format_string(
+                '{"Records":[{"s3":{"bucket":{"name":"%s"}}}]}', F.col("source")
+            ),
+        )
+        .otherwise(good)
+    )
+    decoded = s3_event_files(docs.select(body.alias("body")))
+    return (
+        decoded.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct(F.col("bucket")).cast("long").alias("n_buckets"),
+            F.min("key").alias("k_min"),
+            F.max("key").alias("k_max"),
+        )
+        .orderBy("status")
+    )
+
+
+S3_EVENT_DECODE_DOCS_SQL = """
+WITH bodies AS (
+  SELECT CASE
+    WHEN doc_id % 11 = 0 THEN 'this is not json'
+    WHEN doc_id % 7 = 0 THEN '{"Event":"s3:TestEvent"}'
+    WHEN doc_id % 5 = 0 THEN
+      '{"Records":[{"s3":{"bucket":{"name":"' || source || '"}}}]}'
+    ELSE
+      '{"Records":[{"eventVersion":"2.1","eventSource":"aws:s3",'
+      || '"s3":{"bucket":{"name":"' || source || '"},"object":{"key":"docs/'
+      || doc_id || '.txt","size":1024}}}]}'
+  END AS body
+  FROM documents
+), guarded AS (
+  -- json_extract raises on invalid input, so validity gates every extract
+  SELECT body, json_valid(body) AS ok_json FROM bodies
+), decoded AS (
+  SELECT
+    CASE WHEN ok_json
+      THEN json_extract_string(body, '$.Records[0].s3.bucket.name') END AS bucket,
+    CASE WHEN ok_json
+      THEN json_extract_string(body, '$.Records[0].s3.object.key') END AS key,
+    CASE
+      WHEN NOT ok_json THEN 'invalid_json'
+      WHEN json_extract(body, '$.Records') IS NULL THEN 'no_records'
+      WHEN json_extract_string(body, '$.Records[0].s3.bucket.name') IS NULL
+        OR json_extract_string(body, '$.Records[0].s3.object.key') IS NULL
+        THEN 'missing_bucket_or_key'
+      ELSE 'ok'
+    END AS status
+  FROM guarded
+)
+SELECT status, count(*)::BIGINT AS n,
+       count(DISTINCT bucket)::BIGINT AS n_buckets,
+       min(key) AS k_min, max(key) AS k_max
+FROM decoded GROUP BY status
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
@@ -1749,4 +1830,5 @@ QUERIES: dict = {
         SKEW_SALTED_JOIN_EVENTS_SQL,
     ),
     "dq_checks_star_schema": (dq_checks_star_schema, DQ_CHECKS_STAR_SCHEMA_SQL),
+    "s3_event_decode_docs": (s3_event_decode_docs, S3_EVENT_DECODE_DOCS_SQL),
 }

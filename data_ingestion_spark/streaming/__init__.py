@@ -15,10 +15,14 @@ from .event_time import (
     tumbling_window_counts,
 )
 from .ingest_stream import IngestionStreamLoop
+from .s3_events import S3_EVENT_SCHEMA, files_to_process, s3_event_files
 from .stream_joins import dedup_events, interval_join
 
 __all__ = [
     "IngestionStreamLoop",
+    "S3_EVENT_SCHEMA",
+    "files_to_process",
+    "s3_event_files",
     "dedup_events",
     "interval_join",
     "session_window_agg",
