@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from data_ingestion_spark.sinks import (
     DocumentSink,
     JsonLinesWriter,
@@ -128,3 +130,61 @@ def test_document_sink_renders_rows_to_json(spark, tmp_path):
         {"id": 1, "name": "Alice"},
         {"id": 2, "name": "Bob"},
     ]
+
+
+# ---------------------------------------------------------------------------
+# Live-Mongo seam: real-wire coverage the day the environment provides a DB
+# (reference CI tests against live Mongo 7, .github/workflows/ci-cd.yml).
+# Skipped when pymongo is absent or no mongod answers a 500ms ping.
+# ---------------------------------------------------------------------------
+def _mongo_uri_if_reachable():
+    import os
+
+    try:
+        import pymongo
+    except ImportError:
+        return None
+    uri = os.environ.get("MONGO_URI", "mongodb://localhost:27017")
+    try:
+        client = pymongo.MongoClient(uri, serverSelectionTimeoutMS=500)
+        client.admin.command("ping")
+        client.close()
+        return uri
+    except Exception:
+        return None
+
+
+_LIVE_MONGO_URI = _mongo_uri_if_reachable()
+
+
+@pytest.mark.skipif(
+    _LIVE_MONGO_URI is None, reason="pymongo not installed or no mongod reachable"
+)
+def test_mongo_live_round_trip(spark):
+    import uuid
+
+    import pymongo
+
+    coll_name = f"rt_{uuid.uuid4().hex[:12]}"
+    df = spark.createDataFrame(
+        [(1, "Alice", 9.5), (2, "Bob", 7.25)], "id bigint, name string, score double"
+    ).coalesce(1)
+    sink = DocumentSink(make_mongo_writer(_LIVE_MONGO_URI, "di_spark_test"))
+    sink.insert_documents(coll_name, df)
+
+    client = pymongo.MongoClient(_LIVE_MONGO_URI)
+    try:
+        docs = sorted(
+            (
+                {k: v for k, v in d.items() if k != "_id"}
+                for d in client["di_spark_test"][coll_name].find()
+            ),
+            key=lambda d: d["id"],
+        )
+        assert docs == [
+            {"id": 1, "name": "Alice", "score": 9.5},
+            {"id": 2, "name": "Bob", "score": 7.25},
+        ]
+    finally:
+        client["di_spark_test"].drop_collection(coll_name)
+        client.close()
