@@ -1,0 +1,159 @@
+"""Change-data-capture operators: snapshot diff + SCD Type-2 merge.
+
+The reference pipeline is append-only (every parsed file bulk-inserts,
+SURVEY.md §2.3 K1); real warehouse ingest also needs the two canonical
+mutation patterns, so the rebuild adds them as first-class, oracle-paired
+operators:
+
+- ``snapshot_diff``: given yesterday's and today's full snapshots of a
+  keyed table, emit the (insert / update / delete) delta — the batch-CDC
+  primitive every lake pipeline runs before a merge.
+- ``scd2_apply``: apply a batch of changed rows to a slowly-changing
+  dimension with full history (effective_from / effective_to / is_current)
+  — the Kimball Type-2 merge, expressed as pure joins + unions so Catalyst
+  plans it (no MERGE INTO engine dependency, no Delta requirement).
+
+Scale notes (100 TB): both are single equi-shuffles on the business key.
+``snapshot_diff`` is one full-outer join; AQE handles skewed keys.
+``scd2_apply`` joins only the CURRENT slice of the dimension against the
+update batch — history rows pass through untouched with zero shuffle
+(a filter + union, not a join), and the typically-small update batch is
+broadcast when under the AQE threshold. A hash-compare column avoids
+comparing N attribute columns row-wise in the join condition.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _row_fingerprint(cols: Sequence[str]) -> F.Column:
+    """Engine-portable attribute fingerprint: md5 over '|'-joined stringified
+    attrs with a NULL sentinel (DuckDB twin: md5(concat_ws(...)))."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keyed diff of two snapshots → rows tagged ``change_type`` in
+    {'insert','update','delete'}; unchanged rows are dropped.
+
+    Output columns: key_cols + compare_cols (new values; old values for
+    deletes) + change_type. One full-outer shuffle join on the key; the
+    attribute comparison is a single fingerprint equality, not an N-column
+    predicate, so the join stays a cheap hash compare at any width.
+    """
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in key_cols]
+    )
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+        _row_fingerprint(compare_cols).alias("_old_fp"),
+    )
+    n = new.select(
+        *key_cols,
+        *compare_cols,
+        _row_fingerprint(compare_cols).alias("_new_fp"),
+    )
+    j = o.join(n, on=list(key_cols), how="full_outer")
+    change = (
+        F.when(F.col("_old_fp").isNull(), F.lit("insert"))
+        .when(F.col("_new_fp").isNull(), F.lit("delete"))
+        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("update"))
+    )
+    out_vals = [
+        F.when(F.col("_new_fp").isNull(), F.col(f"_old_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in compare_cols
+    ]
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, *out_vals, "change_type")
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    batch_ts,
+    eff_from: str = "eff_from",
+    eff_to: str = "eff_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Kimball SCD Type-2 merge.
+
+    ``dim`` carries key_cols + tracked_cols + (eff_from, eff_to, is_current);
+    ``updates`` carries key_cols + tracked_cols (the changed/new snapshot
+    batch). ``batch_ts`` (a literal or Column) stamps this batch's effective
+    boundary. Result:
+
+    - history rows (``is_current = false``): pass through UNTOUCHED — no
+      shuffle, a filter+union branch
+    - current rows with a differing update: closed (eff_to = batch_ts,
+      is_current = false) AND a new open row inserted
+    - current rows with an identical update (no attribute change): unchanged
+    - brand-new keys: inserted open
+    """
+    ts = batch_ts if isinstance(batch_ts, F.Column) else F.lit(batch_ts)
+    key_cols = list(key_cols)
+    tracked_cols = list(tracked_cols)
+    meta = [eff_from, eff_to, is_current]
+
+    history = dim.filter(~F.col(is_current))
+    current = dim.filter(F.col(is_current))
+
+    cur = current.withColumn("_fp", _row_fingerprint(tracked_cols))
+    upd = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
+        _row_fingerprint(tracked_cols).alias("_u_fp"),
+    )
+    j = cur.join(upd, on=key_cols, how="full_outer")
+
+    # current row, no matching update OR identical update → carry forward
+    carried = j.filter(
+        F.col("_fp").isNotNull()
+        & (F.col("_u_fp").isNull() | (F.col("_u_fp") == F.col("_fp")))
+    ).select(*key_cols, *tracked_cols, *meta)
+
+    # current row with a real change → close it
+    closed = j.filter(
+        F.col("_fp").isNotNull()
+        & F.col("_u_fp").isNotNull()
+        & (F.col("_u_fp") != F.col("_fp"))
+    ).select(
+        *key_cols,
+        *tracked_cols,
+        F.col(eff_from).alias(eff_from),
+        ts.alias(eff_to),
+        F.lit(False).alias(is_current),
+    )
+
+    # changed or brand-new key → open a fresh row
+    opened = j.filter(
+        F.col("_u_fp").isNotNull()
+        & (F.col("_fp").isNull() | (F.col("_u_fp") != F.col("_fp")))
+    ).select(
+        *key_cols,
+        *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
+        ts.alias(eff_from),
+        F.lit(None).cast(dim.schema[eff_to].dataType).alias(eff_to),
+        F.lit(True).alias(is_current),
+    )
+
+    return history.unionByName(carried).unionByName(closed).unionByName(opened)

@@ -62,6 +62,8 @@ _PRIORITY = [
     "inverted_index_terms",
     # New in round 3 — names appended here as each lands in the registry
     "s3_event_decode_docs",
+    "ingest_orc_docs",
+    "ingest_avro_docs",
 ]
 
 

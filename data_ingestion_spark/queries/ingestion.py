@@ -232,6 +232,90 @@ SELECT * FROM (VALUES
 """
 
 
+# --------------------------------------------------------------------------
+# ORC: native columnar ingest (rebuild extension; typed passthrough like JSON)
+# --------------------------------------------------------------------------
+def ingest_orc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def write_orc_fixture(path: str) -> None:
+        src = spark.createDataFrame(
+            [(1, "ann", 1.5), (2, "bob", None), (3, "cy", -0.25)],
+            "id: long, name: string, score: double",
+        )
+        tmp = path + ".dir"
+        src.coalesce(1).write.mode("overwrite").orc(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".orc"))
+        os.replace(os.path.join(tmp, part), path)
+
+    pipe = _run_pipeline(
+        spark,
+        {"uploads/metrics.orc": write_orc_fixture},
+        ["uploads/metrics.orc"],
+    )
+    out = pipe.sink.read_table("orc_data")
+    return out.select("id", "name", "score", "file_name").orderBy("id")
+
+
+INGEST_ORC_DOCS_SQL = """
+SELECT CAST(id AS BIGINT) AS id, name, CAST(score AS DOUBLE) AS score, file_name
+FROM (VALUES
+  (1, 'ann', 1.5,   'qbucket/uploads/metrics.orc'),
+  (2, 'bob', NULL,  'qbucket/uploads/metrics.orc'),
+  (3, 'cy',  -0.25, 'qbucket/uploads/metrics.orc')
+) t(id, name, score, file_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# Avro: pure-stdlib Object Container File ingest (rebuild extension)
+# --------------------------------------------------------------------------
+def ingest_avro_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.avro_source import write_avro_file
+
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    records = [
+        {"id": 1, "name": "ann", "score": 1.25, "tags": ["a", "b"]},
+        {"id": 2, "name": "bob", "score": None, "tags": []},
+        {"id": 3, "name": "cy", "score": -0.5, "tags": ["z"]},
+    ]
+    pipe = _run_pipeline(
+        spark,
+        {
+            "uploads/events.avro": (
+                lambda p: write_avro_file(p, schema, records, codec="deflate")
+            )
+        },
+        ["uploads/events.avro"],
+    )
+    out = pipe.sink.read_table("avro_data")
+    return out.select(
+        "id",
+        "name",
+        "score",
+        F.array_join("tags", ",").alias("tags_csv"),
+        "file_name",
+    ).orderBy("id")
+
+
+INGEST_AVRO_DOCS_SQL = """
+SELECT CAST(id AS BIGINT) AS id, name, CAST(score AS DOUBLE) AS score,
+       tags_csv, file_name
+FROM (VALUES
+  (1, 'ann', 1.25, 'a,b', 'qbucket/uploads/events.avro'),
+  (2, 'bob', NULL, '',    'qbucket/uploads/events.avro'),
+  (3, 'cy',  -0.5, 'z',   'qbucket/uploads/events.avro')
+) t(id, name, score, tags_csv, file_name)
+"""
+
+
 QUERIES: dict = {
     "ingest_csv_docs": (ingest_csv_docs, INGEST_CSV_DOCS_SQL),
     "ingest_json_docs": (ingest_json_docs, INGEST_JSON_DOCS_SQL),
@@ -239,4 +323,6 @@ QUERIES: dict = {
     "ingest_xml_docs": (ingest_xml_docs, INGEST_XML_DOCS_SQL),
     "ingest_excel_docs": (ingest_excel_docs, INGEST_EXCEL_DOCS_SQL),
     "ingest_audit_log": (ingest_audit_log, INGEST_AUDIT_LOG_SQL),
+    "ingest_orc_docs": (ingest_orc_docs, INGEST_ORC_DOCS_SQL),
+    "ingest_avro_docs": (ingest_avro_docs, INGEST_AVRO_DOCS_SQL),
 }

@@ -96,5 +96,9 @@ DEFAULT_RULES = RuleSet(
             "csv_no_headers_data",
             {"headers": ["name", "age", "email", "city"]},
         ),
+        # Rebuild extensions (columnar + Avro landings; no reference rule —
+        # its parser menu stops at xlsx, parser_adapter.rs:32-58)
+        IngestionConfigRule(r".*\.orc$", "orc_data"),
+        IngestionConfigRule(r".*\.avro$", "avro_data"),
     ]
 )
