@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text_functions import BPE_ISH_PATTERN
 from ..session import load_table
-from . import dedup, sampling, similarity, skew, temporal, text
+from . import cdc, dedup, sampling, similarity, skew, temporal, text
 
 # SQL fragments kept in lockstep with functions/text_functions.py
 _SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
@@ -1756,7 +1756,241 @@ FROM decoded GROUP BY status
 """
 
 
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup (text.paragraph_dedup)
+# ---------------------------------------------------------------------------
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style paragraph dedup with document reassembly. Each doc is
+    prefixed with two boilerplate paragraphs (lang tag, source tag) shared
+    by thousands of docs — the hot-hash skew case — plus its unique body;
+    only the first (doc_id, pos) occurrence of each paragraph survives.
+    Winner agg shuffles keys only; text moves in exactly one join."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_boiler = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.concat(F.lit("lang: "), F.col("lang")),
+            F.concat(F.lit("source: "), F.col("source")),
+            F.col("text"),
+        ).alias("t"),
+    )
+    out = text.paragraph_dedup(with_boiler, "doc_id", "t")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_paras",
+        "n_kept",
+        F.md5(F.col("text_dedup")).alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
+PARAGRAPH_DEDUP_DOCS_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         'lang: ' || lang || chr(10) || chr(10) ||
+         'source: ' || source || chr(10) || chr(10) || text AS t
+  FROM documents
+), exploded AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10)||chr(10))) AS para,
+         unnest(range(1, len(string_split(t, chr(10)||chr(10))) + 1)) - 1 AS pos
+  FROM src
+), paras AS (
+  SELECT doc_id, pos, para, md5(para) AS h
+  FROM exploded WHERE trim(para) <> ''
+), win AS (
+  SELECT h, min(row(doc_id, pos)) AS w FROM paras GROUP BY h
+), kept AS (
+  SELECT p.doc_id, p.pos, p.para,
+         (row(p.doc_id, p.pos) = win.w) AS keep
+  FROM paras p JOIN win USING (h)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       md5(coalesce(
+         string_agg(CASE WHEN keep THEN para END, chr(10)||chr(10) ORDER BY pos),
+         '')) AS dedup_md5
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC: snapshot diff + SCD Type-2 merge (operators/cdc.py)
+# ---------------------------------------------------------------------------
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-CDC delta between two deterministic snapshots of customer:
+    today's snapshot drops custkey%10==0 (deletes), bumps acctbal by 100
+    where custkey%7==0 (updates), and adds custkey+900000 clones where
+    custkey%50==0 (inserts). One full-outer hash join on the key; attr
+    comparison is a single md5 fingerprint."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    old = cust
+    base = cust.filter(F.col("c_custkey") % 10 != 0)
+    updated = base.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % 50 == 0)
+        .select(
+            (F.col("c_custkey") + 900000).alias("c_custkey"),
+            "c_mktsegment",
+            "c_acctbal",
+        )
+    )
+    new = updated.unionByName(inserts)
+    out = cdc.snapshot_diff(old, new, ["c_custkey"], ["c_mktsegment", "c_acctbal"])
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        "change_type",
+    ).orderBy("c_custkey", "change_type")
+
+
+SNAPSHOT_DIFF_CUSTOMERS_SQL = """
+WITH old AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+), new AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer WHERE c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey + 900000, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 50 = 0
+), j AS (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_mktsegment AS om, o.c_acctbal AS ob,
+         n.c_mktsegment AS nm, n.c_acctbal AS nb,
+         (o.c_custkey IS NOT NULL) AS has_old,
+         (n.c_custkey IS NOT NULL) AS has_new
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN has_new THEN nm ELSE om END AS c_mktsegment,
+       floor((CASE WHEN has_new THEN nb ELSE ob END) * 100 + 0.5)::BIGINT
+         AS acctbal_cents,
+       CASE WHEN NOT has_old THEN 'insert'
+            WHEN NOT has_new THEN 'delete'
+            WHEN om <> nm OR ob <> nb THEN 'update' END AS change_type
+FROM j
+WHERE (NOT has_old) OR (NOT has_new) OR om <> nm OR ob <> nb
+ORDER BY c_custkey, change_type
+"""
+
+
+def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball SCD Type-2 merge on the customer dimension. Seed dim =
+    current snapshot (eff 0..null) plus pre-existing history rows for
+    custkey%11==0; the update batch changes acctbal for custkey%5==0,
+    replays identical rows for custkey%5==1 (must NOT open new versions),
+    and lands brand-new keys (+900000 for custkey%50==0). History rows
+    pass through with zero shuffle; only the current slice joins the batch."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("eff_from"),
+        F.lit(None).cast("long").alias("eff_to"),
+        F.lit(True).alias("is_current"),
+    )
+    history = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        F.lit("OLDSEG").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit(-1).cast("long").alias("eff_from"),
+        F.lit(0).cast("long").alias("eff_to"),
+        F.lit(False).alias("is_current"),
+    )
+    dim = current.unionByName(history)
+    updates = (
+        cust.filter(F.col("c_custkey") % 5 <= 1)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 900000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    out = cdc.scd2_apply(
+        dim,
+        updates,
+        ["c_custkey"],
+        ["c_mktsegment", "c_acctbal"],
+        batch_ts=F.lit(1).cast("long"),
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        "eff_from",
+        F.coalesce(F.col("eff_to"), F.lit(-999)).alias("eff_to"),
+        "is_current",
+    ).orderBy("c_custkey", "eff_from", "is_current")
+
+
+SCD2_CUSTOMERS_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+), history AS (                      -- untouched passthrough
+  SELECT c_custkey, 'OLDSEG' AS c_mktsegment, 0.0 AS c_acctbal,
+         -1::BIGINT AS eff_from, 0::BIGINT AS eff_to, false AS is_current
+  FROM cust WHERE c_custkey % 11 = 0
+), carried AS (                      -- no update, or identical replay
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         0::BIGINT AS eff_from, NULL::BIGINT AS eff_to, true AS is_current
+  FROM cust WHERE c_custkey % 5 <> 0
+), closed AS (                       -- changed: old version closed at ts=1
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         0::BIGINT, 1::BIGINT, false
+  FROM cust WHERE c_custkey % 5 = 0
+), opened AS (                       -- changed: new version opened at ts=1
+  SELECT c_custkey, c_mktsegment, c_acctbal + 100,
+         1::BIGINT, NULL::BIGINT, true
+  FROM cust WHERE c_custkey % 5 = 0
+), inserted AS (                     -- brand-new keys
+  SELECT c_custkey + 900000, 'NEWSEG', 0.0, 1::BIGINT, NULL::BIGINT, true
+  FROM cust WHERE c_custkey % 50 = 0
+), unioned AS (
+  SELECT * FROM history UNION ALL SELECT * FROM carried
+  UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM opened
+  UNION ALL SELECT * FROM inserted
+)
+SELECT c_custkey, c_mktsegment,
+       floor(c_acctbal * 100 + 0.5)::BIGINT AS acctbal_cents,
+       eff_from, coalesce(eff_to, -999) AS eff_to, is_current
+FROM unioned ORDER BY c_custkey, eff_from, is_current
+"""
+
+
 QUERIES: dict = {
+    "paragraph_dedup_docs": (paragraph_dedup_docs, PARAGRAPH_DEDUP_DOCS_SQL),
+    "snapshot_diff_customers": (
+        snapshot_diff_customers,
+        SNAPSHOT_DIFF_CUSTOMERS_SQL,
+    ),
+    "scd2_customers": (scd2_customers, SCD2_CUSTOMERS_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
     "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_DOCS_SQL),

@@ -520,3 +520,69 @@ def inverted_index(
         )
         .select("term", F.col("df_docs").cast("long").alias("df_docs"), "postings")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup with document reassembly —
+    the C4/Dolma preprocessing stage that strips boilerplate paragraphs
+    (nav bars, cookie banners, license footers) repeated across millions of
+    pages while each document keeps its unique prose.
+
+    Winner rule (deterministic, engine-replayable): a paragraph survives
+    only in its first occurrence, ordered by (id, position) — every other
+    copy corpus-wide is dropped. Empty/whitespace-only paragraphs are
+    dropped everywhere.
+
+    Scale shape: [shuffle 1] winner min-agg on the 16-byte paragraph hash,
+    KEYS ONLY (id+pos+hash — paragraph text never enters the agg, and min
+    combines map-side so a billion-copy cookie banner reduces per-partition
+    before the exchange); [shuffle 2] exploded paragraphs join winners on
+    the hash — the only stage that moves text, once; AQE skew-join splits
+    the hot-hash partitions that boilerplate creates. [shuffle 3] per-doc
+    reassembly agg on id. No sort is global; no stage holds more than one
+    document's paragraphs in a row.
+
+    Output: (id, n_paras, n_kept, text_dedup) — docs whose every paragraph
+    was claimed elsewhere surface with n_kept = 0 and empty text.
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.trim(F.col("para")) != "")
+        .select("id", "pos", "para", F.md5(F.col("para")).alias("h"))
+    )
+    winners = (
+        paras.select("id", "pos", "h")
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+    )
+    kept = (
+        paras.join(winners, "h")
+        .withColumn("_keep", F.struct("id", "pos") == F.col("w"))
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s.para,
+                ),
+                sep,
+            ).alias("text_dedup"),
+        )
+        .select("id", "n_paras", "n_kept", "text_dedup")
+    )

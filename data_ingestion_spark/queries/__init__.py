@@ -64,6 +64,9 @@ _PRIORITY = [
     "s3_event_decode_docs",
     "ingest_orc_docs",
     "ingest_avro_docs",
+    "paragraph_dedup_docs",
+    "snapshot_diff_customers",
+    "scd2_customers",
 ]
 
 

@@ -708,3 +708,85 @@ def test_gapfill_locf_planted(spark):
     b3 = out[(1, day + 3 * 21600)]
     assert b3["n_events"] == 1 and b3["filled_sum"] == 7.0
     assert out[(2, day + 21600)]["filled_sum"] == 1.0
+
+
+def test_snapshot_diff_planted(spark):
+    from data_ingestion_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k: long, seg: string, bal: double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)], "k: long, seg: string, bal: double"
+    )
+    out = {
+        r["k"]: r
+        for r in cdc.snapshot_diff(old, new, ["k"], ["seg", "bal"]).collect()
+    }
+    assert set(out) == {2, 3, 4}  # 1 unchanged → absent
+    assert out[2]["change_type"] == "update" and out[2]["bal"] == 25.0
+    assert out[3]["change_type"] == "delete" and out[3]["bal"] == 30.0  # old values
+    assert out[4]["change_type"] == "insert" and out[4]["seg"] == "d"
+
+
+def test_scd2_apply_planted(spark):
+    from data_ingestion_spark.operators import cdc
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", 0, 5, False),   # history: untouched
+            (1, "b", 5, None, True),  # current, will change
+            (2, "x", 0, None, True),  # current, identical replay → untouched
+            (3, "y", 0, None, True),  # current, no update → untouched
+        ],
+        "k: long, seg: string, eff_from: long, eff_to: long, is_current: boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "c"), (2, "x"), (9, "new")], "k: long, seg: string"
+    )
+    rows = sorted(
+        (r["k"], r["seg"], r["eff_from"], r["eff_to"], r["is_current"])
+        for r in cdc.scd2_apply(dim, updates, ["k"], ["seg"], batch_ts=7).collect()
+    )
+    assert rows == [
+        (1, "a", 0, 5, False),      # history passthrough
+        (1, "b", 5, 7, False),      # closed at batch ts
+        (1, "c", 7, None, True),    # new version opened
+        (2, "x", 0, None, True),    # identical replay: no new version
+        (3, "y", 0, None, True),    # untouched
+        (9, "new", 7, None, True),  # brand-new key
+    ]
+
+
+def test_scd2_null_attribute_fingerprint(spark):
+    """NULL vs 'null' string and NULL vs absent must not collide."""
+    from data_ingestion_spark.operators import cdc
+
+    dim = spark.createDataFrame(
+        [(1, None, 0, None, True)],
+        "k: long, seg: string, eff_from: long, eff_to: long, is_current: boolean",
+    )
+    updates = spark.createDataFrame([(1, "null")], "k: long, seg: string")
+    out = cdc.scd2_apply(dim, updates, ["k"], ["seg"], batch_ts=3).collect()
+    # NULL → 'null' is a REAL change: closed + opened = 2 rows
+    assert len(out) == 2
+
+
+def test_paragraph_dedup_planted(spark):
+    from data_ingestion_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared\n\nunique one"),
+            (2, "shared\n\nunique two\n\n"),   # trailing empty para dropped
+            (3, "shared\n\nunique one"),        # body already claimed by doc 1
+        ],
+        "id: long, t: string",
+    )
+    out = {r["id"]: r for r in text_ops.paragraph_dedup(docs, "id", "t").collect()}
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == "shared\n\nunique one"
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "unique two"
+    assert out[3]["n_paras"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["text_dedup"] == ""
