@@ -89,6 +89,10 @@ HEADLINE = [
     "dq_checks_star_schema",
     "skew_salted_join_events",
     "s3_event_decode_docs",
+    # round 3 additions
+    "paragraph_dedup_docs",
+    "snapshot_diff_customers",
+    "scd2_customers",
 ]
 
 

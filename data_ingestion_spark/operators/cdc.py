@@ -112,7 +112,7 @@ def scd2_apply(
     ts = batch_ts if isinstance(batch_ts, F.Column) else F.lit(batch_ts)
     key_cols = list(key_cols)
     tracked_cols = list(tracked_cols)
-    meta = [eff_from, eff_to, is_current]
+    end_type = dim.schema[eff_to].dataType
 
     history = dim.filter(~F.col(is_current))
     current = dim.filter(F.col(is_current))
@@ -123,37 +123,40 @@ def scd2_apply(
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
         _row_fingerprint(tracked_cols).alias("_u_fp"),
     )
+    # ONE full-outer join; each key then emits its 1-2 output rows through
+    # an array+explode, so the big dimension is scanned and shuffled exactly
+    # once. (Post-filtering three separate branches instead lets Catalyst
+    # specialize each into its own join — three scans of the dimension.)
     j = cur.join(upd, on=key_cols, how="full_outer")
 
-    # current row, no matching update OR identical update → carry forward
-    carried = j.filter(
-        F.col("_fp").isNotNull()
-        & (F.col("_u_fp").isNull() | (F.col("_u_fp") == F.col("_fp")))
-    ).select(*key_cols, *tracked_cols, *meta)
+    def row(vals, start, end, flag):
+        return F.struct(
+            *[v.alias(c) for c, v in zip(tracked_cols, vals)],
+            start.alias(eff_from),
+            end.alias(eff_to),
+            flag.alias(is_current),
+        )
 
-    # current row with a real change → close it
-    closed = j.filter(
-        F.col("_fp").isNotNull()
-        & F.col("_u_fp").isNotNull()
-        & (F.col("_u_fp") != F.col("_fp"))
-    ).select(
-        *key_cols,
-        *tracked_cols,
-        F.col(eff_from).alias(eff_from),
-        ts.alias(eff_to),
-        F.lit(False).alias(is_current),
+    old_vals = [F.col(c) for c in tracked_cols]
+    new_vals = [F.col(f"_u_{c}") for c in tracked_cols]
+    carried = row(old_vals, F.col(eff_from), F.col(eff_to), F.lit(True))
+    closed = row(old_vals, F.col(eff_from), ts.cast(end_type), F.lit(False))
+    opened = row(
+        new_vals,
+        ts.cast(dim.schema[eff_from].dataType),
+        F.lit(None).cast(end_type),
+        F.lit(True),
     )
-
-    # changed or brand-new key → open a fresh row
-    opened = j.filter(
-        F.col("_u_fp").isNotNull()
-        & (F.col("_fp").isNull() | (F.col("_u_fp") != F.col("_fp")))
-    ).select(
-        *key_cols,
-        *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
-        ts.alias(eff_from),
-        F.lit(None).cast(dim.schema[eff_to].dataType).alias(eff_to),
-        F.lit(True).alias(is_current),
+    rows = (
+        F.when(F.col("_fp").isNull(), F.array(opened))  # brand-new key
+        .when(
+            F.col("_u_fp").isNull() | (F.col("_u_fp") == F.col("_fp")),
+            F.array(carried),  # no update, or identical replay
+        )
+        .otherwise(F.array(closed, opened))  # real change
     )
-
-    return history.unionByName(carried).unionByName(closed).unionByName(opened)
+    merged = (
+        j.select(*key_cols, F.explode(rows).alias("_r"))
+        .select(*key_cols, "_r.*")
+    )
+    return history.unionByName(merged)

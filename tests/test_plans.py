@@ -442,3 +442,42 @@ def test_global_sort_is_range_partitioned(spark):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "rangepartitioning" in plan.lower(), plan[:600]
     assert "SinglePartition" not in plan
+
+
+def test_paragraph_dedup_winner_agg_carries_no_text(spark):
+    """paragraph_dedup's winner aggregation must shuffle (hash, id, pos)
+    only — paragraph TEXT may cross the wire exactly once, in the
+    paras-to-winners join, never through the min-agg exchange (a
+    billion-copy boilerplate paragraph must partial-aggregate map-side to
+    one struct per partition)."""
+    plan = plan_of(spark, "paragraph_dedup_docs")
+    nodes = plan.split("\n\n")
+    agg_exchanges = [
+        n
+        for n in nodes
+        if "Exchange hashpartitioning(h#" in n and "HashAggregate" not in n
+    ]
+    # find the exchange feeding the winner HashAggregate: partitioned on the
+    # md5 hash, input must be the partial min(struct) — no para column
+    partial_min = [n for n in nodes if "partial_min" in n]
+    assert partial_min, "winner agg must combine map-side (partial_min)"
+    for node in partial_min:
+        assert "para#" not in node.split("Input")[-1], node
+
+
+def test_scd2_history_passthrough_no_join(spark):
+    """SCD2's history branch (is_current = false) must be a filter+union
+    passthrough — only the current slice may enter the merge join. The
+    full-outer join on the key must appear exactly once in the plan."""
+    plan = plan_of(spark, "scd2_customers")
+    assert plan.count("Join type: FullOuter") == 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_snapshot_diff_single_join_fingerprint_compare(spark):
+    """snapshot_diff is ONE full-outer hash join; the change classification
+    compares two md5 fingerprints, not N attribute columns, so the join
+    condition stays a pure key equality."""
+    plan = plan_of(spark, "snapshot_diff_customers")
+    assert plan.count("Join type: FullOuter") == 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
