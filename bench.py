@@ -173,7 +173,11 @@ def main() -> None:
     if prev_file:
         try:
             with open(prev_file) as fh:
-                prev_queries = json.load(fh).get("queries", {})
+                doc = json.load(fh)
+            # driver-recorded rounds nest the bench line under "parsed"
+            prev_queries = (
+                doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
+            )
         except (OSError, json.JSONDecodeError):
             prev_queries = {}
     regressions = {

@@ -31,10 +31,15 @@ from pyspark.sql import functions as F
 
 
 def _row_fingerprint(cols: Sequence[str]) -> F.Column:
-    """Engine-portable attribute fingerprint: md5 over '|'-joined stringified
-    attrs with a NULL sentinel (DuckDB twin: md5(concat_ws(...)))."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
-    return F.md5(F.concat_ws("|", *parts))
+    """Attribute fingerprint: md5 of concatenated PER-COLUMN md5s (fixed
+    32-hex parts make the concat injective — no separator-ambiguity when a
+    value itself contains the join character), with a NULL marker distinct
+    from any hex digest. Oracle SQL twins replicate the classification
+    logic, not this hash, so only Spark-internal stability matters."""
+    parts = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL")) for c in cols
+    ]
+    return F.md5(F.concat(*parts) if len(parts) > 1 else parts[0])
 
 
 def snapshot_diff(

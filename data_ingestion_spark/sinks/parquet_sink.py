@@ -89,3 +89,68 @@ def write_partitioned(
         writer.parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction — rewrite a table directory into files sized
+    for scan efficiency.
+
+    Streaming/micro-batch appends (the ingest loop writes one batch per
+    trigger) accumulate thousands of KB-scale files; at 100 TB that turns
+    every scan into a file-listing + task-scheduling storm (one Spark task
+    per tiny file) and wrecks HDFS/S3 metadata. Compaction is the standard
+    counter-move: read the table, coalesce to ceil(bytes / target) files,
+    rewrite atomically (write to a sibling temp dir, then swap) so readers
+    never see a half-written table.
+
+    ``cluster_by`` additionally range-partitions + sorts the rewrite on the
+    given columns (one shuffle) so every future range/equality predicate on
+    them page-skips via parquet min/max stats.
+
+    Returns {"files_before", "files_after", "bytes", "rows"}.
+    """
+    import math
+    import shutil
+
+    def _data_files(d: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(d):
+            out += [
+                os.path.join(root, f)
+                for f in files
+                if not f.startswith((".", "_"))
+            ]
+        return out
+
+    before = _data_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.option("mergeSchema", True).format(fmt).load(path)
+    rows = df.count()
+    tmp = path.rstrip("/") + ".compact_tmp"
+    if cluster_by:
+        # clustered rewrite: one range shuffle buys min/max page skipping
+        # on cluster_by for every future scan of the compacted table
+        out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        # coalesce (not repartition): narrowing to n_files needs no shuffle
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").format(fmt).save(tmp)
+    old = path.rstrip("/") + ".compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes": total_bytes,
+        "rows": rows,
+    }

@@ -790,3 +790,14 @@ def test_paragraph_dedup_planted(spark):
     assert out[2]["text_dedup"] == "unique two"
     assert out[3]["n_paras"] == 2 and out[3]["n_kept"] == 0
     assert out[3]["text_dedup"] == ""
+
+
+def test_fingerprint_separator_injection_safe(spark):
+    """('a|b','c') and ('a','b|c') must not collide — per-column md5s keep
+    the fingerprint injective under separator-containing values."""
+    from data_ingestion_spark.operators import cdc
+
+    old = spark.createDataFrame([(1, "a|b", "c")], "k: long, x: string, y: string")
+    new = spark.createDataFrame([(1, "a", "b|c")], "k: long, x: string, y: string")
+    out = cdc.snapshot_diff(old, new, ["k"], ["x", "y"]).collect()
+    assert len(out) == 1 and out[0]["change_type"] == "update"

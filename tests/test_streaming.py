@@ -434,3 +434,74 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     assert by_window[10] == 2
     # and the 12:00 window closed in run 2 (watermark moved past 13:00)
     assert by_window.get(12) == 1
+
+
+def test_ingest_stream_handles_avro_landing(spark, tmp_path):
+    """A binary .avro container landing in the watched dir routes through
+    the dispatch like any text format — the stream loop must not assume
+    UTF-8 payloads."""
+    from data_ingestion_spark.sources.avro_source import write_avro_file
+
+    b = tmp_path / "landing" / "stream-bucket"
+    (b / "uploads").mkdir(parents=True)
+    write_avro_file(
+        str(b / "uploads" / "ev.avro"),
+        {
+            "type": "record",
+            "name": "E",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "tag", "type": "string"},
+            ],
+        },
+        [{"k": 1, "tag": "x"}, {"k": 2, "tag": "y"}],
+        codec="deflate",
+    )
+    pipe = IngestionPipeline(
+        spark, warehouse_dir=str(tmp_path / "wh"), base_dir=str(tmp_path / "landing")
+    )
+    loop = IngestionStreamLoop(
+        pipe, str(tmp_path / "landing"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    results = loop.run_available()
+    assert {r.file_name: r.rows for r in results} == {
+        "stream-bucket/uploads/ev.avro": 2
+    }
+    got = pipe.sink.read_table("avro_data")
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+
+def test_compact_table_rewrites_small_files(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from data_ingestion_spark.sinks.parquet_sink import compact_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    # simulate micro-batch append storm: 20 appends x 4 partitions each
+    for i in range(20):
+        df.filter((F.col("k") % 20) == i).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    stats = compact_table(spark, path, target_file_mb=128)
+    assert stats["files_before"] >= 60
+    assert stats["files_after"] == 1  # well under one 128MB target
+    assert stats["rows"] == 1000
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert got.agg(F.sum("k")).collect()[0][0] == 499500
+
+
+def test_compact_table_clustered(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from data_ingestion_spark.sinks.parquet_sink import compact_table
+
+    path = str(tmp_path / "tc")
+    spark.range(0, 500).withColumnRenamed("id", "k").repartition(8).write.parquet(path)
+    stats = compact_table(spark, path, target_file_mb=128, cluster_by=["k"])
+    assert stats["files_after"] == 1 and stats["rows"] == 500
+    got = spark.read.parquet(path)
+    # clustered rewrite preserves values and sorts within the single file
+    vals = [r["k"] for r in got.collect()]
+    assert sorted(vals) == list(range(500))
