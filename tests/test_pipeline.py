@@ -193,3 +193,50 @@ def test_register_parser_unknown_still_rejected(spark, tmp_path):
     p.write_text("x")
     with pytest.raises(ParseError, match="Unsupported file type"):
         dispatch.parse_file(spark, str(p))
+
+
+def test_register_parser_plugin_python_udtf(spark, tmp_path):
+    """Parser plug-in via a Python UDTF (Spark 4's table function surface) —
+    the sanctioned slow path for genuinely irregular formats where one
+    input line explodes into a variable number of typed rows. A syslog-ish
+    '.applog' format: 'LEVEL ts key=val key=val ...' where each key=val
+    becomes its own row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    from data_ingestion_spark.sources import dispatch
+
+    @udtf(returnType="level: string, ts: string, k: string, v: string")
+    class ExplodeAppLog:
+        def eval(self, line: str):
+            if not line or not line.strip():
+                return
+            head, *pairs = line.split()
+            level, _, ts = head.partition("|")
+            for p in pairs:
+                k, _, v = p.partition("=")
+                yield (level, ts, k, v)
+
+    def read_applog(spark, path, parser_config=None):
+        spark.udtf.register("explode_applog", ExplodeAppLog)
+        lines = spark.read.text(path)
+        return spark.sql(
+            "SELECT t.* FROM {lines} AS f, LATERAL explode_applog(f.value) t",
+            lines=lines,
+        )
+
+    p = tmp_path / "svc.applog"
+    p.write_text(
+        "ERROR|2024-01-01T00:00:00 code=500 route=/api\n"
+        "INFO|2024-01-01T00:00:01 code=200\n"
+    )
+    try:
+        dispatch.register_parser("applog", read_applog)
+        out = dispatch.parse_file(spark, str(p)).orderBy("ts", "k").collect()
+        assert [(r["level"], r["k"], r["v"]) for r in out] == [
+            ("ERROR", "code", "500"),
+            ("ERROR", "route", "/api"),
+            ("INFO", "code", "200"),
+        ]
+    finally:
+        dispatch.PARSERS.pop("applog", None)
