@@ -93,6 +93,7 @@ HEADLINE = [
     "paragraph_dedup_docs",
     "snapshot_diff_customers",
     "scd2_customers",
+    "semantic_dedup_embeddings",
 ]
 
 

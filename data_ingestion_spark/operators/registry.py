@@ -1987,8 +1987,67 @@ FROM unioned ORDER BY c_custkey, eff_from, is_current
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-bounded cosine (similarity.semantic_dedup)
+# ---------------------------------------------------------------------------
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup summary: vectors assigned to 8 deterministic
+    centroid lists; a vector drops iff a lower-id cluster-mate has cosine
+    ≥ 0.3. Output (list_id, n_vectors, n_dropped) — the oracle replays
+    assignment AND the greedy drop rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists=8)
+    assigned, dropped = similarity.semantic_dedup(
+        emb, cents, id_col="vec_id", vec_col="embedding", threshold_micro=300000
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("_d", F.lit(1)).select("vec_id", "_d"),
+            "vec_id",
+            "left",
+        )
+        .groupBy(F.col("list_id").cast("long").alias("list_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0))).cast("long").alias("n_dropped"),
+        )
+        .orderBy("list_id")
+    )
+
+
+SEMANTIC_DEDUP_EMBEDDINGS_SQL = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+), assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC
+           ) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) * 1e6 + 0.5) >= 300000
+)
+SELECT a.cid::BIGINT AS list_id, count(*)::BIGINT AS n_vectors,
+       count(d.vec_id)::BIGINT AS n_dropped
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+GROUP BY a.cid ORDER BY list_id
+"""
+
+
 QUERIES: dict = {
     "paragraph_dedup_docs": (paragraph_dedup_docs, PARAGRAPH_DEDUP_DOCS_SQL),
+    "semantic_dedup_embeddings": (
+        semantic_dedup_embeddings,
+        SEMANTIC_DEDUP_EMBEDDINGS_SQL,
+    ),
     "snapshot_diff_customers": (
         snapshot_diff_customers,
         SNAPSHOT_DIFF_CUSTOMERS_SQL,

@@ -445,3 +445,52 @@ def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             F.floor(cov * F.lit(1e6) + F.lit(0.5)).cast("long").alias("cov_micro"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_micro: int = 300000,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings and dropping near-identical vectors WITHIN each
+    cluster, keeping one representative per ε-ball.
+
+    Determinized for oracle replay: assignment is nearest-centroid by inner
+    product (idx tie-break, identical to ivf_assign); within a cluster a
+    vector is DROPPED iff some lower-id cluster-mate has cosine ≥ threshold
+    (greedy keep-lowest-id — the paper keeps a random member; lowest-id is
+    the reproducible choice). Threshold compares integer micro-units via
+    floor(cos·1e6 + 0.5) so both engines make the same boundary call.
+
+    Scale shape: assignment is a narrow broadcast-literal map (k×dim
+    floats); pairing is a list_id equi-join whose fan-out is bounded by
+    cluster size — the paper's own cost model: k grows with the corpus so
+    n/k stays fixed, and the join never degenerates to corpus-all-pairs.
+    Vectors cross the shuffle once per join side (no band-explode
+    multiplication). AQE splits skewed clusters.
+
+    Returns (assigned, dropped): assigned = df + list_id; dropped =
+    (list_id, id) rows that lost to a lower-id near-duplicate.
+    """
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, n_probe=1)
+    a = assigned.select(
+        "list_id", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "list_id", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long")
+            >= F.lit(int(threshold_micro))
+        )
+        .select("list_id", F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return assigned, dropped

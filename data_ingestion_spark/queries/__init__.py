@@ -67,6 +67,7 @@ _PRIORITY = [
     "paragraph_dedup_docs",
     "snapshot_diff_customers",
     "scd2_customers",
+    "semantic_dedup_embeddings",
 ]
 
 

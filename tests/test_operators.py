@@ -801,3 +801,26 @@ def test_fingerprint_separator_injection_safe(spark):
     new = spark.createDataFrame([(1, "a", "b|c")], "k: long, x: string, y: string")
     out = cdc.snapshot_diff(old, new, ["k"], ["x", "y"]).collect()
     assert len(out) == 1 and out[0]["change_type"] == "update"
+
+
+def test_semantic_dedup_planted(spark):
+    """Two clusters; within cluster 0 vectors 1 and 2 are near-identical
+    (cos≈1) so id 2 drops; vector 5 in cluster 1 is alone. Greedy
+    keep-lowest-id representative."""
+    from data_ingestion_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),   # near-dup of 1 → dropped
+        (3, [0.6, -0.6]),     # cluster 0 but dissimilar → kept
+        (5, [0.0, 1.0]),      # cluster 1, alone → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    assigned, dropped = similarity.semantic_dedup(
+        df, cents, threshold_micro=900000
+    )
+    d = {(r["list_id"], r["vec_id"]) for r in dropped.collect()}
+    assert d == {(0, 2)}
+    a = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    assert a == {1: 0, 2: 0, 3: 0, 5: 1}
