@@ -1,0 +1,267 @@
+"""Driver-contract registry, part 2: layout, retrieval, and
+distribution-QC extension operators (round 3 additions).
+
+Same contract as registry.py: name → (spark_fn, oracle_sql), every oracle
+an exact ANSI/DuckDB twin of the Spark expression — including the Bloom
+filter and Morton interleave, which are replayed bit-for-bit in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from . import layout, stats, text
+
+_SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
+
+# --------------------------------------------------------------------------
+# BM25 retrieval
+# --------------------------------------------------------------------------
+_BM25_TERMS = ["hash", "join", "window"]
+_BM25_K = 10
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the query {hash, join, window} — see
+    text.bm25_topk for the scale/parity design."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    # Constants interpolated from the SAME Python doubles the Spark side
+    # folds in (repr() round-trips exactly), so both engines share every
+    # literal bit-for-bit.
+    k1 = repr(float(_BM25_K1))
+    k1p1 = repr(float(_BM25_K1) + 1.0)
+    b = repr(float(_BM25_B))
+    one_minus_b = repr(1.0 - float(_BM25_B))
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), st AS (
+  SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE AS sum_dl FROM base
+), hits AS (
+  SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM base
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM hits WHERE term IN ({terms}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         floor(
+           ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * {k1p1}::DOUBLE)
+           / (tf.tf + {k1}::DOUBLE
+              * ({one_minus_b}::DOUBLE
+                 + {b}::DOUBLE * tf.dl::DOUBLE / (st.sum_dl / st.n)))
+           * 1e6 + 0.5
+         )::BIGINT AS c_micro
+  FROM tf JOIN dfreq USING (term), st
+)
+SELECT doc_id, sum(c_micro)::BIGINT AS score_micro,
+       count(*)::BIGINT AS n_terms_hit
+FROM scored GROUP BY 1
+ORDER BY score_micro DESC, doc_id ASC LIMIT {_BM25_K}
+"""
+
+
+BM25_TOPK_DOCS_SQL = _bm25_oracle()
+
+
+# --------------------------------------------------------------------------
+# Z-order layout stats
+# --------------------------------------------------------------------------
+_Z_BUCKET_BITS = 6
+
+
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket min/max envelopes of a Z-ordered (user_id, value) layout
+    of events — the file-skipping index an OPTIMIZE ZORDER writer emits.
+    Normalization bounds are the table's min/max (4-value driver metadata,
+    like tfidf's N literal)."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(
+        F.min("user_id").alias("xlo"),
+        F.max("user_id").alias("xhi"),
+        F.min("value").alias("ylo"),
+        F.max("value").alias("yhi"),
+    ).first()
+    return layout.zorder_bucket_stats(
+        ev,
+        "user_id",
+        "value",
+        (float(r["xlo"]), float(r["xhi"])),
+        (float(r["ylo"]), float(r["yhi"])),
+        bucket_bits=_Z_BUCKET_BITS,
+    ).orderBy("bucket")
+
+
+def _zorder_oracle() -> str:
+    gb = layout.GRID_BITS
+    gmax = (1 << gb) - 1
+    # Morton interleave written out as the same OR-of-shifts the Spark
+    # expression builds (x even bits, y odd bits).
+    parts = []
+    for i in range(gb):
+        parts.append(f"(((gx >> {i}) & 1) << {2 * i})")
+        parts.append(f"(((gy >> {i}) & 1) << {2 * i + 1})")
+    morton = " | ".join(parts)
+    shift = 2 * gb - _Z_BUCKET_BITS
+    return f"""
+WITH b AS (
+  SELECT min(user_id)::DOUBLE AS xlo, max(user_id)::DOUBLE AS xhi,
+         min(value)::DOUBLE  AS ylo, max(value)::DOUBLE  AS yhi
+  FROM events
+), g AS (
+  SELECT
+    greatest(0, least({gmax},
+      floor((user_id::DOUBLE - b.xlo) * ({gmax}.0::DOUBLE / (b.xhi - b.xlo)))::BIGINT)) AS gx,
+    greatest(0, least({gmax},
+      floor((value::DOUBLE - b.ylo) * ({gmax}.0::DOUBLE / (b.yhi - b.ylo)))::BIGINT)) AS gy
+  FROM events, b
+), z AS (
+  SELECT gx, gy, ({morton}) AS z FROM g
+)
+SELECT (z >> {shift})::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+       min(gx)::BIGINT AS gx_min, max(gx)::BIGINT AS gx_max,
+       min(gy)::BIGINT AS gy_min, max(gy)::BIGINT AS gy_max
+FROM z GROUP BY 1
+"""
+
+
+ZORDER_LAYOUT_EVENTS_SQL = _zorder_oracle()
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning
+# --------------------------------------------------------------------------
+_BLOOM_M = 256
+_BLOOM_K = 3
+_BLOOM_ACCTBAL = 7000.0
+
+
+def bloom_prune_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prune events against rich customers (c_acctbal > 7000), then
+    verify with the real join: one summary row
+    (n_probe, n_pass_bloom, n_true_match, n_false_pos).
+
+    The bitmap is ≤256 bits of driver metadata broadcast into the probe
+    scan (layout.bloom_bitmap); at 100 TB the pruned rows never reach the
+    join exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_acctbal") > F.lit(_BLOOM_ACCTBAL)).select(
+        F.col("c_custkey").alias("k")
+    )
+    bitmap = layout.bloom_bitmap(build, "k", _BLOOM_M, _BLOOM_K)
+    passed = layout.bloom_prune_probe(ev, "user_id", bitmap, _BLOOM_M, _BLOOM_K)
+    summary = (
+        passed.join(build.distinct(), passed["user_id"] == F.col("k"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_pass_bloom"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias(
+                "n_true_match"
+            ),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_false_pos"),
+        )
+    )
+    n_probe = ev.agg(F.count(F.lit(1)).alias("n_probe"))
+    return n_probe.crossJoin(summary).select(
+        "n_probe", "n_pass_bloom", "n_true_match", "n_false_pos"
+    )
+
+
+def _bloom_hash_sql(j: int, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5('bloom{j}:' || ({key})::VARCHAR), 1, 15))::BIGINT"
+        f" % {_BLOOM_M})"
+    )
+
+
+def _bloom_oracle() -> str:
+    build_pos = " UNION ".join(
+        f"SELECT {_bloom_hash_sql(j, 'k')} AS pos FROM build"
+        for j in range(_BLOOM_K)
+    )
+    probe_checks = " AND ".join(
+        f"{_bloom_hash_sql(j, 'user_id')} IN (SELECT pos FROM pos)"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > {_BLOOM_ACCTBAL!r}
+), pos AS (
+  {build_pos}
+), pass AS (
+  SELECT user_id FROM events WHERE {probe_checks}
+)
+SELECT (SELECT count(*) FROM events)::BIGINT AS n_probe,
+       count(*)::BIGINT AS n_pass_bloom,
+       sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_true_match,
+       sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_false_pos
+FROM pass LEFT JOIN build b ON pass.user_id = b.k
+"""
+
+
+BLOOM_PRUNE_JOIN_EVENTS_SQL = _bloom_oracle()
+
+
+# --------------------------------------------------------------------------
+# Per-user anomaly z-scores
+# --------------------------------------------------------------------------
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >2 population std-devs from their user's
+    mean — see stats.zscore_outliers for the integer-exact parity design."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.zscore_outliers(
+        ev, "user_id", "event_id", "value", threshold=2.0
+    ).orderBy("id")
+
+
+ANOMALY_ZSCORE_EVENTS_SQL = """
+WITH r AS (
+  SELECT event_id AS id, user_id AS key,
+         floor(value * 1e6 + 0.5)::BIGINT AS vm
+  FROM events
+), st AS (
+  SELECT key, count(*) AS n, sum(vm) AS s1,
+         sum((vm * vm)::DECIMAL(38,0)) AS s2
+  FROM r GROUP BY 1
+)
+SELECT id, key, vm AS value_micro,
+       floor(((vm::DOUBLE - s1::DOUBLE / n::DOUBLE)
+              / sqrt(greatest(s2::DOUBLE / n::DOUBLE
+                              - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE),
+                              0.0)))
+             * 1000.0 + 0.5)::BIGINT AS z_milli
+FROM r JOIN st USING (key)
+WHERE n > 1
+  AND sqrt(greatest(s2::DOUBLE / n::DOUBLE
+                    - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE),
+                    0.0)) > 0.0
+  AND abs((vm::DOUBLE - s1::DOUBLE / n::DOUBLE)
+          / sqrt(greatest(s2::DOUBLE / n::DOUBLE
+                          - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE),
+                          0.0))) > 2.0
+"""
+
+
+QUERIES: dict = {
+    "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_DOCS_SQL),
+    "zorder_layout_events": (zorder_layout_events, ZORDER_LAYOUT_EVENTS_SQL),
+    "bloom_prune_join_events": (
+        bloom_prune_join_events,
+        BLOOM_PRUNE_JOIN_EVENTS_SQL,
+    ),
+    "anomaly_zscore_events": (anomaly_zscore_events, ANOMALY_ZSCORE_EVENTS_SQL),
+}

@@ -1,0 +1,75 @@
+"""Distributional quality-control operators: per-key z-score anomaly
+flagging.
+
+In a training-data pipeline this is the metrics-sanity stage: flag events
+(or per-document metrics) that sit far outside their entity's own
+distribution — spam bursts, scraper loops, corrupted values — before they
+skew downstream mixing weights.
+
+Reference parity note: the reference (/root/reference/src) has no
+statistics layer; this is a §2.5 extension designed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Rows whose value is more than ``threshold`` population standard
+    deviations from their key-group mean.
+
+    Scale shape: one micro-quantization narrow map, one per-key aggregate
+    [the only shuffle — partial-agg'd, key cardinality = #groups], one
+    broadcast-able join of group stats back onto the rows (AQE picks
+    broadcast when #groups is small; at 100 TB with high-cardinality keys
+    it degrades gracefully to a co-partitioned shuffle join that REUSES
+    the aggregate's hash partitioning — no extra exchange on the big
+    side).
+
+    Value parity (repo rule #1 — never order-dependent double sums):
+    values are quantized to integer micro-units FIRST
+    (floor(v·1e6 + 0.5)::BIGINT — an engine-exact double op), then the
+    group sums are exact integer/DECIMAL(38,0) sums, so mean/variance
+    derive from identical integers in both engines; the z expression is a
+    fixed-order double computation on those integers. Σv fits BIGINT to
+    ~9e12 rows·values; Σv² is summed as DECIMAL(38,0) (per-row square ≤
+    ~1e17 fits BIGINT, the sum would not).
+
+    Output: (id, key, value_micro, z_milli) for |z| > threshold, where
+    z_milli = floor(z·1000 + 0.5).
+    """
+    vm = F.floor(F.col(value_col).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    rows = df.select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("key"), vm.alias("vm")
+    )
+    stats = rows.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("s1"),
+        F.sum((F.col("vm") * F.col("vm")).cast("decimal(38,0)")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("vm").cast("double") - mean) / sigma
+    return (
+        rows.join(stats, "key")
+        .filter((F.col("n") > 1) & (sigma > F.lit(0.0)))
+        .filter(F.abs(z) > F.lit(float(threshold)))
+        .select(
+            "id",
+            "key",
+            F.col("vm").alias("value_micro"),
+            F.floor(z * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("z_milli"),
+        )
+    )

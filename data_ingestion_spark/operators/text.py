@@ -586,3 +586,84 @@ def paragraph_dedup(
         )
         .select("id", "n_paras", "n_kept", "text_dedup")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query — the sparse-retrieval
+    workhorse (RAG candidate generation, benchmark-decontamination lookup,
+    mining domain-relevant documents out of a crawl).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (the Lucene/ATIRE form,
+    always positive).
+
+    Scale shape: the token explode is filtered to the query's terms by a
+    literal IN-list BEFORE any shuffle, so the corpus-wide (doc, term)
+    stream shrinks to |q| terms per doc at the scan [then shuffle 1:
+    per-(doc,term) tf partial-agg]. Per-term df is a ≤|q|-row aggregate
+    joined back by broadcast [no repartition of the tf stream]. N/avgdl
+    are one-row driver metadata (the tfidf N-literal pattern). The final
+    top-k is orderBy+limit — Spark plans TakeOrderedAndProject, a
+    per-partition heap + driver merge of k rows, never a global sort.
+
+    Value parity: each term's contribution is individually micro-rounded
+    (floor(x·1e6 + 0.5)::BIGINT) and the per-doc score is the exact
+    integer SUM of those BIGINTs — engine-portable because no double sum
+    depends on accumulation order (repo parity rule #1).
+
+    Output: (id, score_micro, n_terms_hit) — the k best docs by
+    (score_micro DESC, id ASC).
+    """
+    terms = sorted(set(query_terms))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    hits = (
+        base.select("id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = hits.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("sum_dl"),
+    ).first()
+    n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"])
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 1.0
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "id",
+            F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long").alias("c_micro"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("c_micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score_micro").desc(), F.col("id").asc()).limit(k)

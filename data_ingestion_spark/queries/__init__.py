@@ -68,6 +68,10 @@ _PRIORITY = [
     "snapshot_diff_customers",
     "scd2_customers",
     "semantic_dedup_embeddings",
+    "bm25_topk_docs",
+    "zorder_layout_events",
+    "bloom_prune_join_events",
+    "anomaly_zscore_events",
 ]
 
 
@@ -86,6 +90,12 @@ def merged_queries() -> dict:
         from ..operators import registry as ops_registry
 
         pool.update(ops_registry.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from ..operators import registry2 as ops_registry2
+
+        pool.update(ops_registry2.QUERIES)
     except ImportError:
         pass
 

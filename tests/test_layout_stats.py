@@ -1,0 +1,98 @@
+"""Tests for layout (Z-order, Bloom pruning), BM25 retrieval, and z-score
+anomaly operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_spark.operators import layout, stats, text
+
+
+def _morton_ref(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_matches_reference_bit_interleave(spark):
+    pts = [(3, 5), (0, 0), (65535, 65535), (1, 0), (0, 1), (41234, 997)]
+    df = spark.createDataFrame(pts, "gx long, gy long")
+    got = {
+        (r["gx"], r["gy"]): r["z"]
+        for r in df.select(
+            "gx", "gy", layout.morton_key(F.col("gx"), F.col("gy")).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _morton_ref(x, y)
+
+
+def test_zorder_bucket_stats_envelopes_cover_grid(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "x long, y double"
+    )
+    out = layout.zorder_bucket_stats(
+        df, "x", "y", (0.0, 99.0), (0.0, 6.0), bucket_bits=4
+    ).collect()
+    assert sum(r["n_rows"] for r in out) == 100
+    for r in out:
+        assert 0 <= r["gx_min"] <= r["gx_max"] <= 65535
+        assert 0 <= r["gy_min"] <= r["gy_max"] <= 65535
+    # Z-order locality: every bucket's envelope must be a proper sub-range
+    # of the grid (no bucket spans the whole x range), which a y-only sort
+    # would violate.
+    assert all(r["gx_max"] - r["gx_min"] < 65535 for r in out)
+
+
+def test_zorder_single_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, 1.0)], "x long, y double")
+    out = layout.zorder_bucket_stats(df, "x", "y", (0.0, 9.0), (0.0, 9.0))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # only the per-bucket aggregate
+
+
+def test_bloom_no_false_negatives_and_empty_bitmap(spark):
+    build = spark.createDataFrame([(i,) for i in range(0, 50, 5)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    bitmap = layout.bloom_bitmap(build, "k", m_bits=128, n_hashes=3)
+    assert bitmap == sorted(set(bitmap))
+    passed = {
+        r["k"]
+        for r in layout.bloom_prune_probe(probe, "k", bitmap, 128, 3).collect()
+    }
+    assert set(range(0, 50, 5)) <= passed  # every true key survives
+    assert layout.bloom_prune_probe(probe, "k", [], 128, 3).count() == 0
+
+
+def test_bloom_probe_filter_is_scan_side(spark):
+    probe = spark.createDataFrame([(1,)], "k long")
+    out = layout.bloom_prune_probe(probe, "k", [1, 2, 3], 128, 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # literal-bitmap filter: zero shuffle
+
+
+def test_bm25_prefers_docs_with_more_query_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "alpha delta delta delta"),
+            (3, "delta epsilon zeta eta"),
+            (4, "theta iota kappa mu"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.bm25_topk(docs, "doc_id", "text", ["alpha", "beta"], k=3).collect()
+    assert [r["id"] for r in out][0] == 1  # two distinct query terms, tf 3
+    assert all(r["score_micro"] > 0 for r in out)
+    assert {r["id"] for r in out} == {1, 2}  # doc 3/4 match nothing
+
+
+def test_zscore_flags_constructed_outlier(spark):
+    rows = [(i, 1, 10.0) for i in range(20)] + [(99, 1, 1000.0)]
+    rows += [(200 + i, 2, 5.0) for i in range(5)]  # zero variance: no flags
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = stats.zscore_outliers(df, "user_id", "event_id", "value", 2.0).collect()
+    assert [r["id"] for r in out] == [99]
+    assert out[0]["z_milli"] > 2000
