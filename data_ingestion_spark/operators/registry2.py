@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
-from . import layout, stats, text
+from . import inference, layout, stats, text
 
 _SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
 
@@ -256,8 +256,59 @@ WHERE n > 1
 """
 
 
+# --------------------------------------------------------------------------
+# Classifier scoring + curriculum binning
+# --------------------------------------------------------------------------
+def classifier_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-tier quality-classifier scores per document (the logistic
+    length prior — see inference.classifier_scores; real models ride the
+    injectable mapInPandas tier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        inference.classifier_scores(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_SCORE_SQL = (
+    "floor(1.0 / (1.0 + exp(-(0.9::DOUBLE * ln(1.0 + len({toks})::DOUBLE)"
+    " + -3.0::DOUBLE))) * 1e6 + 0.5)::BIGINT"
+).format(toks=_SQL_TOKENS.format(c="text"))
+
+CLASSIFIER_SCORE_DOCS_SQL = f"""
+SELECT doc_id, {_SCORE_SQL} AS score_micro FROM documents
+"""
+
+
+def curriculum_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quartile curriculum table over classifier scores — see
+    inference.curriculum_bins (ntile with id tie-break; cuts-based scale
+    path covered in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = inference.classifier_scores(docs, "doc_id", "text")
+    return inference.curriculum_bins(scored, n_bins=4).orderBy("bin")
+
+
+CURRICULUM_BINS_DOCS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id AS id, {_SCORE_SQL} AS score_micro FROM documents
+), b AS (
+  SELECT score_micro,
+         ntile(4) OVER (ORDER BY score_micro ASC, id ASC) AS bin
+  FROM scored
+)
+SELECT bin::INTEGER AS bin, count(*)::BIGINT AS n_docs,
+       min(score_micro)::BIGINT AS score_micro_min,
+       max(score_micro)::BIGINT AS score_micro_max
+FROM b GROUP BY 1
+"""
+
+
 QUERIES: dict = {
     "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_DOCS_SQL),
+    "classifier_score_docs": (classifier_score_docs, CLASSIFIER_SCORE_DOCS_SQL),
+    "curriculum_bins_docs": (curriculum_bins_docs, CURRICULUM_BINS_DOCS_SQL),
     "zorder_layout_events": (zorder_layout_events, ZORDER_LAYOUT_EVENTS_SQL),
     "bloom_prune_join_events": (
         bloom_prune_join_events,

@@ -72,6 +72,8 @@ _PRIORITY = [
     "zorder_layout_events",
     "bloom_prune_join_events",
     "anomaly_zscore_events",
+    "classifier_score_docs",
+    "curriculum_bins_docs",
 ]
 
 

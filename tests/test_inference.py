@@ -1,0 +1,78 @@
+"""Tests for the classifier-scoring stage (column tier + injectable
+mapInPandas tier) and curriculum binning."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from data_ingestion_spark.operators import inference
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a"),
+            (2, "one two three four"),
+            (3, " ".join(["tok"] * 50)),
+            (4, " ".join(["tok"] * 500)),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_column_tier_matches_injected_numpy_replica(spark):
+    """The injectable tier with a numpy replica of the logistic prior must
+    reproduce the column tier exactly — proves the mapInPandas plumbing
+    (schema, batching, Arrow transfer) is faithful."""
+
+    def fake_model(texts):
+        n = np.array([len([w for w in str(t).split() if w]) for t in texts])
+        return 1.0 / (1.0 + np.exp(-(0.9 * np.log(1.0 + n.astype("float64")) - 3.0)))
+
+    col_tier = {
+        r["id"]: r["score_micro"]
+        for r in inference.classifier_scores(_docs(spark), "doc_id", "text").collect()
+    }
+    udf_tier = {
+        r["id"]: r["score_micro"]
+        for r in inference.classifier_scores(
+            _docs(spark), "doc_id", "text", scorer=fake_model
+        ).collect()
+    }
+    assert col_tier == udf_tier
+    assert col_tier[4] > col_tier[3] > col_tier[2] > col_tier[1]  # monotone in length
+
+
+def test_column_tier_is_zero_shuffle(spark):
+    out = inference.classifier_scores(_docs(spark), "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_curriculum_bins_balanced_and_ordered(spark):
+    scored = spark.createDataFrame(
+        [(i, i * 1000) for i in range(20)], "id long, score_micro long"
+    )
+    out = {r["bin"]: r for r in inference.curriculum_bins(scored, 4).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert all(out[b]["n_docs"] == 5 for b in out)
+    assert out[1]["score_micro_max"] < out[2]["score_micro_min"]
+
+
+def test_curriculum_bins_by_cuts_no_sort_matches_case_semantics(spark):
+    scored = spark.createDataFrame(
+        [(i, i * 1000) for i in range(20)], "id long, score_micro long"
+    )
+    out = {
+        r["bin"]: r
+        for r in inference.curriculum_bins_by_cuts(
+            scored, cuts=[4000, 9000, 14000]
+        ).collect()
+    }
+    assert {b: out[b]["n_docs"] for b in sorted(out)} == {1: 5, 2: 5, 3: 5, 4: 5}
+    plan = inference.curriculum_bins_by_cuts(scored, cuts=[4000])._jdf
+    # single aggregate exchange; no global sort stage
+    s = plan.queryExecution().executedPlan().toString()
+    assert "Sort" not in s
