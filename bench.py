@@ -94,6 +94,12 @@ HEADLINE = [
     "snapshot_diff_customers",
     "scd2_customers",
     "semantic_dedup_embeddings",
+    "bm25_topk_docs",
+    "zorder_layout_events",
+    "bloom_prune_join_events",
+    "anomaly_zscore_events",
+    "classifier_score_docs",
+    "curriculum_bins_docs",
 ]
 
 
