@@ -100,6 +100,7 @@ HEADLINE = [
     "anomaly_zscore_events",
     "classifier_score_docs",
     "curriculum_bins_docs",
+    "dedup_substring_docs",
 ]
 
 

@@ -142,7 +142,11 @@ def bloom_prune_probe(
     """
     if not bitmap_positions:  # empty build side: nothing can match
         return probe.filter(F.lit(False))
-    bitset = F.array(*[F.lit(int(p)) for p in bitmap_positions])
+    # one-parse literal array (the bitmap appears once per hash check in
+    # the plan; element-wise F.lit would cost m_bits py4j calls × k copies)
+    bitset = F.expr(
+        "array(" + ",".join(str(int(p)) + "L" for p in bitmap_positions) + ")"
+    )
     checks = [
         F.array_contains(
             bitset,

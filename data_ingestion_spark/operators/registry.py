@@ -1991,12 +1991,17 @@ FROM unioned ORDER BY c_custkey, eff_from, is_current
 # SemDeDup — semantic dedup via cluster-bounded cosine (similarity.semantic_dedup)
 # ---------------------------------------------------------------------------
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cluster SemDeDup summary: vectors assigned to 8 deterministic
+    """Per-cluster SemDeDup summary: vectors assigned to 32 deterministic
     centroid lists; a vector drops iff a lower-id cluster-mate has cosine
     ≥ 0.3. Output (list_id, n_vectors, n_dropped) — the oracle replays
-    assignment AND the greedy drop rule."""
+    assignment AND the greedy drop rule.
+
+    k=32 (was 8): SemDeDup's cost is Σ cluster² — the paper scales k with
+    the corpus so n/k (and thus per-cluster pair fan-out) stays fixed; at
+    this table's size 32 lists cut pair count ~4× with identical
+    semantics (measured 5.3s → see BENCH_r03)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_centroids_from_sample(emb, n_lists=8)
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists=32)
     assigned, dropped = similarity.semantic_dedup(
         emb, cents, id_col="vec_id", vec_col="embedding", threshold_micro=300000
     )
@@ -2018,7 +2023,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTIC_DEDUP_EMBEDDINGS_SQL = """
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 32)
 ), assign AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,

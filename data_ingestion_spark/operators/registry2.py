@@ -305,8 +305,79 @@ FROM b GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# ExactSubstr dedup (Lee et al. 2021) — duplicated-span removal
+# --------------------------------------------------------------------------
+_SUBSTR_K = 8
+
+
+def dedup_substring_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated 8-token-span removal (text.dedup_substring_spans);
+    emits md5 of the rebuilt text so the compare rows stay small."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.dedup_substring_spans(docs, "doc_id", "text", k=_SUBSTR_K)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_dedup")).alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
+DEDUP_SUBSTRING_DOCS_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+), base1 AS (
+  SELECT id, toks FROM base WHERE len(toks) > 0
+), spans AS (
+  SELECT id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - {_SUBSTR_K} + 1, 0)),
+           i -> struct_pack(s := i - 1,
+                            hx := md5(array_to_string(toks[i:i+{_SUBSTR_K}-1], ' ')))
+         )) AS sp
+  FROM base1 WHERE len(toks) >= {_SUBSTR_K}
+), sp2 AS (
+  SELECT id, sp.s AS s, sp.hx AS hx FROM spans
+), marked AS (
+  SELECT id, s, row_number() OVER (PARTITION BY hx ORDER BY id, s) AS rn FROM sp2
+), rem AS (
+  SELECT id, s, s + {_SUBSTR_K - 1} AS e FROM marked WHERE rn > 1
+), isl AS (
+  SELECT id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR s > max(e) OVER (PARTITION BY id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS flag
+  FROM rem
+), isl2 AS (
+  SELECT id, s, e,
+         sum(flag) OVER (PARTITION BY id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), merged AS (
+  SELECT id, island, min(s) AS ms, max(e) AS me FROM isl2 GROUP BY 1, 2
+), covered AS (
+  SELECT DISTINCT id, unnest(generate_series(ms, me)) AS pos FROM merged
+), toks_pos AS (
+  SELECT id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM base1
+), kept AS (
+  SELECT tp.id, tp.tok, tp.pos, c.pos IS NULL AS keep
+  FROM toks_pos tp LEFT JOIN covered c ON tp.id = c.id AND tp.pos = c.pos
+)
+SELECT id AS doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos),
+                    '')) AS dedup_md5
+FROM kept GROUP BY id ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_DOCS_SQL),
+    "dedup_substring_docs": (dedup_substring_docs, DEDUP_SUBSTRING_DOCS_SQL),
     "classifier_score_docs": (classifier_score_docs, CLASSIFIER_SCORE_DOCS_SQL),
     "curriculum_bins_docs": (curriculum_bins_docs, CURRICULUM_BINS_DOCS_SQL),
     "zorder_layout_events": (zorder_layout_events, ZORDER_LAYOUT_EVENTS_SQL),

@@ -667,3 +667,84 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("score_micro").desc(), F.col("id").asc()).limit(k)
+
+
+def dedup_substring_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Corpus-wide duplicated-substring REMOVAL (the ExactSubstr dedup of
+    Lee et al. 2021): any token span of length ≥ k that occurs more than
+    once anywhere in the corpus is cut from every occurrence except the
+    first (ordered by (id, start) — the paragraph_dedup winner rule at
+    span granularity). Overlapping duplicated spans merge into maximal
+    islands before cutting, so staggered duplicates remove cleanly.
+
+    Where ``dup_ngram_fraction`` profiles duplication and
+    ``paragraph_dedup`` removes it at separator granularity, this removes
+    it at token granularity — the strongest public dedup result for LM
+    training data (the paper's suffix-array formulation is a single-node
+    algorithm; the k-gram hash + winner-window form here is its
+    shuffle-friendly equivalent for span length exactly k, applied at
+    every start position so any duplicate run ≥ k tokens is caught).
+
+    Scale shape: [shuffle 1] span hashes (16-byte-ish keys, never gram
+    text) window-ranked per hash — first occurrence survives, the rest
+    become removal intervals; [windows on id] interval merge
+    (gaps-and-islands, per-doc partitions); [shuffle 2] merged intervals
+    groupBy id (struct rows, tiny); [join] intervals back onto documents —
+    interval side is only docs-with-duplicates, so AQE broadcasts it and
+    DOCUMENT TEXT NEVER SHUFFLES; the cut itself is an array filter in
+    codegen. Docs with no tokens are absent (same in the SQL twin).
+
+    Output: (id, n_tokens, n_removed, text_dedup).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    gram_h = (
+        f"transform(sequence(1, size(toks) - {k} + 1), "
+        f"i -> struct(i - 1 AS s, md5(concat_ws(' ', slice(toks, i, {k}))) AS hx))"
+    )
+    spans = (
+        base.filter(F.size("toks") >= k)
+        .select("id", F.explode(F.expr(gram_h)).alias("sp"))
+        .select("id", F.col("sp.s").alias("s"), F.col("sp.hx").alias("hx"))
+    )
+    rn = F.row_number().over(W.partitionBy("hx").orderBy("id", "s"))
+    rem = (
+        spans.withColumn("rn", rn)
+        .filter(F.col("rn") > 1)
+        .select("id", "s", (F.col("s") + F.lit(k - 1)).alias("e"))
+    )
+    w_doc = W.partitionBy("id").orderBy("s")
+    prev_max = F.max("e").over(w_doc.rowsBetween(W.unboundedPreceding, -1))
+    flagged = rem.withColumn(
+        "flag",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("flag").over(w_doc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = flagged.groupBy("id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    iv = merged.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("ms", "me"))).alias("iv")
+    )
+    joined = base.join(iv, "id", "left").withColumn(
+        "iv2",
+        F.coalesce(F.col("iv"), F.expr("cast(array() as array<struct<ms:int,me:int>>)")),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("iv2"), lambda r: (i >= r["ms"]) & (i <= r["me"])
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_dedup"),
+    )

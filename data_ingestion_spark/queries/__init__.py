@@ -74,6 +74,7 @@ _PRIORITY = [
     "anomaly_zscore_events",
     "classifier_score_docs",
     "curriculum_bins_docs",
+    "dedup_substring_docs",
 ]
 
 
