@@ -1991,17 +1991,21 @@ FROM unioned ORDER BY c_custkey, eff_from, is_current
 # SemDeDup — semantic dedup via cluster-bounded cosine (similarity.semantic_dedup)
 # ---------------------------------------------------------------------------
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cluster SemDeDup summary: vectors assigned to 32 deterministic
-    centroid lists; a vector drops iff a lower-id cluster-mate has cosine
-    ≥ 0.3. Output (list_id, n_vectors, n_dropped) — the oracle replays
-    assignment AND the greedy drop rule.
+    """Per-cluster SemDeDup summary: vectors assigned to max(8, n/64)
+    deterministic centroid lists; a vector drops iff a lower-id
+    cluster-mate has cosine ≥ 0.3. Output (list_id, n_vectors, n_dropped)
+    — the oracle replays assignment AND the greedy drop rule, deriving the
+    SAME k from count(*).
 
-    k=32 (was 8): SemDeDup's cost is Σ cluster² — the paper scales k with
-    the corpus so n/k (and thus per-cluster pair fan-out) stays fixed; at
-    this table's size 32 lists cut pair count ~4× with identical
-    semantics (measured 5.3s → see BENCH_r03)."""
+    k scales with n (the paper's own cost rule): SemDeDup's pair fan-out
+    is Σ cluster² ≈ n²/k, so FIXED k is quadratic in corpus size — the 4×
+    scale sweep showed 6.6× growth at k=32; k = n/64 pins mean cluster
+    size at 64 and makes fan-out linear. The broadcast-literal assignment
+    expression holds to k in the low thousands; past that, swap in a
+    centroid-table join (same output)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_centroids_from_sample(emb, n_lists=32)
+    n = emb.count()
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists=max(8, n // 64))
     assigned, dropped = similarity.semantic_dedup(
         emb, cents, id_col="vec_id", vec_col="embedding", threshold_micro=300000
     )
@@ -2023,7 +2027,8 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTIC_DEDUP_EMBEDDINGS_SQL = """
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 32)
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT (SELECT greatest(8, count(*) // 64) FROM embeddings))
 ), assign AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
