@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
-from . import inference, layout, stats, text
+from . import inference, layout, sampling, stats, text
 
 _SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
 
@@ -375,7 +375,71 @@ FROM kept GROUP BY id ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Tokenizer induction + batch planning
+# --------------------------------------------------------------------------
+def bpe_merge_candidates_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-char-pair counts over the corpus vocabulary (one
+    BPE merge round's counting step — see text.bpe_merge_candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_merge_candidates(docs, "text", top_n=20)
+
+
+BPE_MERGE_CANDIDATES_CORPUS_SQL = f"""
+WITH words AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest({_SQL_TOKENS.format(c='text')}) AS w FROM documents
+  ) GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, i, 2))) AS pair,
+         wc
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, sum(wc)::BIGINT AS n_pairs
+FROM pairs GROUP BY pair
+ORDER BY n_pairs DESC, pair ASC LIMIT 20
+"""
+
+
+def batch_by_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch plan for documents (bucket width 32 tokens,
+    batch size 16) with per-batch padding waste — see
+    sampling.batch_by_length."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions import tokens as tok_fn
+
+    return sampling.batch_by_length(
+        docs, "doc_id", F.size(tok_fn(F.col("text"))), bucket_width=32, batch_size=16
+    ).orderBy("bucket", "batch_idx")
+
+
+BATCH_BY_LENGTH_DOCS_SQL = f"""
+WITH rows_ AS (
+  SELECT doc_id AS id, len({_SQL_TOKENS.format(c='text')})::BIGINT AS nt
+  FROM documents
+), b AS (
+  SELECT id, nt, nt // 32 AS bucket FROM rows_
+), r AS (
+  SELECT bucket, nt,
+         floor((row_number() OVER (PARTITION BY bucket
+                                   ORDER BY nt DESC, id ASC) - 1) / 16.0)::BIGINT
+           AS batch_idx
+  FROM b
+)
+SELECT bucket, batch_idx, count(*)::BIGINT AS n_docs,
+       max(nt)::BIGINT AS max_tokens, sum(nt)::BIGINT AS sum_tokens,
+       (count(*) * max(nt) - sum(nt))::BIGINT AS padding_waste
+FROM r GROUP BY 1, 2
+"""
+
+
 QUERIES: dict = {
+    "bpe_merge_candidates_corpus": (
+        bpe_merge_candidates_corpus,
+        BPE_MERGE_CANDIDATES_CORPUS_SQL,
+    ),
+    "batch_by_length_docs": (batch_by_length_docs, BATCH_BY_LENGTH_DOCS_SQL),
     "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_DOCS_SQL),
     "dedup_substring_docs": (dedup_substring_docs, DEDUP_SUBSTRING_DOCS_SQL),
     "classifier_score_docs": (classifier_score_docs, CLASSIFIER_SCORE_DOCS_SQL),

@@ -110,3 +110,48 @@ def assign_splits(
     for name, upper in reversed(edges[:-1]):
         expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
     return df.select("*", bucket.alias("bucket"), expr.alias("split"))
+
+
+def batch_by_length(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col,
+    bucket_width: int = 32,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Length-bucketed batch planning: group sequences of similar token
+    length into fixed-size batches and report the padding each batch
+    wastes — the batching stage of any padded-training data loader
+    (bucketing by length is what keeps pad-token FLOPs low).
+
+    Deterministic rule: bucket = n_tokens div bucket_width; within a
+    bucket, order by (n_tokens DESC, id) and cut every ``batch_size`` rows.
+    padding_waste = n_docs·max_tokens − sum_tokens (pad slots per batch).
+
+    Scale shape: one window partitioned BY BUCKET (never global — buckets
+    sort independently, and at 100 TB you'd add a shard key to the
+    partition clause exactly like pack_sequences does), then a
+    (bucket, batch) aggregate. All keys and measures are ints.
+
+    Output: (bucket, batch_idx, n_docs, max_tokens, sum_tokens,
+    padding_waste).
+    """
+    from pyspark.sql import Window as W
+
+    rows = df.select(
+        F.col(id_col).alias("id"), n_tokens_col.cast("long").alias("nt")
+    ).withColumn("bucket", F.expr("nt div {}".format(bucket_width)))
+    w = W.partitionBy("bucket").orderBy(F.col("nt").desc(), F.col("id").asc())
+    batched = rows.withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    return (
+        batched.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("nt").alias("max_tokens"),
+            F.sum("nt").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.max("nt") - F.sum("nt")).alias("padding_waste"),
+        )
+    )

@@ -748,3 +748,38 @@ def dedup_substring_spans(
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("text_dedup"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, top_n: int = 20
+) -> DataFrame:
+    """Top adjacent-character-pair frequencies over the corpus vocabulary —
+    the counting step of one BPE merge round (tokenizer induction):
+    pair_count(ab) = Σ_{word} occurrences(word) · count_of_ab_in_word.
+
+    Scale shape: [shuffle 1] word-frequency agg collapses the corpus to its
+    VOCABULARY (Zipf: tiny next to the token stream, partial-agg'd
+    map-side) — the per-word bigram explode then runs over distinct words
+    only, not every token occurrence; [shuffle 2] pair-count agg on 2-char
+    keys; top-N is TakeOrderedAndProject (per-partition heap, no global
+    sort). A full BPE trainer repeats this with a re-segmented vocabulary
+    per round — each round is this same pair of narrow-key aggregates.
+
+    Output: (pair, n_pairs) — the N most frequent pairs, count-desc with
+    pair tie-break.
+    """
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("w")).groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).alias("wc"))
+    pairs = words.filter(F.length("w") >= 2).select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

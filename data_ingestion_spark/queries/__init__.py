@@ -75,6 +75,8 @@ _PRIORITY = [
     "classifier_score_docs",
     "curriculum_bins_docs",
     "dedup_substring_docs",
+    "bpe_merge_candidates_corpus",
+    "batch_by_length_docs",
 ]
 
 
