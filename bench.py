@@ -103,6 +103,7 @@ HEADLINE = [
     "dedup_substring_docs",
     "bpe_merge_candidates_corpus",
     "batch_by_length_docs",
+    "llm_data_pipeline_docs",
 ]
 
 

@@ -434,7 +434,112 @@ FROM r GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# End-to-end LLM training-data pipeline (the showcase composition)
+# --------------------------------------------------------------------------
+_PIPE_SCORE_MIN = 600000  # classifier gate: score_micro ≥ 0.60
+
+
+def llm_data_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE composed query:
+    C4/Gopher quality gate → corpus exact-dedup (min-id winner) →
+    quality-classifier gate (≥0.70) → 256-token sequence packing per
+    source shard → per-sequence summary.
+
+    Every stage is the SAME library operator exposed individually
+    (text.quality_flags, dedup winner agg, inference.classifier_scores,
+    text.pack_sequences) — this query pins that they compose. Stage gates
+    rejoin by 8-byte doc_id (semi-join shape; AQE broadcasts the surviving
+    id list when small). In production each stage's output is a
+    materialized table between jobs; the lazy chain here exercises the
+    same plan end to end. Output: (shard, seq_id, n_docs, sum_tokens).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keep_ids = (
+        text.quality_flags(docs, "doc_id", "text")
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    d1 = docs.join(keep_ids, "doc_id")
+    winners = d1.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d2 = d1.join(winners.select("doc_id"), "doc_id")
+    score_ids = (
+        inference.classifier_scores(d2, "doc_id", "text")
+        .filter(F.col("score_micro") >= F.lit(_PIPE_SCORE_MIN))
+        .select(F.col("id").alias("doc_id"))
+    )
+    d3 = d2.join(score_ids, "doc_id")
+    packed = text.pack_sequences(d3, "doc_id", "text", target=256)
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+def _llm_pipeline_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    sw = ", ".join(f"'{w}'" for w in text.ALL_STOPWORDS)
+    keep = (
+        f"(n BETWEEN {text.QUALITY_MIN_TOKENS} AND {text.QUALITY_MAX_TOKENS})"
+        f" AND (sum_len >= {text.QUALITY_MIN_MEAN_WORD_LEN} * n"
+        f"      AND sum_len <= {text.QUALITY_MAX_MEAN_WORD_LEN} * n)"
+        f" AND hits >= {text.QUALITY_MIN_STOPWORD_HITS}"
+        f" AND n_sym * 10 <= {text.QUALITY_MAX_SYMBOL_PER_10_CHARS} * n_chars"
+        f" AND (n - nd) * {text.QUALITY_MAX_DUP_FRAC_DEN}"
+        f"     <= {text.QUALITY_MAX_DUP_FRAC_NUM} * n"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS nd,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sum_len,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS n_sym,
+         CAST(len(list_filter(toks, x -> x IN ({sw}))) AS INTEGER) AS hits
+  FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+), keepers AS (
+  SELECT doc_id FROM m WHERE {keep}
+), d1 AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN keepers USING (doc_id)
+), win AS (
+  SELECT min(doc_id) AS doc_id FROM d1 GROUP BY md5(text)
+), d2 AS (
+  SELECT d1.* FROM d1 JOIN win USING (doc_id)
+), sc AS (
+  SELECT doc_id FROM d2 WHERE {_SCORE_SQL} >= {_PIPE_SCORE_MIN}
+), d3 AS (
+  SELECT d2.* FROM d2 JOIN sc USING (doc_id)
+), t AS (
+  SELECT source AS shard, doc_id, len({toks}) AS n_tokens FROM d3
+), c AS (
+  SELECT shard, doc_id, n_tokens::BIGINT AS n_tokens,
+         (sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) - n_tokens)::BIGINT AS start
+  FROM t WHERE n_tokens > 0
+)
+SELECT shard, (start // 256)::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+FROM c GROUP BY 1, 2 ORDER BY shard, seq_id
+"""
+
+
+LLM_DATA_PIPELINE_DOCS_SQL = _llm_pipeline_oracle()
+
+
 QUERIES: dict = {
+    "llm_data_pipeline_docs": (llm_data_pipeline_docs, LLM_DATA_PIPELINE_DOCS_SQL),
     "bpe_merge_candidates_corpus": (
         bpe_merge_candidates_corpus,
         BPE_MERGE_CANDIDATES_CORPUS_SQL,
