@@ -31,6 +31,7 @@ _PRIORITY = [
     "ingest_xml_docs",
     "ingest_excel_docs",
     "ingest_audit_log",
+    "ingest_logfmt_docs",
     # Never driver-verified before round 3 (green locally in r1/r2 but
     # always below the 50-slot cap)
     "tpch_q6_forecast_revenue",

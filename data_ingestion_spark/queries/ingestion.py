@@ -316,6 +316,44 @@ FROM (VALUES
 """
 
 
+# --------------------------------------------------------------------------
+# Logfmt via the Spark 4 Python Data Source API (the third plug-in tier)
+# --------------------------------------------------------------------------
+def ingest_logfmt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse .logfmt/.log fixtures through the registered Python Data
+    Source (sources/logfmt_source.py): file-per-partition parallel read,
+    all-string doc shape, last-wins duplicate keys, junk preserved under
+    _raw — never silently dropped."""
+    from ..sources.logfmt_source import LogfmtDataSource
+
+    spark.dataSource.register(LogfmtDataSource)
+    tmp = tempfile.mkdtemp(prefix="logfmtq_")
+    with open(os.path.join(tmp, "a.logfmt"), "w") as f:
+        f.write(
+            'level=info msg="service started" port=8080\n'
+            'level=error msg="bind failed: \\"addr in use\\"" retry\n'
+        )
+    with open(os.path.join(tmp, "b.log"), "w") as f:
+        f.write('a=1 b=two  junk? c="x y"\n\ndup=1 dup=2\n')
+    return (
+        spark.read.format("logfmt")
+        .option("path", tmp)
+        .load()
+        .orderBy("file_name", "line_number")
+    )
+
+
+INGEST_LOGFMT_DOCS_SQL = r"""
+SELECT file_name, CAST(line_number AS INTEGER) AS line_number, kv_json
+FROM (VALUES
+  ('a.logfmt', 1, '{"level": "info", "msg": "service started", "port": "8080"}'),
+  ('a.logfmt', 2, '{"level": "error", "msg": "bind failed: \"addr in use\"", "retry": ""}'),
+  ('b.log',    1, '{"_raw": "?", "a": "1", "b": "two", "c": "x y", "junk": ""}'),
+  ('b.log',    3, '{"dup": "2"}')
+) t(file_name, line_number, kv_json)
+"""
+
+
 QUERIES: dict = {
     "ingest_csv_docs": (ingest_csv_docs, INGEST_CSV_DOCS_SQL),
     "ingest_json_docs": (ingest_json_docs, INGEST_JSON_DOCS_SQL),
@@ -325,4 +363,5 @@ QUERIES: dict = {
     "ingest_audit_log": (ingest_audit_log, INGEST_AUDIT_LOG_SQL),
     "ingest_orc_docs": (ingest_orc_docs, INGEST_ORC_DOCS_SQL),
     "ingest_avro_docs": (ingest_avro_docs, INGEST_AVRO_DOCS_SQL),
+    "ingest_logfmt_docs": (ingest_logfmt_docs, INGEST_LOGFMT_DOCS_SQL),
 }

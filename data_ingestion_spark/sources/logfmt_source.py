@@ -1,0 +1,106 @@
+"""Logfmt source on Spark 4's Python Data Source API — the modern
+parser-plug-in tier.
+
+The reference's plug-in surface is a trait object registered in a match
+arm (/root/reference/src/parser_adapter.rs:43-57). This repo already
+mirrors that with ``register_parser`` (sources/dispatch.py) and a UDTF
+lateral parser; this module adds the third, Spark-native extension point:
+``pyspark.sql.datasource.DataSource``, the official Spark 4 API for
+user-defined sources (SPARK-44076). A registered format name becomes a
+first-class ``spark.read.format("logfmt")`` — it composes with the whole
+DataFrame API, and ``partitions()`` gives file-level parallel reads
+without any driver-side loop.
+
+Tiering honesty: a Python data source executes the parse in Python
+workers (Arrow-batched rows back to the JVM) — the right tier for formats
+with no JVM reader, the wrong tier for CSV/JSON/parquet which stay on the
+built-in (codegen + pushdown) readers.
+
+Format: one record per line, ``key=value`` pairs; values may be
+double-quoted ("..." with ``\\"`` escapes) to carry spaces; a bare
+``key`` (no ``=``) is a flag with empty value; duplicate keys keep the
+LAST value (the reference's XML last-wins rule, xml_parser.rs:42). Output
+rows are the repo's all-string document shape (§1.2): (file_name,
+line_number 1-based, kv_json with keys sorted) — blank lines skipped,
+malformed spans kept raw under the ``_raw`` key, never dropping a line
+silently (the reference's warn-and-continue semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_PAIR = re.compile(r'(\w+)=("(?:[^"\\]|\\.)*"|\S*)|(\w+)')
+
+
+def parse_logfmt_line(line: str) -> dict:
+    """Parse one logfmt line to an ordered dict (last-wins duplicates)."""
+    out: dict = {}
+    covered = 0
+    for m in _PAIR.finditer(line):
+        between = line[covered : m.start()].strip()
+        if between:  # junk span between pairs: preserved, not dropped
+            out["_raw"] = (out.get("_raw", "") + " " + between).strip()
+        covered = m.end()
+        if m.group(3) is not None:
+            out[m.group(3)] = ""
+            continue
+        k, v = m.group(1), m.group(2)
+        if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+            v = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        out[k] = v
+    tail = line[covered:].strip()
+    if tail:
+        out["_raw"] = (out.get("_raw", "") + " " + tail).strip()
+    return out
+
+
+class LogfmtDataSource(DataSource):
+    """``spark.read.format("logfmt").option("path", dir)`` after
+    ``spark.dataSource.register(LogfmtDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "logfmt"
+
+    def schema(self) -> str:
+        return "file_name string, line_number int, kv_json string"
+
+    def reader(self, schema):  # noqa: ARG002 - fixed schema
+        return LogfmtReader(self.options)
+
+
+class LogfmtReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("logfmt source requires .option('path', <dir or file>)")
+
+    def partitions(self):
+        # One partition per file: each executor task streams one file —
+        # the unit of parallelism for a many-small-files landing zone. (On
+        # object stores, enumerate via the store's listing API instead.)
+        if os.path.isfile(self.path):
+            files = [self.path]
+        else:
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".logfmt") or f.endswith(".log")
+            )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        path = partition.value
+        base = os.path.basename(path)
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            for i, line in enumerate(fh, start=1):
+                line = line.rstrip("\n")
+                if not line.strip():
+                    continue
+                kv = parse_logfmt_line(line)
+                yield (base, i, json.dumps(kv, sort_keys=True))

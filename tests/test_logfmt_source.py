@@ -1,0 +1,56 @@
+"""Logfmt Python Data Source (Spark 4 DataSource API) tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from data_ingestion_spark.sources.logfmt_source import (
+    LogfmtDataSource,
+    parse_logfmt_line,
+)
+
+
+def test_parse_quoted_escapes_flags_and_last_wins():
+    assert parse_logfmt_line('a=1 b="x y" c="q\\"z"') == {
+        "a": "1",
+        "b": "x y",
+        "c": 'q"z',
+    }
+    assert parse_logfmt_line("flag a=1 flag") == {"flag": "", "a": "1"}
+    assert parse_logfmt_line("k=1 k=2 k=3") == {"k": "3"}
+    assert parse_logfmt_line("x=1 ??? y=2") == {"x": "1", "_raw": "???", "y": "2"}
+    assert parse_logfmt_line("") == {}
+
+
+def test_datasource_reads_files_in_parallel_partitions(spark, tmp_path):
+    spark.dataSource.register(LogfmtDataSource)
+    for name, content in {
+        "one.logfmt": "a=1\n\nb=2\n",
+        "two.log": 'm="hi there"\n',
+        "skip.txt": "not=read\n",
+    }.items():
+        (tmp_path / name).write_text(content)
+    df = spark.read.format("logfmt").option("path", str(tmp_path)).load()
+    assert df.rdd.getNumPartitions() == 2  # one per matched file
+    rows = {(r["file_name"], r["line_number"]): r["kv_json"] for r in df.collect()}
+    assert rows[("one.logfmt", 1)] == json.dumps({"a": "1"})
+    assert rows[("one.logfmt", 3)] == json.dumps({"b": "2"})  # blank line skipped
+    assert rows[("two.log", 1)] == json.dumps({"m": "hi there"})
+    assert len(rows) == 3  # .txt not picked up
+
+
+def test_datasource_single_file_and_junk_bytes(spark, tmp_path):
+    spark.dataSource.register(LogfmtDataSource)
+    p = tmp_path / "x.log"
+    p.write_bytes(b"ok=1\n\xff\xfe garbage\n")
+    rows = (
+        spark.read.format("logfmt")
+        .option("path", str(p))
+        .load()
+        .collect()
+    )
+    by_line = {r["line_number"]: json.loads(r["kv_json"]) for r in rows}
+    assert by_line[1] == {"ok": "1"}
+    assert "_raw" in by_line[2] or "garbage" in by_line[2]  # junk preserved
+    assert os.path.basename(str(p)) == rows[0]["file_name"]
