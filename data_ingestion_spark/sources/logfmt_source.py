@@ -32,7 +32,13 @@ import json
 import os
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _PAIR = re.compile(r'(\w+)=("(?:[^"\\]|\\.)*"|\S*)|(\w+)')
 
@@ -73,6 +79,9 @@ class LogfmtDataSource(DataSource):
     def reader(self, schema):  # noqa: ARG002 - fixed schema
         return LogfmtReader(self.options)
 
+    def writer(self, schema, overwrite: bool):  # noqa: ARG002
+        return LogfmtWriter(self.options, overwrite)
+
 
 class LogfmtReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -104,3 +113,73 @@ class LogfmtReader(DataSourceReader):
                     continue
                 kv = parse_logfmt_line(line)
                 yield (base, i, json.dumps(kv, sort_keys=True))
+
+
+def format_logfmt_row(d: dict) -> str:
+    """Serialize a {str: str} mapping to one logfmt line (sorted keys;
+    values quoted when they contain whitespace/quotes; quotes and
+    backslashes escaped — the exact inverse of parse_logfmt_line for
+    \\w+ keys)."""
+    parts = []
+    for k in sorted(d):
+        v = "" if d[k] is None else str(d[k])
+        if v == "" :
+            parts.append(f"{k}=")
+            continue
+        if any(c.isspace() for c in v) or '"' in v or "\\" in v:
+            v = '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        parts.append(f"{k}={v}")
+    return " ".join(parts)
+
+
+class _LogfmtCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class LogfmtWriter(DataSourceWriter):
+    """Write side of the Spark 4 Python Data Source API: each task streams
+    its partition to a private ``_tmp_`` file, the driver-side
+    ``commit()`` renames all of them into place atomically-per-file (and
+    ``abort()`` deletes them) — the standard task-temp + job-commit
+    protocol, which keeps failed/speculative tasks from leaving partial
+    visible output."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("logfmt sink requires .option('path', <dir>)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f"_tmp_part-{pid:05d}-{uuid.uuid4().hex}.logfmt"
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(format_logfmt_row(row.asDict()) + "\n")
+                n += 1
+        return _LogfmtCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".logfmt") and not f.startswith("_tmp_"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            if m is not None:
+                final = m.path.replace("_tmp_", "", 1)
+                os.replace(m.path, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

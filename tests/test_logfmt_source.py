@@ -54,3 +54,33 @@ def test_datasource_single_file_and_junk_bytes(spark, tmp_path):
     assert by_line[1] == {"ok": "1"}
     assert "_raw" in by_line[2] or "garbage" in by_line[2]  # junk preserved
     assert os.path.basename(str(p)) == rows[0]["file_name"]
+
+
+def test_writer_roundtrip_and_overwrite(spark, tmp_path):
+    from data_ingestion_spark.sources.logfmt_source import format_logfmt_row
+
+    spark.dataSource.register(LogfmtDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [("info", 'say "hi"', "8080"), ("warn", "disk low", "")],
+        "level string, msg string, port string",
+    )
+    df.write.format("logfmt").mode("append").option("path", out).save()
+    files = [f for f in os.listdir(out) if f.endswith(".logfmt")]
+    assert files and not any(f.startswith("_tmp_") for f in files)
+    back = (
+        spark.read.format("logfmt").option("path", out).load().collect()
+    )
+    got = {json.dumps(json.loads(r["kv_json"]), sort_keys=True) for r in back}
+    want = {
+        json.dumps(dict(level="info", msg='say "hi"', port="8080"), sort_keys=True),
+        json.dumps(dict(level="warn", msg="disk low", port=""), sort_keys=True),
+    }
+    assert got == want
+    # overwrite replaces prior committed files
+    df2 = spark.createDataFrame([("err", "x", "1")], "level string, msg string, port string")
+    df2.write.format("logfmt").mode("overwrite").option("path", out).save()
+    back2 = spark.read.format("logfmt").option("path", out).load().collect()
+    assert len(back2) == 1 and json.loads(back2[0]["kv_json"])["level"] == "err"
+    # serializer inverse check for escapes
+    assert format_logfmt_row({"a": 'q"z', "b": ""}) == 'a="q\\"z" b='
