@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -82,6 +83,9 @@ class LogfmtDataSource(DataSource):
     def writer(self, schema, overwrite: bool):  # noqa: ARG002
         return LogfmtWriter(self.options, overwrite)
 
+    def simpleStreamReader(self, schema):  # noqa: ARG002 - fixed schema
+        return LogfmtStreamReader(self.options)
+
 
 class LogfmtReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -104,15 +108,61 @@ class LogfmtReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
-        path = partition.value
-        base = os.path.basename(path)
-        with open(path, encoding="utf-8", errors="replace") as fh:
-            for i, line in enumerate(fh, start=1):
-                line = line.rstrip("\n")
-                if not line.strip():
-                    continue
-                kv = parse_logfmt_line(line)
-                yield (base, i, json.dumps(kv, sort_keys=True))
+        yield from _read_logfmt_file(partition.value)
+
+
+def _read_logfmt_file(path: str):
+    base = os.path.basename(path)
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        for i, line in enumerate(fh, start=1):
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            kv = parse_logfmt_line(line)
+            yield (base, i, json.dumps(kv, sort_keys=True))
+
+
+class LogfmtStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tier of the same source: tail a landing directory as a
+    micro-batch stream. Offsets are the SET OF FILES ALREADY PROCESSED (a
+    {name: 1} dict — offsets must be primitive-valued dicts); each batch
+    emits the files that appeared since, and ``readBetweenOffsets``
+    replays any batch deterministically from its offset pair, which is
+    what makes checkpointed exactly-once recovery work. Files are
+    immutable-once-landed (the reference's S3-event contract); appends to
+    an already-processed file are deliberately NOT re-read."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("logfmt stream requires .option('path', <dir>)")
+
+    def _list(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            f
+            for f in os.listdir(self.path)
+            if f.endswith(".logfmt") or f.endswith(".log")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def read(self, start: dict):
+        seen = start.get("files", {})
+        new = [f for f in self._list() if f not in seen]
+        rows = [
+            r for f in new for r in _read_logfmt_file(os.path.join(self.path, f))
+        ]
+        end = {"files": {**seen, **{f: 1 for f in new}}}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = start.get("files", {})
+        new = [f for f in sorted(end.get("files", {})) if f not in seen]
+        for f in new:
+            yield from _read_logfmt_file(os.path.join(self.path, f))
 
 
 def format_logfmt_row(d: dict) -> str:

@@ -84,3 +84,35 @@ def test_writer_roundtrip_and_overwrite(spark, tmp_path):
     assert len(back2) == 1 and json.loads(back2[0]["kv_json"])["level"] == "err"
     # serializer inverse check for escapes
     assert format_logfmt_row({"a": 'q"z', "b": ""}) == 'a="q\\"z" b='
+
+
+def test_stream_reader_tails_directory_with_checkpoint(spark, tmp_path):
+    """Streaming tier: availableNow run 1 ingests landed files; run 2 with
+    the SAME checkpoint ingests only files that appeared in between."""
+    spark.dataSource.register(LogfmtDataSource)
+    land = tmp_path / "land"
+    land.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (land / "a.logfmt").write_text("n=1\nn=2\n")
+
+    def run_once():
+        q = (
+            spark.readStream.format("logfmt")
+            .option("path", str(land))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    got1 = spark.read.parquet(out).collect()
+    assert sorted(json.loads(r["kv_json"])["n"] for r in got1) == ["1", "2"]
+    (land / "b.log").write_text("n=3\n")
+    run_once()
+    got2 = spark.read.parquet(out).collect()
+    assert sorted(json.loads(r["kv_json"])["n"] for r in got2) == ["1", "2", "3"]
+    assert {r["file_name"] for r in got2} == {"a.logfmt", "b.log"}
