@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .jpeg_codec import jpeg_decode, jpeg_metadata
+
 #: magic-byte prefixes → format label (public file-signature table)
 _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "png"),
@@ -122,13 +124,18 @@ def extract_metadata(df: DataFrame) -> DataFrame:
                 data = bytes(content)
                 png = png_metadata(data)
                 wav = wav_metadata(data)
-                fmt = "png" if png else ("wav" if wav else "unknown")
+                jpg = None if (png or wav) else jpeg_metadata(data)
+                fmt = (
+                    "png" if png
+                    else ("wav" if wav else ("jpeg" if jpg else "unknown"))
+                )
+                img = png or jpg
                 rows.append(
                     {
                         "path": path,
                         "format": fmt,
-                        "width": png["width"] if png else None,
-                        "height": png["height"] if png else None,
+                        "width": img["width"] if img else None,
+                        "height": img["height"] if img else None,
                         "channels": wav["channels"] if wav else None,
                         "sample_rate": wav["sample_rate"] if wav else None,
                     }
@@ -514,3 +521,18 @@ def audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("path", "content").mapInPandas(_run, schema)
+
+
+def image_decode(data: bytes):
+    """Container-dispatching image decode for the in-container tier:
+    PNG (png_decode) and baseline JPEG (jpeg_codec.jpeg_decode), both
+    returning (H, W, C) uint8. Other containers raise ValueError — the
+    injectable ``decoder=`` seam still takes a full library for those."""
+    import numpy as np
+
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if data[:3] == b"\xff\xd8\xff":
+        _w, _h, arr = jpeg_decode(data)
+        return arr if arr.ndim == 3 else arr[:, :, np.newaxis]
+    raise ValueError("unsupported image container — inject a decoder")
