@@ -556,3 +556,99 @@ QUERIES: dict = {
     ),
     "anomaly_zscore_events": (anomaly_zscore_events, ANOMALY_ZSCORE_EVENTS_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# LSH recall metric (validation anchor for dedup_embedding_pairs)
+# --------------------------------------------------------------------------
+def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded-LSH near-dup pairs against the exact
+    brute-force pair set, as a VALUE the driver checks: (n_lsh, n_exact,
+    n_common, recall_bp). Approximate operators should report their
+    approximation, not hide it — the companion dedup_embedding_pairs query
+    is oracle-checked against the banding algorithm itself, and THIS query
+    pins how far that sits from exact (10000 bp at sf0.01, 9913 bp at
+    sf0.1). The exact side is O(n²) — a validation anchor, not a
+    production path (excluded from bench)."""
+    from . import dedup, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = similarity.hyperplane_lsh_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        bits=48, band_bits=3, threshold=0.4,
+    ).select("id_a", "id_b")
+    exact = dedup.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).select("id_a", "id_b")
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_common = lsh.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        n_lsh.crossJoin(n_exact)
+        .crossJoin(n_common)
+        .select(
+            "n_lsh",
+            "n_exact",
+            "n_common",
+            F.floor(
+                F.col("n_common") * F.lit(10000.0)
+                / F.greatest(F.col("n_exact"), F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
+def _dedup_embedding_recall_oracle() -> str:
+    from . import similarity as _sim
+
+    planes = _sim._deterministic_hyperplanes(64, 48, seed=42)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0 "
+        f"THEN {2**i}::BIGINT ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, v, {bi} AS band, (sig >> {bi * 3}) & 7 AS key FROM sigs"
+        for bi in range(16)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id AS id, embedding AS v, {sig_terms} AS sig FROM embeddings
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), lsh AS (
+  SELECT id_a, id_b FROM cand
+  WHERE round(list_cosine_similarity(va::DOUBLE[], vb::DOUBLE[]), 6) >= 0.4
+), exact AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.4
+)
+SELECT (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+       (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+       (SELECT count(*) FROM lsh JOIN exact USING (id_a, id_b))::BIGINT
+           AS n_common,
+       floor((SELECT count(*) FROM lsh JOIN exact USING (id_a, id_b))::DOUBLE
+             * 10000.0
+             / greatest((SELECT count(*) FROM exact), 1) + 0.5)::BIGINT
+           AS recall_bp
+"""
+
+
+DEDUP_EMBEDDING_RECALL_SQL = _dedup_embedding_recall_oracle()
+
+QUERIES["dedup_embedding_recall"] = (
+    dedup_embedding_recall,
+    DEDUP_EMBEDDING_RECALL_SQL,
+)

@@ -79,6 +79,7 @@ _PRIORITY = [
     "bpe_merge_candidates_corpus",
     "batch_by_length_docs",
     "llm_data_pipeline_docs",
+    "dedup_embedding_recall",
 ]
 
 
