@@ -104,6 +104,7 @@ HEADLINE = [
     "bpe_merge_candidates_corpus",
     "batch_by_length_docs",
     "llm_data_pipeline_docs",
+    "corpus_datasheet_docs",
 ]
 
 

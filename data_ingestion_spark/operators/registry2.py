@@ -652,3 +652,151 @@ QUERIES["dedup_embedding_recall"] = (
     dedup_embedding_recall,
     DEDUP_EMBEDDING_RECALL_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Corpus datasheet (dataset-card summary)
+# --------------------------------------------------------------------------
+def corpus_datasheet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the documents corpus — the summary table a
+    training-data release ships: volume (docs/tokens/chars), provenance
+    breadth (sources, languages), language-distribution Shannon entropy,
+    exact-duplicate rate, quality-gate pass rate, and mean classifier
+    score.
+
+    Scale shape: four independent one-row/narrow aggregates (volume scan;
+    lang counts [#langs rows]; md5-distinct [16-byte keys]; quality+score
+    flags fused into the volume scan) crossJoined at the end — every
+    shuffle is a partial-agg'd scalar or a tiny key set.
+
+    Value parity: entropy terms are micro-rounded PER LANGUAGE and summed
+    as BIGINTs (repo rule #1 — a -Σ p·ln p double sum is accumulation-
+    order-dependent; the per-term integer sum is not). Rates are basis
+    points via floor(x·10000 + 0.5).
+    """
+    from ..functions import tokens as toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    vol = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks(F.col("text")))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    lang_n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent = (
+        lang_n.crossJoin(F.broadcast(total))
+        .select(
+            F.floor(-(p * F.log(p)) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("lang_entropy_micro"))
+    )
+    dup = (
+        docs.select(F.md5("text").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.countDistinct("h").alias("nu"),
+        )
+        .select(
+            F.floor(
+                (F.col("nd") - F.col("nu")) * F.lit(10000.0)
+                / F.col("nd")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dup_bp")
+        )
+    )
+    gate = (
+        text.quality_flags(docs, "doc_id", "text")
+        .agg(
+            F.count(F.lit(1)).alias("nq"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("nk"),
+        )
+        .select(
+            F.floor(F.col("nk") * F.lit(10000.0) / F.col("nq") + F.lit(0.5))
+            .cast("long")
+            .alias("quality_pass_bp")
+        )
+    )
+    score = (
+        inference.classifier_scores(docs, "doc_id", "text")
+        .agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.sum("score_micro").alias("ss"),
+        )
+        .select(
+            F.floor(F.col("ss").cast("double") / F.col("ns") + F.lit(0.5))
+            .cast("long")
+            .alias("mean_score_micro")
+        )
+    )
+    return (
+        vol.crossJoin(ent).crossJoin(dup).crossJoin(gate).crossJoin(score)
+    )
+
+
+def _datasheet_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    sw = ", ".join(f"'{w}'" for w in text.ALL_STOPWORDS)
+    keep = (
+        f"(n BETWEEN {text.QUALITY_MIN_TOKENS} AND {text.QUALITY_MAX_TOKENS})"
+        f" AND (sum_len >= {text.QUALITY_MIN_MEAN_WORD_LEN} * n"
+        f"      AND sum_len <= {text.QUALITY_MAX_MEAN_WORD_LEN} * n)"
+        f" AND hits >= {text.QUALITY_MIN_STOPWORD_HITS}"
+        f" AND n_sym * 10 <= {text.QUALITY_MAX_SYMBOL_PER_10_CHARS} * n_chars"
+        f" AND (n - nd) * {text.QUALITY_MAX_DUP_FRAC_DEN}"
+        f"     <= {text.QUALITY_MAX_DUP_FRAC_NUM} * n"
+    )
+    return f"""
+WITH vol AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(len({toks}))::BIGINT AS n_tokens,
+         sum(length(text))::BIGINT AS n_chars,
+         count(DISTINCT source)::BIGINT AS n_sources,
+         count(DISTINCT lang)::BIGINT AS n_langs
+  FROM documents
+), ent AS (
+  SELECT sum(floor(-( (c::DOUBLE / n::DOUBLE)
+                      * ln(c::DOUBLE / n::DOUBLE)) * 1e6 + 0.5)::BIGINT)::BIGINT
+           AS lang_entropy_micro
+  FROM (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+       (SELECT count(*) AS n FROM documents)
+), dup AS (
+  SELECT floor((count(*) - count(DISTINCT md5(text))) * 10000.0
+               / count(*) + 0.5)::BIGINT AS dup_bp
+  FROM documents
+), m AS (
+  SELECT CAST(len(toks) AS INTEGER) AS n,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS nd,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sum_len,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS n_sym,
+         CAST(len(list_filter(toks, x -> x IN ({sw}))) AS INTEGER) AS hits
+  FROM (SELECT text, {toks} AS toks FROM documents)
+), gate AS (
+  SELECT floor(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) * 10000.0
+               / count(*) + 0.5)::BIGINT AS quality_pass_bp
+  FROM m
+), sc AS (
+  SELECT floor(sum({_SCORE_SQL})::DOUBLE / count(*) + 0.5)::BIGINT
+           AS mean_score_micro
+  FROM documents
+)
+SELECT * FROM vol, ent, dup, gate, sc
+"""
+
+
+CORPUS_DATASHEET_DOCS_SQL = _datasheet_oracle()
+
+QUERIES["corpus_datasheet_docs"] = (
+    corpus_datasheet_docs,
+    CORPUS_DATASHEET_DOCS_SQL,
+)

@@ -80,6 +80,10 @@ _PRIORITY = [
     "batch_by_length_docs",
     "llm_data_pipeline_docs",
     "dedup_embedding_recall",
+    # position 51 — deliberately one past the driver's 50-slot window this
+    # round (every windowed query needs its first-or-changed verification
+    # row more urgently); rotate into the round-4 window.
+    "corpus_datasheet_docs",
 ]
 
 
