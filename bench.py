@@ -105,6 +105,7 @@ HEADLINE = [
     "batch_by_length_docs",
     "llm_data_pipeline_docs",
     "corpus_datasheet_docs",
+    "bpe_encode_docs",
 ]
 
 

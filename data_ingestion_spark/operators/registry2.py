@@ -800,3 +800,44 @@ QUERIES["corpus_datasheet_docs"] = (
     corpus_datasheet_docs,
     CORPUS_DATASHEET_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# BPE encode (tokenizer application)
+# --------------------------------------------------------------------------
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the fixed 8-merge BPE table to every document — see
+    text.bpe_encode; the oracle replays the chained replaces exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.bpe_encode(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    spaced = (
+        "array_to_string(list_transform(generate_series(1, length(w)), "
+        "i -> substr(w, i, 1)), ' ')"
+    )
+    chain = f"concat(' ', {spaced}, ' ')"
+    for a, b in text.BPE_MERGES:
+        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    enc = (
+        "list_transform(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> x <> ''), w -> trim({chain}))"
+    )
+    return f"""
+SELECT doc_id,
+       len({enc})::BIGINT AS n_words,
+       list_sum(list_transform({enc}, e -> len(string_split(e, ' '))))::BIGINT
+           AS n_bpe_tokens,
+       md5(array_to_string({enc}, '|')) AS enc_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+BPE_ENCODE_DOCS_SQL = _bpe_encode_oracle()
+
+QUERIES["bpe_encode_docs"] = (bpe_encode_docs, BPE_ENCODE_DOCS_SQL)

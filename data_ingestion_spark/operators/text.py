@@ -783,3 +783,59 @@ def bpe_merge_candidates(
         .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+#: Fixed BPE merge table for bpe_encode's driver-checked query — the shape
+#: a real trainer produces (bpe_merge_candidates is its counting step);
+#: order matters: merges apply sequentially, later merges can consume
+#: earlier merge outputs (e.g. 'th' + 'e').
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("o", "r"), ("e", "r"), ("s", "t"), ("an", "d"),
+]
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus — the ENCODE side of
+    tokenizer induction (bpe_merge_candidates is the training-count side).
+
+    Algorithm (engine-replayable): each word becomes its space-separated
+    character sequence, padded with sentinel spaces; each merge (a, b) is
+    ONE left-to-right non-overlapping ``replace(' a b ' → ' ab ')`` pass —
+    identical semantics in Spark (``replace``) and every SQL engine, so
+    the oracle replays encoding byte-for-byte. Sequential-pass BPE is the
+    standard vectorized approximation of the per-word priority queue (one
+    corpus pass per merge instead of per-pair-occurrence bookkeeping).
+
+    Scale shape: zero shuffles — a pure codegen'd projection (per-word
+    transform + a fixed chain of replaces). The merge table is driver
+    metadata (a real tokenizer's merges.txt). Output: (id, n_words,
+    n_bpe_tokens, enc_md5) where enc_md5 fingerprints the full encoded
+    doc (words joined by '|').
+    """
+    if merges is None:
+        merges = BPE_MERGES
+    spaced = "array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), ' ')"
+    chain = f"concat(' ', {spaced}, ' ')"
+    for a, b in merges:
+        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    enc_words = (
+        f"transform(filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
+        f"w -> trim({chain}))"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"size({enc_words})").cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate(transform({enc_words}, e -> size(split(e, ' '))), "
+            f"0, (acc, v) -> acc + v)"
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.expr(f"md5(array_join({enc_words}, '|'))").alias("enc_md5"),
+    )

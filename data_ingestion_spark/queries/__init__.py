@@ -80,10 +80,11 @@ _PRIORITY = [
     "batch_by_length_docs",
     "llm_data_pipeline_docs",
     "dedup_embedding_recall",
+    "corpus_datasheet_docs",
     # position 51 — deliberately one past the driver's 50-slot window this
     # round (every windowed query needs its first-or-changed verification
     # row more urgently); rotate into the round-4 window.
-    "corpus_datasheet_docs",
+    "bpe_encode_docs",
 ]
 
 

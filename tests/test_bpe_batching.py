@@ -48,3 +48,21 @@ def test_batch_by_length_buckets_are_independent(spark):
     ).collect()
     assert {r["bucket"] for r in out} == {0, 6}
     assert all(r["batch_idx"] == 0 for r in out)
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    df = spark.createDataFrame(
+        [(1, "the thin stand"), (2, "zz")], "doc_id long, text string"
+    )
+    out = {r["id"]: r.asDict() for r in text.bpe_encode(df, "doc_id", "text").collect()}
+    # 'the' -> th e -> the (merge t+h then th+e): 1 token
+    # 'thin' -> th i n -> th in: 2 tokens; 'stand' -> st an d -> st and: 2
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_bpe_tokens"] == 1 + 2 + 2
+    assert out[2]["n_bpe_tokens"] == 2  # no merges apply: z z
+
+
+def test_bpe_encode_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = text.bpe_encode(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
