@@ -100,5 +100,12 @@ DEFAULT_RULES = RuleSet(
         # its parser menu stops at xlsx, parser_adapter.rs:32-58)
         IngestionConfigRule(r".*\.orc$", "orc_data"),
         IngestionConfigRule(r".*\.avro$", "avro_data"),
+        # Compressed text landings: same target tables, the readers
+        # decompress .gz transparently (dispatch strips the suffix)
+        IngestionConfigRule(
+            r".*\.csv\.gz$", "csv_data", {"delimiter": ",", "has_headers": True}
+        ),
+        IngestionConfigRule(r".*\.json\.gz$", "json_data"),
+        IngestionConfigRule(r"logs/.*\.txt\.gz$", "text_logs"),
     ]
 )

@@ -63,12 +63,29 @@ def register_parser(
     PARSERS[ft] = parser
 
 
+#: Compression suffixes Spark's text-based readers decompress transparently
+#: (Hadoop codecs). Only the TEXT formats ride this — the binary custom
+#: readers (xlsx/orc/avro/xml over binaryFile) receive raw bytes, so a
+#: compressed landing there stays an unsupported type with a clear message.
+_COMPRESSION_SUFFIXES = ("gz", "bz2")
+_TRANSPARENT_DECOMPRESS = ("csv", "json", "txt")
+
+
 def extract_file_type(key: str) -> str:
     """Lowercased text after the last '.' of the key
-    (reference: ingestion_service.rs:149-158)."""
-    if "." not in key.rsplit("/", 1)[-1]:
+    (reference: ingestion_service.rs:149-158) — upgraded for compressed
+    text landings: ``x.csv.gz`` dispatches as ``csv`` (the reader
+    decompresses transparently); any other ``.gz``/``.bz2`` keeps the
+    reference's last-extension behavior (``file.tar.gz`` → ``gz``)."""
+    base = key.rsplit("/", 1)[-1]
+    if "." not in base:
         return ""
-    return key.rsplit(".", 1)[-1].lower()
+    ext = base.rsplit(".", 1)[-1].lower()
+    if ext in _COMPRESSION_SUFFIXES:
+        inner = extract_file_type(base.rsplit(".", 1)[0])
+        if inner in _TRANSPARENT_DECOMPRESS:
+            return inner
+    return ext
 
 
 def parse_file(

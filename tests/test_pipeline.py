@@ -240,3 +240,32 @@ def test_register_parser_plugin_python_udtf(spark, tmp_path):
         ]
     finally:
         dispatch.PARSERS.pop("applog", None)
+
+
+def test_gzipped_csv_lands_through_the_pipeline(spark, tmp_path):
+    """Compressed text landings: x.csv.gz dispatches as csv and the reader
+    decompresses transparently; binary formats keep the reference's
+    last-extension behavior."""
+    import gzip
+
+    from data_ingestion_spark.sources.dispatch import extract_file_type
+
+    assert extract_file_type("a.csv.gz") == "csv"
+    assert extract_file_type("b.json.gz") == "json"
+    assert extract_file_type("logs/c.txt.bz2") == "txt"
+    assert extract_file_type("file.tar.gz") == "gz"   # reference behavior
+    assert extract_file_type("img.xlsx.gz") == "gz"   # binary: not transparent
+
+    b = tmp_path / "landing" / "gz-bucket" / "uploads"
+    b.mkdir(parents=True)
+    with gzip.open(b / "people.csv.gz", "wt") as f:
+        f.write("name,age\nann,30\nbob,40\n")
+    pipe = IngestionPipeline(
+        spark,
+        warehouse_dir=str(tmp_path / "wh"),
+        base_dir=str(tmp_path / "landing"),
+    )
+    res = pipe.process_key("gz-bucket", "uploads/people.csv.gz")
+    assert res.rows == 2
+    got = pipe.sink.read_table("csv_data")
+    assert sorted(r["name"] for r in got.collect()) == ["ann", "bob"]
