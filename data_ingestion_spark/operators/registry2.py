@@ -823,18 +823,22 @@ def _bpe_encode_oracle() -> str:
     )
     chain = f"concat(' ', {spaced}, ' ')"
     for a, b in text.BPE_MERGES:
-        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+        for _ in range(2):  # two passes per merge = fixpoint (text.bpe_encode)
+            chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
     enc = (
         "list_transform(list_filter(string_split_regex(lower(text), '\\s+'), "
         f"x -> x <> ''), w -> trim({chain}))"
     )
+    # enc computed once in the subquery (mirrors the Spark side's single
+    # materialization); coalesce: list_sum over an empty list is NULL in
+    # DuckDB while Spark's aggregate(..., 0, ...) is 0.
     return f"""
 SELECT doc_id,
-       len({enc})::BIGINT AS n_words,
-       list_sum(list_transform({enc}, e -> len(string_split(e, ' '))))::BIGINT
-           AS n_bpe_tokens,
-       md5(array_to_string({enc}, '|')) AS enc_md5
-FROM documents ORDER BY doc_id
+       len(enc)::BIGINT AS n_words,
+       coalesce(list_sum(list_transform(enc, e -> len(string_split(e, ' ')))),
+                0)::BIGINT AS n_bpe_tokens,
+       md5(array_to_string(enc, '|')) AS enc_md5
+FROM (SELECT doc_id, {enc} AS enc FROM documents) ORDER BY doc_id
 """
 
 

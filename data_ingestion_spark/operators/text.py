@@ -640,7 +640,8 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(tokens(F.col(text_col)))).alias("sum_dl"),
     ).first()
-    n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"])
+    # Empty corpus: sum() over zero rows is NULL — guard before int().
+    n_docs, sum_dl = int(stats["n"] or 0), int(stats["sum_dl"] or 0)
     avgdl = float(sum_dl) / float(n_docs) if n_docs else 1.0
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
@@ -806,36 +807,157 @@ def bpe_encode(
 
     Algorithm (engine-replayable): each word becomes its space-separated
     character sequence, padded with sentinel spaces; each merge (a, b) is
-    ONE left-to-right non-overlapping ``replace(' a b ' → ' ab ')`` pass —
-    identical semantics in Spark (``replace``) and every SQL engine, so
+    a left-to-right non-overlapping ``replace(' a b ' → ' ab ')`` applied
+    TWICE — two passes are a guaranteed fixpoint for a single pattern over
+    a spaced word: pass 1 merges alternating occurrences in a run (each
+    match consumes the shared boundary space of its successor), leaving
+    every survivor isolated between merged tokens, so pass 2 catches them
+    all, and replacements never split tokens so no new occurrences can
+    appear (property-tested exhaustively in tests/test_text_llm.py).
+    ``replace`` has identical semantics in Spark and every SQL engine, so
     the oracle replays encoding byte-for-byte. Sequential-pass BPE is the
     standard vectorized approximation of the per-word priority queue (one
-    corpus pass per merge instead of per-pair-occurrence bookkeeping).
+    corpus pass per merge instead of per-pair-occurrence bookkeeping);
+    ``bpe_encode_arrow`` below is the exact rank-priority tier for real
+    merge tables.
 
-    Scale shape: zero shuffles — a pure codegen'd projection (per-word
-    transform + a fixed chain of replaces). The merge table is driver
-    metadata (a real tokenizer's merges.txt). Output: (id, n_words,
-    n_bpe_tokens, enc_md5) where enc_md5 fingerprints the full encoded
-    doc (words joined by '|').
+    Scale shape: zero shuffles — a pure codegen'd projection. The encode
+    expression (the heaviest in the query) is MATERIALIZED ONCE in a first
+    select; the three outputs derive from that column, so it evaluates
+    once per row, not once per output (Spark's subexpression elimination
+    does not reliably cover nested higher-order functions). The merge
+    table is driver metadata (a real tokenizer's merges.txt) — but note
+    the chained-replace expression tree grows with the table, so this tier
+    caps at tens of merges; past that, use ``bpe_encode_arrow``. Output:
+    (id, n_words, n_bpe_tokens, enc_md5) where enc_md5 fingerprints the
+    full encoded doc (words joined by '|').
     """
     if merges is None:
         merges = BPE_MERGES
     spaced = "array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), ' ')"
     chain = f"concat(' ', {spaced}, ' ')"
     for a, b in merges:
-        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+        for _ in range(2):  # two passes = fixpoint (see docstring)
+            chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
     enc_words = (
         f"transform(filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
         f"w -> trim({chain}))"
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.expr(f"size({enc_words})").cast("long").alias("n_words"),
+    encoded = df.select(
+        F.col(id_col).alias("id"), F.expr(enc_words).alias("enc")
+    )
+    return encoded.select(
+        "id",
+        F.size("enc").cast("long").alias("n_words"),
         F.expr(
-            f"aggregate(transform({enc_words}, e -> size(split(e, ' '))), "
-            f"0, (acc, v) -> acc + v)"
+            "aggregate(transform(enc, e -> size(split(e, ' '))), "
+            "0, (acc, v) -> acc + v)"
         )
         .cast("long")
         .alias("n_bpe_tokens"),
-        F.expr(f"md5(array_join({enc_words}, '|'))").alias("enc_md5"),
+        F.expr("md5(array_join(enc, '|'))").alias("enc_md5"),
     )
+
+
+def bpe_encode_reference(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Canonical single-word BPE encode (the GPT-2 ``bpe()`` loop): repeat
+    "merge the lowest-rank adjacent pair" until no pair is in the table.
+    Pure Python, driver/executor-shared; the unit both the Arrow tier and
+    its tests call."""
+    parts = list(word)
+    while len(parts) > 1:
+        pairs = {(parts[i], parts[i + 1]) for i in range(len(parts) - 1)}
+        best = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if best not in ranks:
+            break
+        a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(parts):
+            if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return parts
+
+
+def bpe_encode_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """EXACT rank-priority BPE encode for production merge tables — the
+    Arrow ``mapInPandas`` tier of ``bpe_encode`` (the ``classifier_scores``
+    pattern, operators/inference.py): a real merges.txt is 32k+ rows, and
+    the column tier's chained-replace expression tree will not parse or
+    codegen at that depth, while this tier's cost is O(1) expression nodes
+    regardless of table size.
+
+    Semantics: the canonical tokenizer loop — per word, repeatedly merge
+    the LOWEST-RANK adjacent pair (``bpe_encode_reference``) with a
+    per-partition word→tokens memo (Zipf: the corpus vocabulary is tiny
+    next to the token stream, so the memo hit-rate is high and each
+    distinct word is encoded once per partition).
+
+    Scale shape: zero shuffles — mapInPandas is a narrow per-partition
+    transform; the merge table ships once per executor in the closure
+    (32k pairs ≈ 1 MB, far under broadcast-worthy size). Same output
+    schema as ``bpe_encode``: (id, n_words, n_bpe_tokens, enc_md5).
+    """
+    import hashlib
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("n_words", LongType()),
+            StructField("n_bpe_tokens", LongType()),
+            StructField("enc_md5", StringType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = bpe_encode_reference(w, ranks)
+            return got
+
+        for pdf in batches:
+            ids, n_words, n_toks, md5s = [], [], [], []
+            for id_val, txt in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (txt or "").lower().split() if w]
+                encs = [enc_word(w) for w in words]
+                ids.append(id_val)
+                n_words.append(len(words))
+                n_toks.append(sum(len(e) for e in encs))
+                md5s.append(
+                    hashlib.md5(
+                        "|".join(" ".join(e) for e in encs).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_toks,
+                    "enc_md5": md5s,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode_batches, out_schema)

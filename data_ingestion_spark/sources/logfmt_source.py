@@ -100,10 +100,15 @@ class LogfmtReader(DataSourceReader):
         if os.path.isfile(self.path):
             files = [self.path]
         else:
+            # _tmp_ files are uncommitted writer-task output (a crashed or
+            # speculative task's private file that commit() never renamed —
+            # abort() only sees messages from tasks that RETURNED one).
+            # They must never become visible to readers.
             files = sorted(
                 os.path.join(self.path, f)
                 for f in os.listdir(self.path)
-                if f.endswith(".logfmt") or f.endswith(".log")
+                if (f.endswith(".logfmt") or f.endswith(".log"))
+                and not f.startswith("_tmp_")
             )
         return [InputPartition(f) for f in files]
 
@@ -140,10 +145,13 @@ class LogfmtStreamReader(SimpleDataSourceStreamReader):
     def _list(self) -> list[str]:
         if not os.path.isdir(self.path):
             return []
+        # Same _tmp_ exclusion as LogfmtReader.partitions(): orphaned
+        # writer-task temp files are not committed data.
         return sorted(
             f
             for f in os.listdir(self.path)
-            if f.endswith(".logfmt") or f.endswith(".log")
+            if (f.endswith(".logfmt") or f.endswith(".log"))
+            and not f.startswith("_tmp_")
         )
 
     def initialOffset(self) -> dict:
@@ -226,8 +234,10 @@ class LogfmtWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, f))
         for m in messages:
             if m is not None:
-                final = m.path.replace("_tmp_", "", 1)
-                os.replace(m.path, final)
+                # Strip the _tmp_ prefix from the BASENAME only — a parent
+                # directory whose name contains "_tmp_" must not be mangled.
+                d, base = os.path.split(m.path)
+                os.replace(m.path, os.path.join(d, base.replace("_tmp_", "", 1)))
 
     def abort(self, messages) -> None:
         for m in messages:

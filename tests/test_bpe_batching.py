@@ -66,3 +66,116 @@ def test_bpe_encode_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = text.bpe_encode(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bpe_encode_adjacent_repeats_reach_fixpoint(spark):
+    # 'thth': one non-overlapping replace pass consumes the shared boundary
+    # space and leaves 'th t h'; the second pass must finish the merge.
+    df = spark.createDataFrame([(1, "thth thththth")], "doc_id long, text string")
+    out = text.bpe_encode(df, "doc_id", "text", merges=[("t", "h")]).collect()[0]
+    assert out["n_bpe_tokens"] == 2 + 4  # th th | th th th th
+
+
+def test_bpe_encode_two_passes_equal_python_fixpoint(spark):
+    # Property: the column tier's 2-pass replace equals repeat-until-fixpoint
+    # (Python str.replace has the same left-to-right non-overlapping
+    # semantics as Spark's replace). Adversarial a/b words up to len 16.
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    words = ["".join(rng.choice("ab") for _ in range(n)) for n in range(1, 17) for _ in range(8)]
+    words += ["".join(t) for t in itertools.product("ab", repeat=8)]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in text.bpe_encode(df, "doc_id", "text", merges=[("a", "b")]).collect()
+    }
+    for i, w in enumerate(words):
+        s = " " + " ".join(w) + " "
+        while " a b " in s:
+            s = s.replace(" a b ", " ab ")
+        assert out[i] == len(s.split()), w
+
+
+def test_bpe_encode_empty_and_whitespace_docs(spark):
+    # Zero-word docs: n_words = n_bpe_tokens = 0 (aggregate's 0 seed) —
+    # the oracle side coalesces DuckDB's NULL list_sum to 0 to match.
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "th")], "doc_id long, text string"
+    )
+    out = {r["id"]: r.asDict() for r in text.bpe_encode(df, "doc_id", "text").collect()}
+    assert out[1]["n_words"] == 0 and out[1]["n_bpe_tokens"] == 0
+    assert out[2]["n_words"] == 0 and out[2]["n_bpe_tokens"] == 0
+    assert out[3]["n_bpe_tokens"] == 1
+
+
+def _make_merge_table(n: int) -> list[tuple[str, str]]:
+    """Deterministic ≥n-entry merge table over a–z, built the way a trainer
+    would: chars pair into 2-grams, 2-grams absorb chars into 3-grams."""
+    merges = []
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    for a in letters:
+        for b in letters:
+            merges.append((a, b))
+            if len(merges) >= n * 2 // 3:
+                break
+        else:
+            continue
+        break
+    for a, b in list(merges):
+        for c in letters:
+            merges.append((a + b, c))
+            if len(merges) >= n:
+                return merges
+    return merges
+
+
+def test_bpe_encode_arrow_handles_1k_merge_table(spark):
+    # The production tier: a ≥1k-entry merge table (the column tier's
+    # chained-replace expression cannot parse at this depth) encoded via
+    # mapInPandas, verified word-by-word against the canonical Python loop.
+    merges = _make_merge_table(1000)
+    assert len(merges) >= 1000
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abc abcd abcde xyz"),
+        (3, ""),
+        (4, "aaaa bbbb abab"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in text.bpe_encode_arrow(df, "doc_id", "text", merges).collect()
+    }
+    import hashlib
+
+    for doc_id, txt in docs:
+        words = [w for w in txt.lower().split() if w]
+        encs = [text.bpe_encode_reference(w, ranks) for w in words]
+        assert out[doc_id]["n_words"] == len(words)
+        assert out[doc_id]["n_bpe_tokens"] == sum(len(e) for e in encs)
+        expect_md5 = hashlib.md5(
+            "|".join(" ".join(e) for e in encs).encode()
+        ).hexdigest()
+        assert out[doc_id]["enc_md5"] == expect_md5
+
+
+def test_bpe_encode_arrow_agrees_with_column_tier_on_fixture(spark):
+    # On the 8-merge table the two tiers agree for ordinary text (rank
+    # order == sequential order here); this pins the tiers to each other.
+    df = spark.createDataFrame(
+        [(1, "the thin stand over another"), (2, "north or in the end")],
+        "doc_id long, text string",
+    )
+    col_out = {
+        r["id"]: r.asDict() for r in text.bpe_encode(df, "doc_id", "text").collect()
+    }
+    arrow_out = {
+        r["id"]: r.asDict()
+        for r in text.bpe_encode_arrow(df, "doc_id", "text", text.BPE_MERGES).collect()
+    }
+    assert col_out == arrow_out

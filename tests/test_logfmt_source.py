@@ -116,3 +116,36 @@ def test_stream_reader_tails_directory_with_checkpoint(spark, tmp_path):
     got2 = spark.read.parquet(out).collect()
     assert sorted(json.loads(r["kv_json"])["n"] for r in got2) == ["1", "2", "3"]
     assert {r["file_name"] for r in got2} == {"a.logfmt", "b.log"}
+
+
+def test_tmp_orphans_invisible_and_commit_preserves_tmp_dirname(spark, tmp_path):
+    """A crashed/speculative writer task's _tmp_ file must never be read
+    (abort() only sees commit messages from tasks that returned one), and
+    commit()'s rename must strip _tmp_ from the BASENAME only, so a parent
+    directory containing '_tmp_' survives intact."""
+    spark.dataSource.register(LogfmtDataSource)
+    land = tmp_path / "zone_tmp_a"  # dirname deliberately contains _tmp_
+    land.mkdir()
+    (land / "good.logfmt").write_text("n=1\n")
+    (land / "_tmp_part-00007-dead.logfmt").write_text("n=666\n")  # orphan
+
+    got = (
+        spark.read.format("logfmt").option("path", str(land)).load().collect()
+    )
+    assert [json.loads(r["kv_json"])["n"] for r in got] == ["1"]
+
+    # Write path: committed output lands NEXT TO the orphan without
+    # touching the directory name, and a re-read still skips the orphan.
+    df = spark.createDataFrame([("x", "1")], "k string, v string").coalesce(1)
+    df.write.format("logfmt").mode("append").option("path", str(land)).save()
+    assert (land / "good.logfmt").exists()
+    assert land.exists() and "_tmp_" in land.name
+    committed = [
+        f for f in land.iterdir()
+        if f.name.endswith(".logfmt") and not f.name.startswith("_tmp_")
+    ]
+    assert len(committed) == 2  # good.logfmt + the new part file
+    got2 = (
+        spark.read.format("logfmt").option("path", str(land)).load().collect()
+    )
+    assert sorted(json.loads(r["kv_json"]).get("n", "x") for r in got2) == ["1", "x"]
