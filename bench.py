@@ -1,9 +1,22 @@
 """Benchmark harness for the driver (BENCH_r{N}.json).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}``.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Output contract (round 4 — the driver's tail capture is ~2,000 chars, and
+round 3's single line with 68 per-query timings exceeded it, so the driver
+recorded ``parsed: null`` and the round's bench was invisible): the FINAL
+stdout line is a compact summary JSON guaranteed well under 1.5 kB (total,
+n_queries, sf, reps, canary, worst-5 queries, regression count); the full
+per-query map is written to ``BENCH_DETAIL.json`` next to this file.
+
+Canary calibration: cross-round per-query comparisons showed ~1.2-1.3x
+diffuse drift on UNCHANGED code (the driver regenerates /root/testdata
+every round with fresh random content, and ambient machine load varies).
+``canary_sec`` times one fixed query over data generated IN-PROCESS from
+``spark.range`` (pinned constants, independent of /root/testdata), so the
+regression gate can normalize real per-query times by ambient drift:
+adjusted_now = now / (canary_now / canary_prev).
 
 Each query is timed to full materialization on the driver (Arrow-batched
 ``toPandas()``) so the figure includes scan + shuffle + result transfer,
@@ -109,6 +122,34 @@ HEADLINE = [
 ]
 
 
+def run_canary(spark) -> float:
+    """One fixed mid-weight query over in-process data: 3M rows of
+    ``spark.range`` → md5 + modulo key → hash agg over 9,973 keys →
+    full shuffle → top-20. Pinned constants, zero dependence on
+    /root/testdata content, so its time moves ONLY with the machine/JVM
+    ambient state — the per-run drift normalizer. Min of 3."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(3_000_000)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                F.md5(F.col("id").cast("string")).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("h").alias("lo"), F.max("h").alias("hi"))
+            .orderBy(F.col("lo").asc())
+            .limit(20)
+            .toPandas()
+        )
+        return time.perf_counter() - t0
+
+    once()  # warm (codegen/JIT for this exact plan)
+    return round(min(once() for _ in range(3)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -171,51 +212,98 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt}s", file=sys.stderr)
 
+    canary_sec = run_canary(spark)
+
     # Self-auditing regression gate: compare shared queries against the
-    # most recent recorded round (BENCH_r{N}.json) and flag >1.2x
-    # slowdowns in the output itself, so a perf regression is visible in
-    # the bench artifact without diffing rounds by hand.
-    prev_queries: dict[str, float] = {}
-    prev_file = None
+    # previous run's full detail file (BENCH_DETAIL.json, committed each
+    # round — BENCH_r{N}.json no longer carries the full map) falling back
+    # to the newest BENCH_r{N}.json that does. Times are normalized by the
+    # canary ratio when both runs have one, so ambient machine/data drift
+    # (measured at ~1.2-1.3x across rounds on unchanged code) doesn't
+    # masquerade as a plan regression.
     here = os.path.dirname(os.path.abspath(__file__))
-    for n in range(20, 0, -1):
-        cand = os.path.join(here, f"BENCH_r{n:02d}.json")
-        if os.path.isfile(cand):
+    prev_queries: dict[str, float] = {}
+    prev_canary = None
+    prev_file = None
+    candidates = [os.path.join(here, "BENCH_DETAIL.json")] + [
+        os.path.join(here, f"BENCH_r{n:02d}.json") for n in range(20, 0, -1)
+    ]
+    for cand in candidates:
+        if not os.path.isfile(cand):
+            continue
+        try:
+            with open(cand) as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # driver-recorded rounds nest the bench line under "parsed"
+        q = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
+        prev_sf = doc.get("sf", (doc.get("parsed") or {}).get("sf"))
+        if prev_sf is not None and prev_sf != sf_val:
+            continue  # different scale factor: times aren't comparable
+        if q:
+            prev_queries = q
+            prev_canary = doc.get("canary_sec") or (doc.get("parsed") or {}).get(
+                "canary_sec"
+            )
             prev_file = cand
             break
-    if prev_file:
-        try:
-            with open(prev_file) as fh:
-                doc = json.load(fh)
-            # driver-recorded rounds nest the bench line under "parsed"
-            prev_queries = (
-                doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
-            )
-        except (OSError, json.JSONDecodeError):
-            prev_queries = {}
+    drift = (
+        canary_sec / prev_canary
+        if prev_canary and prev_canary > 0
+        else None
+    )
     regressions = {
-        name: {"prev": prev_queries[name], "now": t}
+        name: {
+            "prev": prev_queries[name],
+            "now": t,
+            "now_drift_adj": round(t / drift, 3) if drift else None,
+        }
         for name, t in timings.items()
         if name in prev_queries
         and prev_queries[name] > 0.1  # sub-100ms timings are pure noise
-        and t > 1.2 * prev_queries[name]
+        and (t / (drift or 1.0)) > 1.2 * prev_queries[name]
     }
 
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        # headline set GROWS round over round — normalize cross-round
+        # totals by n_queries or compare per-query.
+        "n_queries": len(HEADLINE),
+        "reps": reps,
+        "agg": "min",
+        "heavy_extra_rep_above_sec": heavy_sec,
+        "canary_sec": canary_sec,
+        "canary_drift_vs_prev": round(drift, 3) if drift else None,
+        "regress_vs": os.path.basename(prev_file) if prev_file else None,
+        "regressions_gt_1.2x_drift_adj": regressions,
+        "queries": timings,
+        "sf": sf_val,
+    }
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    worst5 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    # FINAL LINE: compact summary only (<1.5 kB) — the driver tail-captures
+    # ~2,000 chars, and a full per-query map overflows it (BENCH_r03).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                # headline set GROWS round over round — normalize
-                # cross-round totals by n_queries or compare per-query.
                 "n_queries": len(HEADLINE),
                 "reps": reps,
                 "agg": "min",
-                "heavy_extra_rep_above_sec": heavy_sec,
-                "regress_vs": os.path.basename(prev_file) if prev_file else None,
-                "regressions_gt_1.2x": regressions,
-                "queries": timings,
+                "canary_sec": canary_sec,
+                "canary_drift_vs_prev": round(drift, 3) if drift else None,
+                "n_regressions_gt_1.2x_drift_adj": len(regressions),
+                "worst5": worst5,
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": sf_val,
             }
         )
