@@ -8,6 +8,8 @@ filter and Morton interleave, which are replayed bit-for-bit in SQL.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -140,6 +142,59 @@ FROM z GROUP BY 1
 
 
 ZORDER_LAYOUT_EVENTS_SQL = _zorder_oracle()
+
+
+def zorder_prune_demo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END proof of the Z-order claim: write events twice — once
+    Z-ordered on (user_id, value) via layout.zorder_write, once round-robin
+    (the unclustered control) — then, for a selective ~2%-span predicate on
+    EACH dimension, count the parquet row groups whose footer min/max
+    envelope intersects it (layout.parquet_rowgroups_overlapping — exactly
+    the units a stats-pruning reader scans; the rest are skipped from the
+    footer alone).
+
+    Output: one row per (dimension, layout) with rowgroups hit/total. The
+    Z-ordered layout must hit a small fraction on BOTH dimensions; the
+    control hits ~all. File layout is not SQL-expressible, so this is a
+    rows-only driver check; tests/test_layout_stats.py asserts the pruning
+    inequality hard.
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    r = ev.select(
+        F.min("user_id").alias("xlo"),
+        F.max("user_id").alias("xhi"),
+        F.min("value").alias("ylo"),
+        F.max("value").alias("yhi"),
+    ).first()
+    xlo, xhi = float(r["xlo"]), float(r["xhi"])
+    ylo, yhi = float(r["ylo"]), float(r["yhi"])
+    # middle ~2%-span predicate per dimension
+    xmid, xspan = (xlo + xhi) / 2.0, (xhi - xlo) * 0.01
+    ymid, yspan = (ylo + yhi) / 2.0, (yhi - ylo) * 0.01
+    preds = {"user_id": (xmid - xspan, xmid + xspan), "value": (ymid - yspan, ymid + yspan)}
+
+    base = tempfile.mkdtemp(prefix="zorder_demo_")
+    rows = []
+    try:
+        zdir, cdir = os.path.join(base, "z"), os.path.join(base, "ctl")
+        layout.zorder_write(
+            ev, "user_id", "value", (xlo, xhi), (ylo, yhi), zdir, n_files=64
+        )
+        ev.repartition(64).write.mode("overwrite").parquet(cdir)
+        for dim, (lo, hi) in preds.items():
+            for lname, d in (("zorder", zdir), ("roundrobin", cdir)):
+                fh, ft, gh, gt = layout.parquet_rowgroups_overlapping(d, dim, lo, hi)
+                rows.append((dim, lname, fh, ft, gh, gt))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "dim string, layout string, files_hit long, files_total long, "
+        "rowgroups_hit long, rowgroups_total long",
+    ).orderBy("dim", "layout")
 
 
 # --------------------------------------------------------------------------
@@ -550,6 +605,9 @@ QUERIES: dict = {
     "classifier_score_docs": (classifier_score_docs, CLASSIFIER_SCORE_DOCS_SQL),
     "curriculum_bins_docs": (curriculum_bins_docs, CURRICULUM_BINS_DOCS_SQL),
     "zorder_layout_events": (zorder_layout_events, ZORDER_LAYOUT_EVENTS_SQL),
+    # rows-only: file layout / parquet footer stats aren't SQL-expressible;
+    # tests/test_layout_stats.py asserts the pruning inequality hard
+    "zorder_prune_demo_events": (zorder_prune_demo_events, None),
     "bloom_prune_join_events": (
         bloom_prune_join_events,
         BLOOM_PRUNE_JOIN_EVENTS_SQL,

@@ -96,3 +96,30 @@ def test_zscore_flags_constructed_outlier(spark):
     out = stats.zscore_outliers(df, "user_id", "event_id", "value", 2.0).collect()
     assert [r["id"] for r in out] == [99]
     assert out[0]["z_milli"] > 2000
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Close the Z-order loop: the clustered write must make parquet footer
+    min/max stats tight enough that a selective predicate on EITHER
+    dimension skips most row groups, while the round-robin control layout
+    skips ~nothing. Deterministic grid data (200x200, both dims uniform)."""
+    rows = [(i, float(i % 200), float(i // 200)) for i in range(40_000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    zdir, cdir = str(tmp_path / "z"), str(tmp_path / "c")
+    layout.zorder_write(df, "x", "y", (0.0, 199.0), (0.0, 199.0), zdir, n_files=64)
+    df.repartition(64).write.mode("overwrite").parquet(cdir)
+
+    for dim in ("x", "y"):
+        fh, ft, gh, gt = layout.parquet_rowgroups_overlapping(zdir, dim, 98.0, 101.0)
+        cfh, cft, cgh, cgt = layout.parquet_rowgroups_overlapping(cdir, dim, 98.0, 101.0)
+        assert ft == 64 and cft == 64
+        # control: every round-robin file spans the whole domain
+        assert cgh == cgt
+        # z-order: a ~2%-span predicate must skip >= half the row groups on
+        # BOTH dimensions (64 files over a 2D z-curve: ~sqrt fraction hit)
+        assert gh <= gt // 2, (dim, gh, gt)
+
+    # and the data survives the clustered write byte-for-byte
+    assert spark.read.parquet(zdir).count() == 40_000
+    got = {r["id"] for r in spark.read.parquet(zdir).filter("x = 5 and y = 7").collect()}
+    assert got == {7 * 200 + 5}
