@@ -14,12 +14,13 @@ from .event_time import (
     stream_events_from_dir,
     tumbling_window_counts,
 )
-from .ingest_stream import IngestionStreamLoop
+from .ingest_stream import IngestionStreamLoop, SqsFrontDoorLoop
 from .s3_events import S3_EVENT_SCHEMA, files_to_process, s3_event_files
 from .stream_joins import dedup_events, interval_join
 
 __all__ = [
     "IngestionStreamLoop",
+    "SqsFrontDoorLoop",
     "S3_EVENT_SCHEMA",
     "files_to_process",
     "s3_event_files",

@@ -126,3 +126,101 @@ class IngestionStreamLoop:
         q = self.start(available_now=True)
         q.awaitTermination()
         return self.results
+
+
+class SqsFrontDoorLoop:
+    """The reference's ACTUAL front door, composed end to end on one
+    stream: SQS message bodies → S3-event decode → per-file ingest → audit
+    rows (src/ecs_service.rs:113-224 — receive_message → process_message →
+    process_record; dev-test.sh drives exactly this path).
+
+    The "queue" here is a text file-source stream over ``queue_dir`` (one
+    message body per line — at scale, swap in the Kinesis/Kafka/SQS
+    connector; everything downstream is unchanged because the decode is a
+    DataFrame transform). Per micro-batch (``maxFilesPerTrigger`` mirrors
+    the ≤10-messages-per-receive bound):
+
+    - ``s3_events.s3_event_files`` decodes bodies to (bucket, key, status)
+      rows — a narrow JVM ``from_json`` projection, no Python in the parse;
+    - ``ok`` records feed ``IngestionPipeline.process_file`` (same per-file
+      batch pipeline as IngestionStreamLoop);
+    - warn-status records (``missing_bucket_or_key`` / ``no_records`` /
+      ``invalid_json`` — the reference's ``warn!`` lines,
+      ecs_service.rs:212,218) become Failed AUDIT ROWS, not lost log text,
+      and are tallied in ``self.warns``.
+
+    Exactly-once message discovery comes from the streaming checkpoint
+    (upgrade over the reference's delete-even-on-failure at-most-once,
+    SURVEY.md §3.4). The per-batch collect is bounded by the trigger's
+    message cap × records per event, never corpus-scale.
+    """
+
+    def __init__(
+        self,
+        pipeline: IngestionPipeline,
+        queue_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 10,
+    ) -> None:
+        self.pipeline = pipeline
+        self.queue_dir = queue_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.results: list = []
+        self.failures: list[tuple[str, str]] = []
+        self.warns: dict[str, int] = {}
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from .s3_events import s3_event_files
+
+        decoded = s3_event_files(batch_df, "value").collect()
+        for r in sorted(
+            decoded, key=lambda r: (r["bucket"] or "", r["key"] or "")
+        ):
+            if r["status"] != "ok":
+                self.warns[r["status"]] = self.warns.get(r["status"], 0) + 1
+                # warn-as-audit-row: the reference logs and moves on; here
+                # the skip is queryable next to the per-file Success rows
+                name = (
+                    f"{r['bucket']}/{r['key']}"
+                    if r["bucket"] and r["key"]
+                    else "<sqs-message>"
+                )
+                log_id = self.pipeline.log.insert_log(name)
+                self.pipeline.log.finalize_log(
+                    log_id, name, _utcnow_naive(), False, f"s3-event: {r['status']}"
+                )
+                continue
+            file = FileToProcess(bucket=r["bucket"], key=r["key"])
+            try:
+                self.results.append(self.pipeline.process_file(file))
+            except IngestionError as ex:
+                self.failures.append((file.file_name, str(ex)))
+
+    def start(self, available_now: bool = True, processing_interval: Optional[str] = None):
+        spark: SparkSession = self.pipeline.spark
+        reader = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+            .load(self.queue_dir)
+        )
+        writer = reader.writeStream.foreachBatch(self._process_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_interval or "20 seconds")
+        return writer.start()
+
+    def run_available(self) -> list:
+        """Drain the queue dir synchronously; returns per-file results."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+        return self.results
+
+
+def _utcnow_naive():
+    from datetime import datetime, timezone
+
+    return datetime.now(timezone.utc).replace(tzinfo=None)

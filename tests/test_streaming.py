@@ -505,3 +505,137 @@ def test_compact_table_clustered(spark, tmp_path):
     # clustered rewrite preserves values and sorts within the single file
     vals = [r["k"] for r in got.collect()]
     assert sorted(vals) == list(range(500))
+
+
+# ---------------------------------------------------------------------------
+# SQS front door: message stream -> S3-event decode -> ingest -> audit
+# ---------------------------------------------------------------------------
+def test_sqs_front_door_one_stream_run(spark, tmp_path):
+    """The reference's only E2E path (dev-test.sh -> ecs_service.rs:176-224)
+    in ONE stream run: event-JSON message bodies (incl. malformed records)
+    land in a queue dir; the stream decodes, ingests each named file, and
+    both target-table counts and warn-status audit rows come out."""
+    import json as _json
+
+    from data_ingestion_spark.streaming import SqsFrontDoorLoop
+
+    # data files the events point at: {base_dir}/{bucket}/{key}
+    data = tmp_path / "s3" / "my-bucket" / "uploads"
+    data.mkdir(parents=True)
+    (data / "a.csv").write_text("name,age\nJohn,30\nJane,25\n")
+    (data / "b.json").write_text('[{"k": 1}, {"k": 2}, {"k": 3}]')
+
+    def ev(*records):
+        return _json.dumps({"Records": list(records)})
+
+    def rec(bucket, key):
+        return {"s3": {"bucket": {"name": bucket}, "object": {"key": key}}}
+
+    queue = tmp_path / "queue"
+    queue.mkdir()
+    # message 1: two good records in one event (multi-record SQS body)
+    (queue / "m1.json").write_text(
+        ev(rec("my-bucket", "uploads/a.csv"), rec("my-bucket", "uploads/b.json"))
+        + "\n"
+    )
+    # message 2: one record missing the key (warn), one body with no
+    # Records array (warn), one body that is not JSON at all (warn)
+    (queue / "m2.json").write_text(
+        ev({"s3": {"bucket": {"name": "my-bucket"}}})
+        + "\n"
+        + _json.dumps({"Event": "s3:TestEvent"})
+        + "\n"
+        + "this is not json\n"
+    )
+    # message 3: a good record naming a file that doesn't exist (fetch fail)
+    (queue / "m3.json").write_text(
+        ev(rec("my-bucket", "uploads/ghost.csv")) + "\n"
+    )
+
+    pipe = IngestionPipeline(
+        spark, warehouse_dir=str(tmp_path / "wh"), base_dir=str(tmp_path / "s3")
+    )
+    loop = SqsFrontDoorLoop(
+        pipe, str(queue), checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    results = loop.run_available()
+
+    # per-file ingest results from the stream run
+    assert {r.file_name: r.rows for r in results} == {
+        "my-bucket/uploads/a.csv": 2,
+        "my-bucket/uploads/b.json": 3,
+    }
+    # target-table counts
+    assert pipe.sink.read_table("csv_data").count() == 2
+    assert pipe.sink.read_table("json_data").count() == 3
+    # the ghost file failed its file only
+    assert [f for f, _ in loop.failures] == ["my-bucket/uploads/ghost.csv"]
+    # the three malformed shapes were warned-and-skipped, not fatal
+    assert loop.warns == {
+        "missing_bucket_or_key": 1,
+        "no_records": 1,
+        "invalid_json": 1,
+    }
+    # audit log: Success rows for the two ingests, Failed rows for the
+    # ghost fetch AND each warn-status record (warn-as-data upgrade)
+    status = {
+        (r["file_name"], r["status"])
+        for r in pipe.log.current_status().collect()
+    }
+    assert ("my-bucket/uploads/a.csv", "Success") in status
+    assert ("my-bucket/uploads/b.json", "Success") in status
+    assert ("my-bucket/uploads/ghost.csv", "Failed") in status
+    warn_rows = [s for s in status if s[0] == "<sqs-message>"]
+    assert len(warn_rows) == 1 and warn_rows[0][1] == "Failed"
+    msgs = {
+        r["message"]
+        for r in pipe.log.read().collect()
+        if r["message"] and r["message"].startswith("s3-event:")
+    }
+    assert msgs == {
+        "s3-event: missing_bucket_or_key",
+        "s3-event: no_records",
+        "s3-event: invalid_json",
+    }
+
+
+def test_sqs_front_door_checkpoint_is_exactly_once(spark, tmp_path):
+    """Run 2 with the same checkpoint re-reads nothing; a NEW message after
+    run 1 is picked up alone (the SURVEY 3.4 exactly-once upgrade over the
+    reference's delete-even-on-failure loop)."""
+    import json as _json
+
+    from data_ingestion_spark.streaming import SqsFrontDoorLoop
+
+    data = tmp_path / "s3" / "b" / "in"
+    data.mkdir(parents=True)
+    (data / "x.csv").write_text("h\n1\n")
+    (data / "y.csv").write_text("h\n1\n2\n")
+
+    def msg(key):
+        return _json.dumps(
+            {"Records": [{"s3": {"bucket": {"name": "b"}, "object": {"key": key}}}]}
+        )
+
+    queue = tmp_path / "q"
+    queue.mkdir()
+    (queue / "m1.json").write_text(msg("in/x.csv") + "\n")
+
+    pipe = IngestionPipeline(
+        spark, warehouse_dir=str(tmp_path / "wh"), base_dir=str(tmp_path / "s3")
+    )
+
+    def run():
+        loop = SqsFrontDoorLoop(pipe, str(queue), checkpoint_dir=str(tmp_path / "ck"))
+        loop.run_available()
+        return loop
+
+    l1 = run()
+    assert [r.file_name for r in l1.results] == ["b/in/x.csv"]
+    l2 = run()  # same checkpoint, nothing new
+    assert l2.results == [] and l2.warns == {}
+    (queue / "m2.json").write_text(msg("in/y.csv") + "\n")
+    l3 = run()
+    assert [r.file_name for r in l3.results] == ["b/in/y.csv"]
+    assert pipe.sink.read_table("csv_data").count() == 3
