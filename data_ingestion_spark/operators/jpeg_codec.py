@@ -239,6 +239,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_count = 0
+    # Entropy decode collects dequantized coefficient blocks; the IDCT runs
+    # ONCE over all blocks per component as a batched (N,8,8) matmul pair
+    # (same per-block float64 ops as the scalar form, so pixels are
+    # bit-identical) instead of two tiny matmuls per block in the loop.
+    coefs: list[list[np.ndarray]] = [[] for _ in comps]
+    coords: list[list[tuple[int, int]]] = [[] for _ in comps]
     try:
         for my in range(mcuy):
             for mx in range(mcux):
@@ -250,16 +256,26 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                     q = qt[c["tq"]]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
-                            block = _decode_block(
-                                br, huff_dc[tdc], huff_ac[tac], q, pred, ci
+                            coefs[ci].append(
+                                _decode_block_coefs(
+                                    br, huff_dc[tdc], huff_ac[tac], q, pred, ci
+                                )
                             )
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                            coords[ci].append(
+                                ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                            )
                 mcu_count += 1
     except _MarkerReached as exc:  # truncated stream = corrupt input
         if mcu_count < mcux * mcuy:
             raise ValueError("truncated entropy-coded data") from exc
+    for ci in range(len(comps)):
+        if not coefs[ci]:
+            continue
+        stacked = np.stack(coefs[ci]).reshape(-1, 8, 8)
+        pixels = np.matmul(np.matmul(_IDCT_M.T, stacked), _IDCT_M) + 128.0
+        plane = planes[ci]
+        for (y0, x0), block in zip(coords[ci], pixels):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = block
     # Upsample each plane to full MCU-grid resolution, then crop
     full = []
     for c, p in zip(comps, planes):
@@ -280,7 +296,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     return w, h, np.floor(rgb + 0.5).clip(0, 255).astype(np.uint8)
 
 
-def _decode_block(br, hdc, hac, q, pred, ci):
+def _decode_block_coefs(br, hdc, hac, q, pred, ci):
+    """Entropy-decode one block to its dequantized, dezigzagged 8×8
+    coefficient matrix (IDCT happens batched in _decode_scan)."""
     coef = np.zeros(64, dtype=np.float64)
     t = _decode_symbol(br, hdc)
     diff = _extend(br.receive(t), t) if t else 0
@@ -300,5 +318,4 @@ def _decode_block(br, hdc, hac, q, pred, ci):
             raise ValueError("AC run past end of block")
         coef[ZIGZAG[k]] = _extend(br.receive(s), s) * q[k]
         k += 1
-    block = coef.reshape(8, 8)
-    return _IDCT_M.T @ block @ _IDCT_M + 128.0
+    return coef.reshape(8, 8)

@@ -315,6 +315,11 @@ def png_decode(data: bytes):
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG payload size mismatch")
+    # Unfiltering, numpy-vectorized (uint8 wraparound == mod-256 spec
+    # arithmetic). Sub is a per-channel prefix sum over the row; Up is a
+    # whole-row add; Average/Paeth have a true left-neighbor dependency,
+    # so they loop over WIDTH but process all channels per step as int32
+    # vectors (C× fewer Python iterations, and no uint8 scalar overflow).
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -323,24 +328,34 @@ def png_decode(data: bytes):
         row = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=row_start + 1
         ).copy()
-        if ftype == 1:  # Sub
-            for x in range(channels, stride):
-                row[x] = (row[x] + row[x - channels]) & 0xFF
+        if ftype == 1:  # Sub: out[x] = raw[x] + out[x-c]  ==  lane cumsum
+            lanes = row.reshape(width, channels).astype(np.uint64)
+            row = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up
             row = (row.astype(np.int16) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
-            for x in range(stride):
-                left = int(row[x - channels]) if x >= channels else 0
-                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            r = row.reshape(width, channels).astype(np.int32)
+            up = prev.reshape(width, channels).astype(np.int32)
+            left = np.zeros(channels, dtype=np.int32)
+            for x in range(width):
+                left = (r[x] + ((left + up[x]) >> 1)) & 0xFF
+                r[x] = left
+            row = r.astype(np.uint8).reshape(stride)
         elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = int(row[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (row[x] + pred) & 0xFF
+            r = row.reshape(width, channels).astype(np.int32)
+            up = prev.reshape(width, channels).astype(np.int32)
+            left = np.zeros(channels, dtype=np.int32)
+            ul = np.zeros(channels, dtype=np.int32)
+            for x in range(width):
+                p = left + up[x] - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
+                )
+                left = (r[x] + pred) & 0xFF
+                r[x] = left
+                ul = up[x]
+            row = r.astype(np.uint8).reshape(stride)
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = row
