@@ -23,11 +23,12 @@ from ..pipeline import IngestionPipeline
 from ..rules import DEFAULT_RULES
 
 
-def _run_pipeline(spark: SparkSession, files: dict, keys: list[str]):
+def _run_pipeline(spark: SparkSession, files: dict, keys: list[str], rules=None):
     """Write fixture files under a temp bucket, ingest each key, return the
     pipeline (fresh warehouse per call — queries must be rerunnable).
     File values: str → text file; callable → invoked with the target path
-    (e.g. the xlsx writer)."""
+    (e.g. the xlsx writer). ``rules`` overrides DEFAULT_RULES (e.g. the
+    opt-in pdf route)."""
     tmp = tempfile.mkdtemp(prefix="ingestq_")
     landing = os.path.join(tmp, "landing")
     bucket = os.path.join(landing, "qbucket")
@@ -42,7 +43,7 @@ def _run_pipeline(spark: SparkSession, files: dict, keys: list[str]):
     pipe = IngestionPipeline(
         spark,
         warehouse_dir=os.path.join(tmp, "wh"),
-        rules=DEFAULT_RULES,
+        rules=rules if rules is not None else DEFAULT_RULES,
         base_dir=landing,
     )
     for key in keys:
@@ -354,6 +355,48 @@ FROM (VALUES
 """
 
 
+# --------------------------------------------------------------------------
+# PDF via the opt-in stdlib extractor (EXCEEDS reference: instructions.md:8
+# asked for PDF, parser_adapter.rs:54-57 rejects it; here it's a scoped
+# plug-in registration so the default registry still matches the reference)
+# --------------------------------------------------------------------------
+def ingest_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline E2E over a two-page PDF built by the repo's own
+    spec-conformant writer: rule match (custom .pdf route) → scoped parser
+    registration → FlateDecode + page-tree extraction → enrich → sink.
+    Escapes in line 2 exercise the literal-string parser."""
+    from ..rules import IngestionConfigRule, RuleSet
+    from ..sources.pdf_source import pdf_encode_simple, pdf_parser_registered
+
+    pdf_bytes = pdf_encode_simple(
+        [["Q1 revenue up 12%", "Net (of tax) margin: 8%"], ["Appendix A"]]
+    )
+    with pdf_parser_registered():
+        pipe = _run_pipeline(
+            spark,
+            {
+                "docs/report.pdf": lambda p: open(p, "wb").write(pdf_bytes)
+            },
+            ["docs/report.pdf"],
+            rules=RuleSet([IngestionConfigRule(r".*\.pdf$", "pdf_data")]),
+        )
+    out = pipe.sink.read_table("pdf_data")
+    return out.select(
+        "page_number", "line_number", "content", "file_name"
+    ).orderBy("page_number", "line_number")
+
+
+INGEST_PDF_DOCS_SQL = """
+SELECT CAST(page_number AS INTEGER) AS page_number,
+       CAST(line_number AS INTEGER) AS line_number, content, file_name
+FROM (VALUES
+  (1, 1, 'Q1 revenue up 12%',        'qbucket/docs/report.pdf'),
+  (1, 2, 'Net (of tax) margin: 8%',  'qbucket/docs/report.pdf'),
+  (2, 1, 'Appendix A',               'qbucket/docs/report.pdf')
+) t(page_number, line_number, content, file_name)
+"""
+
+
 QUERIES: dict = {
     "ingest_csv_docs": (ingest_csv_docs, INGEST_CSV_DOCS_SQL),
     "ingest_json_docs": (ingest_json_docs, INGEST_JSON_DOCS_SQL),
@@ -364,4 +407,5 @@ QUERIES: dict = {
     "ingest_orc_docs": (ingest_orc_docs, INGEST_ORC_DOCS_SQL),
     "ingest_avro_docs": (ingest_avro_docs, INGEST_AVRO_DOCS_SQL),
     "ingest_logfmt_docs": (ingest_logfmt_docs, INGEST_LOGFMT_DOCS_SQL),
+    "ingest_pdf_docs": (ingest_pdf_docs, INGEST_PDF_DOCS_SQL),
 }
