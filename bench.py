@@ -119,6 +119,11 @@ HEADLINE = [
     "llm_data_pipeline_docs",
     "corpus_datasheet_docs",
     "bpe_encode_docs",
+    # round 4 additions
+    "ingest_pdf_docs",
+    "zorder_prune_demo_events",
+    "lm_perplexity_docs",
+    "bpe_train_merges_corpus",
 ]
 
 

@@ -903,3 +903,133 @@ FROM (SELECT doc_id, {enc} AS enc FROM documents) ORDER BY doc_id
 BPE_ENCODE_DOCS_SQL = _bpe_encode_oracle()
 
 QUERIES["bpe_encode_docs"] = (bpe_encode_docs, BPE_ENCODE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style quality filter)
+# --------------------------------------------------------------------------
+def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by average bigram NLL under an add-one-smoothed
+    corpus bigram LM — see text.lm_perplexity_scores. doc_id-aliased and
+    sorted for the driver compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.lm_perplexity_scores(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _lm_perplexity_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), uni AS (
+  SELECT w, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+), v AS (
+  SELECT count(*)::BIGINT AS v FROM uni
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i + 1])) AS w2
+  FROM t WHERE len(toks) >= 2
+), c2 AS (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM big GROUP BY w1, w2
+), sv AS (
+  SELECT c2.w1, c2.w2,
+         floor(-ln((c2.c2 + 1)::DOUBLE / (uni.c1 + v.v)::DOUBLE) * 1e6
+               + 0.5)::BIGINT AS nll_micro
+  FROM c2, v JOIN uni ON uni.w = c2.w1
+)
+SELECT big.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       sum(sv.nll_micro)::BIGINT AS nll_micro_sum,
+       floor(sum(sv.nll_micro)::DOUBLE / count(*) + 0.5)::BIGINT
+           AS avg_nll_micro
+FROM big JOIN sv ON sv.w1 = big.w1 AND sv.w2 = big.w2
+GROUP BY big.doc_id ORDER BY big.doc_id
+"""
+
+
+LM_PERPLEXITY_DOCS_SQL = _lm_perplexity_oracle()
+
+QUERIES["lm_perplexity_docs"] = (lm_perplexity_docs, LM_PERPLEXITY_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# BPE training loop (iterative tokenizer induction)
+# --------------------------------------------------------------------------
+_BPE_TRAIN_ROUNDS = 6
+
+
+def bpe_train_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 6 BPE merges over the documents corpus (text.bpe_train: the
+    iterative loop whose one counting round is bpe_merge_candidates) and
+    return the merge table. The oracle replays the SAME loop as a chained
+    CTE — each round's top pair feeds the next round's re-segmentation via
+    scalar subqueries — so an ITERATIVE algorithm still gets a value-exact
+    SQL twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, "text", n_merges=_BPE_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, n_pairs long",
+    ).orderBy("merge_rank")
+
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+  SELECT concat(' ', array_to_string(list_transform(
+           generate_series(1, length(w0)), i -> substr(w0, i, 1)), ' '),
+         ' ') AS w,
+         count(*)::BIGINT AS wc
+  FROM (SELECT unnest({toks}) AS w0 FROM documents) GROUP BY w0
+)"""
+    ]
+    for k in range(1, n_rounds + 1):
+        prev = f"v{k - 1}"
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT l, r, sum(wc)::BIGINT AS cnt
+  FROM (
+    SELECT wc,
+           unnest(list_transform(generate_series(1, len(arr) - 1),
+                                 i -> arr[i])) AS l,
+           unnest(list_transform(generate_series(1, len(arr) - 1),
+                                 i -> arr[i + 1])) AS r
+    FROM (SELECT wc, string_split(trim(w), ' ') AS arr FROM {prev})
+  ) GROUP BY l, r
+  ORDER BY cnt DESC, l, r LIMIT 1
+)"""
+        )
+        if k < n_rounds:
+            ctes.append(
+                f"""v{k} AS MATERIALIZED (
+  SELECT replace(replace(w,
+           (SELECT ' ' || l || ' ' || r || ' ' FROM p{k}),
+           (SELECT ' ' || l || r || ' ' FROM p{k})),
+           (SELECT ' ' || l || ' ' || r || ' ' FROM p{k}),
+           (SELECT ' ' || l || r || ' ' FROM p{k})) AS w,
+         wc
+  FROM {prev}
+)"""
+            )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k}::INT AS merge_rank, l AS lhs, r AS rhs, cnt AS n_pairs FROM p{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY merge_rank"
+
+
+BPE_TRAIN_MERGES_CORPUS_SQL = _bpe_train_oracle(_BPE_TRAIN_ROUNDS)
+
+QUERIES["bpe_train_merges_corpus"] = (
+    bpe_train_merges_corpus,
+    BPE_TRAIN_MERGES_CORPUS_SQL,
+)

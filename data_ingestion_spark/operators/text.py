@@ -751,6 +751,89 @@ def dedup_substring_spans(
     )
 
 
+def lm_perplexity_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Bigram-LM negative-log-likelihood scoring — the CCNet-style quality
+    filter: train a smoothed bigram language model on the corpus itself,
+    score every document by its average per-bigram NLL (low = fluent /
+    in-distribution, high = noise), then gate or bucket on the score.
+
+    Model: add-one smoothing over corpus-occurrence counts,
+    P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V), with c1 = corpus unigram
+    occurrences, c2 = corpus bigram occurrences, V = |vocab| (a one-row
+    driver scalar, like tfidf's N literal).
+
+    Scale shape: counts collapse to the VOCABULARY before anything joins
+    (Zipf: both c1 and c2 tables are tiny next to the token stream, and
+    both aggs combine map-side). The per-bigram NLL is computed ONCE PER
+    DISTINCT BIGRAM on the c2 table (vocab-sized join c2⋈c1 on w1), and
+    the corpus-scale bigram stream then joins that scored table on
+    (w1, w2) — one join touches the stream, everything else is
+    vocab-sized. Final per-doc agg on the 8-byte id.
+
+    Value parity: each bigram's NLL is micro-rounded to BIGINT
+    (floor(x·1e6 + 0.5)) and per-doc values are exact integer sums of
+    those — no order-dependent float accumulation (repo parity rule #1).
+
+    Output: (id, n_bigrams, nll_micro_sum, avg_nll_micro); docs with < 2
+    tokens are absent (no bigram evidence — same rows absent in the SQL
+    twin).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = uni.count()  # |vocab|: bounded driver metadata
+    bigrams = base.filter(F.size("toks") >= 2).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored_vocab = c2.join(uni.withColumnRenamed("w", "w1"), "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            -F.log(
+                (F.col("c2") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.lit(v)).cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        bigrams.join(scored_vocab, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_micro").alias("nll_micro_sum"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            "nll_micro_sum",
+            F.floor(
+                F.col("nll_micro_sum").cast("double") / F.col("n_bigrams")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_nll_micro"),
+        )
+    )
+
+
 def bpe_merge_candidates(
     df: DataFrame, text_col: str, top_n: int = 20
 ) -> DataFrame:
@@ -784,6 +867,118 @@ def bpe_merge_candidates(
         .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Iterative BPE TRAINING — the full tokenizer-induction loop whose
+    single counting round ``bpe_merge_candidates`` exposes: repeat n_merges
+    times {count adjacent pairs over the (weighted) vocabulary → take the
+    most frequent → re-segment the vocabulary with that merge}.
+
+    Returns [(left, right, pair_count), …] in merge order — the merges.txt
+    a real trainer emits (feed it to ``bpe_encode``/``bpe_encode_arrow``).
+    Ties break (count desc, left asc, right asc) — deterministic.
+
+    Scale shape: round 0 collapses the corpus to its VOCABULARY (Zipf:
+    tiny next to the token stream; the ONLY corpus-scale shuffle). Every
+    round after that runs on the vocab DF alone: a pair explode + 2-char-
+    key agg + top-1 (driver gets 3 values), then a narrow codegen'd
+    re-segmentation. Lineage is cut with localCheckpoint every
+    ``checkpoint_every`` rounds so a 32k-merge run doesn't grow a 32k-deep
+    plan. Re-segmentation uses the repo's replayable 2-pass-replace
+    semantics over the spaced-word form (see bpe_encode — fixpoint, with
+    the documented same-char-run ordering deviation from per-occurrence
+    greedy), so the trainer, its DuckDB oracle twin, and bpe_encode all
+    share byte-identical merge application.
+    """
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w0"))
+        .groupBy("w0")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            F.expr(
+                "concat(' ', array_join(transform(sequence(1, length(w0)), "
+                "i -> substr(w0, i, 1)), ' '), ' ')"
+            ).alias("w"),
+            "wc",
+        )
+        .persist()
+    )
+    vocab.count()  # materialize before the loop
+    merges: list[tuple[str, str, int]] = []
+    for round_no in range(n_merges):
+        pairs = vocab.select(
+            "wc", F.expr("split(trim(w), ' ')").alias("arr")
+        ).filter(F.size("arr") >= 2).select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1), "
+                    "i -> struct(arr[i - 1] AS l, arr[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((l, r, cnt))
+        # F.replace with literal columns — token text never enters a SQL
+        # string (a vocab token may contain quotes/backslashes)
+        pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+        old = vocab
+        vocab = vocab.select(
+            F.replace(F.replace(F.col("w"), pat, rep), pat, rep).alias("w"),
+            "wc",
+        )
+        if (round_no + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+        else:
+            vocab = vocab.persist()
+            vocab.count()
+        old.unpersist()
+    vocab.unpersist()
+    return merges
+
+
+def bpe_train_reference(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Pure-Python twin of ``bpe_train`` (same spaced-word 2-pass-replace
+    semantics, same tie-break) — the independent check the tests compare
+    the Spark trainer against."""
+    vocab = {" " + " ".join(w) + " ": c for w, c in word_counts.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in vocab.items():
+            arr = w.split()
+            for i in range(len(arr) - 1):
+                counts[(arr[i], arr[i + 1])] = counts.get((arr[i], arr[i + 1]), 0) + c
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, cnt))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        new_vocab: dict[str, int] = {}
+        for w, c in vocab.items():
+            w2 = w.replace(pat, rep).replace(pat, rep)
+            new_vocab[w2] = new_vocab.get(w2, 0) + c
+        vocab = new_vocab
+    return merges
 
 
 #: Fixed BPE merge table for bpe_encode's driver-checked query — the shape

@@ -16,15 +16,26 @@ verified by tools/check_oracle.py regardless of position.
 
 from __future__ import annotations
 
-#: First-50 curation for the driver's correctness window. Round-3 rotation
-#: goal: every registered query has at least one driver-green row across
-#: CORRECTNESS_r01-r03. Slots go to (a) the ingest core, (b) the 19 queries
-#: never yet inside a driver window, (c) queries whose implementation
-#: changed this round, (d) queries new this round. Round-1/2-green shapes
-#: rotate below the cap and stay locally verified by tools/check_oracle.py.
+#: First-50 curation for the driver's correctness window. Round-4 state:
+#: after r1–r3, every registered query EXCEPT bpe_encode_docs (registered
+#: post-window in r3) has ≥1 driver-green row. Round-4 slots therefore go
+#: to (a) the ingest core (always windowed), (b) bpe_encode_docs — top of
+#: the list, per the round-3 verdict, (c) queries whose implementation
+#: changed this round (BPE fixpoint rework, bm25 guard), (d) queries new
+#: this round, (e) rotation of the longest-unverified r1/r2 queries.
+#: Everything stays registered and locally verified by
+#: tools/check_oracle.py regardless of position.
 _PRIORITY = [
-    # Ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's core;
-    # always windowed)
+    # (b) the one query with no driver row ever + (c) changed this round
+    "bpe_encode_docs",
+    "bm25_topk_docs",
+    # (d) new in round 4
+    "ingest_pdf_docs",
+    "zorder_prune_demo_events",
+    "lm_perplexity_docs",
+    "bpe_train_merges_corpus",
+    # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
+    # core; always windowed)
     "ingest_csv_docs",
     "ingest_json_docs",
     "ingest_txt_docs",
@@ -32,59 +43,47 @@ _PRIORITY = [
     "ingest_excel_docs",
     "ingest_audit_log",
     "ingest_logfmt_docs",
-    # Never driver-verified before round 3 (green locally in r1/r2 but
-    # always below the 50-slot cap)
-    "tpch_q6_forecast_revenue",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode",
-    "tpch_q16_parts_supplier",
-    "tpch_q21_waiting_supplier",
-    "setop_multiset_priorities",
-    "map_functions_events",
-    "regression_stats_lineitem",
-    "variant_props_events",
-    "funnel_conversion_events",
-    "retention_cohorts_events",
-    "dedup_simhash_docs",
-    "knn_ivf_exact_topk",
-    "mix_corpus_docs",
-    "corpus_stats_by_lang",
-    "zipf_slope_corpus",
-    "fuzzy_match_parts",
-    "skew_salted_join_events",
-    "dq_checks_star_schema",
-    # Implementation changed in round 3 — re-verify under the driver:
-    # covariance (Gram mapInPandas + cov_micro; the r2 red row), LSH slim
-    # band shuffle, pagerank femto-integer inflow, inverted_index AQE join
-    "covariance_embeddings",
-    "dedup_embedding_pairs",
-    "knn_lsh_pairs",
-    "pagerank_supplier_graph",
-    "inverted_index_terms",
-    # New in round 3 — names appended here as each lands in the registry
-    "s3_event_decode_docs",
     "ingest_orc_docs",
     "ingest_avro_docs",
-    "paragraph_dedup_docs",
-    "snapshot_diff_customers",
-    "scd2_customers",
-    "semantic_dedup_embeddings",
-    "bm25_topk_docs",
-    "zorder_layout_events",
-    "bloom_prune_join_events",
-    "anomaly_zscore_events",
-    "classifier_score_docs",
-    "curriculum_bins_docs",
-    "dedup_substring_docs",
-    "bpe_merge_candidates_corpus",
-    "batch_by_length_docs",
-    "llm_data_pipeline_docs",
-    "dedup_embedding_recall",
-    "corpus_datasheet_docs",
-    # position 51 — deliberately one past the driver's 50-slot window this
-    # round (every windowed query needs its first-or-changed verification
-    # row more urgently); rotate into the round-4 window.
-    "bpe_encode_docs",
+    "s3_event_decode_docs",
+    # (e) rotation: driver-green only in r1/r2 windows — re-verify the
+    # longest-unseen relational/TPC-H/LLM shapes under the current data
+    "agg_pricing_summary",
+    "scan_filter_project",
+    "join_revenue_by_segment",
+    "join_multi_region",
+    "anti_join_inactive_customers",
+    "window_topk_orders",
+    "sort_limit_top_orders",
+    "rollup_order_priority",
+    "json_extract_events",
+    "time_window_events",
+    "session_window_events",
+    "scalar_functions_part",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "knn_cosine_topk",
+    "knn_ivf_topk",
+    "multimodal_metadata_docs",
+    "text_quality_docs",
+    "lang_id_docs",
+    "token_count_docs",
+    "fingerprint_docs",
+    "tfidf_docs",
+    "percentile_lineitem",
+    "percentile_approx_lineitem",
+    "multi_distinct_events",
+    "asof_join_events_orders",
+    "range_join_event_pairs",
+    "skew_salted_agg_events",
+    "winnow_fingerprint_docs",
+    "chunk_docs",
+    "pii_scrub_docs",
+    "decontaminate_docs",
+    "repetition_stats_docs",
+    "quality_filter_docs",
+    "ngram_topk_corpus",
+    "sample_docs_hash",
 ]
 
 

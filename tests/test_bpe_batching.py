@@ -179,3 +179,55 @@ def test_bpe_encode_arrow_agrees_with_column_tier_on_fixture(spark):
         for r in text.bpe_encode_arrow(df, "doc_id", "text", text.BPE_MERGES).collect()
     }
     assert col_out == arrow_out
+
+
+def test_bpe_train_matches_python_reference(spark):
+    corpus = [
+        (1, "the thin theme then"),
+        (2, "this that the them"),
+        (3, "thin air in the den"),
+        (4, "a b a b abab"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = text.bpe_train(df, "text", n_merges=5)
+    wc: dict[str, int] = {}
+    for _, t in corpus:
+        for w in t.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    want = text.bpe_train_reference(wc, 5)
+    assert got == want
+    assert got[0][:2] == ("t", "h")  # 'th' dominates this corpus
+
+
+def test_bpe_train_merges_feed_encode(spark):
+    # trained merges are a valid table for both encode tiers
+    df = spark.createDataFrame(
+        [(1, "then then thin")], "doc_id long, text string"
+    )
+    merges = [(l, r) for l, r, _ in text.bpe_train(df, "text", n_merges=3)]
+    enc_col = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in text.bpe_encode(df, "doc_id", "text", merges=merges).collect()
+    }
+    enc_arrow = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in text.bpe_encode_arrow(df, "doc_id", "text", merges).collect()
+    }
+    assert enc_col[1] <= 9  # merges compress vs the 12-char baseline
+    assert enc_arrow[1] <= 9
+
+
+def test_bpe_train_stops_when_no_pairs_left(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    merges = text.bpe_train(df, "text", n_merges=10)
+    assert len(merges) == 0  # all words are single chars: nothing to merge
+
+
+def test_bpe_train_handles_quote_tokens(spark):
+    # token text must never be spliced into a SQL literal
+    df = spark.createDataFrame(
+        [(1, "it's it's it's don't")], "doc_id long, text string"
+    )
+    merges = text.bpe_train(df, "text", n_merges=2)
+    wc = {"it's": 3, "don't": 1}
+    assert merges == text.bpe_train_reference(wc, 2)

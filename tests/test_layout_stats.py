@@ -123,3 +123,25 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(zdir).count() == 40_000
     got = {r["id"] for r in spark.read.parquet(zdir).filter("x = 5 and y = 7").collect()}
     assert got == {7 * 200 + 5}
+
+
+def test_lm_perplexity_flags_noise_vs_fluent(spark):
+    # 'the cat sat' repeated -> high-count bigrams -> low NLL; a doc of
+    # unique junk bigrams scores strictly higher
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "zq xv qj wk pf"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in text.lm_perplexity_scores(df, "doc_id", "text").collect()}
+    assert out[0]["n_bigrams"] == 5
+    assert out[99]["avg_nll_micro"] > out[0]["avg_nll_micro"]
+    # exact-integer invariants: sum/avg relation holds bitwise
+    for r in out.values():
+        assert r["avg_nll_micro"] == int(r["nll_micro_sum"] / r["n_bigrams"] + 0.5)
+
+
+def test_lm_perplexity_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")], "doc_id long, text string"
+    )
+    out = {r["id"] for r in text.lm_perplexity_scores(df, "doc_id", "text").collect()}
+    assert out == {3}
