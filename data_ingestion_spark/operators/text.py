@@ -896,7 +896,7 @@ def bpe_train(
     greedy), so the trainer, its DuckDB oracle twin, and bpe_encode all
     share byte-identical merge application.
     """
-    vocab = (
+    base = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w0"))
         .groupBy("w0")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -909,7 +909,17 @@ def bpe_train(
         )
         .persist()
     )
-    vocab.count()  # materialize before the loop
+    n_vocab = base.count()  # the one corpus-scale job; the rest is vocab-sized
+    # Right-size the loop: the vocab is Zipf-tiny next to the corpus, so
+    # per-round jobs over the full shuffle-partition count are pure task
+    # overhead. ~100k vocab rows per partition keeps each round a handful
+    # of tasks at any corpus size (10M-word vocab → ~100 partitions).
+    n_parts = max(1, min(int(n_vocab // 100_000) + 1, 200))
+    base2 = base.coalesce(n_parts).persist()
+    base2.count()
+    base.unpersist()
+    base = base2
+    vocab = base
     merges: list[tuple[str, str, int]] = []
     for round_no in range(n_merges):
         pairs = vocab.select(
@@ -937,18 +947,18 @@ def bpe_train(
         # F.replace with literal columns — token text never enters a SQL
         # string (a vocab token may contain quotes/backslashes)
         pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
-        old = vocab
         vocab = vocab.select(
             F.replace(F.replace(F.col("w"), pat, rep), pat, rep).alias("w"),
             "wc",
         )
+        # Between checkpoints the re-segmentation chains LAZILY: each
+        # round's pair agg re-runs ≤checkpoint_every narrow replaces over
+        # the persisted vocab — far cheaper than a materialization job per
+        # round. localCheckpoint cuts the lineage on cadence so a 32k-merge
+        # run never grows a deep plan.
         if (round_no + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
-        else:
-            vocab = vocab.persist()
-            vocab.count()
-        old.unpersist()
-    vocab.unpersist()
+    base.unpersist()
     return merges
 
 

@@ -235,7 +235,7 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
@@ -601,7 +601,7 @@ def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper(F.col("p_brand")).alias("brand_upper"),
         F.lower(F.col("p_type")).alias("type_lower"),
-        F.length(F.col("p_name")).alias("name_len"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
         F.element_at(F.split(F.col("p_type"), " "), -1).alias("type_last_word"),
         F.round(F.col("p_retailprice") * 1.1, 2).alias("price_with_tax"),
     )
