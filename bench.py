@@ -124,6 +124,7 @@ HEADLINE = [
     "zorder_prune_demo_events",
     "lm_perplexity_docs",
     "bpe_train_merges_corpus",
+    "dedup_image_phash_docs",
 ]
 
 

@@ -9,14 +9,15 @@ What's REAL here (and tested): the Spark plumbing — binary ingestion, format
 sniffing from magic bytes (pure byte expressions), container metadata parses
 (PNG/WAV header fields via stdlib struct), batch shapes, schemas, the
 mapInPandas decode pipeline, AND pure-stdlib codecs: PNG (png_decode /
-png_encode / resize_nearest: 8-bit gray/RGB/RGBA, all 5 filter types) and
-16-bit PCM WAV (wav_decode / wav_encode / audio_features) — image pixel and
-audio waveform work runs for real with no external libraries. What's
-STUBBED (clearly, by raising NotImplementedError): decode for formats
-needing codecs this container lacks (JPEG, MP3/MP4, video). ``decoder=``
-injection
-keeps those paths testable with deterministic fakes and lets a real decoder
-(Pillow, soundfile, ffmpeg) drop in unchanged on a production cluster.
+png_encode / resize_nearest: 8-bit gray/RGB/RGBA, all 5 filter types),
+baseline JPEG (jpeg_codec.jpeg_decode: T.81 SOF0), 16-bit PCM WAV
+(wav_decode / wav_encode / audio_features), and DCT perceptual hashing
+(phash64 / image_phash / phash_hamming_pairs) — image pixel and audio
+waveform work runs for real with no external libraries. What's STUBBED
+(clearly, by raising NotImplementedError or ValueError): progressive/
+arithmetic JPEG, MP3/MP4, video. ``decoder=`` injection keeps those paths
+testable with deterministic fakes and lets a real decoder (Pillow,
+soundfile, ffmpeg) drop in unchanged on a production cluster.
 """
 
 from __future__ import annotations
@@ -551,3 +552,128 @@ def image_decode(data: bytes):
         _w, _h, arr = jpeg_decode(data)
         return arr if arr.ndim == 3 else arr[:, :, np.newaxis]
     raise ValueError("unsupported image container — inject a decoder")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash) + banded-Hamming near-dup pairs — the
+# IMAGE arm of the dedup ladder: exact/minhash/simhash cover text, this
+# covers decoded pixels (re-encoded, resized, or slightly-edited copies of
+# the same image land within a few bits of each other).
+# ---------------------------------------------------------------------------
+_PHASH_N = 32  # resize target; DCT runs on the 32x32 grayscale
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (the JPEG transform, float64)."""
+    import numpy as np
+
+    m = np.zeros((n, n), dtype=np.float64)
+    for k in range(n):
+        c = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+        for x in range(n):
+            m[k, x] = c * np.cos((2 * x + 1) * k * np.pi / (2 * n))
+    return m
+
+
+_DCT32 = None  # built lazily per process (executors import this module fresh)
+
+
+def phash64(arr) -> int:
+    """64-bit perceptual hash of a decoded (H, W[, C]) uint8 image:
+    ITU-R 601 grayscale → nearest-neighbor 32×32 → 2-D DCT-II → top-left
+    8×8 low-frequency block → bit i = (coef_i > median). All float64 with
+    fixed op order — deterministic across runs/hosts. Returned as a SIGNED
+    64-bit int (Spark LongType): bit 63 set ⇒ negative, by design."""
+    import numpy as np
+
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(_PHASH_N)
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:
+            a = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+        else:
+            a = a[:, :, 0]
+    g = resize_nearest(a, _PHASH_N, _PHASH_N)
+    d = _DCT32 @ g @ _DCT32.T
+    block = d[:8, :8].flatten()
+    med = float(np.median(block))
+    val = 0
+    for i in range(64):
+        if block[i] > med:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    decoder: Callable[[bytes], Any] = image_decode,
+) -> DataFrame:
+    """(id, phash) per image — Arrow mapInPandas over binary content, the
+    decode tier injectable like every codec seam. Undecodable blobs yield
+    NULL phash (junk-file null semantics, never a task failure)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hs = [], []
+            for id_val, blob in zip(pdf[id_col], pdf[content_col]):
+                ids.append(id_val)
+                try:
+                    hs.append(phash64(decoder(bytes(blob))))
+                except Exception:  # noqa: BLE001 — junk blob ⇒ NULL hash
+                    hs.append(None)
+            yield pd.DataFrame({"id": ids, "phash": pd.array(hs, dtype="Int64")})
+
+    return df.select(id_col, content_col).mapInPandas(_run, schema)
+
+
+def phash_hamming_pairs(
+    sig_df: DataFrame, max_hamming: int = 10, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup image pairs from 64-bit pHashes: band into 64/band_bits
+    chunks (pigeonhole: hamming ≤ bands−1 guarantees ≥1 shared band — with
+    4×16-bit bands that's a guarantee to distance 3 and a strong
+    probabilistic net far beyond), join on band agreement, verify with an
+    exact popcount ≤ max_hamming. Same scale shape as the SimHash text
+    pairer (dedup.simhash_hamming_pairs): only (id, 8-byte key) rows
+    shuffle, pairs bounded by band-bucket sizes, never all-pairs."""
+    n_bands = 64 // band_bits
+    sig = sig_df.filter(F.col("phash").isNotNull())
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), bi * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = sig.select("id", "phash", F.explode(bands).alias("bk"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.phash").alias("h_a"),
+            F.col("b.phash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1033,3 +1033,69 @@ QUERIES["bpe_train_merges_corpus"] = (
     bpe_train_merges_corpus,
     BPE_TRAIN_MERGES_CORPUS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image dedup (pHash + banded Hamming pairs)
+# --------------------------------------------------------------------------
+def dedup_image_phash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image near-dup over real pixels: synthesize one 32×32
+    PNG per doc_id where ids sharing ``doc_id % K`` (K = n_docs/2) carry
+    the same base pattern plus tiny per-id pixel noise → png_decode →
+    DCT pHash → banded-Hamming pairs. The planted ground truth (same
+    pattern ⇔ near-dup) is derivable by the SQL oracle WITHOUT decoding
+    pixels, so the whole binary→pixels→DCT→hash→band→pair pipeline is
+    VALUE-checked: a broken decode, hash, or banding step changes the pair
+    set and fails the compare."""
+    import pandas as pd
+
+    from . import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    k = max(n // 2, 1)
+
+    def _synth(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = np.random.default_rng(d % k).integers(
+                    0, 256, (32, 32), dtype=np.uint8
+                )
+                noise_rng = np.random.default_rng(d + 1_000_000_007)
+                img = base.astype(np.int16)
+                for _ in range(2):  # two ±8 pixel edits per id
+                    y, x = int(noise_rng.integers(0, 32)), int(
+                        noise_rng.integers(0, 32)
+                    )
+                    img[y, x] += int(noise_rng.integers(-8, 9))
+                ids.append(d)
+                blobs.append(
+                    multimodal.png_encode(img.clip(0, 255).astype(np.uint8))
+                )
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    binary = docs.mapInPandas(_synth, schema="doc_id long, content binary")
+    sigs = multimodal.image_phash(binary, "doc_id")
+    return (
+        multimodal.phash_hamming_pairs(sigs, max_hamming=10)
+        .select("id_a", "id_b")  # hamming itself is pixel-derived, not SQL
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_IMAGE_PHASH_DOCS_SQL = """
+WITH n AS (SELECT greatest(count(*) // 2, 1) AS k FROM documents),
+     p AS (SELECT doc_id, doc_id % (SELECT k FROM n) AS pat FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM p a JOIN p b ON a.pat = b.pat AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+QUERIES["dedup_image_phash_docs"] = (
+    dedup_image_phash_docs,
+    DEDUP_IMAGE_PHASH_DOCS_SQL,
+)

@@ -375,3 +375,58 @@ def test_wav_resample_decimate():
     arr, _ = wav_decode(wav_encode(x, 8000))
     down = wav_resample_decimate(arr, 4)
     assert down.shape[0] == 25 and down[1, 0] == 4
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) + banded Hamming pairs
+# ---------------------------------------------------------------------------
+def test_phash_invariant_to_small_edits_and_separates_images():
+    import numpy as np
+
+    from data_ingestion_spark.operators.multimodal import phash64
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    h = phash64(base)
+    edited = base.astype(np.int16)
+    edited[5, 5] += 10
+    edited[40, 20] -= 10
+    h_edit = phash64(edited.clip(0, 255).astype(np.uint8))
+    other = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    h_other = phash64(other)
+    assert bin(h ^ h_edit).count("1") <= 6
+    assert bin(h ^ h_other).count("1") >= 16
+    # resize invariance: nearest-2x upscale preserves the hash exactly
+    up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    assert phash64(up) == h
+
+
+def test_image_phash_null_on_junk_and_jpeg_path(spark):
+    import numpy as np
+
+    from data_ingestion_spark.operators import multimodal as M
+
+    arr = np.random.default_rng(1).integers(0, 256, (32, 32), dtype=np.uint8)
+    rows = [(1, bytearray(M.png_encode(arr))), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r["phash"] for r in M.image_phash(df, "id").collect()}
+    assert out[1] is not None and out[2] is None
+
+
+def test_phash_hamming_pairs_banding_and_popcount(spark):
+    from data_ingestion_spark.operators import multimodal as M
+
+    # hand-planted signatures: a/b differ in 2 bits (pair), c differs from
+    # both in ~32 bits but SHARES band 0 with a (candidate that must be
+    # rejected by the exact popcount), d is NULL (skipped)
+    a = 0x1234_5678_9ABC_DEF0
+    b = a ^ 0b0110  # hamming 2
+    c = (a & 0xFFFF) | (~a & ~0xFFFF) & 0xFFFF_FFFF_FFFF_0000  # shares band 0
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+    df = spark.createDataFrame(
+        [(1, signed(a)), (2, signed(b)), (3, signed(c)), (4, None)],
+        "id long, phash long",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in M.phash_hamming_pairs(df, max_hamming=10).collect()}
+    assert got == {(1, 2): 2}
