@@ -125,6 +125,7 @@ HEADLINE = [
     "lm_perplexity_docs",
     "bpe_train_merges_corpus",
     "dedup_image_phash_docs",
+    "dedup_audio_fingerprint_docs",
 ]
 
 

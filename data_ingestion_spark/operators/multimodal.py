@@ -639,7 +639,10 @@ def image_phash(
 
 
 def phash_hamming_pairs(
-    sig_df: DataFrame, max_hamming: int = 10, band_bits: int = 16
+    sig_df: DataFrame,
+    max_hamming: int = 10,
+    band_bits: int = 16,
+    sig_col: str = "phash",
 ) -> DataFrame:
     """Near-dup image pairs from 64-bit pHashes: band into 64/band_bits
     chunks (pigeonhole: hamming ≤ bands−1 guarantees ≥1 shared band — with
@@ -649,27 +652,29 @@ def phash_hamming_pairs(
     pairer (dedup.simhash_hamming_pairs): only (id, 8-byte key) rows
     shuffle, pairs bounded by band-bucket sizes, never all-pairs."""
     n_bands = 64 // band_bits
-    sig = sig_df.filter(F.col("phash").isNotNull())
+    sig = sig_df.filter(F.col(sig_col).isNotNull()).withColumnRenamed(
+        sig_col, "__sig"
+    )
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.shiftrightunsigned(F.col("phash"), bi * band_bits)
+                F.shiftrightunsigned(F.col("__sig"), bi * band_bits)
                 .bitwiseAND(F.lit((1 << band_bits) - 1))
                 .alias("key"),
             )
             for bi in range(n_bands)
         ]
     )
-    exploded = sig.select("id", "phash", F.explode(bands).alias("bk"))
+    exploded = sig.select("id", "__sig", F.explode(bands).alias("bk"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.phash").alias("h_a"),
-            F.col("b.phash").alias("h_b"),
+            F.col("a.__sig").alias("h_a"),
+            F.col("b.__sig").alias("h_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -677,3 +682,79 @@ def phash_hamming_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (Haitsma–Kalker delta-sign bits) — the AUDIO arm of
+# the dedup ladder: re-encoded / gain-shifted / lightly-noised copies of the
+# same recording land within a few bits; different recordings ~32 apart.
+# ---------------------------------------------------------------------------
+_AFP_FRAMES = 17  # 16 frame deltas × 4 bands = 64 bits
+_AFP_BANDS = 4
+
+
+def audio_fingerprint64(samples, sample_rate: int) -> int:
+    """64-bit audio fingerprint of 16-bit PCM samples ((n, ch) int16):
+    mono mixdown → 17 equal frames → per-frame FFT band energies (4 equal
+    bands above DC) → bit[f·4+b] = (E[f+1,b] > E[f,b]) — the energy-delta
+    sign bits of Haitsma & Kalker 2002. Gain changes scale all energies
+    together, so the signs (and the fingerprint) are gain-invariant; small
+    additive noise flips only near-zero deltas (measured: 0.9× gain +
+    σ=30 int16 noise moves 3/64 bits; unrelated clips ~32). NOT resample-
+    invariant (band edges are bin-relative; a 2× decimated copy measured
+    22 bits away) — fingerprint at a canonical rate. Signed int64 like
+    phash64; ``sample_rate`` accepted for decoder-API symmetry."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    if len(x) < _AFP_FRAMES * 2 * _AFP_BANDS:
+        raise ValueError("audio too short to fingerprint")
+    frame_len = len(x) // _AFP_FRAMES
+    frames = x[: frame_len * _AFP_FRAMES].reshape(_AFP_FRAMES, frame_len)
+    mag2 = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    spec = mag2[:, 1:]  # drop DC (gain-invariance of deltas doesn't need it)
+    n_bins = spec.shape[1] - (spec.shape[1] % _AFP_BANDS)
+    e = spec[:, :n_bins].reshape(_AFP_FRAMES, _AFP_BANDS, -1).sum(axis=2)
+    val = 0
+    for f in range(_AFP_FRAMES - 1):
+        for b in range(_AFP_BANDS):
+            if e[f + 1, b] > e[f, b]:
+                val |= 1 << (f * _AFP_BANDS + b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    decoder: Callable[[bytes], Any] = None,
+) -> DataFrame:
+    """(id, afp) per audio blob — Arrow mapInPandas; default decoder is the
+    stdlib WAV codec, injectable for other containers. Junk ⇒ NULL."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("afp", LongType()),
+        ]
+    )
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hs = [], []
+            for id_val, blob in zip(pdf[id_col], pdf[content_col]):
+                ids.append(id_val)
+                try:
+                    if decoder is not None:
+                        smp, sr = decoder(bytes(blob))
+                    else:
+                        smp, sr = wav_decode(bytes(blob))
+                    hs.append(audio_fingerprint64(smp, sr))
+                except Exception:  # noqa: BLE001 — junk blob ⇒ NULL
+                    hs.append(None)
+            yield pd.DataFrame({"id": ids, "afp": pd.array(hs, dtype="Int64")})
+
+    return df.select(id_col, content_col).mapInPandas(_run, schema)

@@ -1099,3 +1099,67 @@ QUERIES["dedup_image_phash_docs"] = (
     dedup_image_phash_docs,
     DEDUP_IMAGE_PHASH_DOCS_SQL,
 )
+
+
+def dedup_audio_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio near-dup over real waveforms: synthesize one 1-s
+    8 kHz WAV per doc_id where ids sharing ``doc_id % K`` carry the same
+    3-sinusoid mix, each id gain-jittered ±10% plus σ=30 white noise →
+    wav_decode → Haitsma-Kalker delta-sign fingerprint → banded-Hamming
+    pairs. Planted-pair oracle, like dedup_image_phash_docs: ground truth
+    derives from doc_id arithmetic, so decode/FFT/banding are all
+    value-checked."""
+    import pandas as pd
+
+    from . import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    k = max(n // 2, 1)
+
+    def _synth(it):
+        import numpy as np
+
+        sr = 8000
+        t = np.arange(sr) / sr
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                prng = np.random.default_rng(d % k)
+                # one tone PER fingerprint band with a pattern-seeded
+                # per-frame STEP envelope: every frame-energy delta sign is
+                # an independent coin per pattern (full 64-bit entropy
+                # across patterns — smooth envelopes left bits correlated
+                # and produced cross-pattern collisions), while steps are
+                # large vs the per-id noise so same-pattern bits are stable.
+                # (Stationary tones would leave deltas noise-dominated —
+                # Haitsma-Kalker bits need time-varying audio.)
+                x = np.zeros_like(t)
+                for band_lo in (250, 1250, 2250, 3250):
+                    f = float(prng.integers(band_lo, band_lo + 600))
+                    steps = prng.uniform(0.2, 1.0, 18)
+                    env = np.repeat(steps, len(t) // 18 + 1)[: len(t)]
+                    x = x + env * np.sin(2 * np.pi * f * t)
+                nrng = np.random.default_rng(d + 2_000_000_011)
+                gain = 0.9 + 0.2 * nrng.random()
+                x = x / max(1e-9, np.abs(x).max()) * 8000.0 * gain
+                x = x + nrng.normal(0.0, 30.0, x.shape)
+                samples = x.clip(-32768, 32767).astype(np.int16)[:, None]
+                ids.append(d)
+                blobs.append(multimodal.wav_encode(samples, sr))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    binary = docs.mapInPandas(_synth, schema="doc_id long, content binary")
+    sigs = multimodal.audio_fingerprints(binary, "doc_id")
+    return (
+        multimodal.phash_hamming_pairs(sigs, max_hamming=6, sig_col="afp")
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+QUERIES["dedup_audio_fingerprint_docs"] = (
+    dedup_audio_fingerprint_docs,
+    DEDUP_IMAGE_PHASH_DOCS_SQL,  # same planted-pair ground truth
+)

@@ -35,6 +35,7 @@ _PRIORITY = [
     "lm_perplexity_docs",
     "bpe_train_merges_corpus",
     "dedup_image_phash_docs",
+    "dedup_audio_fingerprint_docs",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

@@ -430,3 +430,52 @@ def test_phash_hamming_pairs_banding_and_popcount(spark):
     )
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in M.phash_hamming_pairs(df, max_hamming=10).collect()}
     assert got == {(1, 2): 2}
+
+
+def test_audio_fingerprint_gain_invariant_noise_tolerant():
+    import numpy as np
+
+    from data_ingestion_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(9)
+    sr = 8000
+    t = np.arange(sr) / sr
+
+    def clip(seed):
+        prng = np.random.default_rng(seed)
+        x = np.zeros_like(t)
+        for band_lo in (250, 1250, 2250, 3250):
+            f = float(prng.integers(band_lo, band_lo + 600))
+            env = np.repeat(prng.uniform(0.2, 1.0, 18), sr // 18 + 1)[:sr]
+            x = x + env * np.sin(2 * np.pi * f * t)
+        return (x / np.abs(x).max() * 8000).astype(np.int16)[:, None]
+
+    base = clip(1)
+    h = M.audio_fingerprint64(base, sr)
+    # pure gain change: fingerprint is bit-identical
+    assert M.audio_fingerprint64((base * 0.5).astype(np.int16), sr) == h
+    noisy = (base.astype(np.float64) + rng.normal(0, 30, base.shape)).astype(np.int16)
+    assert bin((h ^ M.audio_fingerprint64(noisy, sr)) & (2**64 - 1)).count("1") <= 4
+    other = clip(2)
+    assert bin((h ^ M.audio_fingerprint64(other, sr)) & (2**64 - 1)).count("1") >= 16
+    # stereo mixdown of the same content matches mono
+    stereo = np.repeat(base, 2, axis=1)
+    assert M.audio_fingerprint64(stereo, sr) == h
+
+
+def test_audio_fingerprints_null_on_junk_and_short(spark):
+    import numpy as np
+
+    from data_ingestion_spark.operators import multimodal as M
+
+    ok = M.wav_encode(
+        (np.sin(np.arange(8000) / 5.0) * 8000).astype(np.int16)[:, None], 8000
+    )
+    rows = [
+        (1, bytearray(ok)),
+        (2, bytearray(b"RIFFgarbage")),
+        (3, bytearray(M.wav_encode(np.zeros((10, 1), dtype=np.int16), 8000))),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r["afp"] for r in M.audio_fingerprints(df, "id").collect()}
+    assert out[1] is not None and out[2] is None and out[3] is None
