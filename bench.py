@@ -126,6 +126,7 @@ HEADLINE = [
     "bpe_train_merges_corpus",
     "dedup_image_phash_docs",
     "dedup_audio_fingerprint_docs",
+    "pca_top_component_embeddings",
 ]
 
 

@@ -1163,3 +1163,78 @@ QUERIES["dedup_audio_fingerprint_docs"] = (
     dedup_audio_fingerprint_docs,
     DEDUP_IMAGE_PHASH_DOCS_SQL,  # same planted-pair ground truth
 )
+
+
+# --------------------------------------------------------------------------
+# PCA top component (integer-exact power iteration)
+# --------------------------------------------------------------------------
+_PCA_ROUNDS = 3
+
+
+def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant PCA direction of the 64-d embedding column via 3 rounds of
+    power iteration over the micro-int covariance — see
+    similarity.pca_top_component. Engine-exact: the oracle replays the
+    identical integer recurrence as chained CTEs."""
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_top_component(
+        emb, "embedding", dim=64, rounds=_PCA_ROUNDS
+    ).orderBy("dim_i")
+
+
+def _pca_oracle(rounds: int) -> str:
+    # covariance in micro units (the covariance_embeddings oracle), then the
+    # exact integer recurrence: w = C·v (BIGINT), v = floor((w/max|w|)·1e6+.5)
+    ctes = [
+        """cov AS MATERIALIZED (
+  WITH ex AS (
+    SELECT vec_id, g.i - 1 AS i, embedding[g.i]::DOUBLE AS x
+    FROM embeddings, generate_series(1, 64) AS g(i)
+  ), means AS (
+    SELECT i, avg(x) AS m FROM ex GROUP BY i
+  ), prods AS (
+    SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS pij
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+  )
+  SELECT p.i, p.j, floor((p.pij - ma.m * mb.m) * 1e6 + 0.5)::BIGINT AS c
+  FROM prods p JOIN means ma ON ma.i = p.i JOIN means mb ON mb.i = p.j
+)""",
+        """cfull AS MATERIALIZED (
+  SELECT i, j, c FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cov WHERE i <> j
+)""",
+        "v0 AS (SELECT g.i - 1 AS i, 1000000::BIGINT AS v "
+        "FROM generate_series(1, 64) AS g(i))",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT m.i, sum(m.c * v.v)::BIGINT AS w
+  FROM cfull m JOIN v{k - 1} v ON v.i = m.j GROUP BY m.i
+)"""
+        )
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT i, floor((w::DOUBLE /
+           greatest((SELECT max(abs(w)) FROM w{k}), 1)::DOUBLE) * 1e6
+           + 0.5)::BIGINT AS v
+  FROM w{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT i::BIGINT AS dim_i, v AS v_micro FROM v{rounds} ORDER BY i"
+    )
+
+
+PCA_TOP_COMPONENT_EMBEDDINGS_SQL = _pca_oracle(_PCA_ROUNDS)
+
+QUERIES["pca_top_component_embeddings"] = (
+    pca_top_component_embeddings,
+    PCA_TOP_COMPONENT_EMBEDDINGS_SQL,
+)

@@ -532,3 +532,59 @@ def semantic_dedup(
         .distinct()
     )
     return assigned, dropped
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via integer-exact power iteration — the dimensionality-
+# reduction step covariance_matrix prepares for.
+# ---------------------------------------------------------------------------
+def power_iteration_micro(
+    cov_rows: list[tuple[int, int, int]], dim: int, rounds: int = 3
+) -> list[int]:
+    """Power iteration over a micro-int covariance matrix, in EXACT
+    arithmetic: v₀ = all-ones (1e6 micro units); each round computes the
+    BIGINT matvec w = C·v (integer products, order-independent sums — repo
+    parity rule #1) and renormalizes v = floor((w/max|w|)·1e6 + 0.5), where
+    the ratio divides two int64s ≤ 2^53 so the double is IEEE-exact and
+    every engine lands on the same integers. Returns the v_micro vector
+    after ``rounds`` rounds — the dominant-eigenvector direction (sign
+    fixed by the all-ones start). Pure Python ints (arbitrary precision);
+    the DuckDB oracle replays the identical recurrence as chained CTEs.
+    """
+    import math
+
+    c = [[0] * dim for _ in range(dim)]
+    for i, j, m in cov_rows:
+        c[i][j] = m
+        c[j][i] = m
+    v = [1_000_000] * dim
+    for _ in range(rounds):
+        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [int(math.floor((x / mx) * 1e6 + 0.5)) for x in w]
+    return v
+
+
+def pca_top_component(
+    df: DataFrame, vec_col: str, dim: int, rounds: int = 3
+) -> DataFrame:
+    """Dominant PCA component of an embedding column: the DISTRIBUTED work
+    is the covariance (one Gram mapInPandas pass + a KB-sized partial-agg
+    shuffle, row-count-invariant — covariance_matrix); the d×d matrix is
+    bounded driver metadata at ANY corpus size (like k-means centroids or
+    the bloom bitmap), so the ``rounds``-step power iteration runs exactly
+    there. A fixed small ``rounds`` keeps the oracle replayable
+    (production would iterate to tolerance; each extra round is one more
+    chained CTE, not more cluster work).
+
+    Output: (dim_i, v_micro) — the component direction in micro units,
+    engine-exact (see power_iteration_micro).
+    """
+    spark = df.sparkSession
+    cov = covariance_matrix(df, vec_col, dim).collect()
+    v = power_iteration_micro(
+        [(r["i"], r["j"], r["cov_micro"]) for r in cov], dim, rounds
+    )
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(dim)], "dim_i long, v_micro long"
+    )

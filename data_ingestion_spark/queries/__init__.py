@@ -36,6 +36,7 @@ _PRIORITY = [
     "bpe_train_merges_corpus",
     "dedup_image_phash_docs",
     "dedup_audio_fingerprint_docs",
+    "pca_top_component_embeddings",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

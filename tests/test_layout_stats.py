@@ -145,3 +145,39 @@ def test_lm_perplexity_short_docs_absent(spark):
     )
     out = {r["id"] for r in text.lm_perplexity_scores(df, "doc_id", "text").collect()}
     assert out == {3}
+
+
+def test_pca_power_iteration_converges_to_numpy_eigvec(spark):
+    import numpy as np
+
+    from data_ingestion_spark.operators import similarity
+
+    # anisotropic cloud with a known dominant direction
+    rng = np.random.default_rng(3)
+    d = 8
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    scales = np.array([10.0, 3.0, 1.0, 0.5, 0.3, 0.2, 0.1, 0.05])
+    X = rng.normal(size=(4000, d)) * scales @ basis.T
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.pca_top_component(df, "embedding", dim=d, rounds=8).collect()
+    v = np.array([r["v_micro"] for r in sorted(out, key=lambda r: r["dim_i"])], dtype=np.float64)
+    v = v / np.linalg.norm(v)
+    cov = np.cov(np.array(df.select("embedding").toPandas()["embedding"].tolist(), dtype=np.float64).T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(float(np.dot(v, top))) > 0.99  # aligned up to sign
+
+
+def test_power_iteration_micro_is_pure_and_deterministic():
+    from data_ingestion_spark.operators.similarity import power_iteration_micro
+
+    rows = [(0, 0, 2_000_000), (1, 1, 1_000_000), (0, 1, 500_000)]
+    v1 = power_iteration_micro(rows, dim=2, rounds=4)
+    v2 = power_iteration_micro(rows, dim=2, rounds=4)
+    assert v1 == v2 and v1[0] == 1_000_000  # dominant axis normalizes to 1e6
+    assert 0 < v1[1] < 1_000_000
+    # zero matrix: guard against division by zero, stays all-zero
+    assert power_iteration_micro([], dim=2, rounds=2) == [0, 0]
