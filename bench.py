@@ -127,6 +127,7 @@ HEADLINE = [
     "dedup_image_phash_docs",
     "dedup_audio_fingerprint_docs",
     "pca_top_component_embeddings",
+    "pca_project_embeddings",
 ]
 
 

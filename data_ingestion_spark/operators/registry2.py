@@ -1238,3 +1238,44 @@ QUERIES["pca_top_component_embeddings"] = (
     pca_top_component_embeddings,
     PCA_TOP_COMPONENT_EMBEDDINGS_SQL,
 )
+
+
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the learned dominant component — the
+    zero-shuffle reduction pass (similarity.pca_project). The oracle
+    re-derives the component via the same chained CTEs and replays the
+    dot product."""
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.pca_project(emb, "vec_id", "embedding", dim=64, rounds=_PCA_ROUNDS)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def _pca_project_oracle(rounds: int) -> str:
+    base = _pca_oracle(rounds)
+    # swap the final SELECT for the projection join
+    head = base[: base.rindex("\nSELECT ")]
+    return (
+        head
+        + f""",
+ex2 AS (
+  SELECT vec_id, g.i - 1 AS i, embedding[g.i]::DOUBLE AS x
+  FROM embeddings, generate_series(1, 64) AS g(i)
+)
+SELECT e.vec_id,
+       floor(sum(e.x * v.v::DOUBLE) / 1e6 * 1e6 + 0.5)::BIGINT AS proj_micro
+FROM ex2 e JOIN v{rounds} v ON v.i = e.i
+GROUP BY e.vec_id ORDER BY e.vec_id"""
+    )
+
+
+PCA_PROJECT_EMBEDDINGS_SQL = _pca_project_oracle(_PCA_ROUNDS)
+
+QUERIES["pca_project_embeddings"] = (
+    pca_project_embeddings,
+    PCA_PROJECT_EMBEDDINGS_SQL,
+)

@@ -588,3 +588,36 @@ def pca_top_component(
     return spark.createDataFrame(
         [(i, v[i]) for i in range(dim)], "dim_i long, v_micro long"
     )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    rounds: int = 3,
+) -> DataFrame:
+    """Project every embedding onto the dominant PCA component — the
+    REDUCTION step pca_top_component learns: proj = Σ_d x_d · v_d.
+
+    Scale shape: the component is driver metadata (see pca_top_component);
+    the projection itself is a ZERO-SHUFFLE codegen'd fold over the array
+    column with the component as a single-parse literal array — at 100 TB
+    this is a map-only pass fused into the scan. Output
+    (id, proj_micro BIGINT): the double dot product micro-rounded (the
+    1e-6 grid absorbs sum-order ulps, repo parity rule #1).
+    """
+    spark = df.sparkSession
+    cov = covariance_matrix(df, vec_col, dim).collect()
+    v = power_iteration_micro(
+        [(r["i"], r["j"], r["cov_micro"]) for r in cov], dim, rounds
+    )
+    vlit = "array(" + ",".join(f"{x}D" for x in v) + ")"
+    proj = (
+        f"aggregate(zip_with({vec_col}, {vlit}, (x, y) -> x * y), "
+        f"0D, (a, b) -> a + b) / 1e6"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"cast(floor({proj} * 1e6 + 0.5) as bigint)").alias("proj_micro"),
+    )

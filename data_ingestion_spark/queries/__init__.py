@@ -37,6 +37,7 @@ _PRIORITY = [
     "dedup_image_phash_docs",
     "dedup_audio_fingerprint_docs",
     "pca_top_component_embeddings",
+    "pca_project_embeddings",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

@@ -181,3 +181,23 @@ def test_power_iteration_micro_is_pure_and_deterministic():
     assert 0 < v1[1] < 1_000_000
     # zero matrix: guard against division by zero, stays all-zero
     assert power_iteration_micro([], dim=2, rounds=2) == [0, 0]
+
+
+def test_pca_project_zero_shuffle_and_variance_ordering(spark):
+    import numpy as np
+
+    from data_ingestion_spark.operators import similarity
+
+    rng = np.random.default_rng(4)
+    d = 8
+    X = rng.normal(size=(2000, d)) * np.array([8.0, 2, 1, 1, 1, 1, 1, 1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.pca_project(df, "vec_id", "embedding", dim=d, rounds=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # component is a literal; map-only pass
+    projs = np.array([r["proj_micro"] for r in out.collect()], dtype=np.float64) / 1e6
+    # variance captured along the learned component beats any raw axis
+    assert projs.var() > max(X[:, i].var() for i in range(1, d))
