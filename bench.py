@@ -128,6 +128,7 @@ HEADLINE = [
     "dedup_audio_fingerprint_docs",
     "pca_top_component_embeddings",
     "pca_project_embeddings",
+    "pca_top2_components_embeddings",
 ]
 
 

@@ -1279,3 +1279,73 @@ QUERIES["pca_project_embeddings"] = (
     pca_project_embeddings,
     PCA_PROJECT_EMBEDDINGS_SQL,
 )
+
+
+def pca_top2_components_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA directions by power iteration + integer-exact Hotelling
+    deflation — see similarity.power_iteration_deflate_micro. The oracle
+    replays component 1, the Rayleigh quotient, the deflated matrix, and
+    component 2 as one chained-CTE program."""
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_top_components(
+        emb, "embedding", dim=64, k=2, rounds=_PCA_ROUNDS
+    ).orderBy("component", "dim_i")
+
+
+def _pca_top2_oracle(rounds: int) -> str:
+    base = _pca_oracle(rounds)  # cov, cfull, v0..v{rounds} for component 1
+    head = base[: base.rindex("\nSELECT ")]
+    r = rounds
+    extra = f""",
+wf AS MATERIALIZED (
+  SELECT m.i, sum(m.c * v.v)::BIGINT AS w
+  FROM cfull m JOIN v{r} v ON v.i = m.j GROUP BY m.i
+),
+ray AS MATERIALIZED (
+  SELECT floor(sum(tv.v::HUGEINT * w.w)::DOUBLE
+               / greatest(sum2.vv, 1)::DOUBLE + 0.5)::BIGINT AS lam,
+         greatest(sum2.vv, 1)::BIGINT AS vv
+  FROM v{r} tv JOIN wf w ON w.i = tv.i
+  CROSS JOIN (SELECT sum(tu.v::HUGEINT * tu.v)::BIGINT AS vv
+              FROM v{r} tu) sum2
+  GROUP BY sum2.vv
+),
+c2 AS MATERIALIZED (
+  SELECT m.i, m.j,
+         m.c - floor(((SELECT lam FROM ray)::HUGEINT * va.v * vb.v)::DOUBLE
+                     / (SELECT vv FROM ray)::DOUBLE + 0.5)::BIGINT AS c
+  FROM cfull m JOIN v{r} va ON va.i = m.i JOIN v{r} vb ON vb.i = m.j
+),
+u0 AS (SELECT g.i - 1 AS i, 1000000::BIGINT AS v
+       FROM generate_series(1, 64) AS g(i))"""
+    for kk in range(1, r + 1):
+        extra += f""",
+x{kk} AS MATERIALIZED (
+  SELECT m.i, sum(m.c * v.v)::BIGINT AS w
+  FROM c2 m JOIN u{kk - 1} v ON v.i = m.j GROUP BY m.i
+),
+u{kk} AS MATERIALIZED (
+  SELECT i, floor((w::DOUBLE /
+           greatest((SELECT max(abs(w)) FROM x{kk}), 1)::DOUBLE) * 1e6
+           + 0.5)::BIGINT AS v
+  FROM x{kk}
+)"""
+    return (
+        head
+        + extra
+        + f"""
+SELECT 0::BIGINT AS component, i::BIGINT AS dim_i, v AS v_micro FROM v{r}
+UNION ALL
+SELECT 1::BIGINT, i::BIGINT, v FROM u{r}
+ORDER BY component, dim_i"""
+    )
+
+
+PCA_TOP2_COMPONENTS_EMBEDDINGS_SQL = _pca_top2_oracle(_PCA_ROUNDS)
+
+QUERIES["pca_top2_components_embeddings"] = (
+    pca_top2_components_embeddings,
+    PCA_TOP2_COMPONENTS_EMBEDDINGS_SQL,
+)

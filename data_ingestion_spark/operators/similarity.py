@@ -621,3 +621,67 @@ def pca_project(
         F.col(id_col).alias("id"),
         F.expr(f"cast(floor({proj} * 1e6 + 0.5) as bigint)").alias("proj_micro"),
     )
+
+
+def power_iteration_deflate_micro(
+    cov_rows: list[tuple[int, int, int]],
+    dim: int,
+    k: int = 2,
+    rounds: int = 3,
+) -> list[list[int]]:
+    """Top-k eigen-directions by power iteration + Hotelling deflation,
+    every step engine-replayable:
+
+    - component: ``power_iteration_micro`` (exact BIGINT matvec + IEEE
+      ratio renormalization);
+    - eigenvalue: Rayleigh quotient λ = floor(vᵀ(Cv) / vᵀv + 0.5), both
+      sides as EXACT integers converted to double with one round-to-
+      nearest each (Python float(int) ≡ SQL ::DOUBLE), then one division;
+    - deflation: C ← C − floor((λ·vᵢ·vⱼ)/vᵀv + 0.5), the product exact in
+      arbitrary-precision ints (HUGEINT in the oracle) before the same
+      single double conversion.
+
+    Returns k vectors of micro-int components. The fixed op order makes
+    the DuckDB chained-CTE oracle land on identical integers.
+    """
+    import math
+
+    c = [[0] * dim for _ in range(dim)]
+    for i, j, m in cov_rows:
+        c[i][j] = m
+        c[j][i] = m
+    comps: list[list[int]] = []
+    for _ in range(k):
+        v = [1_000_000] * dim
+        for _ in range(rounds):
+            w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+            mx = max(max(abs(x) for x in w), 1)
+            v = [int(math.floor((x / mx) * 1e6 + 0.5)) for x in w]
+        comps.append(v)
+        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        vw = sum(v[i] * w[i] for i in range(dim))  # exact ints
+        vv = max(sum(x * x for x in v), 1)
+        lam = int(math.floor(float(vw) / float(vv) + 0.5))
+        for i in range(dim):
+            for j in range(dim):
+                c[i][j] -= int(
+                    math.floor(float(lam * v[i] * v[j]) / float(vv) + 0.5)
+                )
+    return comps
+
+
+def pca_top_components(
+    df: DataFrame, vec_col: str, dim: int, k: int = 2, rounds: int = 3
+) -> DataFrame:
+    """Top-k PCA directions (see power_iteration_deflate_micro); same
+    distributed/driver split as pca_top_component. Output
+    (component, dim_i, v_micro), component 0-based in eigenvalue order."""
+    spark = df.sparkSession
+    cov = covariance_matrix(df, vec_col, dim).collect()
+    comps = power_iteration_deflate_micro(
+        [(r["i"], r["j"], r["cov_micro"]) for r in cov], dim, k, rounds
+    )
+    return spark.createDataFrame(
+        [(ci, i, comps[ci][i]) for ci in range(k) for i in range(dim)],
+        "component long, dim_i long, v_micro long",
+    )

@@ -38,6 +38,7 @@ _PRIORITY = [
     "dedup_audio_fingerprint_docs",
     "pca_top_component_embeddings",
     "pca_project_embeddings",
+    "pca_top2_components_embeddings",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

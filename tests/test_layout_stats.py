@@ -201,3 +201,29 @@ def test_pca_project_zero_shuffle_and_variance_ordering(spark):
     projs = np.array([r["proj_micro"] for r in out.collect()], dtype=np.float64) / 1e6
     # variance captured along the learned component beats any raw axis
     assert projs.var() > max(X[:, i].var() for i in range(1, d))
+
+
+def test_pca_deflation_finds_second_component(spark):
+    import numpy as np
+
+    from data_ingestion_spark.operators.similarity import (
+        power_iteration_deflate_micro,
+    )
+
+    rng = np.random.default_rng(12)
+    d = 10
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    scales = np.array([9.0, 4.0] + [0.5] * (d - 2))
+    X = rng.normal(size=(6000, d)) * scales @ basis.T
+    C = np.cov(X.T, bias=True)
+    rows = [
+        (i, j, int(np.floor(C[i, j] * 1e6 + 0.5)))
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    comps = power_iteration_deflate_micro(rows, dim=d, k=2, rounds=10)
+    evals, evecs = np.linalg.eigh(C)
+    for ci, true in [(0, evecs[:, -1]), (1, evecs[:, -2])]:
+        v = np.array(comps[ci], dtype=float)
+        v /= np.linalg.norm(v)
+        assert abs(float(v @ true)) > 0.98, ci
