@@ -1121,7 +1121,7 @@ def dedup_audio_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         sr = 8000
-        t = np.arange(sr) / sr
+        t = np.arange(sr // 4) / sr  # 0.25 s: fixture-synth cost, not signal
         for pdf in it:
             ids, blobs = [], []
             for doc_id in pdf["doc_id"]:
