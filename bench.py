@@ -129,6 +129,7 @@ HEADLINE = [
     "pca_top_component_embeddings",
     "pca_project_embeddings",
     "pca_top2_components_embeddings",
+    "merge_upsert_customers",
 ]
 
 

@@ -165,3 +165,58 @@ def scd2_apply(
         .select(*key_cols, "_r.*")
     )
     return history.unionByName(merged)
+
+
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+) -> dict:
+    """Copy-on-write MERGE (upsert) into a parquet table — the third
+    canonical mutation pattern next to snapshot_diff and scd2_apply:
+    rows whose key appears in ``updates`` are REPLACED (whole-row update
+    semantics, the Delta ``MERGE … WHEN MATCHED UPDATE SET *`` shape),
+    unmatched update rows are INSERTED, everything else passes through.
+
+    Expressed as ``target LEFT ANTI JOIN updates ∪ updates`` — pure
+    DataFrame ops, no table-format engine dependency. Scale shape: with a
+    small update batch the anti-join broadcasts, making the rewrite a
+    MAP-ONLY pass over the target (the common nightly-upsert case); a
+    corpus-sized batch degrades to one key shuffle. Copy-on-write is
+    table-level here; on a real lake the same plan runs per partition
+    after pruning to partitions whose keys are touched (list the update
+    batch's partition values first), or inside a transactional format.
+
+    Commit protocol: the merged table is written to ``<path>.staging``
+    first and only then swapped into place (old data parked at
+    ``<path>.bak``) — a reader never observes a partially-written table;
+    the swap itself is two renames, which a transactional table format
+    (or an object-store pointer file) would make atomic. Returns
+    {"rows_before", "rows_after", "n_updated", "n_inserted"} (counts are
+    computed from the join, not re-scans).
+    """
+    import os
+    import shutil
+
+    keys = list(key_cols)
+    tgt = spark.read.parquet(target_path)
+    matched = tgt.join(updates.select(*keys).distinct(), keys, "left_semi")
+    n_updated = matched.count()
+    rows_before = tgt.count()
+    n_updates = updates.count()
+    merged = tgt.join(updates, keys, "left_anti").unionByName(updates)
+
+    staging = target_path.rstrip("/") + ".staging"
+    backup = target_path.rstrip("/") + ".bak"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_before - n_updated + n_updates,
+        "n_updated": n_updated,
+        "n_inserted": n_updates - n_updated,
+    }

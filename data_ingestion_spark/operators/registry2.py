@@ -1349,3 +1349,75 @@ QUERIES["pca_top2_components_embeddings"] = (
     pca_top2_components_embeddings,
     PCA_TOP2_COMPONENTS_EMBEDDINGS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# MERGE / upsert (copy-on-write)
+# --------------------------------------------------------------------------
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE E2E (cdc.merge_upsert): land customers as a
+    parquet target, upsert a batch (every custkey % 10 == 0 gets +1000
+    acctbal; 5 brand-new keys above max), swap via the staging protocol,
+    then RE-READ the swapped table and aggregate it. The oracle computes
+    the same post-merge aggregates closed-form from the base table — a
+    wrong anti-join, a lost insert, or a partial swap all change the
+    numbers."""
+    import shutil
+    import tempfile
+
+    from . import cdc
+
+    cust = load_table(spark, sf_dir, "customer")
+    maxkey = cust.agg(F.max("c_custkey")).first()[0]
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    new_rows = spark.createDataFrame(
+        [
+            (int(maxkey) + i, f"New Customer {i}", 0, 100.25 * i, "MERGED")
+            for i in range(1, 6)
+        ],
+        cust.schema,
+    )
+    base = tempfile.mkdtemp(prefix="merge_upsert_")
+    target = os.path.join(base, "customer")
+    try:
+        cust.write.mode("overwrite").parquet(target)
+        stats = cdc.merge_upsert(
+            spark, target, updates.unionByName(new_rows), ["c_custkey"]
+        )
+        after = spark.read.parquet(target)
+        out = after.select(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).alias("sum_acctbal"),
+            F.sum((F.col("c_mktsegment") == "MERGED").cast("long")).alias(
+                "n_merged_segment"
+            ),
+            F.lit(stats["n_updated"]).cast("long").alias("n_updated"),
+            F.lit(stats["n_inserted"]).cast("long").alias("n_inserted"),
+        ).collect()[0]
+        # materialize BEFORE the temp dir vanishes
+        return spark.createDataFrame(
+            [tuple(out)],
+            "n_rows long, sum_acctbal decimal(38,2), n_merged_segment long, "
+            "n_updated long, n_inserted long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+MERGE_UPSERT_CUSTOMERS_SQL = """
+SELECT (SELECT count(*) FROM customer)::BIGINT + 5 AS n_rows,
+       (SELECT sum(c_acctbal::DECIMAL(38,2)) FROM customer)
+         + 1000.00 * (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+         + 100.25 + 200.50 + 300.75 + 401.00 + 501.25 AS sum_acctbal,
+       5::BIGINT AS n_merged_segment,
+       (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)::BIGINT
+           AS n_updated,
+       5::BIGINT AS n_inserted
+"""
+
+QUERIES["merge_upsert_customers"] = (
+    merge_upsert_customers,
+    MERGE_UPSERT_CUSTOMERS_SQL,
+)

@@ -39,6 +39,7 @@ _PRIORITY = [
     "pca_top_component_embeddings",
     "pca_project_embeddings",
     "pca_top2_components_embeddings",
+    "merge_upsert_customers",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

@@ -227,3 +227,35 @@ def test_pca_deflation_finds_second_component(spark):
         v = np.array(comps[ci], dtype=float)
         v /= np.linalg.norm(v)
         assert abs(float(v @ true)) > 0.98, ci
+
+
+def test_merge_upsert_semantics_and_staging_swap(spark, tmp_path):
+    import os
+
+    from data_ingestion_spark.operators import cdc
+
+    target = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, val double",
+    ).write.parquet(target)
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, val double"
+    )
+    stats = cdc.merge_upsert(spark, target, updates, ["k"])
+    assert stats == {
+        "rows_before": 3,
+        "rows_after": 4,
+        "n_updated": 1,
+        "n_inserted": 1,
+    }
+    got = {r["k"]: (r["name"], r["val"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # commit protocol: pre-merge data parked at .bak, no staging leftover
+    assert os.path.isdir(target + ".bak")
+    assert not os.path.exists(target + ".staging")
+    bak = {r["k"] for r in spark.read.parquet(target + ".bak").collect()}
+    assert bak == {1, 2, 3}
+    # idempotent re-merge of the same batch changes nothing but the counts
+    stats2 = cdc.merge_upsert(spark, target, updates, ["k"])
+    assert stats2["rows_after"] == 4 and stats2["n_inserted"] == 0
