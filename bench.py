@@ -130,6 +130,8 @@ HEADLINE = [
     "pca_project_embeddings",
     "pca_top2_components_embeddings",
     "merge_upsert_customers",
+    "stratified_split_docs",
+    "nfc_normalize_docs",
 ]
 
 

@@ -17,6 +17,7 @@ from ..session import load_table
 from . import inference, layout, sampling, stats, text
 
 _SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
+_SQL_HASH60 = "(('0x' || substr(md5({c}), 1, 15))::BIGINT)"
 
 # --------------------------------------------------------------------------
 # BM25 retrieval
@@ -1421,3 +1422,88 @@ QUERIES["merge_upsert_customers"] = (
     merge_upsert_customers,
     MERGE_UPSERT_CUSTOMERS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Stratified split (exact per-group fractions)
+# --------------------------------------------------------------------------
+def stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 80/10/10 split stratified by language (sampling.
+    stratified_splits) — per-(lang, split) counts, which pin both the
+    rank-cut boundaries and the deterministic hash ordering."""
+    from . import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_splits(docs, "lang", "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+STRATIFIED_SPLIT_DOCS_SQL = f"""
+WITH r AS (
+  SELECT lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_SQL_HASH60.format(c="doc_id::VARCHAR")} ASC, doc_id ASC
+         )::BIGINT AS rn,
+         count(*) OVER (PARTITION BY lang)::BIGINT AS n
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN rn <= (n * 80) / 100.0 THEN 'train'
+            WHEN rn <= (n * 90) / 100.0 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs
+FROM r GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+QUERIES["stratified_split_docs"] = (
+    stratified_split_docs,
+    STRATIFIED_SPLIT_DOCS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Unicode NFC normalization
+# --------------------------------------------------------------------------
+#: decomposed suffix: 'e'+COMBINING ACUTE and 'i'+COMBINING DIAERESIS —
+#: NFC composes both, so every doc visibly changes (len shrinks by 2)
+_NFC_SUFFIX = " caf" + "é" + " naïve"
+
+
+def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC over every document (text.nfc_normalize) with a
+    deterministic decomposed-accent suffix appended so the pass provably
+    composes something. The oracle runs DuckDB's NATIVE nfc_normalize —
+    two independent Unicode implementations (Python unicodedata vs
+    DuckDB's) must agree on every byte (compared via md5)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("text")
+    )
+    out = text.nfc_normalize(docs, "doc_id", "text")
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            "n_chars_before",
+            "n_chars_after",
+            "changed",
+            F.md5("text_nfc").alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NFC_NORMALIZE_DOCS_SQL = f"""
+SELECT doc_id,
+       length(s)::BIGINT AS n_chars_before,
+       length(nfc_normalize(s))::BIGINT AS n_chars_after,
+       nfc_normalize(s) <> s AS changed,
+       md5(nfc_normalize(s)) AS nfc_md5
+FROM (SELECT doc_id, text || '{_NFC_SUFFIX}' AS s FROM documents)
+ORDER BY doc_id
+"""
+
+QUERIES["nfc_normalize_docs"] = (nfc_normalize_docs, NFC_NORMALIZE_DOCS_SQL)

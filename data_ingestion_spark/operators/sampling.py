@@ -155,3 +155,50 @@ def batch_by_length(
             (F.count(F.lit(1)) * F.max("nt") - F.sum("nt")).alias("padding_waste"),
         )
     )
+
+
+def stratified_splits(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 80), ("val", 10), ("test", 10)),
+    modulus: int = 100,
+) -> DataFrame:
+    """EXACT stratified train/val/test split: within every group (language,
+    source, domain…) the split fractions hold to ±1 row, not just in
+    expectation — the guarantee ``assign_splits``'s pure hash bucketing
+    can't give small groups (a 12-doc language can easily land 12/0/0 by
+    hash luck, starving eval).
+
+    Mechanism: rows are ranked INSIDE their group by (hash, key) — a
+    deterministic, engine-replayable shuffle order — and consecutive rank
+    ranges map to splits via integer cuts rn ≤ (n·pct_cum)/modulus (floor
+    division, so the SQL twin lands on identical boundaries). Appending
+    rows CAN migrate earlier rows between splits (ranks shift) — that is
+    the price of exactness; use assign_splits when append-stability
+    matters more than per-group precision (both are exposed).
+
+    Scale shape: one shuffle on the group key (the ranking window) — group
+    counts ride the same window, no second pass. Adds (split) to the
+    input's columns.
+    """
+    from pyspark.sql import Window as W
+
+    sizes = [pct for _, pct in splits]
+    if sum(sizes) != modulus:
+        raise ValueError(f"split sizes {sizes} must sum to modulus={modulus}")
+    h = md5_hash60(F.col(key_col).cast("string"))
+    wrank = W.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    wall = W.partitionBy(group_col)
+    rn = F.row_number().over(wrank).cast("long")
+    n = F.count(F.lit(1)).over(wall).cast("long")
+    acc = 0
+    expr = None
+    cases = []
+    for name, pct in splits[:-1]:
+        acc += pct
+        cases.append((rn <= (n * acc) / F.lit(modulus), name))
+    expr = F.lit(splits[-1][0])
+    for cond, name in reversed(cases):
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -1166,3 +1166,64 @@ def bpe_encode_arrow(
             )
 
     return df.select(id_col, text_col).mapInPandas(encode_batches, out_schema)
+
+
+def nfc_normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition pass real
+    crawl corpora need before any hash-based dedup (the same visible text
+    arrives both composed 'é' and decomposed 'e'+U+0301; every md5/minhash
+    operator in this repo would treat them as different documents).
+
+    Tier honesty: Spark has NO built-in Unicode normalizer, so this is a
+    legitimate Arrow ``mapInPandas`` stage (stdlib ``unicodedata``, C
+    implementation) — not a slow-path workaround. Zero shuffles; at 100 TB
+    it fuses as one narrow pass after the scan. The DuckDB twin is its
+    native ``nfc_normalize`` — two INDEPENDENT Unicode implementations
+    agreeing is the correctness check.
+
+    Output: (id, text_nfc, n_chars_before, n_chars_after, changed).
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("text_nfc", StringType()),
+            StructField("n_chars_before", LongType()),
+            StructField("n_chars_after", LongType()),
+            StructField("changed", BooleanType()),
+        ]
+    )
+
+    def _run(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, out, nb, na, ch = [], [], [], [], []
+            for id_val, s in zip(pdf[id_col], pdf[text_col]):
+                s = s or ""
+                t = unicodedata.normalize("NFC", s)
+                ids.append(id_val)
+                out.append(t)
+                nb.append(len(s))
+                na.append(len(t))
+                ch.append(t != s)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "text_nfc": out,
+                    "n_chars_before": nb,
+                    "n_chars_after": na,
+                    "changed": ch,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_run, schema)

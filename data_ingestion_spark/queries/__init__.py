@@ -40,6 +40,8 @@ _PRIORITY = [
     "pca_project_embeddings",
     "pca_top2_components_embeddings",
     "merge_upsert_customers",
+    "stratified_split_docs",
+    "nfc_normalize_docs",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

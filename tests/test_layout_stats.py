@@ -259,3 +259,53 @@ def test_merge_upsert_semantics_and_staging_swap(spark, tmp_path):
     # idempotent re-merge of the same batch changes nothing but the counts
     stats2 = cdc.merge_upsert(spark, target, updates, ["k"])
     assert stats2["rows_after"] == 4 and stats2["n_inserted"] == 0
+
+
+def test_stratified_split_exact_fractions_per_group(spark):
+    from data_ingestion_spark.operators import sampling
+
+    # 3 groups of deliberately awkward sizes, incl. one tiny group
+    rows = (
+        [(i, "big") for i in range(100)]
+        + [(1000 + i, "mid") for i in range(37)]
+        + [(2000 + i, "tiny") for i in range(12)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_splits(df, "lang", "doc_id")
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[("big", "train")] == 80
+    assert counts[("big", "val")] == 10 and counts[("big", "test")] == 10
+    # 37 docs: train = floor(37*0.8) = 29, val = floor(37*0.9)-29 = 4, test 4
+    assert counts[("mid", "train")] == 29
+    assert counts[("mid", "val")] == 4 and counts[("mid", "test")] == 4
+    # 12 docs: every split non-empty — the property hash bucketing can't give
+    assert counts[("tiny", "train")] == 9
+    assert counts[("tiny", "val")] == 1 and counts[("tiny", "test")] == 2
+    # deterministic across invocations
+    again = {
+        (r["lang"], r["split"]): r["n"]
+        for r in sampling.stratified_splits(df, "lang", "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert again == counts
+
+
+def test_nfc_normalize_composes_and_counts(spark):
+    from data_ingestion_spark.operators import text as T
+
+    decomposed = "café naïve"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "plain ascii"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in T.nfc_normalize(df, "doc_id", "text").collect()}
+    assert out[1]["text_nfc"] == "café naïve"
+    assert out[1]["n_chars_before"] == 12 and out[1]["n_chars_after"] == 10
+    assert out[1]["changed"] is True
+    assert out[2]["changed"] is False and out[2]["text_nfc"] == "plain ascii"
+    assert out[3]["n_chars_before"] == 0  # null-safe: treated as ""
