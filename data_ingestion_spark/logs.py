@@ -79,3 +79,28 @@ class IngestionLogWriter:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+
+    def successful_files(self) -> set:
+        """File names whose LATEST log row is a finalized Success — the
+        replay guard for the streaming loops: a micro-batch re-offered
+        after a crash must not re-ingest files that already completed
+        (files are immutable-once-landed, the S3-event contract). Empty
+        set when no log exists yet. Driver-side and bounded by the audit
+        log; at corpus scale this check becomes a left-anti join against
+        ``current_status()`` instead of a collected set."""
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(self.path, "*.parquet")) and not os.path.isdir(
+            self.path
+        ):
+            return set()
+        try:
+            rows = (
+                self.current_status()
+                .filter((F.col("status") == "Success") & F.col("end_time").isNotNull())
+                .select("file_name")
+                .collect()
+            )
+        except Exception:  # noqa: BLE001 — unreadable/absent log = no guard
+            return set()
+        return {r["file_name"] for r in rows}

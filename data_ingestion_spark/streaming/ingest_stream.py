@@ -67,6 +67,7 @@ class IngestionStreamLoop:
         self.max_files_per_trigger = max_files_per_trigger
         self.results: list = []  # IngestResult | (file_name, error) per file
         self.failures: list[tuple[str, str]] = []
+        self.skipped: list[str] = []  # already-Success files seen on replay
 
     # ------------------------------------------------------------------
     def _decode(self, path_url: str) -> FileToProcess:
@@ -82,8 +83,17 @@ class IngestionStreamLoop:
         # Only `path` is collected: a micro-batch is a list of file names
         # (bounded by maxFilesPerTrigger), never file contents.
         paths = [r.path for r in batch_df.select("path").collect()]
+        # Replay guard: after a mid-batch crash the checkpoint re-offers the
+        # WHOLE incomplete batch; files that already finalized Success must
+        # not re-ingest (files are immutable-once-landed), or the target
+        # table would hold duplicates — this makes the sink effect
+        # exactly-once, not just the discovery.
+        done = self.pipeline.log.successful_files()
         for url in sorted(paths):
             file = self._decode(url)
+            if file.file_name in done:
+                self.skipped.append(file.file_name)
+                continue
             try:
                 self.results.append(self.pipeline.process_file(file))
             except IngestionError as ex:
@@ -169,11 +179,15 @@ class SqsFrontDoorLoop:
         self.results: list = []
         self.failures: list[tuple[str, str]] = []
         self.warns: dict[str, int] = {}
+        self.skipped: list[str] = []  # already-Success files seen on replay
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from .s3_events import s3_event_files
 
         decoded = s3_event_files(batch_df, "value").collect()
+        # same replay guard as IngestionStreamLoop: a re-offered batch must
+        # not re-ingest files that already finalized Success
+        done = self.pipeline.log.successful_files()
         for r in sorted(
             decoded, key=lambda r: (r["bucket"] or "", r["key"] or "")
         ):
@@ -192,6 +206,9 @@ class SqsFrontDoorLoop:
                 )
                 continue
             file = FileToProcess(bucket=r["bucket"], key=r["key"])
+            if file.file_name in done:
+                self.skipped.append(file.file_name)
+                continue
             try:
                 self.results.append(self.pipeline.process_file(file))
             except IngestionError as ex:

@@ -639,3 +639,38 @@ def test_sqs_front_door_checkpoint_is_exactly_once(spark, tmp_path):
     l3 = run()
     assert [r.file_name for r in l3.results] == ["b/in/y.csv"]
     assert pipe.sink.read_table("csv_data").count() == 3
+
+
+def test_batch_replay_does_not_duplicate_ingested_rows(spark, tmp_path, landing):
+    """Exactly-once SINK effect, not just discovery: a micro-batch
+    re-offered after a mid-batch crash (simulated by re-driving the same
+    paths through _process_batch) must skip files whose audit row already
+    finalized Success — target-table counts unchanged; failed files DO
+    retry."""
+    pipe = IngestionPipeline(
+        spark, warehouse_dir=str(tmp_path / "wh"), base_dir=landing
+    )
+    loop = IngestionStreamLoop(
+        pipe, landing, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    loop.run_available()
+    assert pipe.sink.read_table("csv_data").count() == 2
+    n_results = len(loop.results)
+
+    # crash-replay: the whole batch is re-offered
+    paths = [
+        "file://" + os.path.join(landing, "stream-bucket", "uploads", n)
+        for n in ("a.csv", "b.json", "bad.pdf")
+    ]
+    replay = spark.createDataFrame([(p,) for p in paths], "path string")
+    loop._process_batch(replay, batch_id=99)
+
+    assert sorted(loop.skipped) == [
+        "stream-bucket/uploads/a.csv",
+        "stream-bucket/uploads/b.json",
+    ]
+    assert len(loop.results) == n_results  # nothing re-ingested
+    assert pipe.sink.read_table("csv_data").count() == 2  # no duplicates
+    assert pipe.sink.read_table("json_data").count() == 3
+    # the failed pdf retried (still fails — it's a bad file, not a dup)
+    assert [f for f, _ in loop.failures].count("stream-bucket/uploads/bad.pdf") == 2
