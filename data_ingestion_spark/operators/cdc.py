@@ -172,12 +172,17 @@ def merge_upsert(
     target_path: str,
     updates: DataFrame,
     key_cols: Sequence[str],
+    delete_col: Optional[str] = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a parquet table — the third
     canonical mutation pattern next to snapshot_diff and scd2_apply:
     rows whose key appears in ``updates`` are REPLACED (whole-row update
     semantics, the Delta ``MERGE … WHEN MATCHED UPDATE SET *`` shape),
     unmatched update rows are INSERTED, everything else passes through.
+    With ``delete_col``, update rows whose flag is true instead DELETE the
+    matching target rows (``WHEN MATCHED AND flag THEN DELETE`` — a
+    CDC-feed tombstone); flagged rows with no match are a no-op, and the
+    flag column never lands in the table.
 
     Expressed as ``target LEFT ANTI JOIN updates ∪ updates`` — pure
     DataFrame ops, no table-format engine dependency. Scale shape: with a
@@ -193,19 +198,31 @@ def merge_upsert(
     ``<path>.bak``) — a reader never observes a partially-written table;
     the swap itself is two renames, which a transactional table format
     (or an object-store pointer file) would make atomic. Returns
-    {"rows_before", "rows_after", "n_updated", "n_inserted"} (counts are
-    computed from the join, not re-scans).
+    {"rows_before", "rows_after", "n_updated", "n_inserted", "n_deleted"}
+    (counts are computed from the joins, not re-scans).
     """
     import os
     import shutil
 
     keys = list(key_cols)
     tgt = spark.read.parquet(target_path)
-    matched = tgt.join(updates.select(*keys).distinct(), keys, "left_semi")
-    n_updated = matched.count()
+    if delete_col is not None:
+        deletes = updates.filter(F.col(delete_col)).select(*keys).distinct()
+        upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+        n_deleted = tgt.join(deletes, keys, "left_semi").count()
+    else:
+        deletes = None
+        upserts = updates
+        n_deleted = 0
+    n_updated = tgt.join(upserts.select(*keys).distinct(), keys, "left_semi").count()
     rows_before = tgt.count()
-    n_updates = updates.count()
-    merged = tgt.join(updates, keys, "left_anti").unionByName(updates)
+    n_updates = upserts.count()
+    # one anti-join against EVERY touched key (upserted or tombstoned),
+    # then the upsert rows come back in — deletes simply never do
+    touched = upserts.select(*keys).distinct()
+    if deletes is not None:
+        touched = touched.unionByName(deletes).distinct()
+    merged = tgt.join(touched, keys, "left_anti").unionByName(upserts)
 
     staging = target_path.rstrip("/") + ".staging"
     backup = target_path.rstrip("/") + ".bak"
@@ -216,7 +233,8 @@ def merge_upsert(
     os.rename(staging, target_path)
     return {
         "rows_before": rows_before,
-        "rows_after": rows_before - n_updated + n_updates,
+        "rows_after": rows_before - n_updated + n_updates - n_deleted,
         "n_updated": n_updated,
         "n_inserted": n_updates - n_updated,
+        "n_deleted": n_deleted,
     }

@@ -248,6 +248,7 @@ def test_merge_upsert_semantics_and_staging_swap(spark, tmp_path):
         "rows_after": 4,
         "n_updated": 1,
         "n_inserted": 1,
+        "n_deleted": 0,
     }
     got = {r["k"]: (r["name"], r["val"]) for r in spark.read.parquet(target).collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
@@ -309,3 +310,33 @@ def test_nfc_normalize_composes_and_counts(spark):
     assert out[1]["changed"] is True
     assert out[2]["changed"] is False and out[2]["text_nfc"] == "plain ascii"
     assert out[3]["n_chars_before"] == 0  # null-safe: treated as ""
+
+
+def test_merge_upsert_with_delete_tombstones(spark, tmp_path):
+    from data_ingestion_spark.operators import cdc
+
+    target = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, val double"
+    ).write.parquet(target)
+    updates = spark.createDataFrame(
+        [
+            (2, 99.0, False),   # update
+            (3, 0.0, True),     # tombstone: delete k=3
+            (5, 50.0, False),   # insert
+            (9, 0.0, True),     # tombstone with no match: no-op
+        ],
+        "k long, val double, deleted boolean",
+    )
+    stats = cdc.merge_upsert(spark, target, updates, ["k"], delete_col="deleted")
+    assert stats == {
+        "rows_before": 4,
+        "rows_after": 4,
+        "n_updated": 1,
+        "n_inserted": 1,
+        "n_deleted": 1,
+    }
+    after = spark.read.parquet(target)
+    got = {r["k"]: r["val"] for r in after.collect()}
+    assert got == {1: 10.0, 2: 99.0, 4: 40.0, 5: 50.0}
+    assert "deleted" not in after.columns  # the flag never lands
