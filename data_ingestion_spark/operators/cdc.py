@@ -167,6 +167,64 @@ def scd2_apply(
     return history.unionByName(merged)
 
 
+def incremental_agg_refresh(
+    mv: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    count_col: str,
+    sum_cols: Optional[dict] = None,
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: refresh a COUNT/SUM
+    rollup from a CDC delta batch WITHOUT rescanning the base table — the
+    view-maintenance primitive (Gupta & Mumick) every warehouse uses to
+    keep a 100 TB fact table's rollups current from a per-hour change feed.
+
+    ``mv`` is the stored aggregate: key_cols + count_col + the sum columns
+    (keys of ``sum_cols``). ``delta`` is a CDC batch with ``change_type``
+    in {'insert','delete'} — an update travels as its canonical
+    delete(old)+insert(new) pair, so sums need no old-value bookkeeping.
+    ``sum_cols`` maps each mv sum column -> the measure column in delta.
+
+    Shape: the delta aggregates to signed partials per touched group
+    (map-side combined), then ONE full-outer join against the mv on the
+    group key — broadcast when the touched-group set is small, never a
+    base-table scan. Groups whose refreshed count reaches 0 are dropped
+    (the group no longer exists); brand-new groups appear. Refresh cost is
+    O(|delta| + |touched groups|), independent of the base table size —
+    that independence is exactly what the oracle twin (a full recompute of
+    the post-CDC state) certifies.
+    """
+    sum_cols = dict(sum_cols or {})
+    keys = list(key_cols)
+    bad = delta.filter(
+        ~F.col("change_type").isin("insert", "delete")
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "incremental_agg_refresh: delta change_type must be "
+            "'insert' or 'delete' (send updates as delete+insert pairs)"
+        )
+    w = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    aggs = [F.sum(w).alias(f"_d_{count_col}")]
+    for out, measure in sum_cols.items():
+        aggs.append(F.sum(w.cast("long") * F.col(measure)).alias(f"_d_{out}"))
+    dagg = delta.groupBy(*keys).agg(*aggs)
+
+    j = mv.join(dagg, on=keys, how="full_outer")
+    zero = F.lit(0)
+    new_count = F.coalesce(F.col(count_col), zero) + F.coalesce(
+        F.col(f"_d_{count_col}"), zero
+    )
+    out_cols = [new_count.cast(mv.schema[count_col].dataType).alias(count_col)]
+    for out in sum_cols:
+        t = mv.schema[out].dataType
+        refreshed = F.coalesce(F.col(out), zero.cast(t)) + F.coalesce(
+            F.col(f"_d_{out}").cast(t), zero.cast(t)
+        )
+        out_cols.append(refreshed.cast(t).alias(out))
+    return j.select(*keys, *out_cols).filter(F.col(count_col) > 0)
+
+
 def merge_upsert(
     spark,
     target_path: str,

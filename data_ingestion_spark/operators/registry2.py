@@ -1507,3 +1507,81 @@ ORDER BY doc_id
 """
 
 QUERIES["nfc_normalize_docs"] = (nfc_normalize_docs, NFC_NORMALIZE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-aggregate refresh (view maintenance)
+# --------------------------------------------------------------------------
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance E2E (cdc.incremental_agg_refresh):
+    build the per-priority COUNT/SUM rollup of orders, apply a CDC batch
+    (deletes: orderkey%97; updates as delete+insert pairs: %101 gets
+    +10.00; inserts: %89 cloned at +5.00) to the ROLLUP ONLY — the base
+    table is never rescanned. The oracle recomputes the post-CDC state
+    from scratch, certifying the delta algebra: a wrong sign, a lost
+    pair, or a dropped group changes the numbers."""
+    from . import cdc
+
+    ords = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    pri = F.col("o_orderpriority")
+
+    mv = ords.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(price).cast("decimal(38,2)").alias("sum_price"),
+    )
+    is_del = key % 97 == 0
+    is_upd = (key % 97 != 0) & (key % 101 == 0)
+    ten = F.lit("10.00").cast("decimal(18,2)")
+    five = F.lit("5.00").cast("decimal(18,2)")
+    delta = (
+        ords.filter(is_del)
+        .select(pri, price.alias("price"), F.lit("delete").alias("change_type"))
+        .unionByName(
+            ords.filter(is_upd).select(
+                pri, price.alias("price"), F.lit("delete").alias("change_type")
+            )
+        )
+        .unionByName(
+            ords.filter(is_upd).select(
+                pri,
+                (price + ten).cast("decimal(18,2)").alias("price"),
+                F.lit("insert").alias("change_type"),
+            )
+        )
+        .unionByName(
+            ords.filter(key % 89 == 0).select(
+                pri,
+                (price + five).cast("decimal(18,2)").alias("price"),
+                F.lit("insert").alias("change_type"),
+            )
+        )
+    )
+    return cdc.incremental_agg_refresh(
+        mv, delta, ["o_orderpriority"], "n_orders", {"sum_price": "price"}
+    ).orderBy("o_orderpriority")
+
+
+INCREMENTAL_AGG_ORDERS_SQL = """
+WITH after AS (
+  SELECT o_orderpriority, o_totalprice::DECIMAL(18,2) AS price
+  FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderpriority,
+         (o_totalprice::DECIMAL(18,2) + 10.00)::DECIMAL(18,2)
+  FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 = 0
+  UNION ALL
+  SELECT o_orderpriority,
+         (o_totalprice::DECIMAL(18,2) + 5.00)::DECIMAL(18,2)
+  FROM orders WHERE o_orderkey % 89 = 0
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(price)::DECIMAL(38,2) AS sum_price
+FROM after GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+QUERIES["incremental_agg_orders"] = (
+    incremental_agg_orders,
+    INCREMENTAL_AGG_ORDERS_SQL,
+)

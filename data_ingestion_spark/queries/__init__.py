@@ -42,6 +42,7 @@ _PRIORITY = [
     "merge_upsert_customers",
     "stratified_split_docs",
     "nfc_normalize_docs",
+    "incremental_agg_orders",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

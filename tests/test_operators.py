@@ -729,6 +729,41 @@ def test_snapshot_diff_planted(spark):
     assert out[4]["change_type"] == "insert" and out[4]["seg"] == "d"
 
 
+def test_incremental_agg_refresh_planted(spark):
+    """MV delta maintenance: dropped group, new group, update-as-pair,
+    and the invalid-change_type guard."""
+    import pytest
+
+    from data_ingestion_spark.operators import cdc
+
+    mv = spark.createDataFrame(
+        [("a", 2, 30.0), ("b", 1, 5.0), ("c", 3, 60.0)],
+        "g: string, n: long, s: double",
+    )
+    delta = spark.createDataFrame(
+        [
+            ("b", 5.0, "delete"),    # group b → count 0 → dropped
+            ("a", 10.0, "delete"),   # update pair on a: 10 → 12
+            ("a", 12.0, "insert"),
+            ("z", 7.0, "insert"),    # brand-new group
+        ],
+        "g: string, v: double, change_type: string",
+    )
+    out = {
+        r["g"]: (r["n"], r["s"])
+        for r in cdc.incremental_agg_refresh(
+            mv, delta, ["g"], "n", {"s": "v"}
+        ).collect()
+    }
+    assert out == {"a": (2, 32.0), "c": (3, 60.0), "z": (1, 7.0)}
+
+    bad = spark.createDataFrame(
+        [("a", 1.0, "update")], "g: string, v: double, change_type: string"
+    )
+    with pytest.raises(ValueError, match="delete\\+insert pairs"):
+        cdc.incremental_agg_refresh(mv, bad, ["g"], "n", {"s": "v"})
+
+
 def test_scd2_apply_planted(spark):
     from data_ingestion_spark.operators import cdc
 
