@@ -1585,3 +1585,67 @@ QUERIES["incremental_agg_orders"] = (
     incremental_agg_orders,
     INCREMENTAL_AGG_ORDERS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction (content-parity E2E)
+# --------------------------------------------------------------------------
+def compact_small_files_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction E2E (layout.compact_files): land documents as 64
+    deliberately-tiny parquet files, compact to 4 via the shuffle-free
+    coalesce path + staging-swap, RE-READ the swapped table and emit
+    row count + an order-free content checksum + the file-count proof.
+    The oracle computes the same count/checksum straight from the base
+    table — a dropped row, a duplicated file, or a partial swap changes
+    the checksum; `files_reduced` pins that compaction actually happened."""
+    import shutil
+    import tempfile
+
+    from ..functions import md5_hash60
+    from . import layout
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="compact_")
+    target = os.path.join(base, "documents")
+    try:
+        docs.repartition(64).write.mode("overwrite").parquet(target)
+        stats = layout.compact_files(spark, target, n_files=4)
+        after = spark.read.parquet(target)
+        row = after.select(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                md5_hash60(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.md5(F.col("text")),
+                    )
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("content_sum"),
+            F.lit(
+                stats["files_after"] < stats["files_before"]
+                and stats["files_after"] <= 4
+            ).alias("files_reduced"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [tuple(row)],
+            "n_rows long, content_sum decimal(38,0), files_reduced boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+COMPACT_SMALL_FILES_DOCS_SQL = f"""
+SELECT count(*)::BIGINT AS n_rows,
+       sum({_SQL_HASH60.format(c="doc_id::VARCHAR || ':' || md5(text)")})::DECIMAL(38,0)
+           AS content_sum,
+       TRUE AS files_reduced
+FROM documents
+"""
+
+QUERIES["compact_small_files_docs"] = (
+    compact_small_files_docs,
+    COMPACT_SMALL_FILES_DOCS_SQL,
+)

@@ -43,6 +43,7 @@ _PRIORITY = [
     "stratified_split_docs",
     "nfc_normalize_docs",
     "incremental_agg_orders",
+    "compact_small_files_docs",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",
