@@ -1649,3 +1649,46 @@ QUERIES["compact_small_files_docs"] = (
     compact_small_files_docs,
     COMPACT_SMALL_FILES_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Balanced trainer shards (weight-balanced, no global sort)
+# --------------------------------------------------------------------------
+_SHARD_N = 8
+_SHARD_BUCKET = 100
+
+
+def shard_balance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deal documents into 8 near-equal-weight trainer shards
+    (sampling.balanced_shards: bucket-by-length → in-bucket rank →
+    phase-offset round-robin — no global sort). Emits per-shard doc and
+    char totals; the oracle replays the exact window, and the balance
+    property itself is pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.balanced_shards(docs, "doc_id", "n_chars", _SHARD_N, _SHARD_BUCKET)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_BALANCE_DOCS_SQL = f"""
+WITH r AS (
+  SELECT n_chars, (n_chars // {_SHARD_BUCKET})::BIGINT AS bucket,
+         row_number() OVER (
+           PARTITION BY n_chars // {_SHARD_BUCKET}
+           ORDER BY n_chars DESC, doc_id ASC
+         )::BIGINT AS rn
+  FROM documents
+)
+SELECT ((rn - 1 + bucket) % {_SHARD_N})::INTEGER AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM r GROUP BY 1 ORDER BY shard
+"""
+
+QUERIES["shard_balance_docs"] = (shard_balance_docs, SHARD_BALANCE_DOCS_SQL)

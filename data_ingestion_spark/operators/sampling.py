@@ -202,3 +202,36 @@ def stratified_splits(
     for cond, name in reversed(cases):
         expr = F.when(cond, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def balanced_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_shards: int,
+    bucket_width: int,
+) -> DataFrame:
+    """Assign rows to ``n_shards`` training shards with near-equal total
+    weight (token counts) WITHOUT a global sort: rows are bucketed by
+    ``weight div bucket_width`` (a narrow projection), ranked INSIDE each
+    bucket (window partitioned by bucket — parallel across buckets, never
+    a single-partition global window), and dealt round-robin with a
+    per-bucket phase offset so every bucket's largest rows don't all land
+    on shard 0:  ``shard = (rank - 1 + bucket) % n_shards``.
+
+    Balance bound: within a bucket, any two shards differ by at most one
+    row whose weight < bucket's upper edge, so across-shard total-weight
+    spread ≤ n_buckets × bucket_width — a constant independent of corpus
+    size. The greedy/LPT bin-packing this approximates needs a sequential
+    pass; this form is deterministic, one bucket-key shuffle, and
+    replayable in any SQL engine (the oracle replays the exact window).
+
+    Adds ``shard`` (0..n_shards-1); ties rank by ``id_col`` for
+    determinism.
+    """
+    bucket = (F.col(weight_col) / F.lit(bucket_width)).cast("long")
+    w = W.partitionBy(bucket).orderBy(
+        F.col(weight_col).desc(), F.col(id_col).asc()
+    )
+    shard = (F.row_number().over(w) - 1 + bucket) % n_shards
+    return df.withColumn("shard", shard.cast("int"))

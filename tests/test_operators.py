@@ -859,3 +859,27 @@ def test_semantic_dedup_planted(spark):
     assert d == {(0, 2)}
     a = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
     assert a == {1: 0, 2: 0, 3: 0, 5: 1}
+
+
+def test_balanced_shards_weight_spread_bounded(spark):
+    """Across-shard total-weight spread ≤ n_buckets × bucket_width, on a
+    skewed weight distribution; assignment is partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import sampling
+
+    rows = [(i, (i * 37) % 991 + 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    out = sampling.balanced_shards(df, "id", "w", 4, 50)
+    totals = {
+        r["shard"]: r["t"]
+        for r in out.groupBy("shard").agg(F.sum("w").alias("t")).collect()
+    }
+    assert set(totals) == {0, 1, 2, 3}
+    n_buckets = len({(w // 50) for _, w in rows})
+    assert max(totals.values()) - min(totals.values()) <= n_buckets * 50
+
+    again = sampling.balanced_shards(df.repartition(13), "id", "w", 4, 50)
+    a = {r["id"]: r["shard"] for r in out.collect()}
+    b = {r["id"]: r["shard"] for r in again.collect()}
+    assert a == b
