@@ -1613,16 +1613,22 @@ def compact_small_files_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         after = spark.read.parquet(target)
         row = after.select(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                md5_hash60(
-                    F.concat(
-                        F.col("doc_id").cast("string"),
-                        F.lit(":"),
-                        F.md5(F.col("text")),
-                    )
-                ).cast("decimal(38,0)")
+            # sum in decimal (no overflow), then fold mod 2^40 to a BIGINT
+            # — wide decimals round-trip as lossy float64 in some pandas
+            # bridges, a plain long compares exactly everywhere
+            (
+                F.sum(
+                    md5_hash60(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.md5(F.col("text")),
+                        )
+                    ).cast("decimal(38,0)")
+                )
+                % F.lit(1099511627776)
             )
-            .cast("decimal(38,0)")
+            .cast("long")
             .alias("content_sum"),
             F.lit(
                 stats["files_after"] < stats["files_before"]
@@ -1631,7 +1637,7 @@ def compact_small_files_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         return spark.createDataFrame(
             [tuple(row)],
-            "n_rows long, content_sum decimal(38,0), files_reduced boolean",
+            "n_rows long, content_sum long, files_reduced boolean",
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -1639,8 +1645,8 @@ def compact_small_files_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COMPACT_SMALL_FILES_DOCS_SQL = f"""
 SELECT count(*)::BIGINT AS n_rows,
-       sum({_SQL_HASH60.format(c="doc_id::VARCHAR || ':' || md5(text)")})::DECIMAL(38,0)
-           AS content_sum,
+       (sum({_SQL_HASH60.format(c="doc_id::VARCHAR || ':' || md5(text)")})
+            % 1099511627776)::BIGINT AS content_sum,
        TRUE AS files_reduced
 FROM documents
 """
@@ -1692,3 +1698,28 @@ FROM r GROUP BY 1 ORDER BY shard
 """
 
 QUERIES["shard_balance_docs"] = (shard_balance_docs, SHARD_BALANCE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries sketch + exact verification pass
+# --------------------------------------------------------------------------
+def heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens via sketch-then-verify (sketch.
+    heavy_hitters): O(sketch_k) executor memory, candidate-only shuffle,
+    support-guarantee guardrail. The oracle is the PLAIN exact top-k — the
+    whole point is that the sketch path must return the identical answer."""
+    from . import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.heavy_hitters(docs, "text", k_top=20, sketch_k=512)
+
+
+HEAVY_HITTERS_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKENS.format(c="text")}) AS token FROM documents
+)
+SELECT token, count(*)::BIGINT AS freq
+FROM toks GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 20
+"""
+
+QUERIES["heavy_hitters_docs"] = (heavy_hitters_docs, HEAVY_HITTERS_DOCS_SQL)

@@ -1,0 +1,123 @@
+"""Frequency-sketch operators: Misra-Gries heavy hitters with an exact
+verification pass.
+
+Why a sketch when ``ngram_topk`` already does partial-agg + TakeOrdered:
+that plan still shuffles ONE ROW PER DISTINCT TOKEN per executor. On a
+100 TB web corpus the vocabulary (URLs, hex ids, typos) runs to billions
+of distinct keys, so even the partial-agg'd exchange is huge. The
+sketch-then-verify pattern bounds executor memory at O(sketch_k) counters
+and shuffles only the candidate set:
+
+- **Pass 1 (sketch)**: per-partition Misra-Gries over the token stream in
+  Arrow ``mapInPandas`` — the mergeable-summaries form (Agarwal et al.,
+  PODS'12): merge a batch's counts, then shrink back to ``sketch_k``
+  counters by subtracting the (k+1)-th largest count. Guarantee: any
+  token with partition frequency > n_p/sketch_k survives that partition's
+  sketch, so any token with GLOBAL frequency > N/sketch_k survives in at
+  least one partition (pigeonhole) — candidates are a superset of every
+  true heavy hitter.
+- **Pass 2 (exact)**: re-scan, explode tokens, broadcast-semi-join against
+  the candidate set BEFORE the shuffle (non-candidates never leave the
+  scan stage), exact groupBy count, top-k by (freq desc, token asc).
+
+The result is EXACT and partitioning-independent, not approximate: after
+pass 2 the operator checks the Misra-Gries support guarantee
+(k-th frequency > N_tokens/sketch_k). If a pathologically flat
+distribution breaks it, the operator falls back to the plain exact
+aggregation — correctness never depends on the sketch, only the shuffle
+size does.
+
+Reference parity: the reference (/root/reference/src/ingestion_service.rs)
+has no analytics surface at all — this is a §2.5 scale extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+
+def _mg_merge_shrink(counters: dict, batch_counts: dict, k: int) -> dict:
+    """Mergeable Misra-Gries: absorb ``batch_counts`` then shrink to ≤ k
+    counters by subtracting the (k+1)-th largest value from all (zeros
+    drop). Total undercount stays ≤ N/k across any merge tree."""
+    for t, c in batch_counts.items():
+        counters[t] = counters.get(t, 0) + int(c)
+    if len(counters) > k:
+        vals = sorted(counters.values(), reverse=True)
+        cut = vals[k]  # (k+1)-th largest
+        counters = {t: c - cut for t, c in counters.items() if c > cut}
+    return counters
+
+
+def mg_candidates(
+    df: DataFrame, text_col: str, sketch_k: int
+) -> DataFrame:
+    """Pass 1: one candidate-token row set per partition (≤ sketch_k rows
+    each), memory bounded at O(sketch_k) regardless of vocabulary size.
+
+    Tokenization happens JVM-side with the SAME ``tokens()`` expression as
+    the exact pass — the sketch must see the identical token stream, or a
+    heavy hitter could be missed without tripping the support guardrail.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("token", StringType())])
+    toks = df.select(tokens(F.col(text_col)).alias("toks"))
+
+    def _run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            batch: Counter = Counter()
+            for lst in pdf["toks"]:
+                if lst is not None:
+                    batch.update(lst)
+            counters = _mg_merge_shrink(counters, batch, sketch_k)
+        yield pd.DataFrame({"token": list(counters)})
+
+    return toks.mapInPandas(_run, schema).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    k_top: int,
+    sketch_k: int = 256,
+) -> DataFrame:
+    """Exact top-``k_top`` tokens by frequency via sketch-then-verify (see
+    module docstring). Returns (token, freq) ordered by (freq desc,
+    token asc), always equal to the plain exact aggregation's answer."""
+    spark = df.sparkSession
+    tok_stream = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+
+    candidates = mg_candidates(df, text_col, sketch_k)
+    counted = (
+        tok_stream.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counted.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(
+        k_top
+    )
+    rows = top.collect()
+    n_tokens = tok_stream.count()
+    support = n_tokens / sketch_k
+    if len(rows) < k_top or rows[-1]["freq"] <= support:
+        # MG support guarantee broken (near-flat distribution collapses
+        # the sketch — possibly to nothing) or fewer candidates than k:
+        # fall back to the exact full agg so the answer never depends on
+        # the sketch.
+        top = (
+            tok_stream.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("token").asc())
+            .limit(k_top)
+        )
+        rows = top.collect()
+    return spark.createDataFrame(rows or [], "token string, freq long")

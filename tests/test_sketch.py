@@ -1,0 +1,76 @@
+"""Tests for the Misra-Gries heavy-hitters sketch (operators/sketch.py):
+the merge-shrink math, the superset guarantee, exactness vs a plain
+aggregation, the flat-distribution fallback, and partitioning
+independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_spark.operators import sketch
+
+
+def test_mg_merge_shrink_guarantee():
+    """After shrinking to k counters, per-token undercount ≤ N/k (the MG
+    bound), and any token with true count > N/k survives."""
+    from collections import Counter
+
+    stream = (
+        ["apple"] * 50 + ["banana"] * 30 + ["cherry"] * 10
+        + [f"rare{i}" for i in range(40)]
+    )
+    true = Counter(stream)
+    n = len(stream)
+    k = 8
+    counters: dict = {}
+    for i in range(0, n, 13):  # arbitrary batch boundaries
+        counters = sketch._mg_merge_shrink(
+            counters, Counter(stream[i : i + 13]), k
+        )
+    assert len(counters) <= k
+    for t, c in counters.items():
+        assert true[t] - n / k <= c <= true[t]
+    for t, c in true.items():
+        if c > n / k:
+            assert t in counters, f"heavy hitter {t} lost"
+
+
+def _mk_docs(spark, rows, n_parts=1):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.repartition(n_parts) if n_parts > 1 else df
+
+
+def test_heavy_hitters_equals_exact_on_zipf(spark):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(1, 40) if i % j == 0))
+        for i in range(1, 300)
+    ]
+    df = _mk_docs(spark, rows, n_parts=7)
+    got = [(r["token"], r["freq"]) for r in sketch.heavy_hitters(df, "text", 10, sketch_k=64).collect()]
+    exact = [
+        (r["token"], r["freq"])
+        for r in df.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter("token <> ''")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_heavy_hitters_flat_distribution_fallback_still_exact(spark):
+    """Every token unique → support guarantee cannot hold → fallback path
+    must still return the exact (tie-broken) answer."""
+    rows = [(i, f"tok{i:04d}") for i in range(200)]
+    df = _mk_docs(spark, rows, n_parts=5)
+    got = [(r["token"], r["freq"]) for r in sketch.heavy_hitters(df, "text", 5, sketch_k=16).collect()]
+    assert got == [(f"tok{i:04d}", 1) for i in range(5)]  # freq ties → token asc
+
+
+def test_heavy_hitters_partitioning_independent(spark):
+    rows = [(i, ("alpha " * (i % 5)) + f"beta{i % 17}") for i in range(400)]
+    a = sketch.heavy_hitters(_mk_docs(spark, rows, 3), "text", 8, sketch_k=32).collect()
+    b = sketch.heavy_hitters(_mk_docs(spark, rows, 19), "text", 8, sketch_k=32).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
