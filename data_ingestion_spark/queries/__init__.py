@@ -46,6 +46,7 @@ _PRIORITY = [
     "compact_small_files_docs",
     "shard_balance_docs",
     "heavy_hitters_docs",
+    "ingest_html_docs",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

@@ -397,6 +397,66 @@ FROM (VALUES
 """
 
 
+# --------------------------------------------------------------------------
+# HTML via the opt-in stdlib main-content extractor (EXCEEDS reference:
+# like PDF, outside the shipped parser menu — scoped registration keeps the
+# default dispatch reference-faithful)
+# --------------------------------------------------------------------------
+_HTML_FIXTURE = """<!doctype html>
+<html><head><title>Quarterly Report &amp; Outlook</title>
+<style>p { color: red }</style>
+<script>var x = "<p>not text</p>";</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>
+<h1>Results Overview</h1>
+<p>Revenue grew 12% year over year, driven by the new
+  platform line.</p>
+<p>Margins held at 8% despite <a href="/fx">currency headwinds</a> in two regions.</p>
+<p>Ok</p>
+<footer><a href="/terms">Terms</a> | <a href="/privacy">Privacy</a></footer>
+</body></html>
+"""
+
+
+def ingest_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline E2E over an HTML page: rule match (custom .html
+    route) → scoped parser registration → block segmentation +
+    link-density boilerplate gate (integer basis points) → enrich → sink.
+    The fixture exercises script/style skipping, entity decoding, inline
+    anchors inside prose, and all three drop reasons (nav link-farm,
+    footer, too-short block)."""
+    from ..rules import IngestionConfigRule, RuleSet
+    from ..sources.html_source import html_parser_registered
+
+    with html_parser_registered():
+        pipe = _run_pipeline(
+            spark,
+            {"site/report.html": _HTML_FIXTURE},
+            ["site/report.html"],
+            rules=RuleSet([IngestionConfigRule(r".*\.html$", "html_data")]),
+        )
+    out = pipe.sink.read_table("html_data")
+    return out.select(
+        "block_number", "tag", "content", "n_chars", "link_density_bp", "kept"
+    ).orderBy("block_number")
+
+
+INGEST_HTML_DOCS_SQL = """
+SELECT CAST(block_number AS INTEGER) AS block_number, tag, content,
+       CAST(n_chars AS INTEGER) AS n_chars,
+       CAST(link_density_bp AS INTEGER) AS link_density_bp, kept
+FROM (VALUES
+  (1, 'title',  'Quarterly Report & Outlook', 26, 0, TRUE),
+  (2, 'nav',    'Home About Contact', 18, 10000, FALSE),
+  (3, 'h1',     'Results Overview', 16, 0, TRUE),
+  (4, 'p',      'Revenue grew 12% year over year, driven by the new platform line.', 65, 0, TRUE),
+  (5, 'p',      'Margins held at 8% despite currency headwinds in two regions.', 61, 3050, TRUE),
+  (6, 'p',      'Ok', 2, 0, FALSE),
+  (7, 'footer', 'Terms | Privacy', 15, 9230, FALSE)
+) t(block_number, tag, content, n_chars, link_density_bp, kept)
+"""
+
+
 QUERIES: dict = {
     "ingest_csv_docs": (ingest_csv_docs, INGEST_CSV_DOCS_SQL),
     "ingest_json_docs": (ingest_json_docs, INGEST_JSON_DOCS_SQL),
@@ -408,4 +468,5 @@ QUERIES: dict = {
     "ingest_avro_docs": (ingest_avro_docs, INGEST_AVRO_DOCS_SQL),
     "ingest_logfmt_docs": (ingest_logfmt_docs, INGEST_LOGFMT_DOCS_SQL),
     "ingest_pdf_docs": (ingest_pdf_docs, INGEST_PDF_DOCS_SQL),
+    "ingest_html_docs": (ingest_html_docs, INGEST_HTML_DOCS_SQL),
 }
