@@ -1723,3 +1723,62 @@ FROM toks GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 20
 """
 
 QUERIES["heavy_hitters_docs"] = (heavy_hitters_docs, HEAVY_HITTERS_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Versioned table + time travel (snapshot isolation E2E)
+# --------------------------------------------------------------------------
+def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table E2E (tableformat): commit orders as v0, commit a
+    mutated snapshot (keys %3<>0, +1.50) as v1, then TIME-TRAVEL: read v0
+    back after v1 is current and aggregate BOTH versions. The oracle
+    computes both versions' aggregates closed-form from the base table —
+    a pointer flip that lost v0, or a torn commit, changes the answer."""
+    import shutil
+    import tempfile
+
+    from . import tableformat as tf
+
+    ords = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = tempfile.mkdtemp(prefix="timetravel_")
+    root = os.path.join(base, "orders_t")
+    try:
+        assert tf.commit_version(ords, root) == 0
+        mutated = ords.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+            "o_totalprice",
+            (price + F.lit("1.50").cast("decimal(18,2)")).cast("double"),
+        )
+        assert tf.commit_version(mutated, root) == 1
+        out = []
+        for v in (0, 1):
+            r = (
+                tf.read_version(spark, root, v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("decimal(38,2)")
+                    .alias("sum_price"),
+                )
+                .collect()[0]
+            )
+            out.append((v, r["n_rows"], r["sum_price"]))
+        return spark.createDataFrame(
+            out, "version long, n_rows long, sum_price decimal(38,2)"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+TIME_TRAVEL_ORDERS_SQL = """
+SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows,
+       sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price
+FROM orders
+UNION ALL
+SELECT 1::BIGINT, count(*)::BIGINT,
+       sum((o_totalprice::DECIMAL(18,2) + 1.50))::DECIMAL(38,2)
+FROM orders WHERE o_orderkey % 3 <> 0
+ORDER BY version
+"""
+
+QUERIES["time_travel_orders"] = (time_travel_orders, TIME_TRAVEL_ORDERS_SQL)

@@ -47,6 +47,7 @@ _PRIORITY = [
     "shard_balance_docs",
     "heavy_hitters_docs",
     "ingest_html_docs",
+    "time_travel_orders",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",
