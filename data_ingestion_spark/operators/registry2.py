@@ -1055,6 +1055,10 @@ def dedup_image_phash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     k = max(n // 2, 1)
+    # the sf tables land as ONE parquet file → 1 partition → the Python
+    # synth+decode below would run serial; spread it. (A real binaryFile
+    # scan parallelizes by file and doesn't need this.)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def _synth(it):
         import numpy as np
@@ -1117,6 +1121,9 @@ def dedup_audio_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     k = max(n // 2, 1)
+    # single-file source → 1 partition; spread the Python synth+FFT
+    # (see dedup_image_phash_docs note)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def _synth(it):
         import numpy as np
