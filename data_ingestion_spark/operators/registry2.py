@@ -1789,3 +1789,36 @@ ORDER BY version
 """
 
 QUERIES["time_travel_orders"] = (time_travel_orders, TIME_TRAVEL_ORDERS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Per-document character entropy (garbage detector)
+# --------------------------------------------------------------------------
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document in integer micro-nats
+    (text.char_entropy) — the CCNet/Gopher garbage signal. Ordered by
+    doc_id; values engine-exact via per-term micro-rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.char_entropy(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+CHAR_ENTROPY_DOCS_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), hist AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2
+), t AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM hist
+)
+SELECT doc_id, max(n)::BIGINT AS n_chars,
+       count(*)::BIGINT AS n_distinct_chars,
+       sum(round(-(c::DOUBLE / n) * ln(c::DOUBLE / n) * 1000000)::BIGINT)::BIGINT
+           AS entropy_micro
+FROM t GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["char_entropy_docs"] = (char_entropy_docs, CHAR_ENTROPY_DOCS_SQL)

@@ -1227,3 +1227,40 @@ def nfc_normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     return df.select(id_col, text_col).mapInPandas(_run, schema)
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy over CHARACTERS, in integer
+    micro-nats — the cheap garbage detector every crawl pipeline runs
+    (binary spew, ``aaaa…`` repetition, and base64 walls sit far from
+    prose entropy, CCNet/Gopher use exactly this signal).
+
+    Shape: char explode → (id, char) count agg → per-doc total via a
+    window over the SAME doc-key partitioning (no join) → per-term
+    ``round(-(c/n)·ln(c/n)·1e6)`` summed as BIGINT. The per-term
+    micro-round before the sum makes the result order-independent and
+    engine-exact (the repo-wide integer-micro rule); both shuffles carry
+    (id, single-char) keys, never document text.
+
+    Output: (id, n_chars, n_distinct_chars, entropy_micro).
+    """
+    from pyspark.sql import Window as W
+
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    )
+    hist = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("id")
+    t = hist.withColumn("n", F.sum("c").over(w))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p) * F.lit(1000000.0)).cast("long")
+    return (
+        t.withColumn("term", term)
+        .groupBy("id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum("term").alias("entropy_micro"),
+        )
+    )

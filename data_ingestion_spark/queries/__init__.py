@@ -48,6 +48,7 @@ _PRIORITY = [
     "heavy_hitters_docs",
     "ingest_html_docs",
     "time_travel_orders",
+    "char_entropy_docs",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

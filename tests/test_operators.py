@@ -883,3 +883,20 @@ def test_balanced_shards_weight_spread_bounded(spark):
     a = {r["id"]: r["shard"] for r in out.collect()}
     b = {r["id"]: r["shard"] for r in again.collect()}
     assert a == b
+
+
+def test_char_entropy_planted(spark):
+    """Known closed-form values: uniform 4-char doc = ln(4) micro-nats
+    (as 4×round(term)), constant doc = 0, binary doc = ln(2)."""
+    from data_ingestion_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "aabb")], "doc_id long, t string"
+    )
+    out = {
+        r["id"]: (r["n_chars"], r["n_distinct_chars"], r["entropy_micro"])
+        for r in text_ops.char_entropy(df, "doc_id", "t").collect()
+    }
+    assert out[1] == (4, 1, 0)
+    assert out[2] == (4, 4, 4 * round(0.25 * 1386294.361119891 / 1))  # ≈ln4·1e6
+    assert out[3] == (4, 2, 2 * round(0.5 * 693147.1805599453))  # ≈ln2·1e6
