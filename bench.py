@@ -132,6 +132,13 @@ HEADLINE = [
     "merge_upsert_customers",
     "stratified_split_docs",
     "nfc_normalize_docs",
+    "incremental_agg_orders",
+    "compact_small_files_docs",
+    "shard_balance_docs",
+    "heavy_hitters_docs",
+    "ingest_html_docs",
+    "time_travel_orders",
+    "char_entropy_docs",
 ]
 
 

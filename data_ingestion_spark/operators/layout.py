@@ -171,79 +171,6 @@ def parquet_rowgroups_overlapping(
     return files_hit, files_total, rg_hit, rg_total
 
 
-def compact_files(
-    spark,
-    path: str,
-    target_file_bytes: int | None = None,
-    n_files: int | None = None,
-    sort_cols: list[str] | None = None,
-) -> dict:
-    """Small-file compaction (the ``OPTIMIZE`` bin-packing maintenance op):
-    rewrite a parquet directory into fewer, right-sized files with content
-    byte-identical — at 100 TB an hourly-ingest table accretes millions of
-    KB-scale files and the *file count itself* becomes the bottleneck
-    (listing, footer reads, task scheduling), so compaction is as much a
-    scan-path operator as Z-order is.
-
-    Sizing: pass ``n_files`` explicitly, or ``target_file_bytes`` and the
-    output count is ceil(on-disk bytes / target) — planned from file sizes
-    alone, no data read. Without ``sort_cols`` the rewrite is
-    ``coalesce(n)``: a SHUFFLE-FREE narrow repack (tasks read several small
-    files, write one big one — the common case). With ``sort_cols`` the
-    rewrite is ``repartitionByRange + sortWithinPartitions``, paying one
-    range exchange to PRESERVE a clustered layout (compacting a Z-ordered
-    table with coalesce would interleave z-ranges and destroy footer
-    pruning — see zorder_write).
-
-    Commit protocol: staging write + two-rename swap with ``.bak`` parking,
-    identical to cdc.merge_upsert — a reader never sees a partial table.
-
-    Returns {"files_before", "files_after", "bytes_before", "n_out_planned"}.
-    """
-    import math
-    import shutil
-
-    names = [
-        n
-        for n in os.listdir(path)
-        if n.endswith(".parquet") and not n.startswith("_")
-    ]
-    bytes_before = sum(os.path.getsize(os.path.join(path, n)) for n in names)
-    if n_files is None:
-        if not target_file_bytes:
-            raise ValueError("pass n_files or target_file_bytes")
-        n_files = max(1, math.ceil(bytes_before / target_file_bytes))
-
-    df = spark.read.parquet(path)
-    if sort_cols:
-        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
-    else:
-        out = df.coalesce(n_files)
-
-    staging = path.rstrip("/") + ".staging"
-    backup = path.rstrip("/") + ".bak"
-    out.write.mode("overwrite").parquet(staging)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(path, backup)
-    os.rename(staging, path)
-    files_after = len(
-        [
-            n
-            for n in os.listdir(path)
-            if n.endswith(".parquet") and not n.startswith("_")
-        ]
-    )
-    return {
-        "files_before": len(names),
-        "files_after": files_after,
-        "bytes_before": bytes_before,
-        "n_out_planned": n_files,
-    }
-
-
 def bloom_bitmap(df: DataFrame, key_col: str, m_bits: int, n_hashes: int) -> list[int]:
     """Build-side Bloom bitmap: the sorted set-bit positions for the key
     column under ``n_hashes`` salted md5-60bit hash functions mod

@@ -1609,14 +1609,14 @@ def compact_small_files_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..functions import md5_hash60
-    from . import layout
+    from ..sinks.parquet_sink import compact_table
 
     docs = load_table(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="compact_")
     target = os.path.join(base, "documents")
     try:
         docs.repartition(64).write.mode("overwrite").parquet(target)
-        stats = layout.compact_files(spark, target, n_files=4)
+        stats = compact_table(spark, target, n_files=4)
         after = spark.read.parquet(target)
         row = after.select(
             F.count(F.lit(1)).alias("n_rows"),

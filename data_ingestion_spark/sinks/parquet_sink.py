@@ -97,6 +97,7 @@ def compact_table(
     target_file_mb: int = 128,
     fmt: str = "parquet",
     cluster_by: list[str] | None = None,
+    n_files: int | None = None,
 ) -> dict:
     """Small-files compaction — rewrite a table directory into files sized
     for scan efficiency.
@@ -112,6 +113,9 @@ def compact_table(
     ``cluster_by`` additionally range-partitions + sorts the rewrite on the
     given columns (one shuffle) so every future range/equality predicate on
     them page-skips via parquet min/max stats.
+
+    ``n_files`` overrides the byte-target sizing with an explicit output
+    count (deterministic layouts for tests/oracles).
 
     Returns {"files_before", "files_after", "bytes", "rows"}.
     """
@@ -130,7 +134,9 @@ def compact_table(
 
     before = _data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in before)
-    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    if n_files is None:
+        # footer-free planning: output count from on-disk bytes alone
+        n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.option("mergeSchema", True).format(fmt).load(path)
     rows = df.count()
     tmp = path.rstrip("/") + ".compact_tmp"

@@ -342,42 +342,39 @@ def test_merge_upsert_with_delete_tombstones(spark, tmp_path):
     assert "deleted" not in after.columns  # the flag never lands
 
 
-def test_compact_files_byte_target_and_swap(spark, tmp_path):
-    """Byte-target sizing plans from footers, content survives bit-exact,
-    and the staging-swap parks the pre-compaction table at .bak."""
+def test_compact_table_byte_target_planning(spark, tmp_path):
+    """Byte-target sizing plans from on-disk sizes, content survives
+    bit-exact, and no temp/old residue outlives the swap."""
     import os
+
+    from data_ingestion_spark.sinks.parquet_sink import compact_table
 
     path = str(tmp_path / "t")
     df = spark.range(0, 2000).select(
         F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
     )
     df.repartition(32).write.parquet(path)
-    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
-    assert n_before == 32
-    total = sum(
-        os.path.getsize(os.path.join(path, f))
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    )
-    stats_out = layout.compact_files(
-        spark, path, target_file_bytes=(total + 3) // 4
-    )
-    assert stats_out["files_before"] == 32
-    assert 1 <= stats_out["files_after"] <= stats_out["n_out_planned"] == 4
-    assert os.path.exists(path + ".bak")
+    stats_out = compact_table(spark, path, target_file_mb=1)
+    assert stats_out["files_before"] >= 32
+    assert 1 <= stats_out["files_after"] <= stats_out["files_before"]
+    assert not os.path.exists(path + ".compact_tmp")
+    assert not os.path.exists(path + ".compact_old")
     after = spark.read.parquet(path)
     assert after.count() == 2000
     assert after.exceptAll(df).count() == 0 and df.exceptAll(after).count() == 0
 
 
-def test_compact_files_sort_cols_preserves_clustering(spark, tmp_path):
-    """With sort_cols, compacted files carry disjoint key ranges so footer
-    stats still prune (the Z-order/cluster-preserving path)."""
+def test_compact_table_cluster_by_preserves_pruning(spark, tmp_path):
+    """With cluster_by + explicit n_files, compacted files carry disjoint
+    key ranges so footer stats still prune (the Z-order/cluster-preserving
+    path)."""
+    from data_ingestion_spark.sinks.parquet_sink import compact_table
+
     path = str(tmp_path / "t")
     spark.range(0, 4096).select(
         F.col("id"), (F.col("id") % 7).alias("junk")
     ).repartition(16).write.parquet(path)
-    layout.compact_files(spark, path, n_files=4, sort_cols=["id"])
+    compact_table(spark, path, n_files=4, cluster_by=["id"])
     # a 1/16-span predicate must hit at most 1 of the 4 sorted files,
     # vs all files under the round-robin original layout
     fh, ft, _, _ = layout.parquet_rowgroups_overlapping(path, "id", 100.0, 355.0)
