@@ -72,3 +72,55 @@ def test_manifest_flip_is_rename_based(tmp_path, spark):
         m = json.load(f)
     assert m["current"] == 0
     assert not os.path.exists(os.path.join(root, "_manifest.json.tmp"))
+
+
+def test_streaming_cdc_folds_into_versioned_table(spark, tmp_path):
+    """Micro-batch CDC apply: a file stream of upsert/tombstone batches
+    folds into the versioned table via foreachBatch — ONE commit per
+    micro-batch, and every intermediate table state stays time-travelable
+    afterwards (the streaming-lakehouse composition: ingest_stream ×
+    tableformat)."""
+    import time
+
+    land = tmp_path / "land"
+    land.mkdir()
+    root = str(tmp_path / "table")
+
+    (land / "b1.json").write_text(
+        '{"k":1,"v":"a","is_delete":false}\n'
+        '{"k":2,"v":"b","is_delete":false}\n'
+    )
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    (land / "b2.json").write_text(
+        '{"k":1,"v":"a2","is_delete":false}\n'
+        '{"k":2,"v":null,"is_delete":true}\n'
+        '{"k":3,"v":"c","is_delete":false}\n'
+    )
+
+    def apply_batch(bdf, _bid):
+        s = bdf.sparkSession
+        if os.path.exists(os.path.join(root, "_manifest.json")):
+            cur = tf.read_version(s, root)
+        else:
+            cur = s.createDataFrame([], "k long, v string")
+        upserts = bdf.filter(~F.col("is_delete")).select("k", "v")
+        touched = bdf.select("k").distinct()
+        merged = cur.join(touched, "k", "left_anti").unionByName(upserts)
+        tf.commit_version(merged, root)
+
+    q = (
+        spark.readStream.schema("k long, v string, is_delete boolean")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(land))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert tf.read_manifest(root)["current"] == 1  # one commit per batch
+    v0 = {r["k"]: r["v"] for r in tf.read_version(spark, root, 0).collect()}
+    v1 = {r["k"]: r["v"] for r in tf.read_version(spark, root, 1).collect()}
+    assert v0 == {1: "a", 2: "b"}
+    assert v1 == {1: "a2", 3: "c"}  # update applied, tombstone deleted
