@@ -106,6 +106,62 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 # Tier 3: MinHash LSH (approximate, sub-quadratic)
 # --------------------------------------------------------------------------
+def _minhash_bands(
+    df, id_col, text_col, k, num_hash_tables, seed, hash_fn, band_r,
+    materialize, prehash_fn,
+):
+    """Shared signature machinery for minhash_near_dup /
+    minhash_incremental_pairs: shingle sets + (band, key) explode.
+    Returns (base(id, shingles[, hvals]), exploded(id, bk))."""
+    if hash_fn is None:
+        def hash_fn(s, i):
+            return F.xxhash64(s, F.lit(seed + i))
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "id", F.array_distinct(word_shingles(F.col("toks"), k)).alias("shingles")
+        )
+    )
+    if prehash_fn is not None:
+        base = base.withColumn("hvals", F.transform("shingles", prehash_fn))
+    if materialize:
+        base = base.localCheckpoint(eager=True)
+
+    def _table_hash(idx):
+        # One-ARG lambda per table: a defaulted second param (lambda s,
+        # i=i: ...) makes PySpark treat it as an (element, index) lambda
+        # and silently bind the array POSITION over the table index.
+        return lambda s: hash_fn(s, idx)
+
+    hash_src = "hvals" if prehash_fn is not None else "shingles"
+    mh_cols = [
+        F.array_min(F.transform(hash_src, _table_hash(i))).alias(f"mh{i}")
+        for i in range(num_hash_tables)
+    ]
+    sigs = base.select("id", *mh_cols)
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
+    n_bands = num_hash_tables // band_r
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{bi * band_r + j}").cast("string")
+                        for j in range(band_r)
+                    ],
+                ).alias("key"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = sigs.select("id", F.explode(bands).alias("bk"))
+    return base, exploded
+
+
 def minhash_near_dup(
     df: DataFrame,
     id_col: str,
@@ -159,52 +215,10 @@ def minhash_near_dup(
     candidates of r=2 for the same table count); raise r to trade recall
     for candidate volume.
     """
-    if hash_fn is None:
-        def hash_fn(s, i):
-            return F.xxhash64(s, F.lit(seed + i))
-    base = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-        .filter(F.size("toks") >= k)
-        .select(
-            "id", F.array_distinct(word_shingles(F.col("toks"), k)).alias("shingles")
-        )
+    base, exploded = _minhash_bands(
+        df, id_col, text_col, k, num_hash_tables, seed, hash_fn, band_r,
+        materialize, prehash_fn,
     )
-    if prehash_fn is not None:
-        base = base.withColumn("hvals", F.transform("shingles", prehash_fn))
-    if materialize:
-        base = base.localCheckpoint(eager=True)
-
-    def _table_hash(idx):
-        # One-ARG lambda per table: a defaulted second param (lambda s,
-        # i=i: ...) makes PySpark treat it as an (element, index) lambda
-        # and silently bind the array POSITION over the table index.
-        return lambda s: hash_fn(s, idx)
-
-    hash_src = "hvals" if prehash_fn is not None else "shingles"
-    mh_cols = [
-        F.array_min(F.transform(hash_src, _table_hash(i))).alias(f"mh{i}")
-        for i in range(num_hash_tables)
-    ]
-    sigs = base.select("id", *mh_cols)
-    if materialize:
-        sigs = sigs.localCheckpoint(eager=True)
-    n_bands = num_hash_tables // band_r
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{bi * band_r + j}").cast("string")
-                        for j in range(band_r)
-                    ],
-                ).alias("key"),
-            )
-            for bi in range(n_bands)
-        ]
-    )
-    exploded = sigs.select("id", F.explode(bands).alias("bk"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
@@ -220,6 +234,66 @@ def minhash_near_dup(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 1.0 - jaccard_distance_threshold)
+    )
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_distance_threshold: float = 0.8,
+    seed: int = 42,
+    hash_fn=None,
+    band_r: int = 1,
+    materialize: bool = False,
+    prehash_fn=None,
+) -> DataFrame:
+    """INCREMENTAL near-dup: pair a NEW batch against the existing corpus
+    only — the production ingest pattern. Nightly ingest must answer "is
+    this new document a near-dup of anything already in the corpus?"
+    WITHOUT re-pairing corpus×corpus (which minhash_near_dup over the
+    concatenation would do, re-shuffling 100 TB of band keys per batch).
+
+    Same (b, r) banding and exact-Jaccard verify as minhash_near_dup, but
+    the candidate join is batch-bands ⋈ corpus-bands: cost is
+    O(|batch|·tables) new band keys + the matching candidates. In
+    production the corpus side of this join is a STORED band index
+    (signatures persisted at ingest time, bucketed by band key so the
+    join prunes to touched buckets); here it is computed from the corpus
+    frame — the JOIN SHAPE is the thing this operator pins. Ids must be
+    disjoint across the two frames.
+
+    Output: (corpus_id, batch_id, est_jaccard ≥ 1−threshold).
+    """
+    cbase, cbands = _minhash_bands(
+        corpus, id_col, text_col, k, num_hash_tables, seed, hash_fn, band_r,
+        materialize, prehash_fn,
+    )
+    bbase, bbands = _minhash_bands(
+        batch, id_col, text_col, k, num_hash_tables, seed, hash_fn, band_r,
+        materialize, prehash_fn,
+    )
+    cand = (
+        cbands.alias("a")
+        .join(bbands.alias("b"), F.col("a.bk") == F.col("b.bk"))
+        .select(
+            F.col("a.id").alias("corpus_id"), F.col("b.id").alias("batch_id")
+        )
+        .dropDuplicates(["corpus_id", "batch_id"])
+    )
+    sa = cbase.select(F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_a"))
+    sb = bbase.select(F.col("id").alias("batch_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(sa, "corpus_id")
+        .join(sb, "batch_id")
+        .select("corpus_id", "batch_id", F.round(jac, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 1.0 - jaccard_distance_threshold)
     )
 

@@ -171,6 +171,89 @@ WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
 DEDUP_MINHASH_DOCS_SQL = _minhash_oracle()
 
 
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental minhash dedup (dedup.minhash_incremental_pairs): the
+    corpus is the even doc_ids, tonight's batch the odd ones; only
+    batch-vs-corpus pairs are generated — corpus×corpus is never
+    re-paired (the nightly-ingest join shape). Same portable md5 hash
+    family as dedup_minhash_docs so the oracle replays signature →
+    banding → cross-side candidate join → exact-Jaccard verify."""
+    from ..functions import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def prehash(s):
+        return md5_hash60(s) % _MINHASH_P
+
+    def portable(h, i):
+        a, b = _minhash_ab(i)
+        return h * F.lit(a) % _MINHASH_P + F.lit(b)
+
+    return dedup.minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        id_col="doc_id", text_col="text", k=3,
+        jaccard_distance_threshold=0.7,
+        hash_fn=portable,
+        band_r=2,
+        materialize=True,
+        prehash_fn=prehash,
+    ).orderBy("corpus_id", "batch_id")
+
+
+def _minhash_incremental_oracle(num_hash_tables: int = 8, band_r: int = 2) -> str:
+    h = _SQL_HASH60.format(c="s")
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"(({h} % {_MINHASH_P}) * {_minhash_ab(i)[0]} % {_MINHASH_P}"
+        f" + {_minhash_ab(i)[1]}))) AS mh{i}"
+        for i in range(num_hash_tables)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT id, {bi} AS band, {key} AS key FROM sigs".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"mh{bi * band_r + j}::VARCHAR" for j in range(band_r)
+            ),
+        )
+        for bi in range(num_hash_tables // band_r)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents)
+  WHERE len(toks) >= 3
+), sigs AS (
+  SELECT id, {mh}
+  FROM base
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.id AS corpus_id, b.id AS batch_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key
+   AND a.id % 2 = 0 AND b.id % 2 = 1
+)
+SELECT corpus_id, batch_id,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+         AS est_jaccard
+FROM cand
+JOIN base sa ON sa.id = cand.corpus_id
+JOIN base sb ON sb.id = cand.batch_id
+WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+      >= (1.0 - 0.7)
+"""
+
+
+DEDUP_INCREMENTAL_DOCS_SQL = _minhash_incremental_oracle()
+
+
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
@@ -2072,6 +2155,7 @@ QUERIES: dict = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_jaccard_pairs_docs": (dedup_jaccard_pairs_docs, DEDUP_JACCARD_PAIRS_DOCS_SQL),
     "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_DOCS_SQL),
+    "dedup_incremental_docs": (dedup_incremental_docs, DEDUP_INCREMENTAL_DOCS_SQL),
     "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_DOCS_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMBEDDING_PAIRS_SQL),

@@ -49,6 +49,7 @@ _PRIORITY = [
     "ingest_html_docs",
     "time_travel_orders",
     "char_entropy_docs",
+    "dedup_incremental_docs",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

@@ -900,3 +900,21 @@ def test_char_entropy_planted(spark):
     assert out[1] == (4, 1, 0)
     assert out[2] == (4, 4, 4 * round(0.25 * 1386294.361119891 / 1))  # ≈ln4·1e6
     assert out[3] == (4, 2, 2 * round(0.5 * 693147.1805599453))  # ≈ln2·1e6
+
+
+def test_minhash_incremental_only_cross_pairs(spark):
+    """Batch-vs-corpus pairs only: a planted corpus-corpus near-dup must
+    NOT be emitted, the cross-side near-dup must."""
+    from data_ingestion_spark.operators import dedup
+
+    corpus = docs_df(spark, [(2, NEAR_A), (4, NEAR_A), (6, OTHER)])  # 2~4 dup
+    batch = docs_df(spark, [(1, NEAR_B), (3, "unrelated totally new words here")])
+    pairs = [
+        (p["corpus_id"], p["batch_id"])
+        for p in dedup.minhash_incremental_pairs(
+            corpus, batch, "doc_id", "text", k=3,
+            jaccard_distance_threshold=0.6,
+        ).collect()
+    ]
+    assert (2, 1) in pairs and (4, 1) in pairs  # cross-side near-dups found
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b in pairs)  # never corpus×corpus
