@@ -139,6 +139,7 @@ HEADLINE = [
     "ingest_html_docs",
     "time_travel_orders",
     "char_entropy_docs",
+    "dedup_incremental_docs",
 ]
 
 
