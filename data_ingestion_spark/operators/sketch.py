@@ -106,7 +106,14 @@ def heavy_hitters(
         k_top
     )
     rows = top.collect()
-    n_tokens = tok_stream.count()
+    # total token count via sum(size(tokens)) — a narrow scalar agg, no
+    # explode/shuffle (the support check must not cost a corpus pass)
+    n_tokens = (
+        df.select(F.sum(F.size(tokens(F.col(text_col)))).alias("n")).first()["n"]
+        or 0
+    )
+    if n_tokens == 0:
+        return spark.createDataFrame([], "token string, freq long")
     support = n_tokens / sketch_k
     if len(rows) < k_top or rows[-1]["freq"] <= support:
         # MG support guarantee broken (near-flat distribution collapses
