@@ -196,8 +196,13 @@ def incremental_agg_refresh(
     """
     sum_cols = dict(sum_cols or {})
     keys = list(key_cols)
+    # coalesce so a NULL change_type counts as invalid (a bare ~isin()
+    # returns NULL for NULL input and the filter would silently drop it —
+    # the row would then be mis-weighted as a delete below)
     bad = delta.filter(
-        ~F.col("change_type").isin("insert", "delete")
+        ~F.coalesce(
+            F.col("change_type").isin("insert", "delete"), F.lit(False)
+        )
     ).limit(1).count()
     if bad:
         raise ValueError(

@@ -918,3 +918,14 @@ def test_minhash_incremental_only_cross_pairs(spark):
     ]
     assert (2, 1) in pairs and (4, 1) in pairs  # cross-side near-dups found
     assert all(a % 2 == 0 and b % 2 == 1 for a, b in pairs)  # never corpus×corpus
+
+
+def test_incremental_agg_refresh_rejects_null_change_type(spark):
+    from data_ingestion_spark.operators import cdc
+
+    mv = spark.createDataFrame([("a", 1, 1.0)], "g: string, n: long, s: double")
+    bad = spark.createDataFrame(
+        [("a", 1.0, None)], "g: string, v: double, change_type: string"
+    )
+    with pytest.raises(ValueError, match="delete\\+insert pairs"):
+        cdc.incremental_agg_refresh(mv, bad, ["g"], "n", {"s": "v"})
