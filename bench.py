@@ -140,6 +140,7 @@ HEADLINE = [
     "time_travel_orders",
     "char_entropy_docs",
     "dedup_incremental_docs",
+    "vocab_coverage_docs",
 ]
 
 

@@ -1822,3 +1822,52 @@ FROM t GROUP BY doc_id ORDER BY doc_id
 """
 
 QUERIES["char_entropy_docs"] = (char_entropy_docs, CHAR_ENTROPY_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate (tokenizer QA)
+# --------------------------------------------------------------------------
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate against the corpus's own exact top-50 tokens
+    (text.vocab_coverage, literal tier): the vocab derives
+    deterministically (freq desc, token asc) so the oracle replays BOTH
+    the vocab selection and the coverage math."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(50)
+        .collect()
+    )
+    vocab = [r["token"] for r in top]
+    return (
+        text.vocab_coverage(docs, "doc_id", "text", vocab)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_COVERAGE_DOCS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c="text")} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM base
+), top AS (
+  SELECT token FROM tok GROUP BY 1
+  ORDER BY count(*) DESC, token ASC LIMIT 50
+), oov AS (
+  SELECT doc_id, count(*)::BIGINT AS n_oov
+  FROM tok WHERE token NOT IN (SELECT token FROM top) GROUP BY 1
+)
+SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
+       coalesce(o.n_oov, 0)::BIGINT AS n_oov,
+       CASE WHEN len(b.toks) > 0
+            THEN (coalesce(o.n_oov, 0) * 10000) // len(b.toks)
+            ELSE 0 END::BIGINT AS oov_bp
+FROM base b LEFT JOIN oov o USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["vocab_coverage_docs"] = (vocab_coverage_docs, VOCAB_COVERAGE_DOCS_SQL)

@@ -1264,3 +1264,65 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.sum("term").alias("entropy_micro"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, vocab: list
+) -> DataFrame:
+    """Per-document vocabulary coverage / OOV rate against a fixed token
+    vocabulary — the tokenizer-QA signal (a corpus whose OOV rate jumps
+    after a crawl refresh will fragment into byte-fallback tokens and
+    silently inflate sequence lengths).
+
+    Literal tier: ``vocab`` is driver metadata (like BM25's query terms);
+    membership is an ``array_contains`` over a literal array inside one
+    zero-shuffle codegen projection. Use ``vocab_coverage_joined`` for
+    real 32k+ vocabularies (a literal that size breaks codegen).
+
+    Output: (id, n_tokens, n_oov, oov_bp) — basis points as integer
+    division, engine-exact.
+    """
+    vset = F.array(*[F.lit(t) for t in vocab])
+    toks = tokens(F.col(text_col))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: ~F.array_contains(vset, t))
+        ).alias("n_oov"),
+    )
+    bp = F.when(
+        F.col("n_tokens") > 0,
+        F.expr("(n_oov * 10000) div n_tokens"),
+    ).otherwise(F.lit(0))
+    return out.withColumn("oov_bp", bp.cast("long"))
+
+
+def vocab_coverage_joined(
+    df: DataFrame, id_col: str, text_col: str, vocab_df: DataFrame
+) -> DataFrame:
+    """The scale tier of ``vocab_coverage``: ``vocab_df`` (one ``token``
+    column, e.g. a 32k-entry tokenizer vocab table) broadcasts into an
+    anti-join over the exploded token stream — OOV tokens are counted
+    map-side after a broadcast hash lookup, so the only exchange is the
+    per-doc count agg on the id key. Same output columns; the equality of
+    the two tiers is pinned by tests."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    tok = base.select("id", F.explode("toks").alias("token"))
+    oov = (
+        tok.join(F.broadcast(vocab_df.select("token")), "token", "left_anti")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    out = (
+        base.select("id", F.size("toks").alias("n_tokens"))
+        .join(oov, "id", "left")
+        .withColumn("n_oov", F.coalesce(F.col("n_oov"), F.lit(0)))
+    )
+    bp = F.when(
+        F.col("n_tokens") > 0,
+        F.expr("(n_oov * 10000) div n_tokens"),
+    ).otherwise(F.lit(0))
+    return out.withColumn("oov_bp", bp.cast("long"))

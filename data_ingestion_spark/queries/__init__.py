@@ -50,6 +50,7 @@ _PRIORITY = [
     "time_travel_orders",
     "char_entropy_docs",
     "dedup_incremental_docs",
+    "vocab_coverage_docs",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

@@ -929,3 +929,32 @@ def test_incremental_agg_refresh_rejects_null_change_type(spark):
     )
     with pytest.raises(ValueError, match="delete\\+insert pairs"):
         cdc.incremental_agg_refresh(mv, bad, ["g"], "n", {"s": "v"})
+
+
+def test_vocab_coverage_tiers_agree(spark):
+    """Literal tier == broadcast-join tier on every row, incl. the
+    empty-doc guard; known OOV math on planted rows."""
+    from data_ingestion_spark.operators import text as text_ops
+
+    df = docs_df(
+        spark,
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha delta delta epsilon"),
+            (3, "   "),
+        ],
+    )
+    vocab = ["alpha", "beta"]
+    lit_rows = {
+        r["id"]: (r["n_tokens"], r["n_oov"], r["oov_bp"])
+        for r in text_ops.vocab_coverage(df, "doc_id", "text", vocab).collect()
+    }
+    vdf = spark.createDataFrame([(v,) for v in vocab], "token string")
+    join_rows = {
+        r["id"]: (r["n_tokens"], r["n_oov"], r["oov_bp"])
+        for r in text_ops.vocab_coverage_joined(df, "doc_id", "text", vdf).collect()
+    }
+    assert lit_rows == join_rows
+    assert lit_rows[1] == (4, 1, 2500)              # gamma OOV
+    assert lit_rows[2] == (4, 3, 7500)              # delta×2 + epsilon OOV
+    assert lit_rows[3] == (0, 0, 0)                 # empty doc guard
