@@ -124,3 +124,42 @@ def test_streaming_cdc_folds_into_versioned_table(spark, tmp_path):
     v1 = {r["k"]: r["v"] for r in tf.read_version(spark, root, 1).collect()}
     assert v0 == {1: "a", 2: "b"}
     assert v1 == {1: "a2", 3: "c"}  # update applied, tombstone deleted
+
+
+def test_incremental_corpus_build_end_to_end(spark, tmp_path):
+    """The nightly-ingest composition: corpus v0 committed, then a new
+    batch is near-dup-screened AGAINST THE CORPUS ONLY
+    (minhash_incremental_pairs) and the survivors appended as v1 — v0
+    stays byte-identical under time travel, and the v1 row count equals
+    the closed-form expectation from the pair set."""
+    from data_ingestion_spark.operators import dedup
+    from data_ingestion_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    root = str(tmp_path / "t")
+    assert tf.commit_version(corpus, root) == 0
+    n_v0 = tf.read_version(spark, root, 0).count()
+
+    pairs = dedup.minhash_incremental_pairs(
+        tf.read_version(spark, root, 0), batch, "doc_id", "text",
+        k=3, jaccard_distance_threshold=0.7, band_r=2,
+    )
+    dup_ids = pairs.select(F.col("batch_id").alias("doc_id")).distinct()
+    survivors = batch.join(dup_ids, "doc_id", "left_anti")
+    merged = tf.read_version(spark, root, 0).unionByName(survivors)
+    assert tf.commit_version(merged, root) == 1
+
+    n_batch = batch.count()
+    n_dup = dup_ids.count()
+    assert tf.read_version(spark, root, 1).count() == n_v0 + n_batch - n_dup
+    # v0 unchanged by the append (snapshot isolation)
+    assert tf.read_version(spark, root, 0).count() == n_v0
+    # screened near-dups truly absent from v1
+    if n_dup:
+        v1_ids = {r["doc_id"] for r in tf.read_version(spark, root, 1).select("doc_id").collect()}
+        assert not v1_ids & {r["doc_id"] for r in dup_ids.collect()}
