@@ -141,6 +141,7 @@ HEADLINE = [
     "char_entropy_docs",
     "dedup_incremental_docs",
     "vocab_coverage_docs",
+    "corpus_build_pipeline_docs",
 ]
 
 

@@ -1871,3 +1871,98 @@ ORDER BY doc_id
 """
 
 QUERIES["vocab_coverage_docs"] = (vocab_coverage_docs, VOCAB_COVERAGE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Corpus-build pipeline v2 (round-4 composition showcase)
+# --------------------------------------------------------------------------
+_CB_OOV_BP = 7000
+_CB_SHARDS = 4
+_CB_BUCKET = 100
+
+
+def corpus_build_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 composition: NFC normalize (so decomposed-accent duplicates
+    actually collapse) → exact-dedup winner (min doc_id per md5 of the
+    NORMALIZED text) → OOV gate against the deduped corpus's own top-50
+    vocabulary (≤ 70% OOV) → weight-balanced trainer shards. Every stage
+    is the SAME individually-exposed operator (text.nfc_normalize /
+    vocab_coverage, sampling.balanced_shards); the oracle replays the full
+    four-stage chain as one CTE program. Output: per-shard doc/char
+    totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.nfc_normalize(docs, "doc_id", "text").select(
+        "id", "text_nfc"
+    )
+    win = norm.groupBy(F.md5("text_nfc").alias("fp")).agg(
+        F.min("id").alias("id")
+    )
+    kept = norm.join(win, "id", "left_semi")
+
+    top = (
+        kept.select(F.explode(text.tokens(F.col("text_nfc"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(50)
+        .collect()
+    )
+    vocab = [r["token"] for r in top]
+    cov = text.vocab_coverage(kept, "id", "text_nfc", vocab)
+    gated = kept.join(
+        cov.filter(F.col("oov_bp") <= _CB_OOV_BP).select("id"), "id", "left_semi"
+    ).select("id", F.length("text_nfc").alias("n_chars"))
+
+    return (
+        sampling.balanced_shards(gated, "id", "n_chars", _CB_SHARDS, _CB_BUCKET)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+CORPUS_BUILD_PIPELINE_DOCS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id AS id, nfc_normalize(text) AS t FROM documents
+), win AS (
+  SELECT min(id) AS id FROM norm GROUP BY md5(t)
+), kept AS (
+  SELECT n.id, n.t FROM norm n JOIN win w ON n.id = w.id
+), tok AS (
+  SELECT id, unnest({_SQL_TOKENS.format(c="t")}) AS token FROM kept
+), top AS (
+  SELECT token FROM tok GROUP BY 1
+  ORDER BY count(*) DESC, token ASC LIMIT 50
+), cov AS (
+  SELECT k.id, len({_SQL_TOKENS.format(c="k.t")})::BIGINT AS n_tokens,
+         coalesce(o.n_oov, 0)::BIGINT AS n_oov
+  FROM kept k LEFT JOIN (
+    SELECT id, count(*)::BIGINT AS n_oov
+    FROM tok WHERE token NOT IN (SELECT token FROM top) GROUP BY 1
+  ) o USING (id)
+), gated AS (
+  SELECT k.id, length(k.t)::BIGINT AS n_chars
+  FROM kept k JOIN cov c USING (id)
+  WHERE (CASE WHEN c.n_tokens > 0
+              THEN (c.n_oov * 10000) // c.n_tokens ELSE 0 END) <= {_CB_OOV_BP}
+), r AS (
+  SELECT n_chars, (n_chars // {_CB_BUCKET})::BIGINT AS bucket,
+         row_number() OVER (
+           PARTITION BY n_chars // {_CB_BUCKET}
+           ORDER BY n_chars DESC, id ASC
+         )::BIGINT AS rn
+  FROM gated
+)
+SELECT ((rn - 1 + bucket) % {_CB_SHARDS})::INTEGER AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM r GROUP BY 1 ORDER BY shard
+"""
+
+QUERIES["corpus_build_pipeline_docs"] = (
+    corpus_build_pipeline_docs,
+    CORPUS_BUILD_PIPELINE_DOCS_SQL,
+)

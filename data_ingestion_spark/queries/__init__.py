@@ -51,6 +51,7 @@ _PRIORITY = [
     "char_entropy_docs",
     "dedup_incremental_docs",
     "vocab_coverage_docs",
+    "corpus_build_pipeline_docs",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",
