@@ -142,6 +142,7 @@ HEADLINE = [
     "dedup_incremental_docs",
     "vocab_coverage_docs",
     "corpus_build_pipeline_docs",
+    "table_changes_orders",
 ]
 
 

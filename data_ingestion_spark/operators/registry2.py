@@ -1966,3 +1966,59 @@ QUERIES["corpus_build_pipeline_docs"] = (
     corpus_build_pipeline_docs,
     CORPUS_BUILD_PIPELINE_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Change data feed between table versions
+# --------------------------------------------------------------------------
+def table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF E2E (tableformat.table_changes): commit orders as v0, commit a
+    mutated snapshot as v1 (drop %3==0; of the kept, +1.50 where %5==0),
+    then ask the TABLE for the delta between the versions. The oracle
+    derives the change counts closed-form from the base table — a missed
+    update (fingerprint bug), a ghost delete, or a reversed diff
+    direction all change the counts."""
+    import shutil
+    import tempfile
+
+    from . import tableformat as tf
+
+    ords = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = tempfile.mkdtemp(prefix="cdf_")
+    root = os.path.join(base, "orders_t")
+    try:
+        tf.commit_version(ords, root)
+        mutated = ords.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                (price + F.lit("1.50").cast("decimal(18,2)")).cast("double"),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        tf.commit_version(mutated, root)
+        out = (
+            tf.table_changes(spark, root, 0, 1, ["o_orderkey"])
+            .groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("change_type")
+            .collect()
+        )
+        return spark.createDataFrame(
+            [tuple(r) for r in out], "change_type string, n long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+TABLE_CHANGES_ORDERS_SQL = """
+SELECT 'delete' AS change_type,
+       (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)::BIGINT AS n
+UNION ALL
+SELECT 'update',
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)::BIGINT
+ORDER BY change_type
+"""
+
+QUERIES["table_changes_orders"] = (table_changes_orders, TABLE_CHANGES_ORDERS_SQL)

@@ -113,3 +113,29 @@ def vacuum(root: str, keep_last: int) -> list[int]:
         ):
             shutil.rmtree(path)
     return removed
+
+
+def table_changes(
+    spark, root: str, v_from: int, v_to: int, key_cols: list
+) -> "DataFrame":
+    """Delta-style CHANGE DATA FEED between two committed versions: a
+    keyed snapshot diff (cdc.snapshot_diff) of the two immutable
+    snapshots → insert/update/delete rows tagged ``change_type``.
+
+    This is what makes the versioned table USEFUL downstream: consumers
+    (incremental_agg_refresh, a search-index updater, a replication sink)
+    ask "what changed between v3 and v7?" and get the minimal delta
+    without either side re-scanning history — one full-outer key join
+    between two snapshot scans, the same cost profile as snapshot_diff.
+    Columns are the intersection of the two versions' non-key columns, so
+    additively-evolved schemas diff over their common ground.
+    """
+    from . import cdc
+
+    old = read_version(spark, root, v_from)
+    new = read_version(spark, root, v_to)
+    keys = list(key_cols)
+    common = [c for c in new.columns if c in old.columns and c not in keys]
+    return cdc.snapshot_diff(
+        old.select(*keys, *common), new.select(*keys, *common), keys, common
+    )

@@ -52,6 +52,7 @@ _PRIORITY = [
     "dedup_incremental_docs",
     "vocab_coverage_docs",
     "corpus_build_pipeline_docs",
+    "table_changes_orders",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

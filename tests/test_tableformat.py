@@ -163,3 +163,25 @@ def test_incremental_corpus_build_end_to_end(spark, tmp_path):
     if n_dup:
         v1_ids = {r["doc_id"] for r in tf.read_version(spark, root, 1).select("doc_id").collect()}
         assert not v1_ids & {r["doc_id"] for r in dup_ids.collect()}
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    """CDF: insert/update/delete all detected between two versions, and
+    diffing v0→v0 yields an empty feed."""
+    root = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k: long, seg: string, bal: double",
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)],
+        "k: long, seg: string, bal: double",
+    )
+    tf.commit_version(v0, root)
+    tf.commit_version(v1, root)
+    out = {
+        r["k"]: r["change_type"]
+        for r in tf.table_changes(spark, root, 0, 1, ["k"]).collect()
+    }
+    assert out == {2: "update", 3: "delete", 4: "insert"}
+    assert tf.table_changes(spark, root, 0, 0, ["k"]).count() == 0
