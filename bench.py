@@ -143,6 +143,7 @@ HEADLINE = [
     "vocab_coverage_docs",
     "corpus_build_pipeline_docs",
     "table_changes_orders",
+    "knn_two_stage_topk",
 ]
 
 

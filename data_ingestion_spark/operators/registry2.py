@@ -2022,3 +2022,59 @@ ORDER BY change_type
 """
 
 QUERIES["table_changes_orders"] = (table_changes_orders, TABLE_CHANGES_ORDERS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Two-stage retrieval (prefix shortlist → full-dim rerank)
+# --------------------------------------------------------------------------
+def knn_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN for queries vec_id < 5: 32-dim prefix shortlist of
+    50, full-dim rerank to top-5 (similarity.two_stage_topk). The oracle
+    replays BOTH stages. Recall floor note: the synthetic embeddings are
+    iid across dims — the WORST case for prefix scoring (measured 0.74
+    recall@5 here); trained Matryoshka/PCA embeddings front-load variance
+    and sit far higher. pca_project is the companion that builds such a
+    front-loaded head."""
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.two_stage_topk(
+        emb, queries, prefix_dim=32, shortlist=50, k=5
+    ).orderBy("query_id", "rank")
+
+
+KNN_TWO_STAGE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         (embedding::DOUBLE[])[1:32] AS qp
+  FROM embeddings WHERE vec_id < 5
+), s1 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qp, (c.embedding::DOUBLE[])[1:32]), 6)
+           AS s1
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s1 DESC, neighbor_id ASC) AS r1
+    FROM s1
+  ) WHERE r1 <= 50
+), rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6) AS cosine
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rerank
+) WHERE rank <= 5
+"""
+
+QUERIES["knn_two_stage_topk"] = (knn_two_stage_topk, KNN_TWO_STAGE_TOPK_SQL)

@@ -685,3 +685,62 @@ def pca_top_components(
         [(ci, i, comps[ci][i]) for ci in range(k) for i in range(dim)],
         "component long, dim_i long, v_micro long",
     )
+
+
+def two_stage_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int = 16,
+    shortlist: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Two-stage retrieval — THE standard large-scale ANN recipe:
+    Stage 1 scores every (query, doc) on the vector PREFIX only
+    (Matryoshka-truncated / PCA-front-loaded head — in production a
+    separate stored column, often int8, that makes the scan 4-16×
+    smaller) and keeps a per-query ``shortlist``; Stage 2 reranks ONLY
+    the shortlist with full-dimension cosine and emits the top ``k``.
+
+    At 100 TB the full-dim pass touches ``n_queries × shortlist`` rows
+    instead of the corpus — the rerank join broadcasts the shortlist ids
+    into the corpus scan. Deterministic (rounded-sim + id tie-breaks at
+    BOTH stages), so the DuckDB oracle replays both passes exactly;
+    recall vs the exact top-k is the prefix's information content,
+    measured in tests rather than assumed.
+    """
+    pref = lambda col: F.slice(col, 1, prefix_dim)  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        pref(F.col(vec_col)).alias("qp"),
+    )
+    c1 = corpus.select(
+        F.col(id_col).alias("neighbor_id"), pref(F.col(vec_col)).alias("cp")
+    )
+    s1 = F.round(cosine_similarity(F.col("qp"), F.col("cp")), 6)
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("s1").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        c1.crossJoin(F.broadcast(q.select("query_id", "qp")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", s1.alias("s1"))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c2 = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    full = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.join(c2, "neighbor_id")  # shortlist broadcasts into the scan
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .select("query_id", "neighbor_id", full.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -53,6 +53,7 @@ _PRIORITY = [
     "vocab_coverage_docs",
     "corpus_build_pipeline_docs",
     "table_changes_orders",
+    "knn_two_stage_topk",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

@@ -958,3 +958,34 @@ def test_vocab_coverage_tiers_agree(spark):
     assert lit_rows[1] == (4, 1, 2500)              # gamma OOV
     assert lit_rows[2] == (4, 3, 7500)              # delta×2 + epsilon OOV
     assert lit_rows[3] == (0, 0, 0)                 # empty doc guard
+
+
+def test_two_stage_topk_recall_vs_exact(spark):
+    """Prefix shortlist → rerank recovers most of the exact top-5 (recall
+    measured, not assumed), and a full-width 'prefix' recovers it all."""
+    from data_ingestion_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    two = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.two_stage_topk(
+            emb, queries, prefix_dim=32, shortlist=50, k=5
+        ).collect()
+    }
+    # iid synthetic dims are the prefix-scoring WORST case (no variance
+    # front-loading); measured 0.74 here — trained embeddings sit higher
+    recall = len(exact & two) / len(exact)
+    assert recall >= 0.5, f"two-stage recall too low: {recall}"
+
+    full_width = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.two_stage_topk(
+            emb, queries, prefix_dim=64, shortlist=50, k=5
+        ).collect()
+    }
+    assert full_width == exact  # 64-dim prefix ≡ exact (shortlist ⊇ top-5)
