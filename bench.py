@@ -144,6 +144,7 @@ HEADLINE = [
     "corpus_build_pipeline_docs",
     "table_changes_orders",
     "knn_two_stage_topk",
+    "join_cardinality_orders_customer",
 ]
 
 

@@ -2078,3 +2078,43 @@ FROM (
 """
 
 QUERIES["knn_two_stage_topk"] = (knn_two_stage_topk, KNN_TWO_STAGE_TOPK_SQL)
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality pre-flight
+# --------------------------------------------------------------------------
+def join_cardinality_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion guardrail (stats.join_cardinality): predict
+    |orders ⋈ customer| on custkey from the two per-key counts, plus the
+    ACTUAL join count in the same row — the oracle independently computes
+    both, so the prediction must equal reality."""
+    ords = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    pred = stats.join_cardinality(ords, cust, ["custkey"]).collect()[0]
+    actual = ords.join(cust, "custkey").count()
+    return spark.createDataFrame(
+        [(pred["est_join_rows"], pred["n_join_keys"], pred["max_key_fanout"], actual)],
+        "est_join_rows long, n_join_keys long, max_key_fanout long, actual_join_rows long",
+    )
+
+
+JOIN_CARDINALITY_ORDERS_CUSTOMER_SQL = """
+WITH ca AS (SELECT o_custkey AS k, count(*)::BIGINT AS na FROM orders GROUP BY 1),
+     cb AS (SELECT c_custkey AS k, count(*)::BIGINT AS nb FROM customer GROUP BY 1),
+     j AS (SELECT na, nb FROM ca JOIN cb USING (k))
+SELECT sum(na * nb)::BIGINT AS est_join_rows,
+       count(*)::BIGINT AS n_join_keys,
+       max(na * nb)::BIGINT AS max_key_fanout,
+       (SELECT count(*) FROM orders o JOIN customer c
+        ON o.o_custkey = c.c_custkey)::BIGINT AS actual_join_rows
+FROM j
+"""
+
+QUERIES["join_cardinality_orders_customer"] = (
+    join_cardinality_orders_customer,
+    JOIN_CARDINALITY_ORDERS_CUSTOMER_SQL,
+)

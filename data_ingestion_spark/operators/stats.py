@@ -73,3 +73,30 @@ def zscore_outliers(
             F.floor(z * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("z_milli"),
         )
     )
+
+
+def join_cardinality(a, b, key_cols) -> "DataFrame":
+    """Pre-flight join-cardinality check: the EXACT output row count of
+    ``a ⋈ b`` on ``key_cols`` computed WITHOUT running the join —
+    Σ_key (count_a(key) · count_b(key)) over the two per-key count
+    aggregates. At 100 TB this is the guardrail that catches an
+    accidental many-to-many explosion (a fact-fact join on a low-card
+    key can emit 10^15 rows) while the inputs are still two cheap
+    partial-agg'd counts; production runs it on a hash-sample or a CMS
+    sketch of the keys — the algebra is identical, only the counts
+    become estimates.
+
+    Returns one row: (est_join_rows, n_join_keys, max_key_fanout).
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+    ca = a.groupBy(*keys).agg(F.count(F.lit(1)).alias("_na"))
+    cb = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nb"))
+    j = ca.join(cb, keys)
+    prod = F.col("_na") * F.col("_nb")
+    return j.agg(
+        F.sum(prod).cast("long").alias("est_join_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.max(prod).cast("long").alias("max_key_fanout"),
+    )

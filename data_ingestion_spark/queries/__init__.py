@@ -54,6 +54,7 @@ _PRIORITY = [
     "corpus_build_pipeline_docs",
     "table_changes_orders",
     "knn_two_stage_topk",
+    "join_cardinality_orders_customer",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

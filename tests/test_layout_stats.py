@@ -379,3 +379,16 @@ def test_compact_table_cluster_by_preserves_pruning(spark, tmp_path):
     # vs all files under the round-robin original layout
     fh, ft, _, _ = layout.parquet_rowgroups_overlapping(path, "id", 100.0, 355.0)
     assert ft >= 2 and fh == 1
+
+
+def test_join_cardinality_predicts_explosion(spark):
+    """The pre-flight count equals the real join size, including a planted
+    many-to-many explosion (3×4=12 on one key)."""
+    a = spark.createDataFrame(
+        [(1,)] * 3 + [(2,)] * 1 + [(3,)] * 2, "k: long"
+    )
+    b = spark.createDataFrame([(1,)] * 4 + [(2,)] * 5, "k: long")
+    r = stats.join_cardinality(a, b, ["k"]).collect()[0]
+    assert r["est_join_rows"] == 3 * 4 + 1 * 5 == a.join(b, "k").count()
+    assert r["n_join_keys"] == 2      # key 3 has no match
+    assert r["max_key_fanout"] == 12  # the planted explosion key
