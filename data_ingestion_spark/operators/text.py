@@ -1286,10 +1286,10 @@ def vocab_coverage(
     toks = tokens(F.col(text_col))
     out = df.select(
         F.col(id_col).alias("id"),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.size(
             F.filter(toks, lambda t: ~F.array_contains(vset, t))
-        ).alias("n_oov"),
+        ).cast("long").alias("n_oov"),
     )
     bp = F.when(
         F.col("n_tokens") > 0,
@@ -1317,9 +1317,9 @@ def vocab_coverage_joined(
         .agg(F.count(F.lit(1)).alias("n_oov"))
     )
     out = (
-        base.select("id", F.size("toks").alias("n_tokens"))
+        base.select("id", F.size("toks").cast("long").alias("n_tokens"))
         .join(oov, "id", "left")
-        .withColumn("n_oov", F.coalesce(F.col("n_oov"), F.lit(0)))
+        .withColumn("n_oov", F.coalesce(F.col("n_oov"), F.lit(0)).cast("long"))
     )
     bp = F.when(
         F.col("n_tokens") > 0,
