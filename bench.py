@@ -145,6 +145,7 @@ HEADLINE = [
     "table_changes_orders",
     "knn_two_stage_topk",
     "join_cardinality_orders_customer",
+    "matryoshka_qc_embeddings",
 ]
 
 

@@ -2118,3 +2118,39 @@ QUERIES["join_cardinality_orders_customer"] = (
     join_cardinality_orders_customer,
     JOIN_CARDINALITY_ORDERS_CUSTOMER_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation QC
+# --------------------------------------------------------------------------
+def matryoshka_qc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-energy retention at widths 16/32/48
+    (similarity.matryoshka_qc) — the measurement that picks
+    two_stage_topk's prefix width from data. Ordered by width."""
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_qc(emb).orderBy("width")
+
+
+MATRYOSHKA_QC_EMBEDDINGS_SQL = """
+WITH per AS (
+  SELECT w.width,
+         round(round(
+           list_sum(list_transform((e.embedding::DOUBLE[])[1:w.width],
+                                   x -> x * x))
+           / list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)),
+         6) * 1000000)::BIGINT AS retained_micro
+  FROM embeddings e
+  CROSS JOIN (VALUES (16), (32), (48)) w(width)
+)
+SELECT width::BIGINT AS width, count(*)::BIGINT AS n_vecs,
+       min(retained_micro)::BIGINT AS min_retained_micro,
+       sum(retained_micro)::BIGINT AS sum_retained_micro
+FROM per GROUP BY 1 ORDER BY width
+"""
+
+QUERIES["matryoshka_qc_embeddings"] = (
+    matryoshka_qc_embeddings,
+    MATRYOSHKA_QC_EMBEDDINGS_SQL,
+)

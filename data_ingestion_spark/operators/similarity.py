@@ -744,3 +744,46 @@ def two_stage_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def matryoshka_qc(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    widths: tuple = (16, 32, 48),
+) -> DataFrame:
+    """Truncation QC for prefix-based retrieval (the Matryoshka question):
+    per candidate width w, what fraction of each vector's ENERGY
+    (Σ_{i≤w} x_i² / Σ x_i² — monotone with the full-vs-truncated cosine)
+    does the prefix retain? Decides the ``two_stage_topk`` prefix_dim /
+    int8-head width from data instead of folklore.
+
+    Output per width: (width, n_vecs, min_retained_micro,
+    sum_retained_micro) — each row's fraction is rounded to 6dp then
+    integer-summed (order-free, the repo micro-unit rule); min is
+    order-free by nature. Zero shuffles per width (narrow projections),
+    one tiny (≤len(widths) keys) final agg.
+    """
+    energy = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    parts = []
+    for w in widths:
+        frac = F.round(
+            energy(F.slice(F.col(vec_col), 1, int(w))) / energy(F.col(vec_col)),
+            6,
+        )
+        parts.append(
+            df.select(
+                F.lit(int(w)).cast("long").alias("width"),
+                F.round(frac * 1000000).cast("long").alias("retained_micro"),
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("retained_micro").alias("min_retained_micro"),
+        F.sum("retained_micro").alias("sum_retained_micro"),
+    )

@@ -55,6 +55,7 @@ _PRIORITY = [
     "table_changes_orders",
     "knn_two_stage_topk",
     "join_cardinality_orders_customer",
+    "matryoshka_qc_embeddings",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",
