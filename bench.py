@@ -146,6 +146,7 @@ HEADLINE = [
     "knn_two_stage_topk",
     "join_cardinality_orders_customer",
     "matryoshka_qc_embeddings",
+    "backfill_partitions_events",
 ]
 
 

@@ -2154,3 +2154,70 @@ QUERIES["matryoshka_qc_embeddings"] = (
     matryoshka_qc_embeddings,
     MATRYOSHKA_QC_EMBEDDINGS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Partition backfill (detect missing → refill only those)
+# --------------------------------------------------------------------------
+def backfill_partitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-backfill E2E (parquet_sink.missing_partitions /
+    backfill_partitions): land events date-partitioned with Jan 7 and
+    Jan 21 deliberately absent, DETECT the gaps from the directory
+    listing alone, refill only those two partitions via dynamic
+    overwrite, then re-read. Output: per-day counts + the detected-gap
+    count — the oracle computes the per-day counts from the base table,
+    so a missed gap, a partial refill, or an over-wide overwrite all
+    change the rows."""
+    import shutil
+    import tempfile
+
+    from ..sinks.parquet_sink import (
+        backfill_partitions,
+        missing_partitions,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    holes = ["2024-01-07", "2024-01-21"]
+    base = tempfile.mkdtemp(prefix="backfill_")
+    path = os.path.join(base, "events")
+    try:
+        write_partitioned(
+            ev.filter(~F.col("event_date").cast("string").isin(holes)),
+            path,
+            ["event_date"],
+        )
+        expected = [
+            str(r["event_date"])
+            for r in ev.select("event_date").distinct().collect()
+        ]
+        missing = missing_partitions(path, "event_date", expected)
+        n_backfilled = backfill_partitions(ev, path, "event_date", missing)
+        out = (
+            spark.read.parquet(path)
+            .groupBy("event_date")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("n_backfilled", F.lit(n_backfilled).cast("long"))
+            .orderBy("event_date")
+            .collect()
+        )
+        return spark.createDataFrame(
+            [tuple(r) for r in out],
+            "event_date date, n_events long, n_backfilled long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+BACKFILL_PARTITIONS_EVENTS_SQL = """
+SELECT ts::DATE AS event_date, count(*)::BIGINT AS n_events,
+       2::BIGINT AS n_backfilled
+FROM events GROUP BY 1 ORDER BY event_date
+"""
+
+QUERIES["backfill_partitions_events"] = (
+    backfill_partitions_events,
+    BACKFILL_PARTITIONS_EVENTS_SQL,
+)

@@ -56,6 +56,7 @@ _PRIORITY = [
     "knn_two_stage_topk",
     "join_cardinality_orders_customer",
     "matryoshka_qc_embeddings",
+    "backfill_partitions_events",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

@@ -392,3 +392,36 @@ def test_join_cardinality_predicts_explosion(spark):
     assert r["est_join_rows"] == 3 * 4 + 1 * 5 == a.join(b, "k").count()
     assert r["n_join_keys"] == 2      # key 3 has no match
     assert r["max_key_fanout"] == 12  # the planted explosion key
+
+
+def test_backfill_only_touches_missing_partitions(spark, tmp_path):
+    """Dynamic-overwrite backfill rewrites ONLY the missing partitions:
+    pre-existing partition files keep their mtimes/identity."""
+    import os
+
+    from data_ingestion_spark.sinks.parquet_sink import (
+        backfill_partitions,
+        missing_partitions,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 4}") for i in range(40)], "v: long, part: string"
+    )
+    path = str(tmp_path / "t")
+    write_partitioned(df.filter("part <> 'd2'"), path, ["part"])
+    expected = ["d0", "d1", "d2", "d3"]
+    assert missing_partitions(path, "part", expected) == ["d2"]
+
+    before = {}
+    for d in os.listdir(path):
+        if d.startswith("part="):
+            p = os.path.join(path, d)
+            before[d] = sorted(os.listdir(p))
+
+    assert backfill_partitions(df, path, "part", ["d2"]) == 1
+    assert missing_partitions(path, "part", expected) == []
+    for d, files in before.items():
+        assert sorted(os.listdir(os.path.join(path, d))) == files  # untouched
+    assert spark.read.parquet(path).count() == 40
+    assert backfill_partitions(df, path, "part", []) == 0  # no-op guard
