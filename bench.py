@@ -147,6 +147,7 @@ HEADLINE = [
     "join_cardinality_orders_customer",
     "matryoshka_qc_embeddings",
     "backfill_partitions_events",
+    "triangle_count_suppliers",
 ]
 
 

@@ -2221,3 +2221,51 @@ QUERIES["backfill_partitions_events"] = (
     backfill_partitions_events,
     BACKFILL_PARTITIONS_EVENTS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (degree-ordered)
+# --------------------------------------------------------------------------
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-order graph (two suppliers are
+    adjacent iff they ship lines of the same order) via the degree-ordered
+    wedge join (graph.triangle_count). The oracle counts the SAME
+    triangles with the naive a<b<c three-way self-join — two different
+    algorithms must agree on the number."""
+    from . import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+        )
+        .distinct()
+    )
+    return graph.triangle_count(edges, "sa", "sb")
+
+
+TRIANGLE_COUNT_SUPPLIERS_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+)
+SELECT (SELECT count(*) FROM (SELECT x AS v FROM e UNION SELECT y FROM e))::BIGINT
+         AS n_nodes,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT count(*)
+        FROM e e1
+        JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+        JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y)::BIGINT AS n_triangles
+"""
+
+QUERIES["triangle_count_suppliers"] = (
+    triangle_count_suppliers,
+    TRIANGLE_COUNT_SUPPLIERS_SQL,
+)

@@ -57,6 +57,7 @@ _PRIORITY = [
     "join_cardinality_orders_customer",
     "matryoshka_qc_embeddings",
     "backfill_partitions_events",
+    "triangle_count_suppliers",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

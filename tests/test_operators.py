@@ -989,3 +989,17 @@ def test_two_stage_topk_recall_vs_exact(spark):
         ).collect()
     }
     assert full_width == exact  # 64-dim prefix ≡ exact (shortlist ⊇ top-5)
+
+
+def test_triangle_count_planted(spark):
+    """K4 (4 triangles) ∪ a disjoint 4-cycle (0 triangles), fed with
+    duplicates, reversed edges, and a self-loop — canonicalization plus
+    the degree-ordered wedge count must land on exactly 4."""
+    from data_ingestion_spark.operators import graph
+
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    noisy = k4 + square + [(1, 0), (2, 2), (0, 1), (12, 11)]  # rev/dup/loop
+    edges = spark.createDataFrame(noisy, "a: long, b: long")
+    r = graph.triangle_count(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (8, 10, 4)
