@@ -148,6 +148,7 @@ HEADLINE = [
     "matryoshka_qc_embeddings",
     "backfill_partitions_events",
     "triangle_count_suppliers",
+    "event_transitions_events",
 ]
 
 

@@ -2269,3 +2269,50 @@ QUERIES["triangle_count_suppliers"] = (
     triangle_count_suppliers,
     TRIANGLE_COUNT_SUPPLIERS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Event-transition matrix (clickstream Markov counts)
+# --------------------------------------------------------------------------
+def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type TRANSITION counts (the clickstream Markov
+    matrix): lag over (user, time) windows — parallel per user key, never
+    a global sort — then a (prev, next) pair aggregate. Top-15 by count
+    with full tie-breaks. Ties in ts break by event_id so the lag
+    sequence is engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return pairs.orderBy(
+        F.col("n_transitions").desc(),
+        F.col("prev_type").asc(),
+        F.col("next_type").asc(),
+    ).limit(15)
+
+
+EVENT_TRANSITIONS_EVENTS_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n_transitions
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n_transitions DESC, prev_type ASC, next_type ASC
+LIMIT 15
+"""
+
+QUERIES["event_transitions_events"] = (
+    event_transitions_events,
+    EVENT_TRANSITIONS_EVENTS_SQL,
+)

@@ -58,6 +58,7 @@ _PRIORITY = [
     "matryoshka_qc_embeddings",
     "backfill_partitions_events",
     "triangle_count_suppliers",
+    "event_transitions_events",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",
