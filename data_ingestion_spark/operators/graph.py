@@ -144,6 +144,11 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
+        # three downstream actions (edge/node/triangle counts) plus the
+        # two-sided wedge join would otherwise recompute the (possibly
+        # expensive) edge derivation 4×; the canonical edge set is the
+        # bounded thing worth pinning
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("x").alias("n")).unionAll(e.select(F.col("y").alias("n")))
