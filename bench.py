@@ -149,6 +149,7 @@ HEADLINE = [
     "backfill_partitions_events",
     "triangle_count_suppliers",
     "event_transitions_events",
+    "pit_join_events",
 ]
 
 

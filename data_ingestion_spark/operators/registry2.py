@@ -2328,3 +2328,58 @@ QUERIES["event_transitions_events"] = (
     event_transitions_events,
     EVENT_TRANSITIONS_EVENTS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time join (facts × SCD2 dimension history)
+# --------------------------------------------------------------------------
+def pit_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness E2E (temporal.point_in_time_join): build
+    a two-version SCD2 user dimension (every user 'bronze' until
+    Jan 15 2024, then tier = user_id-derived), join every event to the
+    version valid AT ITS TIMESTAMP, and aggregate value by tier. The
+    oracle derives each event's tier with a CASE on the same boundary —
+    a join that backdates (uses only the current version) or duplicates
+    (interval overlap) changes every number."""
+    from . import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select(F.col("user_id")).distinct()
+    boundary = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    v1 = users.select(
+        "user_id",
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("eff_from"),
+        boundary.alias("eff_to"),
+        F.lit("bronze").alias("tier"),
+    )
+    v2 = users.select(
+        "user_id",
+        boundary.alias("eff_from"),
+        F.lit(None).cast("timestamp").alias("eff_to"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
+        .otherwise(F.lit("silver"))
+        .alias("tier"),
+    )
+    dim = v1.unionByName(v2)
+    joined = temporal.point_in_time_join(ev, dim, ["user_id"], "ts")
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+PIT_JOIN_EVENTS_SQL = """
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'bronze'
+            WHEN user_id % 3 = 0 THEN 'gold' ELSE 'silver' END AS tier,
+       count(*)::BIGINT AS n_events,
+       sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS sum_value
+FROM events GROUP BY 1 ORDER BY tier
+"""
+
+QUERIES["pit_join_events"] = (pit_join_events, PIT_JOIN_EVENTS_SQL)

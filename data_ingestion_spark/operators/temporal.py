@@ -191,3 +191,38 @@ def gapfill_locf(
         # IEEE value in every engine (and pandas-friendly for compares)
         F.last("s", ignorenulls=True).over(w).cast("double").alias("filled_sum"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    eff_from: str = "eff_from",
+    eff_to: str = "eff_to",
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row pairs with the
+    dimension VERSION that was valid at its timestamp —
+    ``eff_from ≤ ts < eff_to`` (NULL ``eff_to`` = the open current
+    version). The correctness backbone of any warehouse built on SCD2
+    dimensions (scd2_apply's output plugs in directly): joining facts to
+    the CURRENT dimension silently backdates attribute changes; this join
+    doesn't.
+
+    Shape: a plain equi-join on the business key with the interval
+    predicate fused into the join condition. Per key the right side holds
+    one row per VERSION (SCD2 history), so fan-out is bounded by
+    versions-per-key — small by construction — and Catalyst plans a hash
+    join on the key, never a nested loop. Each fact matches exactly one
+    version (SCD2 intervals partition time).
+    """
+    keys = list(key_cols)
+    d = dim
+    for c in keys:
+        d = d.withColumnRenamed(c, f"_d_{c}")
+    cond = [facts[k] == d[f"_d_{k}"] for k in keys]
+    ts = facts[ts_col]
+    cond.append(ts >= d[eff_from])
+    cond.append(d[eff_to].isNull() | (ts < d[eff_to]))
+    joined = facts.join(d, cond, "left")
+    return joined.drop(*[f"_d_{c}" for c in keys])

@@ -59,6 +59,7 @@ _PRIORITY = [
     "backfill_partitions_events",
     "triangle_count_suppliers",
     "event_transitions_events",
+    "pit_join_events",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

@@ -1003,3 +1003,36 @@ def test_triangle_count_planted(spark):
     edges = spark.createDataFrame(noisy, "a: long, b: long")
     r = graph.triangle_count(edges).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (8, 10, 4)
+
+
+def test_point_in_time_join_versions(spark):
+    """Each fact matches exactly the version valid at its ts: boundary ts
+    goes to the NEW version (from-inclusive, to-exclusive); facts with no
+    valid version (before history, unknown key) keep a NULL attribute."""
+    from data_ingestion_spark.operators import temporal
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10, 20, "v1"),
+            (1, 20, None, "v2"),
+            (2, 15, None, "only"),
+        ],
+        "k: long, eff_from: long, eff_to: long, attr: string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 10), (1, 19), (1, 20), (1, 25), (1, 5), (2, 14), (3, 99)],
+        "k: long, ts: long",
+    )
+    out = {
+        (r["k"], r["ts"]): r["attr"]
+        for r in temporal.point_in_time_join(facts, dim, ["k"], "ts").collect()
+    }
+    assert out == {
+        (1, 10): "v1", (1, 19): "v1",
+        (1, 20): "v2",            # boundary → new version, never both
+        (1, 25): "v2",
+        (1, 5): None,             # before history
+        (2, 14): None,            # before this key's first version
+        (3, 99): None,            # unknown key
+    }
+    assert len(out) == 7  # no duplication from interval overlap
