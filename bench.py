@@ -150,6 +150,7 @@ HEADLINE = [
     "triangle_count_suppliers",
     "event_transitions_events",
     "pit_join_events",
+    "temperature_sample_docs",
 ]
 
 

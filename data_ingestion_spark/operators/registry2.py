@@ -2383,3 +2383,56 @@ FROM events GROUP BY 1 ORDER BY tier
 """
 
 QUERIES["pit_join_events"] = (pit_join_events, PIT_JOIN_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Temperature sampling (multilingual corpus mixing, α = 0.5)
+# --------------------------------------------------------------------------
+def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature mixing over languages at a 40%-of-corpus
+    budget (sampling.temperature_sample): rates from EXACT integer isqrt
+    algebra, rows gated by the deterministic id hash. Output per lang:
+    population, rate, sampled count — the oracle replays rate derivation
+    AND the hash gate, so every number is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    target = (n_total * 4) // 10
+    out = sampling.temperature_sample(docs, "lang", "doc_id", target)
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("keep_rate_bp").alias("keep_rate_bp"),
+            F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_SAMPLE_DOCS_SQL = f"""
+WITH c AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(n)::BIGINT AS big_n,
+         sum(floor(sqrt(n::DOUBLE))::BIGINT)::BIGINT AS denom
+  FROM c
+), r AS (
+  SELECT c.lang, c.n,
+         least(10000,
+               (((SELECT big_n FROM tot) * 4 // 10)
+                * floor(sqrt(c.n::DOUBLE))::BIGINT * 10000)
+               // ((SELECT denom FROM tot) * c.n))::BIGINT AS rate_bp
+  FROM c
+)
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       max(r.rate_bp)::BIGINT AS keep_rate_bp,
+       sum(({_SQL_HASH60.format(c="d.doc_id::VARCHAR")} % 10000
+            < r.rate_bp)::BIGINT)::BIGINT AS n_sampled
+FROM documents d JOIN r ON d.lang = r.lang
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+QUERIES["temperature_sample_docs"] = (
+    temperature_sample_docs,
+    TEMPERATURE_SAMPLE_DOCS_SQL,
+)

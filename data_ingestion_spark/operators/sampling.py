@@ -235,3 +235,54 @@ def balanced_shards(
     )
     shard = (F.row_number().over(w) - 1 + bucket) % n_shards
     return df.withColumn("shard", shard.cast("int"))
+
+
+def temperature_sample_rates(
+    counts: dict, target_total: int, modulus: int = 10000
+) -> dict:
+    """Per-group keep rates (integer basis points) for temperature-based
+    corpus mixing at α = 0.5 (mT5/XLM-R style: sample probability ∝
+    n_g^α, upweighting low-resource groups): rate_g = target ·
+    isqrt(n_g) / (Σ isqrt · n_g), ALL integer arithmetic — isqrt =
+    floor(sqrt) of an integer is engine-exact (IEEE sqrt is correctly
+    rounded), so any SQL engine replays the rates bit-for-bit. Arbitrary
+    α keeps the same shape with driver-computed rates. Rates cap at
+    ``modulus`` (keep-all)."""
+    import math
+
+    isq = {g: math.isqrt(int(n)) for g, n in counts.items()}
+    denom = sum(isq.values())
+    rates = {}
+    for g, n in counts.items():
+        if n <= 0 or denom == 0:
+            rates[g] = 0
+            continue
+        rates[g] = min(modulus, (int(target_total) * isq[g] * modulus) // (denom * int(n)))
+    return rates
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_total: int,
+    modulus: int = 10000,
+) -> DataFrame:
+    """α=0.5 temperature sampling: one count agg (≤ #groups rows to the
+    driver), rates via ``temperature_sample_rates``, then the repo's
+    deterministic hash gate (md5-60bit of the id, so the SAME rows are
+    kept on any cluster layout / rerun — reproducible training mixes).
+    Adds ``keep_rate_bp`` and ``sampled`` columns; zero shuffles beyond
+    the count agg, the gate fuses into the scan."""
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_sample_rates(counts, target_total, modulus)
+    rate = F.lit(0)
+    for g, bp in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(bp)).otherwise(rate)
+    keep = (md5_hash60(F.col(id_col).cast("string")) % modulus) < rate
+    return df.withColumn("keep_rate_bp", rate.cast("long")).withColumn(
+        "sampled", keep
+    )

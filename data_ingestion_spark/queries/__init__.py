@@ -60,6 +60,7 @@ _PRIORITY = [
     "triangle_count_suppliers",
     "event_transitions_events",
     "pit_join_events",
+    "temperature_sample_docs",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",

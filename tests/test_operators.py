@@ -1036,3 +1036,19 @@ def test_point_in_time_join_versions(spark):
         (3, 99): None,            # unknown key
     }
     assert len(out) == 7  # no duplication from interval overlap
+
+
+def test_temperature_sample_upweights_low_resource():
+    """α=0.5 rates: the low-resource group keeps a HIGHER fraction than
+    the high-resource one; budget roughly honored; keep-all cap at 10000."""
+    from data_ingestion_spark.operators.sampling import temperature_sample_rates
+
+    counts = {"en": 9000, "sw": 100}
+    rates = temperature_sample_rates(counts, target_total=4000)
+    assert rates["sw"] > rates["en"]              # low-resource upweighted
+    # expected sampled ≈ Σ n_g · rate_g / 10000 ≈ target (floor slack)
+    approx = sum(n * rates[g] for g, n in counts.items()) / 10000
+    assert 0.9 * 4000 <= approx <= 4000
+    tiny = temperature_sample_rates({"a": 2, "b": 10000}, target_total=9000)
+    assert tiny["a"] == 10000                     # capped at keep-all
+    assert temperature_sample_rates({"z": 0}, 100)["z"] == 0
