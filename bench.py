@@ -151,6 +151,8 @@ HEADLINE = [
     "event_transitions_events",
     "pit_join_events",
     "temperature_sample_docs",
+    "winsorize_events",
+    "histogram_lineitem",
 ]
 
 

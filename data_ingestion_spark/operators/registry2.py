@@ -2436,3 +2436,99 @@ QUERIES["temperature_sample_docs"] = (
     temperature_sample_docs,
     TEMPERATURE_SAMPLE_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Winsorization (robust clipping)
+# --------------------------------------------------------------------------
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization at [P05, P95]
+    (stats.winsorize_by_group). Clipped sums are per-row rounded to cent
+    integers BEFORE summing (order-free); clip-flag counts pin the
+    percentile parity at both band edges."""
+    ev = load_table(spark, sf_dir, "events")
+    w = stats.winsorize_by_group(ev, "event_type", "value")
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("clipped_low").cast("long")).alias("n_clipped_low"),
+            F.sum(F.col("clipped_high").cast("long")).alias("n_clipped_high"),
+            F.sum(F.round(F.col("value_w") * 100).cast("long")).alias(
+                "sum_clipped_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZE_EVENTS_SQL = """
+WITH p AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS plo,
+         quantile_cont(value, 0.95) AS phi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*)::BIGINT AS n_rows,
+       sum((e.value < p.plo)::BIGINT)::BIGINT AS n_clipped_low,
+       sum((e.value > p.phi)::BIGINT)::BIGINT AS n_clipped_high,
+       sum(round(least(greatest(e.value, p.plo), p.phi) * 100)::BIGINT)::BIGINT
+         AS sum_clipped_cents
+FROM events e JOIN p USING (event_type)
+GROUP BY 1 ORDER BY event_type
+"""
+
+QUERIES["winsorize_events"] = (winsorize_events, WINSORIZE_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (CBO-style column stats)
+# --------------------------------------------------------------------------
+def histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth 4-bucket histogram of l_extendedprice — the ANALYZE
+    TABLE column statistic a cost-based optimizer consumes: exact
+    quartile cuts (one value-counts buffer), then a narrow CASE bucket +
+    per-bucket count/min/max. At 100 TB the cuts come from
+    approx_percentile; the publishing shape is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("c")
+    ).collect()[0]["c"]
+    c1, c2, c3 = (float(c) for c in cuts)
+    v = F.col("l_extendedprice")
+    bucket = (
+        F.when(v <= F.lit(c1), F.lit(1))
+        .when(v <= F.lit(c2), F.lit(2))
+        .when(v <= F.lit(c3), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return (
+        li.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(v), 4).alias("min_price"),
+            F.round(F.max(v), 4).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_LINEITEM_SQL = """
+WITH c AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS c1,
+         quantile_cont(l_extendedprice, 0.50) AS c2,
+         quantile_cont(l_extendedprice, 0.75) AS c3
+  FROM lineitem
+)
+SELECT CASE WHEN l_extendedprice <= (SELECT c1 FROM c) THEN 1
+            WHEN l_extendedprice <= (SELECT c2 FROM c) THEN 2
+            WHEN l_extendedprice <= (SELECT c3 FROM c) THEN 3
+            ELSE 4 END::BIGINT AS bucket,
+       count(*)::BIGINT AS n_rows,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price
+FROM lineitem GROUP BY 1 ORDER BY bucket
+"""
+
+QUERIES["histogram_lineitem"] = (histogram_lineitem, HISTOGRAM_LINEITEM_SQL)

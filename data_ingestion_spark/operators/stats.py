@@ -100,3 +100,35 @@ def join_cardinality(a, b, key_cols) -> "DataFrame":
         F.count(F.lit(1)).alias("n_join_keys"),
         F.max(prod).cast("long").alias("max_key_fanout"),
     )
+
+
+def winsorize_by_group(
+    df, group_col: str, value_col: str, lo: float = 0.05, hi: float = 0.95
+):
+    """Per-group winsorization: clip values to the group's exact
+    [P_lo, P_hi] percentile band — the robust-statistics tamer for
+    heavy-tailed metrics (a handful of 10^6× outliers otherwise dominate
+    any mean/sum the pipeline reports). Exact linear-interpolation
+    percentiles (one value-counts aggregation buffer serving both cuts),
+    then the clip rejoins by group key — a ≤ #groups row side that AQE
+    broadcasts. Adds ``value_w`` (clipped), ``clipped_low``/
+    ``clipped_high`` flags. At corpus scale swap the exact percentile for
+    approx_percentile; the join shape is identical.
+    """
+    from pyspark.sql import functions as F
+
+    p = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.array(F.lit(lo), F.lit(hi))).alias("_p")
+    ).select(
+        group_col,
+        F.element_at("_p", 1).alias("_plo"),
+        F.element_at("_p", 2).alias("_phi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(p, group_col)
+        .withColumn("value_w", F.least(F.greatest(v, F.col("_plo")), F.col("_phi")))
+        .withColumn("clipped_low", v < F.col("_plo"))
+        .withColumn("clipped_high", v > F.col("_phi"))
+        .drop("_plo", "_phi")
+    )

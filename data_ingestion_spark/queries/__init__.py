@@ -61,6 +61,8 @@ _PRIORITY = [
     "event_transitions_events",
     "pit_join_events",
     "temperature_sample_docs",
+    "winsorize_events",
+    "histogram_lineitem",
     # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
     # core; always windowed)
     "ingest_csv_docs",
