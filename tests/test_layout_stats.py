@@ -425,3 +425,25 @@ def test_backfill_only_touches_missing_partitions(spark, tmp_path):
         assert sorted(os.listdir(os.path.join(path, d))) == files  # untouched
     assert spark.read.parquet(path).count() == 40
     assert backfill_partitions(df, path, "part", []) == 0  # no-op guard
+
+
+def test_join_cardinality_composite_keys(spark):
+    a = spark.createDataFrame([(1, "x")] * 2 + [(1, "y")], "k: long, s: string")
+    b = spark.createDataFrame([(1, "x")] * 3 + [(2, "x")], "k: long, s: string")
+    r = stats.join_cardinality(a, b, ["k", "s"]).collect()[0]
+    assert r["est_join_rows"] == 6 == a.join(b, ["k", "s"]).count()
+    assert r["n_join_keys"] == 1
+
+
+def test_winsorize_clips_planted_outlier(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators.stats import winsorize_by_group
+
+    rows = [("g", float(i)) for i in range(1, 100)] + [("g", 10_000.0)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    out = winsorize_by_group(df, "g", "v", lo=0.01, hi=0.99)
+    top = out.agg(F.max("value_w")).collect()[0][0]
+    assert top < 10_000.0  # the planted outlier got clipped
+    assert out.filter("clipped_high").count() == 1
+    assert out.filter("clipped_low").count() == 1

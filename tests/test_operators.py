@@ -1052,3 +1052,34 @@ def test_temperature_sample_upweights_low_resource():
     tiny = temperature_sample_rates({"a": 2, "b": 10000}, target_total=9000)
     assert tiny["a"] == 10000                     # capped at keep-all
     assert temperature_sample_rates({"z": 0}, 100)["z"] == 0
+
+
+def test_temperature_sample_spark_determinism(spark):
+    """The Spark-level gate keeps the SAME rows under any partitioning,
+    and per-group sampled counts track n·rate/10⁴."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import sampling
+
+    rows = [(i, "en" if i % 10 else "sw") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    a = sampling.temperature_sample(df, "lang", "doc_id", target_total=800)
+    b = sampling.temperature_sample(
+        df.repartition(17), "lang", "doc_id", target_total=800
+    )
+    ka = {r["doc_id"] for r in a.filter("sampled").collect()}
+    kb = {r["doc_id"] for r in b.filter("sampled").collect()}
+    assert ka == kb  # layout-independent mix
+    got = {
+        (r["lang"]): (r["n"], r["s"], r["bp"])
+        for r in a.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("sampled").cast("long")).alias("s"),
+            F.max("keep_rate_bp").alias("bp"),
+        )
+        .collect()
+    }
+    for lang, (n, s, bp) in got.items():
+        assert abs(s - n * bp / 10000) < 0.1 * n + 10  # hash-gate tracks rate
+    assert got["sw"][2] > got["en"][2]  # low-resource upweighted

@@ -74,3 +74,13 @@ def test_heavy_hitters_partitioning_independent(spark):
     a = sketch.heavy_hitters(_mk_docs(spark, rows, 3), "text", 8, sketch_k=32).collect()
     b = sketch.heavy_hitters(_mk_docs(spark, rows, 19), "text", 8, sketch_k=32).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_mg_candidates_bounded_per_partition(spark):
+    """Each partition contributes ≤ sketch_k candidate rows — the memory
+    bound the operator's 100 TB story rests on."""
+    rows = [(i, f"t{i % 997} u{i % 499} v{i % 251}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    cands = sketch.mg_candidates(df, "text", sketch_k=32)
+    # distinct-union across 4 partitions: at most 4 × 32 rows
+    assert cands.count() <= 4 * 32

@@ -185,3 +185,22 @@ def test_table_changes_between_versions(spark, tmp_path):
     }
     assert out == {2: "update", 3: "delete", 4: "insert"}
     assert tf.table_changes(spark, root, 0, 0, ["k"]).count() == 0
+
+
+def test_table_changes_over_evolved_schema(spark, tmp_path):
+    """Additive schema evolution: the CDF diffs over the COMMON columns,
+    so v0 (2 cols) vs v1 (3 cols, one added) still classifies correctly."""
+    root = str(tmp_path / "t")
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "k: long, seg: string")
+    v1 = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "B", 8.0), (3, "c", 7.0)],
+        "k: long, seg: string, extra: double",
+    )
+    tf.commit_version(v0, root)
+    tf.commit_version(v1, root)
+    out = {
+        r["k"]: r["change_type"]
+        for r in tf.table_changes(spark, root, 0, 1, ["k"]).collect()
+    }
+    # 'extra' is ignored (not common), so k=1 is unchanged on common ground
+    assert out == {2: "update", 3: "insert"}
