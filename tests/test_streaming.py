@@ -674,3 +674,53 @@ def test_batch_replay_does_not_duplicate_ingested_rows(spark, tmp_path, landing)
     assert pipe.sink.read_table("json_data").count() == 3
     # the failed pdf retried (still fails — it's a bad file, not a dup)
     assert [f for f, _ in loop.failures].count("stream-bucket/uploads/bad.pdf") == 2
+
+
+def test_sqs_front_door_compressed_landing(spark, tmp_path):
+    """The streaming front door × compressed-text dispatch intersection:
+    an S3 event naming a .csv.gz key routes through the csv parser
+    (transparent Hadoop-codec decompression) inside one stream run."""
+    import gzip
+    import json as _json
+
+    from data_ingestion_spark.streaming import SqsFrontDoorLoop
+
+    data = tmp_path / "s3" / "zbucket" / "uploads"
+    data.mkdir(parents=True)
+    with gzip.open(data / "c.csv.gz", "wt") as f:
+        f.write("name,score\nAda,9\nLin,7\nRex,5\n")
+
+    queue = tmp_path / "queue"
+    queue.mkdir()
+    (queue / "m1.json").write_text(
+        _json.dumps(
+            {
+                "Records": [
+                    {
+                        "s3": {
+                            "bucket": {"name": "zbucket"},
+                            "object": {"key": "uploads/c.csv.gz"},
+                        }
+                    }
+                ]
+            }
+        )
+        + "\n"
+    )
+
+    pipe = IngestionPipeline(
+        spark, warehouse_dir=str(tmp_path / "wh"), base_dir=str(tmp_path / "s3")
+    )
+    loop = SqsFrontDoorLoop(
+        pipe, str(queue), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    results = loop.run_available()
+    assert {r.file_name: r.rows for r in results} == {
+        "zbucket/uploads/c.csv.gz": 3
+    }
+    rows = {
+        (r["name"], r["score"])
+        for r in pipe.sink.read_table("csv_data").collect()
+    }
+    assert rows == {("Ada", "9"), ("Lin", "7"), ("Rex", "5")}
+    assert loop.failures == [] and loop.warns == {}
