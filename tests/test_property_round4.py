@@ -75,3 +75,35 @@ def test_html_extractor_roundtrips_plain_paragraphs(paras):
     got = [r[2] for r in html_extract_blocks(html, min_chars=1)]
     assert got == expected
     assert all(r[4] == 0 for r in html_extract_blocks(html, min_chars=1))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=10**7),
+        min_size=1,
+        max_size=8,
+    ),
+    frac=st.integers(min_value=1, max_value=100),
+)
+def test_temperature_rates_invariants(counts, frac):
+    """For ANY group profile: rates in [0, 10000]; the expected sampled
+    total never exceeds the target by more than rounding; and between two
+    groups the SMALLER group always keeps the ≥ rate (α<1 upweighting)."""
+    from data_ingestion_spark.operators.sampling import temperature_sample_rates
+
+    total = sum(counts.values())
+    target = max(1, (total * frac) // 100)
+    rates = temperature_sample_rates(counts, target)
+    assert set(rates) == set(counts)
+    for bp in rates.values():
+        assert 0 <= bp <= 10000
+    expected = sum(n * rates[g] for g, n in counts.items()) / 10000
+    # floor-division keeps each uncapped group's take ≤ its proportional
+    # share of target; caps only reduce it further
+    assert expected <= target + len(counts)
+    for g1, n1 in counts.items():
+        for g2, n2 in counts.items():
+            if n1 < n2:
+                assert rates[g1] >= rates[g2], (counts, rates)
