@@ -1565,8 +1565,15 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return cdc.incremental_agg_refresh(
+    refreshed = cdc.incremental_agg_refresh(
         mv, delta, ["o_orderpriority"], "n_orders", {"sum_price": "price"}
+    )
+    # integer cents: Spark DECIMAL crosses pandas as Decimal objects while
+    # DuckDB's bridge emits float64 — a BIGINT compares exactly everywhere
+    return refreshed.select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("sum_price") * 100).cast("long").alias("sum_price_cents"),
     ).orderBy("o_orderpriority")
 
 
@@ -1584,7 +1591,7 @@ WITH after AS (
   FROM orders WHERE o_orderkey % 89 = 0
 )
 SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
-       sum(price)::DECIMAL(38,2) AS sum_price
+       (sum(price) * 100)::BIGINT AS sum_price_cents
 FROM after GROUP BY 1 ORDER BY o_orderpriority
 """
 
@@ -1763,15 +1770,20 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tf.read_version(spark, root, v)
                 .agg(
                     F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                    .cast("decimal(38,2)")
-                    .alias("sum_price"),
+                    # integer cents: exact BIGINT on both Spark and oracle
+                    # sides (Decimal-vs-float64 breaks the driver's hash)
+                    (
+                        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        * 100
+                    )
+                    .cast("long")
+                    .alias("sum_price_cents"),
                 )
                 .collect()[0]
             )
-            out.append((v, r["n_rows"], r["sum_price"]))
+            out.append((v, r["n_rows"], r["sum_price_cents"]))
         return spark.createDataFrame(
-            out, "version long, n_rows long, sum_price decimal(38,2)"
+            out, "version long, n_rows long, sum_price_cents long"
         ).orderBy("version")
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -1779,11 +1791,11 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TIME_TRAVEL_ORDERS_SQL = """
 SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows,
-       sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price
+       (sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS sum_price_cents
 FROM orders
 UNION ALL
 SELECT 1::BIGINT, count(*)::BIGINT,
-       sum((o_totalprice::DECIMAL(18,2) + 1.50))::DECIMAL(38,2)
+       (sum((o_totalprice::DECIMAL(18,2) + 1.50)) * 100)::BIGINT
 FROM orders WHERE o_orderkey % 3 <> 0
 ORDER BY version
 """
@@ -2366,9 +2378,11 @@ def pit_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("sum_value"),
+            # integer cents: exact BIGINT on both Spark and oracle sides
+            # (Decimal-vs-float64 breaks the driver's hash)
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("sum_value_cents"),
         )
         .orderBy("tier")
     )
@@ -2378,7 +2392,7 @@ PIT_JOIN_EVENTS_SQL = """
 SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'bronze'
             WHEN user_id % 3 = 0 THEN 'gold' ELSE 'silver' END AS tier,
        count(*)::BIGINT AS n_events,
-       sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS sum_value
+       (sum(value::DECIMAL(18,2)) * 100)::BIGINT AS sum_value_cents
 FROM events GROUP BY 1 ORDER BY tier
 """
 

@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -35,6 +36,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class for driver-strict comparison.
+
+    The driver hashes exact values: a Spark DECIMAL column crosses pandas
+    as Decimal *objects* while DuckDB's bridge emits float64 — values can
+    be numerically identical yet hash differently. Locally tolerating that
+    (round 4's three dtype-parity fails) is how the class ships, so flag
+    the dtype-class mismatch itself.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if s.dtype == object:
+        nonnull = s.dropna()
+        if len(nonnull) and all(
+            isinstance(v, decimal.Decimal) for v in nonnull.head(50)
+        ):
+            return "decimal"
+        return "object"
+    return str(s.dtype)
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -42,6 +68,27 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return errs
     if len(sdf) != len(odf):
         errs.append(f"rows: spark={len(sdf)} oracle={len(odf)}")
+        return errs
+    # driver-strict dtype-class gate (see _dtype_class)
+    numeric = {"float", "int", "decimal", "bool"}
+    for c in sdf.columns:
+        sc, oc = _dtype_class(sdf[c]), _dtype_class(odf[c])
+        if sc == oc:
+            continue
+        if "decimal" in (sc, oc) and {sc, oc} & (numeric - {"decimal"}):
+            errs.append(
+                f"col {c}: dtype-class mismatch spark={sc} oracle={oc} "
+                "(Decimal objects hash differently than float/int on the "
+                "driver even when values match — cast to integer units "
+                "on BOTH sides)"
+            )
+        elif {sc, oc} <= numeric:
+            print(
+                f"    warn {name}: col {c} dtype-class spark={sc} "
+                f"oracle={oc} (values compared numerically; driver may "
+                "hash these differently)"
+            )
+    if errs:
         return errs
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
