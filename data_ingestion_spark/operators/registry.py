@@ -1588,7 +1588,22 @@ def zipf_slope_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic or template-heavy corpora flatten) — the heavy-tail
     diagnostic of corpus analysis, as ONE regression aggregate over the
     ranked vocabulary. Rank ties break by token text so both engines rank
-    identically."""
+    identically.
+
+    SCALE: rank = (#tokens with higher freq) + (#equal-freq tokens sorting
+    earlier) + 1, assembled WITHOUT any unpartitioned window — a global
+    row_number over the vocabulary is a single-partition sort at the
+    10^8–10^9 token types of a web corpus. Distributed prefix-sum instead:
+    (a) higher-freq counts come from the tiny freq histogram, log2-bucketed
+        (≤64 buckets; bucket totals are collected driver metadata, the
+        within-bucket cumsum is a window PARTITIONED by bucket);
+    (b) the equal-freq tie index is a window partitioned by
+        (freq, 2-char token prefix) — lexicographic prefix order equals
+        token order, so within-prefix row_number plus the per-(freq,
+        prefix) cumulative offset (window partitioned by freq over ≤64k
+        prefix rows) reproduces the global tie-break while bounding every
+        sorted partition (the freq=1 hapax class alone is ~half the
+        vocabulary and would otherwise sort on one core)."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
@@ -1597,13 +1612,52 @@ def zipf_slope_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = freqs.select(
-        F.log(F.col("freq").cast("double")).alias("lf"),
-        F.log(
-            F.row_number()
-            .over(W.orderBy(F.col("freq").desc(), F.col("tok").asc()))
-            .cast("double")
-        ).alias("lr"),
+    # (a) tokens with strictly higher freq, per distinct freq value
+    hist = (
+        freqs.groupBy("freq")
+        .agg(F.count(F.lit(1)).alias("n_toks"))
+        .withColumn("fb", F.floor(F.log2("freq")).cast("int"))
+    )
+    btot = hist.groupBy("fb").agg(F.sum("n_toks").alias("bn")).collect()
+    boff, acc = {}, 0  # ≤64 rows of bounded driver metadata
+    for r in sorted(btot, key=lambda r: -r["fb"]):
+        boff[r["fb"]] = acc
+        acc += r["bn"]
+    boff_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in boff.items()], "fb int, boff long"
+    )
+    wb = W.partitionBy("fb").orderBy(F.col("freq").desc())
+    higher = (
+        hist.join(F.broadcast(boff_df), "fb")
+        .withColumn("cum_b", F.sum("n_toks").over(wb))
+        .select(
+            "freq",
+            (F.col("boff") + F.col("cum_b") - F.col("n_toks")).alias("higher_cnt"),
+        )
+    )
+    # (b) tie index within equal freq, skew-bounded by token prefix
+    toks = freqs.withColumn("pfx", F.substring("tok", 1, 2))
+    wp = W.partitionBy("freq").orderBy(F.col("pfx").asc())
+    poff = (
+        toks.groupBy("freq", "pfx")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .withColumn("poff", F.sum("pn").over(wp) - F.col("pn"))
+        .select("freq", "pfx", "poff")
+    )
+    wt = W.partitionBy("freq", "pfx").orderBy(F.col("tok").asc())
+    ranked = (
+        toks.join(poff, ["freq", "pfx"])
+        .join(higher, "freq")
+        .select(
+            F.log(F.col("freq").cast("double")).alias("lf"),
+            F.log(
+                (
+                    F.col("higher_cnt")
+                    + F.col("poff")
+                    + F.row_number().over(wt)
+                ).cast("double")
+            ).alias("lr"),
+        )
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("vocab_size"),
