@@ -300,16 +300,35 @@ def main() -> None:
         if prev_canary and prev_canary > 0
         else None
     )
+    # Second normalizer (round 6): the MEDIAN now/prev ratio over shared
+    # queries. The canary alone under-measures content drift (the driver
+    # regenerates document text every round, which moves text-heavy
+    # queries the canary never sees — round 4 recorded 101 false-positive
+    # "regressions" from exactly this). With most code unchanged between
+    # rounds, the median shared ratio IS the ambient+content drift; a real
+    # plan regression is a per-query outlier above it. The gate divides by
+    # the LARGER of the two normalizers — conservative against false
+    # positives, while a genuine regression still clears 1.2x of its own
+    # round's median.
+    shared = [
+        t / prev_queries[name]
+        for name, t in timings.items()
+        if name in prev_queries and prev_queries[name] > 0.1
+    ]
+    median_ratio = (
+        round(sorted(shared)[len(shared) // 2], 3) if shared else None
+    )
+    norm = max(drift or 1.0, median_ratio or 1.0)
     regressions = {
         name: {
             "prev": prev_queries[name],
             "now": t,
-            "now_drift_adj": round(t / drift, 3) if drift else None,
+            "now_norm_adj": round(t / norm, 3),
         }
         for name, t in timings.items()
         if name in prev_queries
         and prev_queries[name] > 0.1  # sub-100ms timings are pure noise
-        and (t / (drift or 1.0)) > 1.2 * prev_queries[name]
+        and (t / norm) > 1.2 * prev_queries[name]
     }
 
     detail = {
@@ -324,8 +343,13 @@ def main() -> None:
         "heavy_extra_rep_above_sec": heavy_sec,
         "canary_sec": canary_sec,
         "canary_drift_vs_prev": round(drift, 3) if drift else None,
+        "median_shared_ratio_vs_prev": median_ratio,
+        "n_shared_with_prev": len(shared),
+        "norm_used": round(norm, 3),
         "regress_vs": os.path.basename(prev_file) if prev_file else None,
-        "regressions_gt_1.2x_drift_adj": regressions,
+        "regressions_gt_1.2x_norm_adj": regressions,
+        "n_registered": len(registry),
+        "n_registered_not_benched": len(registry) - len(HEADLINE),
         "queries": timings,
         "sf": sf_val,
     }
@@ -348,7 +372,9 @@ def main() -> None:
                 "agg": "min",
                 "canary_sec": canary_sec,
                 "canary_drift_vs_prev": round(drift, 3) if drift else None,
-                "n_regressions_gt_1.2x_drift_adj": len(regressions),
+                "median_shared_ratio_vs_prev": median_ratio,
+                "n_regressions_gt_1.2x_norm_adj": len(regressions),
+                "n_registered": len(registry),
                 "worst5": worst5,
                 "detail_file": "BENCH_DETAIL.json",
                 "sf": sf_val,
