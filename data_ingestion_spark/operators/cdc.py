@@ -39,6 +39,11 @@ def _row_fingerprint(cols: Sequence[str]) -> F.Column:
     parts = [
         F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL")) for c in cols
     ]
+    if not parts:
+        # key-only table: no attributes to compare, so every matched key is
+        # "unchanged" — a constant fingerprint makes the diff emit only
+        # inserts and deletes instead of raising on the empty concat
+        return F.md5(F.lit(""))
     return F.md5(F.concat(*parts) if len(parts) > 1 else parts[0])
 
 
@@ -272,7 +277,11 @@ def merge_upsert(
     if delete_col is not None:
         deletes = updates.filter(F.col(delete_col)).select(*keys).distinct()
         upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
-        n_deleted = tgt.join(deletes, keys, "left_semi").count()
+        # a key both tombstoned AND re-upserted in the same batch survives
+        # (the upsert rows come back after the anti-join) — count it as
+        # updated, not deleted, or rows_after double-subtracts it
+        gone = deletes.join(upserts.select(*keys).distinct(), keys, "left_anti")
+        n_deleted = tgt.join(gone, keys, "left_semi").count()
     else:
         deletes = None
         upserts = updates

@@ -72,10 +72,19 @@ class IngestionStreamLoop:
     # ------------------------------------------------------------------
     def _decode(self, path_url: str) -> FileToProcess:
         """file:/... URL → FileToProcess(bucket, key) — the rebuild's
-        equivalent of the S3-event decode (ecs_service.rs:186-216)."""
+        equivalent of the S3-event decode (ecs_service.rs:186-216). A file
+        sitting DIRECTLY under landing_dir has no bucket segment — the
+        (bucket, key) contract can't name it, so it's an IngestionError
+        (caught per-file in _process_batch → audit row), not a
+        half-decoded FileToProcess with an empty key."""
         local = unquote(urlparse(path_url).path)
         rel = os.path.relpath(local, self.landing_dir)
         parts = rel.split(os.sep)
+        if len(parts) < 2:
+            raise IngestionError(
+                f"file landed outside a bucket directory: {rel!r} "
+                "(expected {landing_dir}/{bucket}/{key...})"
+            )
         bucket, key = parts[0], "/".join(parts[1:])
         return FileToProcess(bucket=bucket, key=key)
 
@@ -90,7 +99,18 @@ class IngestionStreamLoop:
         # exactly-once, not just the discovery.
         done = self.pipeline.log.successful_files()
         for url in sorted(paths):
-            file = self._decode(url)
+            try:
+                file = self._decode(url)
+            except IngestionError as ex:
+                # bucket-less landing: fail THIS path only, audit it, and
+                # keep processing the batch's siblings
+                name = os.path.basename(unquote(urlparse(url).path))
+                self.failures.append((name, str(ex)))
+                log_id = self.pipeline.log.insert_log(name)
+                self.pipeline.log.finalize_log(
+                    log_id, name, _utcnow_naive(), False, str(ex)
+                )
+                continue
             if file.file_name in done:
                 self.skipped.append(file.file_name)
                 continue

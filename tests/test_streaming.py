@@ -62,6 +62,33 @@ def test_ingest_stream_drains_landing_dir(spark, tmp_path, landing):
     assert ("stream-bucket/uploads/a.csv", "Success") in status
 
 
+def test_ingest_stream_bucketless_file_fails_only_itself(spark, tmp_path, landing):
+    """ADVICE regression: a file DIRECTLY under landing_dir has no bucket
+    segment — it must become a per-file Failed audit row, not a
+    half-decoded FileToProcess with an empty key, and its batch siblings
+    still process."""
+    import pathlib
+
+    pathlib.Path(landing, "stray.csv").write_text("x\n1\n")
+    pipe = IngestionPipeline(
+        spark, warehouse_dir=str(tmp_path / "wh"), base_dir=landing
+    )
+    loop = IngestionStreamLoop(pipe, landing, checkpoint_dir=str(tmp_path / "ckpt"))
+    results = loop.run_available()
+
+    assert {r.file_name for r in results} == {
+        "stream-bucket/uploads/a.csv",
+        "stream-bucket/uploads/b.json",
+    }
+    failed = dict(loop.failures)
+    assert "bucket directory" in failed["stray.csv"]
+    status = {
+        (r["file_name"], r["status"])
+        for r in pipe.log.current_status().collect()
+    }
+    assert ("stray.csv", "Failed") in status
+
+
 def test_ingest_stream_checkpoint_skips_seen_files(spark, tmp_path, landing):
     pipe = IngestionPipeline(
         spark, warehouse_dir=str(tmp_path / "wh"), base_dir=landing
