@@ -16,11 +16,14 @@ from .event_time import (
 )
 from .ingest_stream import IngestionStreamLoop, SqsFrontDoorLoop
 from .s3_events import S3_EVENT_SCHEMA, files_to_process, s3_event_files
+from .sqs_source import SqsIngestLoop, make_sqs_client
 from .stream_joins import dedup_events, interval_join
 
 __all__ = [
     "IngestionStreamLoop",
     "SqsFrontDoorLoop",
+    "SqsIngestLoop",
+    "make_sqs_client",
     "S3_EVENT_SCHEMA",
     "files_to_process",
     "s3_event_files",

@@ -62,7 +62,9 @@ S3_EVENT_SCHEMA = T.StructType(
 )
 
 
-def s3_event_files(df: DataFrame, body_col: str = "body") -> DataFrame:
+def s3_event_files(
+    df: DataFrame, body_col: str = "body", keep: tuple = ()
+) -> DataFrame:
     """Decode S3-event JSON bodies to (bucket, key, status) rows.
 
     One output row per Record (``explode_outer`` keeps bodies that decode
@@ -75,16 +77,22 @@ def s3_event_files(df: DataFrame, body_col: str = "body") -> DataFrame:
       (ecs_service.rs:218 ``warn!``)
     - ``invalid_json``          — body from_json could not parse (the
       reference fails the whole message here; as data the caller chooses)
+
+    ``keep`` names extra input columns to carry through unchanged (e.g. the
+    SQS MessageId / ReceiptHandle, so the caller can ack per message).
     """
     # from_json in PERMISSIVE mode yields a struct of nulls (not a null
     # struct) for corrupt input, so invalid JSON is detected separately:
     # get_json_object returns null iff the body fails to parse
+    passthrough = [F.col(c) for c in keep]
     parsed = df.select(
+        *passthrough,
         F.col(body_col).alias("_raw"),
         F.get_json_object(F.col(body_col), "$").isNull().alias("_bad_json"),
         F.from_json(F.col(body_col), S3_EVENT_SCHEMA).alias("_ev"),
     )
     recs = parsed.select(
+        *keep,
         "_raw",
         "_bad_json",
         F.explode_outer("_ev.Records").alias("_r"),
@@ -98,7 +106,7 @@ def s3_event_files(df: DataFrame, body_col: str = "body") -> DataFrame:
         .otherwise(F.lit("ok"))
     )
     return recs.select(
-        bucket.alias("bucket"), key.alias("key"), status.alias("status")
+        *keep, bucket.alias("bucket"), key.alias("key"), status.alias("status")
     )
 
 
