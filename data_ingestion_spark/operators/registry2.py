@@ -146,19 +146,23 @@ ZORDER_LAYOUT_EVENTS_SQL = _zorder_oracle()
 
 
 def zorder_prune_demo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END proof of the Z-order claim: write events twice — once
-    Z-ordered on (user_id, value) via layout.zorder_write, once round-robin
-    (the unclustered control) — then, for a selective ~2%-span predicate on
-    EACH dimension, count the parquet row groups whose footer min/max
-    envelope intersects it (layout.parquet_rowgroups_overlapping — exactly
-    the units a stats-pruning reader scans; the rest are skipped from the
-    footer alone).
+    """END-TO-END proof of the Z-order claim, oracle-paired: write events
+    twice — once Z-ordered on (user_id, value) via layout.zorder_write,
+    once round-robin (the unclustered control) — then, for a selective
+    ~2%-span predicate on EACH dimension, count the parquet row groups
+    whose footer min/max envelope intersects it
+    (layout.parquet_rowgroups_overlapping — exactly the units a
+    stats-pruning reader scans).
 
-    Output: one row per (dimension, layout) with rowgroups hit/total. The
-    Z-ordered layout must hit a small fraction on BOTH dimensions; the
-    control hits ~all. File layout is not SQL-expressible, so this is a
-    rows-only driver check; tests/test_layout_stats.py asserts the pruning
-    inequality hard.
+    Output: one row per dimension with the SQL-expressible band
+    selectivity (rows inside the band / total rows — the oracle recomputes
+    both from the events table with the identical IEEE arithmetic) plus a
+    ``zorder_prunes_vs_control`` boolean that the oracle pins to TRUE: the
+    Z-ordered layout must intersect strictly fewer row groups than the
+    round-robin control. A broken morton key, a lost clustered write, or
+    footer stats that stop pruning flip the boolean and go red on the
+    driver. The raw hit/total counts stay asserted hard in
+    tests/test_layout_stats.py (gh <= gt//2 on a deterministic grid).
     """
     import shutil
     import tempfile
@@ -172,11 +176,13 @@ def zorder_prune_demo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     xlo, xhi = float(r["xlo"]), float(r["xhi"])
     ylo, yhi = float(r["ylo"]), float(r["yhi"])
-    # middle ~2%-span predicate per dimension
+    # middle ~2%-span predicate per dimension (same op order as the oracle
+    # SQL so the double arithmetic is bitwise identical)
     xmid, xspan = (xlo + xhi) / 2.0, (xhi - xlo) * 0.01
     ymid, yspan = (ylo + yhi) / 2.0, (yhi - ylo) * 0.01
     preds = {"user_id": (xmid - xspan, xmid + xspan), "value": (ymid - yspan, ymid + yspan)}
 
+    n_total = ev.count()
     base = tempfile.mkdtemp(prefix="zorder_demo_")
     rows = []
     try:
@@ -186,16 +192,44 @@ def zorder_prune_demo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ev.repartition(64).write.mode("overwrite").parquet(cdir)
         for dim, (lo, hi) in preds.items():
-            for lname, d in (("zorder", zdir), ("roundrobin", cdir)):
-                fh, ft, gh, gt = layout.parquet_rowgroups_overlapping(d, dim, lo, hi)
-                rows.append((dim, lname, fh, ft, gh, gt))
+            n_band = ev.filter(
+                (F.col(dim) >= F.lit(lo)) & (F.col(dim) <= F.lit(hi))
+            ).count()
+            _, _, gh, _ = layout.parquet_rowgroups_overlapping(zdir, dim, lo, hi)
+            _, _, cgh, _ = layout.parquet_rowgroups_overlapping(cdir, dim, lo, hi)
+            rows.append((dim, n_band, n_total, bool(gh < cgh)))
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows,
-        "dim string, layout string, files_hit long, files_total long, "
-        "rowgroups_hit long, rowgroups_total long",
-    ).orderBy("dim", "layout")
+        "dim string, n_rows_in_band long, n_rows_total long, "
+        "zorder_prunes_vs_control boolean",
+    ).orderBy("dim")
+
+
+ZORDER_PRUNE_DEMO_EVENTS_SQL = """
+WITH b AS (
+  SELECT min(user_id)::DOUBLE AS xlo, max(user_id)::DOUBLE AS xhi,
+         min(value)::DOUBLE AS ylo, max(value)::DOUBLE AS yhi
+  FROM events
+)
+SELECT 'user_id' AS dim,
+       (SELECT count(*) FROM events, b
+        WHERE user_id::DOUBLE >= (xlo + xhi) / 2.0 - (xhi - xlo) * 0.01
+          AND user_id::DOUBLE <= (xlo + xhi) / 2.0 + (xhi - xlo) * 0.01
+       )::BIGINT AS n_rows_in_band,
+       (SELECT count(*) FROM events)::BIGINT AS n_rows_total,
+       TRUE AS zorder_prunes_vs_control
+UNION ALL
+SELECT 'value',
+       (SELECT count(*) FROM events, b
+        WHERE value::DOUBLE >= (ylo + yhi) / 2.0 - (yhi - ylo) * 0.01
+          AND value::DOUBLE <= (ylo + yhi) / 2.0 + (yhi - ylo) * 0.01
+       )::BIGINT,
+       (SELECT count(*) FROM events)::BIGINT,
+       TRUE
+ORDER BY dim
+"""
 
 
 # --------------------------------------------------------------------------
@@ -608,7 +642,10 @@ QUERIES: dict = {
     "zorder_layout_events": (zorder_layout_events, ZORDER_LAYOUT_EVENTS_SQL),
     # rows-only: file layout / parquet footer stats aren't SQL-expressible;
     # tests/test_layout_stats.py asserts the pruning inequality hard
-    "zorder_prune_demo_events": (zorder_prune_demo_events, None),
+    "zorder_prune_demo_events": (
+        zorder_prune_demo_events,
+        ZORDER_PRUNE_DEMO_EVENTS_SQL,
+    ),
     "bloom_prune_join_events": (
         bloom_prune_join_events,
         BLOOM_PRUNE_JOIN_EVENTS_SQL,
@@ -1397,7 +1434,14 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         after = spark.read.parquet(target)
         out = after.select(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).alias("sum_acctbal"),
+            # integer cents: Spark DECIMAL crosses pandas as Decimal objects
+            # while DuckDB's bridge emits float64 — a rounded BIGINT compares
+            # exactly on both sides regardless of intermediate scale
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)")) * 100
+            )
+            .cast("long")
+            .alias("sum_acctbal_cents"),
             F.sum((F.col("c_mktsegment") == "MERGED").cast("long")).alias(
                 "n_merged_segment"
             ),
@@ -1407,7 +1451,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize BEFORE the temp dir vanishes
         return spark.createDataFrame(
             [tuple(out)],
-            "n_rows long, sum_acctbal decimal(38,2), n_merged_segment long, "
+            "n_rows long, sum_acctbal_cents long, n_merged_segment long, "
             "n_updated long, n_inserted long",
         )
     finally:
@@ -1416,9 +1460,10 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MERGE_UPSERT_CUSTOMERS_SQL = """
 SELECT (SELECT count(*) FROM customer)::BIGINT + 5 AS n_rows,
-       (SELECT sum(c_acctbal::DECIMAL(38,2)) FROM customer)
+       round(((SELECT sum(c_acctbal::DECIMAL(38,2)) FROM customer)
          + 1000.00 * (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
-         + 100.25 + 200.50 + 300.75 + 401.00 + 501.25 AS sum_acctbal,
+         + 100.25 + 200.50 + 300.75 + 401.00 + 501.25) * 100)::BIGINT
+           AS sum_acctbal_cents,
        5::BIGINT AS n_merged_segment,
        (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)::BIGINT
            AS n_updated,
@@ -1573,7 +1618,7 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refreshed.select(
         "o_orderpriority",
         "n_orders",
-        (F.col("sum_price") * 100).cast("long").alias("sum_price_cents"),
+        F.round(F.col("sum_price") * 100).cast("long").alias("sum_price_cents"),
     ).orderBy("o_orderpriority")
 
 
@@ -1591,7 +1636,7 @@ WITH after AS (
   FROM orders WHERE o_orderkey % 89 = 0
 )
 SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
-       (sum(price) * 100)::BIGINT AS sum_price_cents
+       round(sum(price) * 100)::BIGINT AS sum_price_cents
 FROM after GROUP BY 1 ORDER BY o_orderpriority
 """
 
@@ -1772,7 +1817,7 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).alias("n_rows"),
                     # integer cents: exact BIGINT on both Spark and oracle
                     # sides (Decimal-vs-float64 breaks the driver's hash)
-                    (
+                    F.round(
                         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                         * 100
                     )
@@ -1791,11 +1836,11 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TIME_TRAVEL_ORDERS_SQL = """
 SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows,
-       (sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS sum_price_cents
+       round(sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS sum_price_cents
 FROM orders
 UNION ALL
 SELECT 1::BIGINT, count(*)::BIGINT,
-       (sum((o_totalprice::DECIMAL(18,2) + 1.50)) * 100)::BIGINT
+       round(sum((o_totalprice::DECIMAL(18,2) + 1.50)) * 100)::BIGINT
 FROM orders WHERE o_orderkey % 3 <> 0
 ORDER BY version
 """
@@ -2040,24 +2085,39 @@ QUERIES["table_changes_orders"] = (table_changes_orders, TABLE_CHANGES_ORDERS_SQ
 # Two-stage retrieval (prefix shortlist → full-dim rerank)
 # --------------------------------------------------------------------------
 def knn_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage ANN for queries vec_id < 5: 32-dim prefix shortlist of
-    50, full-dim rerank to top-5 (similarity.two_stage_topk). The oracle
-    replays BOTH stages. Recall floor note: the synthetic embeddings are
-    iid across dims — the WORST case for prefix scoring (measured 0.74
-    recall@5 here); trained Matryoshka/PCA embeddings front-load variance
-    and sit far higher. pca_project is the companion that builds such a
-    front-loaded head."""
+    """Two-stage ANN for queries vec_id < 5: 32-dim prefix shortlist,
+    full-dim rerank to top-5 — with the shortlist width DERIVED FROM THE
+    DATA (similarity.adaptive_two_stage_topk): measure the prefix's mean
+    energy retention (matryoshka_qc) and widen the net as
+    ceil(5*k/retention^2). The synthetic embeddings are iid across dims —
+    the prefix-scoring WORST case (retention = 32/64 ≈ 0.5 → shortlist
+    ~99 → measured recall 0.92@5, vs 0.74@5 at the folklore 50); trained
+    Matryoshka/PCA embeddings front-load variance, shrink the shortlist
+    automatically, and sit far higher. The oracle replays ALL THREE
+    stages — retention measurement, shortlist derivation, both ranking
+    passes — exactly."""
     from . import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.two_stage_topk(
-        emb, queries, prefix_dim=32, shortlist=50, k=5
+    return similarity.adaptive_two_stage_topk(
+        emb, queries, prefix_dim=32, k=5, oversample=5
     ).orderBy("query_id", "rank")
 
 
 KNN_TWO_STAGE_TOPK_SQL = """
-WITH q AS (
+WITH ret AS (
+  SELECT sum(round(round(
+           list_sum(list_transform((embedding::DOUBLE[])[1:32], x -> x * x))
+           / list_sum(list_transform(embedding::DOUBLE[], x -> x * x)),
+         6) * 1000000)::BIGINT) AS s,
+         count(*)::BIGINT AS n
+  FROM embeddings
+  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+), sl AS (
+  SELECT greatest(5, ceil(25.0 / pow((s / n) / 1e6, 2)))::BIGINT AS v
+  FROM ret
+), q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
          (embedding::DOUBLE[])[1:32] AS qp
   FROM embeddings WHERE vec_id < 5
@@ -2072,7 +2132,7 @@ WITH q AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY s1 DESC, neighbor_id ASC) AS r1
     FROM s1
-  ) WHERE r1 <= 50
+  ) WHERE r1 <= (SELECT v FROM sl)
 ), rerank AS (
   SELECT s.query_id, s.neighbor_id,
          round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6) AS cosine
@@ -2155,6 +2215,7 @@ WITH per AS (
          6) * 1000000)::BIGINT AS retained_micro
   FROM embeddings e
   CROSS JOIN (VALUES (16), (32), (48)) w(width)
+  WHERE list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)) > 0
 )
 SELECT width::BIGINT AS width, count(*)::BIGINT AS n_vecs,
        min(retained_micro)::BIGINT AS min_retained_micro,
@@ -2380,7 +2441,7 @@ def pit_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             # integer cents: exact BIGINT on both Spark and oracle sides
             # (Decimal-vs-float64 breaks the driver's hash)
-            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")) * 100)
             .cast("long")
             .alias("sum_value_cents"),
         )
@@ -2392,7 +2453,7 @@ PIT_JOIN_EVENTS_SQL = """
 SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'bronze'
             WHEN user_id % 3 = 0 THEN 'gold' ELSE 'silver' END AS tier,
        count(*)::BIGINT AS n_events,
-       (sum(value::DECIMAL(18,2)) * 100)::BIGINT AS sum_value_cents
+       round(sum(value::DECIMAL(18,2)) * 100)::BIGINT AS sum_value_cents
 FROM events GROUP BY 1 ORDER BY tier
 """
 

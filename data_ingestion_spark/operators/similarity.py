@@ -746,6 +746,54 @@ def two_stage_topk(
     )
 
 
+def adaptive_two_stage_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int = 16,
+    k: int = 5,
+    oversample: int = 5,
+) -> DataFrame:
+    """``two_stage_topk`` with the shortlist width derived FROM THE DATA
+    instead of folklore: measure the prefix's mean energy retention
+    (``matryoshka_qc`` at ``prefix_dim``) and set
+
+        shortlist = max(k, ceil(oversample * k / retention**2))
+
+    Rationale: the prefix score is a noisy estimate of the full cosine
+    whose information content scales with the retained energy fraction —
+    a fully front-loaded head (retention → 1, trained Matryoshka/PCA
+    embeddings) needs only ``oversample*k``; an iid worst case
+    (retention = prefix_dim/dim) quadratically widens the net. Measured
+    on the iid sf0.001 fixture (retention 0.504 at 32/64): shortlist 99
+    → recall 0.92@5, vs 0.74@5 at the folklore 50
+    (tests/test_operators.py::test_adaptive_two_stage_topk_recall).
+
+    Cost: ONE extra narrow aggregate over the corpus (no shuffle beyond a
+    1-row agg — at 100 TB, run it on a sample or reuse the stored QC row);
+    the rerank still touches only n_queries × shortlist rows. Both the
+    retention (integer micro-units) and the derived shortlist are
+    deterministic, so a SQL oracle replays the whole adaptive pipeline.
+    """
+    import math
+
+    qc = matryoshka_qc(corpus, id_col, vec_col, widths=(int(prefix_dim),)).first()
+    # same arithmetic shape as the oracle: (BIGINT sum / BIGINT n) / 1e6
+    retention = (qc["sum_retained_micro"] / qc["n_vecs"]) / 1e6
+    retention = max(retention, 1e-6)  # zero-energy-corpus guard
+    shortlist = max(int(k), int(math.ceil(oversample * k / retention**2)))
+    return two_stage_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        prefix_dim=prefix_dim,
+        shortlist=shortlist,
+        k=k,
+    )
+
+
 def matryoshka_qc(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -763,10 +811,16 @@ def matryoshka_qc(
     integer-summed (order-free, the repo micro-unit rule); min is
     order-free by nature. Zero shuffles per width (narrow projections),
     one tiny (≤len(widths) keys) final agg.
+
+    Zero-energy vectors (all-zero embeddings — upstream junk) have no
+    defined retention (0/0): they are EXCLUDED from the QC, not smuggled
+    in as NULLs that count in n_vecs but vanish from sum/min and skew the
+    mean — the same junk ⇒ drop rule as the multimodal codecs.
     """
     energy = lambda col: F.aggregate(  # noqa: E731
         col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
     )
+    nonzero = df.filter(energy(F.col(vec_col)) > 0)
     parts = []
     for w in widths:
         frac = F.round(
@@ -774,7 +828,7 @@ def matryoshka_qc(
             6,
         )
         parts.append(
-            df.select(
+            nonzero.select(
                 F.lit(int(w)).cast("long").alias("width"),
                 F.round(frac * 1000000).cast("long").alias("retained_micro"),
             )

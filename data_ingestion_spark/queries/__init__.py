@@ -16,55 +16,28 @@ verified by tools/check_oracle.py regardless of position.
 
 from __future__ import annotations
 
-#: First-50 curation for the driver's correctness window. Round-4 state:
-#: after r1–r3, every registered query EXCEPT bpe_encode_docs (registered
-#: post-window in r3) has ≥1 driver-green row. Round-4 slots therefore go
-#: to (a) the ingest core (always windowed), (b) bpe_encode_docs — top of
-#: the list, per the round-3 verdict, (c) queries whose implementation
-#: changed this round (BPE fixpoint rework, bm25 guard), (d) queries new
-#: this round, (e) rotation of the longest-unverified r1/r2 queries.
-#: Everything stays registered and locally verified by
+#: First-50 curation for the driver's correctness window. Round-6 rotation:
+#: after r1–r5, 169/170 queries have ≥1 driver-green row, but 81 were last
+#: driver-checked in rounds 1–2 against since-regenerated testdata (the r5
+#: window was byte-identical to r4's). Round-6 slots therefore go to
+#: (a) the ingest core (SURVEY §2.1–§2.3, always windowed),
+#: (b) queries whose implementation changed THIS round (merge_upsert's
+#:     integer-cents rename, zorder's new oracle-paired selectivity output,
+#:     zipf's de-globalized rank, two-stage retrieval's adaptive shortlist,
+#:     matryoshka's zero-energy guard),
+#: (c) 35 of the 81 oldest (r1/r2-only) queries — the full TPC-H battery
+#:     head, the dedup/knn families, and the temporal joins.
+#: The remaining 46 r1/r2-era queries are queued first for the round-7
+#: window. Everything stays registered and locally verified by
 #: tools/check_oracle.py regardless of position.
 _PRIORITY = [
-    # (b) the one query with no driver row ever + (c) changed this round
-    "bpe_encode_docs",
-    "bm25_topk_docs",
-    # (d) new in round 4
-    "ingest_pdf_docs",
-    "zorder_prune_demo_events",
-    "lm_perplexity_docs",
-    "bpe_train_merges_corpus",
-    "dedup_image_phash_docs",
-    "dedup_audio_fingerprint_docs",
-    "pca_top_component_embeddings",
-    "pca_project_embeddings",
-    "pca_top2_components_embeddings",
+    # (b) changed this round — must re-earn a driver-green row
     "merge_upsert_customers",
-    "stratified_split_docs",
-    "nfc_normalize_docs",
-    "incremental_agg_orders",
-    "compact_small_files_docs",
-    "shard_balance_docs",
-    "heavy_hitters_docs",
-    "ingest_html_docs",
-    "time_travel_orders",
-    "char_entropy_docs",
-    "dedup_incremental_docs",
-    "vocab_coverage_docs",
-    "corpus_build_pipeline_docs",
-    "table_changes_orders",
+    "zorder_prune_demo_events",
+    "zipf_slope_corpus",
     "knn_two_stage_topk",
-    "join_cardinality_orders_customer",
     "matryoshka_qc_embeddings",
-    "backfill_partitions_events",
-    "triangle_count_suppliers",
-    "event_transitions_events",
-    "pit_join_events",
-    "temperature_sample_docs",
-    "winsorize_events",
-    "histogram_lineitem",
-    # (a) ingestion-parser surface (SURVEY.md §2.1-§2.3 — the reference's
-    # core; always windowed)
+    # (a) ingestion-parser surface (the reference's core; always windowed)
     "ingest_csv_docs",
     "ingest_json_docs",
     "ingest_txt_docs",
@@ -75,44 +48,94 @@ _PRIORITY = [
     "ingest_orc_docs",
     "ingest_avro_docs",
     "s3_event_decode_docs",
-    # (e) rotation: driver-green only in r1/r2 windows — re-verify the
-    # longest-unseen relational/TPC-H/LLM shapes under the current data
-    "agg_pricing_summary",
-    "scan_filter_project",
-    "join_revenue_by_segment",
-    "join_multi_region",
-    "anti_join_inactive_customers",
-    "window_topk_orders",
-    "sort_limit_top_orders",
-    "rollup_order_priority",
-    "json_extract_events",
-    "time_window_events",
-    "session_window_events",
-    "scalar_functions_part",
+    # (c) rotation: last driver-green in r1/r2 — TPC-H battery head
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_exists_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_volume",
+    "tpch_q22_idle_wealthy",
+    # (c) rotation: dedup / similarity families
     "dedup_exact_docs",
     "dedup_minhash_docs",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_pairs_docs",
+    "dedup_clusters_docs",
     "knn_cosine_topk",
     "knn_ivf_topk",
-    "multimodal_metadata_docs",
-    "text_quality_docs",
-    "lang_id_docs",
-    "token_count_docs",
-    "fingerprint_docs",
-    "tfidf_docs",
+    "kmeans_centroids_embeddings",
+    # (c) rotation: temporal / window / agg shapes
+    "gapfill_events_locf",
+    "asof_join_events_orders",
+    "range_join_event_pairs",
+    "session_window_events",
+    "time_window_events",
+    "window_topk_orders",
+    "window_running_revenue",
     "percentile_lineitem",
     "percentile_approx_lineitem",
     "multi_distinct_events",
-    "asof_join_events_orders",
-    "range_join_event_pairs",
     "skew_salted_agg_events",
-    "winnow_fingerprint_docs",
+    # ---- driver window cutoff (first 50 above) ----
+    # Round-7 window queue: the remaining 46 r1/r2-era queries, oldest
+    # first. Listing them here keeps next round's rotation a reorder, not
+    # a rewrite; they are all locally gated every round regardless.
+    "array_hof_embeddings",
+    "cap_per_source_docs",
     "chunk_docs",
-    "pii_scrub_docs",
+    "cube_order_status_priority",
+    "date_functions_orders",
     "decontaminate_docs",
-    "repetition_stats_docs",
-    "quality_filter_docs",
+    "dup_ngram_fraction_docs",
+    "embedding_centroids_by_label",
+    "except_wealthy_nations",
+    "fingerprint_docs",
+    "full_outer_join_nation_balance",
+    "grouping_sets_orders",
+    "ingest_metrics_by_source",
+    "json_extract_events",
+    "lag_lead_user_events",
+    "lang_id_docs",
+    "multimodal_metadata_docs",
+    "ndv_hll_events",
     "ngram_topk_corpus",
+    "normalize_text_docs",
+    "ntile_customer_quartiles",
+    "pack_sequences_docs",
+    "pii_scrub_docs",
+    "pivot_priority_by_status",
+    "quality_filter_docs",
+    "quantize_embeddings",
+    "rank_dist_orders",
+    "regexp_extract_docs",
+    "repetition_stats_docs",
+    "rollup_order_priority",
     "sample_docs_hash",
+    "scalar_functions_part",
+    "semi_join_active_customers",
+    "setop_customer_supplier_nations",
+    "sort_limit_top_orders",
+    "split_docs_hash",
+    "sql_correlated_subquery",
+    "stats_moments_lineitem",
+    "string_agg_segment",
+    "text_quality_docs",
+    "tfidf_docs",
+    "token_count_docs",
+    "unpivot_part_measures",
+    "window_range_frame_events",
+    "winnow_fingerprint_docs",
+    "word_count_docs",
 ]
 
 

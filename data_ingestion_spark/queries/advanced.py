@@ -208,7 +208,7 @@ def array_hof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(sqrt(aggregate(embedding, cast(0 as double), "
             "(a, x) -> a + cast(x as double) * cast(x as double))), 4)"
         ).alias("l2_norm"),
-        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias("n_pos"),
         F.expr(
             "round(array_max(transform(embedding, x -> abs(cast(x as double)))), 4)"
         ).alias("max_abs"),
@@ -281,7 +281,7 @@ def rank_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
             F.round(F.cume_dist().over(w), 6).alias("cdist"),
-            F.dense_rank().over(w).alias("drank"),
+            F.dense_rank().over(w).cast("long").alias("drank"),
         )
         .orderBy("o_orderkey")
     )

@@ -1095,14 +1095,14 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.quarter("o_orderdate").alias("qtr"),
-        F.month("o_orderdate").alias("mon"),
-        F.dayofmonth("o_orderdate").alias("dom"),
-        F.dayofweek("o_orderdate").alias("dow"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
-            "days_to_2002"
-        ),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         F.last_day("o_orderdate").cast("string").alias("month_end"),
     ).orderBy("o_orderkey")

@@ -115,7 +115,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         df.groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "supp_nation",
+            "cust_nation",
+            # bigint parity with DuckDB's year() (driver hashes exact dtypes)
+            F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(F.expr(f"cast(sum({_REV_DEC}) as double)").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -374,7 +377,7 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select(
             "c_custkey",
             "c_mktsegment",
-            F.ntile(4).over(w).alias("quartile"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
             F.first_value("c_name").over(w).alias("segment_top"),
         )
         .orderBy("c_custkey")

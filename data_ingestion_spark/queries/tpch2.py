@@ -170,7 +170,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("sn_nkey"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             F.expr(_REV_DEC).alias("volume"),
             F.col("supp_nation"),
         )
@@ -235,7 +235,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
-            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(F.expr(f"cast(sum({_REV_DEC}) as double)").alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())

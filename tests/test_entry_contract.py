@@ -1,7 +1,6 @@
 """The driver-contract smoke: entry() runs and returns rows with a stable
 schema; queries()/oracle_sql() stay consistent (every oracle key exists,
-every priority name resolves, the one intentionally-oracle-less query is
-exactly zorder_prune_demo_events)."""
+every priority name resolves, every query is oracle-paired)."""
 
 from __future__ import annotations
 
@@ -19,12 +18,15 @@ def test_registry_consistency():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert set(q) - set(o) == {"zorder_prune_demo_events"}
+    # round 6: zorder_prune_demo_events gained an oracle — the registry has
+    # zero rows-only queries left
+    assert set(q) == set(o)
     assert len(q) >= 170
-    # driver verifies the first 50 in insertion order: every never-yet-
-    # driver-verified (round-4-new) query must sit inside that window
+    # driver verifies the first 50 in insertion order: every query whose
+    # implementation changed in round 6 must sit inside that window
     names = list(q)
     window = set(names[:50])
-    for must in ("bpe_encode_docs", "histogram_lineitem", "winsorize_events",
-                 "temperature_sample_docs", "corpus_build_pipeline_docs"):
+    for must in ("merge_upsert_customers", "zorder_prune_demo_events",
+                 "zipf_slope_corpus", "knn_two_stage_topk",
+                 "matryoshka_qc_embeddings"):
         assert must in window, must

@@ -729,6 +729,58 @@ def test_snapshot_diff_planted(spark):
     assert out[4]["change_type"] == "insert" and out[4]["seg"] == "d"
 
 
+def test_snapshot_diff_key_only_table(spark):
+    """ADVICE regression: a table whose every column is a key has no
+    compare cols — the diff must emit inserts/deletes (never updates),
+    not raise on an empty fingerprint concat."""
+    from data_ingestion_spark.operators import cdc
+
+    old = spark.createDataFrame([(1,), (2,), (3,)], "k: long")
+    new = spark.createDataFrame([(2,), (3,), (4,)], "k: long")
+    out = {r["k"]: r["change_type"] for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "delete", 4: "insert"}
+
+
+def test_merge_upsert_delete_and_reupsert_same_key(spark, tmp_path):
+    """ADVICE regression: a key tombstoned AND re-upserted in one batch
+    survives via the upsert — rows_after must not double-subtract it."""
+    from data_ingestion_spark.operators import cdc
+
+    tgt = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k: long, v: string"
+    ).write.parquet(tgt)
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", False),  # plain update
+            (3, None, True),   # plain delete
+            (1, "a2", True),   # delete AND ...
+            (1, "a9", False),  # ... re-upsert of the same key
+            (9, "z", False),   # insert
+        ],
+        "k: long, v: string, is_delete: boolean",
+    )
+    stats = cdc.merge_upsert(spark, tgt, updates, ["k"], delete_col="is_delete")
+    after = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert after == {1: "a9", 2: "b2", 9: "z"}
+    assert stats["n_deleted"] == 1          # only key 3 actually disappears
+    assert stats["n_updated"] == 2          # keys 1 and 2
+    assert stats["n_inserted"] == 1         # key 9
+    assert stats["rows_after"] == len(after) == 3
+
+
+def test_matryoshka_qc_excludes_zero_energy_vectors(spark):
+    """ADVICE regression: an all-zero embedding has no defined retention —
+    it must be dropped, not counted in n_vecs while vanishing from
+    sum/min (which skewed the mean)."""
+    rows = [(i, [float(i + 1)] * 4) for i in range(3)] + [(99, [0.0] * 4)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {r["width"]: r for r in similarity.matryoshka_qc(df, widths=(2,)).collect()}
+    assert out[2]["n_vecs"] == 3  # the zero vector is excluded
+    assert out[2]["min_retained_micro"] == 500000  # 2/4 of equal-component energy
+    assert out[2]["sum_retained_micro"] == 1500000
+
+
 def test_incremental_agg_refresh_planted(spark):
     """MV delta maintenance: dropped group, new group, update-as-pair,
     and the invalid-change_type guard."""
@@ -989,6 +1041,30 @@ def test_two_stage_topk_recall_vs_exact(spark):
         ).collect()
     }
     assert full_width == exact  # 64-dim prefix ≡ exact (shortlist ⊇ top-5)
+
+
+def test_adaptive_two_stage_topk_recall(spark):
+    """The retention-derived shortlist (adaptive_two_stage_topk) lifts the
+    iid-worst-case fixture from 0.74@5 (folklore shortlist=50) to ≥0.9@5
+    — the measured energy retention (0.504 at 32/64) quadratically widens
+    the net to ~99, while a fully front-loaded head would keep it at
+    oversample*k."""
+    from data_ingestion_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    adaptive = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.adaptive_two_stage_topk(
+            emb, queries, prefix_dim=32, k=5, oversample=5
+        ).collect()
+    }
+    recall = len(exact & adaptive) / len(exact)
+    assert recall >= 0.9, f"adaptive two-stage recall too low: {recall}"
 
 
 def test_triangle_count_planted(spark):

@@ -53,10 +53,14 @@ def _dtype_class(s: pd.Series) -> str:
         return "int"
     if s.dtype == object:
         nonnull = s.dropna()
-        if len(nonnull) and all(
-            isinstance(v, decimal.Decimal) for v in nonnull.head(50)
-        ):
-            return "decimal"
+        if len(nonnull):
+            kinds = {
+                "decimal" if isinstance(v, decimal.Decimal) else "object"
+                for v in nonnull
+            }
+            if len(kinds) > 1:
+                return "mixed"
+            return kinds.pop()
         return "object"
     return str(s.dtype)
 
@@ -69,27 +73,24 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         errs.append(f"rows: spark={len(sdf)} oracle={len(odf)}")
         return errs
-    # driver-strict dtype-class gate (see _dtype_class)
-    numeric = {"float", "int", "decimal", "bool"}
+    # driver-strict dtype-class gate (see _dtype_class): ANY cross-class
+    # numeric mismatch (decimal/float/int/bool/mixed) is an error — the
+    # driver hashes exact values, so int64 vs float64 parity would pass a
+    # lenient local gate and still fail on the driver. Dtype errors are
+    # collected but the value comparison below still runs, so one run
+    # reports both classes of failure.
+    numeric = {"float", "int", "decimal", "bool", "mixed"}
     for c in sdf.columns:
         sc, oc = _dtype_class(sdf[c]), _dtype_class(odf[c])
         if sc == oc:
             continue
-        if "decimal" in (sc, oc) and {sc, oc} & (numeric - {"decimal"}):
+        if {sc, oc} <= numeric:
             errs.append(
                 f"col {c}: dtype-class mismatch spark={sc} oracle={oc} "
-                "(Decimal objects hash differently than float/int on the "
-                "driver even when values match — cast to integer units "
-                "on BOTH sides)"
+                "(the driver hashes exact values — numerically equal "
+                "columns of different classes hash differently; align "
+                "the type on BOTH sides, e.g. integer units)"
             )
-        elif {sc, oc} <= numeric:
-            print(
-                f"    warn {name}: col {c} dtype-class spark={sc} "
-                f"oracle={oc} (values compared numerically; driver may "
-                "hash these differently)"
-            )
-    if errs:
-        return errs
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
         sv, ov = s[c], o[c]
