@@ -174,7 +174,13 @@ class SqsIngestLoop:
         ``max_polls=None`` with a real long-polling client — an empty
         receive after ``wait_time_seconds`` of long-poll is the reference
         loop's own idle state (ecs_service.rs:170: sleep and re-poll), so
-        callers wanting run-forever wrap this in their service loop."""
+        callers wanting run-forever wrap this in their service loop.
+
+        Drain termination leans on SQS visibility semantics: a received-
+        but-not-deleted (failed) message is invisible until its visibility
+        timeout lapses, so it cannot echo back within the same drain and
+        spin this loop — it redelivers on a LATER drain (tests model this
+        with FakeSqsClient.expire_visibility)."""
         polls = 0
         while max_polls is None or polls < max_polls:
             polls += 1

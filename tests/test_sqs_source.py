@@ -23,26 +23,41 @@ from data_ingestion_spark.streaming import SqsIngestLoop
 
 
 class FakeSqsClient:
-    """boto3.client('sqs') surface: visible-message queue with receipt
-    handles; undeleted messages are redelivered on the next receive."""
+    """boto3.client('sqs') surface with real SQS visibility semantics:
+    a received message becomes INVISIBLE to further receives until its
+    visibility timeout expires (``expire_visibility()`` here) — which is
+    exactly why the loop's drain mode terminates: undeleted messages
+    don't echo back in the same drain, they reappear on the next one."""
 
     def __init__(self, bodies):
         self.messages = [
             {"MessageId": f"m{i}", "Body": b, "ReceiptHandle": f"rh{i}"}
             for i, b in enumerate(bodies)
         ]
+        self.inflight: set[str] = set()
         self.receive_calls = 0
         self.deleted_handles = []
 
     def receive_message(self, QueueUrl, MaxNumberOfMessages, WaitTimeSeconds):
         self.receive_calls += 1
-        return {"Messages": list(self.messages[:MaxNumberOfMessages])}
+        visible = [
+            m for m in self.messages if m["ReceiptHandle"] not in self.inflight
+        ]
+        batch = visible[:MaxNumberOfMessages]
+        self.inflight.update(m["ReceiptHandle"] for m in batch)
+        return {"Messages": batch}
 
     def delete_message(self, QueueUrl, ReceiptHandle):
         self.deleted_handles.append(ReceiptHandle)
         self.messages = [
             m for m in self.messages if m["ReceiptHandle"] != ReceiptHandle
         ]
+        self.inflight.discard(ReceiptHandle)
+
+    def expire_visibility(self):
+        """Simulate the visibility timeout lapsing: retained messages
+        become receivable again (SQS redelivery)."""
+        self.inflight.clear()
 
 
 def s3_event(*files):
@@ -127,12 +142,14 @@ def test_redelivery_retry_is_idempotent(spark, tmp_path, landing):
     assert len(client.messages) == 1  # retained
     assert pipe.sink.read_table("csv_data").count() == 2
 
-    # the broken file lands; SQS redelivers the retained message
+    # the broken file lands; the visibility timeout lapses and SQS
+    # redelivers the retained message
     import pathlib
 
     (pathlib.Path(landing) / "qbucket" / "uploads" / "missing.csv").write_text(
         "x\n1\n"
     )
+    client.expire_visibility()
     loop.run(max_polls=1)
     assert client.messages == []  # acked on the clean retry
     # replay guard: a.csv was skipped, not re-ingested (still 2 rows)
@@ -169,6 +186,69 @@ def test_poison_messages_audited_and_acked(spark, tmp_path, landing):
         "s3-event: missing_bucket_or_key",
         "s3-event: no_records",
     ]
+
+
+def test_randomized_mixed_queue_invariants(spark, tmp_path, landing):
+    """Seeded-random sweep of the delivery contract: 7 messages mixing
+    good files, missing files, and poison bodies, drained across repeated
+    polls with the missing files landing between rounds. Invariants:
+
+    - a message is retained exactly while it references a not-yet-landed
+      file, and every message is eventually deleted;
+    - every distinct good file ingests EXACTLY once (audit log: one
+      Success row per file) no matter how many redeliveries saw it;
+    - every poison body leaves exactly one Failed audit row.
+    """
+    import pathlib
+    import random
+
+    rng = random.Random(63)
+    base = pathlib.Path(landing) / "qbucket" / "uploads"
+    good, missing, poison = [], [], 0
+    bodies = []
+    for i in range(7):
+        kind = rng.choice(["good", "good", "mixed", "poison"])
+        if kind == "poison":
+            bodies.append(rng.choice(["not json", '{"Records": []}']))
+            poison += 1
+            continue
+        files = []
+        for j in range(rng.randint(1, 2)):
+            name = f"f{i}_{j}.csv"
+            files.append(("qbucket", f"uploads/{name}"))
+            if kind == "mixed" and j == 0:
+                missing.append(name)  # lands later
+            else:
+                (base / name).write_text("h\n1\n2\n")
+                good.append(name)
+        bodies.append(s3_event(*files))
+    rng.shuffle(bodies)
+    assert missing and poison and good  # the seed exercises all three arms
+
+    pipe = make_pipe(spark, tmp_path, landing)
+    client = FakeSqsClient(bodies)
+    loop = SqsIngestLoop(pipe, "https://sqs/q", client=client, max_messages=3)
+    loop.run()  # drain what can succeed; mixed messages stay retained
+
+    assert len(client.messages) == len(missing)  # one retained per missing file
+    # late files land; visibility lapses; everything drains on the retry
+    for name in missing:
+        (base / name).write_text("h\n9\n")
+    client.expire_visibility()
+    loop.run()
+    assert client.messages == []
+
+    status = pipe.log.current_status().collect()
+    success = [r["file_name"] for r in status if r["status"] == "Success"]
+    assert len(success) == len(set(success)) == len(good) + len(missing)
+    n_poison_rows = sum(
+        1
+        for r in status
+        if r["status"] == "Failed" and str(r["message"]).startswith("s3-event:")
+    )
+    assert n_poison_rows == poison
+    # exactly-once sink effect: 2 rows per originally-good csv, 1 per late
+    assert pipe.sink.read_table("csv_data").count() == 2 * len(good) + len(missing)
 
 
 def test_lazy_client_factory_not_called_when_injected(spark, tmp_path, landing):
