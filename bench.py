@@ -153,6 +153,8 @@ HEADLINE = [
     "temperature_sample_docs",
     "winsorize_events",
     "histogram_lineitem",
+    # round 6 additions
+    "stats_prune_scan_orders",
 ]
 
 

@@ -1849,6 +1849,76 @@ QUERIES["time_travel_orders"] = (time_travel_orders, TIME_TRAVEL_ORDERS_SQL)
 
 
 # --------------------------------------------------------------------------
+# Stats-manifest pruning (Iceberg-manifest-style metadata-only planning)
+# --------------------------------------------------------------------------
+def stats_prune_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-manifest E2E (tableformat.collect_stats / prune_files /
+    scan_pruned): commit orders range-clustered on o_totalprice into the
+    versioned table, build the per-file min/max manifest from parquet
+    footers (metadata-only, O(files)), then answer a ~10%-span price-band
+    query by scanning ONLY the manifest-kept files.
+
+    Output row pins three facts the oracle recomputes from the base
+    table: ``n_rows_total`` comes from metadata_count (zero data IO — a
+    wrong manifest changes it), ``n_rows_in_band`` comes from the PRUNED
+    scan (a prune that drops a needed file changes it), and
+    ``files_pruned_vs_total`` is pinned TRUE (the clustered layout must
+    let the manifest skip at least one file — the point of the
+    operator). At 100 TB this is the planner reading KB of manifest
+    instead of listing + footer-fetching the object store per query."""
+    import shutil
+    import tempfile
+
+    from . import tableformat as tf
+
+    ords = load_table(spark, sf_dir, "orders")
+    r = ords.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).first()
+    plo, phi = float(r["lo"]), float(r["hi"])
+    # middle ~10%-span band, same op order as the oracle SQL
+    mid, span = (plo + phi) / 2.0, (phi - plo) * 0.05
+    lo, hi = mid - span, mid + span
+
+    base = tempfile.mkdtemp(prefix="stats_prune_")
+    root = os.path.join(base, "orders_t")
+    try:
+        clustered = ords.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
+            "o_totalprice"
+        )
+        tf.commit_version(clustered, root)
+        tf.collect_stats(root, columns=["o_totalprice"])
+        n_total = tf.metadata_count(root)
+        kept, total_files = tf.prune_files(root, "o_totalprice", lo, hi)
+        n_band = tf.scan_pruned(spark, root, "o_totalprice", lo, hi).count()
+        return spark.createDataFrame(
+            [(int(n_total), int(n_band), bool(len(kept) < total_files))],
+            "n_rows_total long, n_rows_in_band long, "
+            "files_pruned_vs_total boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STATS_PRUNE_SCAN_ORDERS_SQL = """
+WITH b AS (
+  SELECT min(o_totalprice) AS plo, max(o_totalprice) AS phi FROM orders
+)
+SELECT (SELECT count(*) FROM orders)::BIGINT AS n_rows_total,
+       (SELECT count(*) FROM orders, b
+        WHERE o_totalprice >= (plo + phi) / 2.0 - (phi - plo) * 0.05
+          AND o_totalprice <= (plo + phi) / 2.0 + (phi - plo) * 0.05
+       )::BIGINT AS n_rows_in_band,
+       TRUE AS files_pruned_vs_total
+"""
+
+QUERIES["stats_prune_scan_orders"] = (
+    stats_prune_scan_orders,
+    STATS_PRUNE_SCAN_ORDERS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
 # Per-document character entropy (garbage detector)
 # --------------------------------------------------------------------------
 def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

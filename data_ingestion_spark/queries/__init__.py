@@ -31,7 +31,8 @@ from __future__ import annotations
 #: window. Everything stays registered and locally verified by
 #: tools/check_oracle.py regardless of position.
 _PRIORITY = [
-    # (b) changed this round — must re-earn a driver-green row
+    # (b) new or changed this round — must earn a driver-green row
+    "stats_prune_scan_orders",
     "merge_upsert_customers",
     "zorder_prune_demo_events",
     "zipf_slope_corpus",
@@ -85,8 +86,8 @@ _PRIORITY = [
     "percentile_lineitem",
     "percentile_approx_lineitem",
     "multi_distinct_events",
-    "skew_salted_agg_events",
     # ---- driver window cutoff (first 50 above) ----
+    "skew_salted_agg_events",
     # Round-7 window queue: the remaining 46 r1/r2-era queries, oldest
     # first. Listing them here keeps next round's rotation a reorder, not
     # a rewrite; they are all locally gated every round regardless.

@@ -204,3 +204,82 @@ def test_table_changes_over_evolved_schema(spark, tmp_path):
     }
     # 'extra' is ignored (not common), so k=1 is unchanged on common ground
     assert out == {2: "update", 3: "insert"}
+
+
+# ---------------------------------------------------------------------------
+# Stats manifest (Iceberg-manifest-style metadata-only planning) — round 6
+# ---------------------------------------------------------------------------
+def test_collect_stats_matches_data(spark, tmp_path):
+    """The manifest's n_rows and per-file envelopes must agree with the
+    data: metadata_count == real count, and every row's value sits inside
+    its file's recorded [min, max]."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "k: long, x: double")
+    tf.commit_version(df.repartitionByRange(4, "x").sortWithinPartitions("x"), root)
+    stats = tf.collect_stats(root)
+    assert tf.metadata_count(root) == 1000
+    assert len(stats["files"]) == 4
+    for f in stats["files"]:
+        env = f["columns"]["x"]
+        assert env["min"] <= env["max"]
+        assert env["nulls"] == 0
+    # envelopes of a range-clustered write are disjoint and cover 0..999
+    envs = sorted((f["columns"]["x"]["min"], f["columns"]["x"]["max"]) for f in stats["files"])
+    assert envs[0][0] == 0.0 and envs[-1][1] == 999.0
+    for (lo1, hi1), (lo2, _hi2) in zip(envs, envs[1:]):
+        assert hi1 < lo2  # disjoint: sortWithinPartitions + range partitioner
+
+
+def test_prune_files_never_drops_needed_rows(spark, tmp_path):
+    """Pruned scan == full-scan filter for bands crossing file
+    boundaries, landing inside one file, and missing entirely — and the
+    kept-file count actually shrinks (the point of the manifest)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "k: long, x: double")
+    tf.commit_version(df.repartitionByRange(8, "x").sortWithinPartitions("x"), root)
+    tf.collect_stats(root)
+    full = tf.read_version(spark, root)
+    for lo, hi in ((100.0, 300.0), (500.5, 510.5), (2000.0, 3000.0), (-50.0, 0.0)):
+        kept, total = tf.prune_files(root, "x", lo, hi)
+        expected = full.filter((F.col("x") >= lo) & (F.col("x") <= hi)).count()
+        got = tf.scan_pruned(spark, root, "x", lo, hi).count()
+        assert got == expected, (lo, hi)
+        assert total == 8
+        if expected == 0:
+            assert kept == []  # out-of-range band: zero files touched
+        else:
+            assert len(kept) < total  # clustered layout must prune
+
+
+def test_prune_keeps_files_without_stats_column(spark, tmp_path):
+    """A column absent from the manifest (collect_stats(columns=[...]))
+    must be conservatively un-prunable: every file is kept."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k: long, x: double")
+    tf.commit_version(df.repartitionByRange(4, "x"), root)
+    tf.collect_stats(root, columns=["x"])
+    kept, total = tf.prune_files(root, "k", 5, 10)  # no 'k' envelope recorded
+    assert len(kept) == total == 4
+
+
+def test_stats_versioned_alongside_time_travel(spark, tmp_path):
+    """Each version carries its own stats file; metadata_count time-travels."""
+    root = str(tmp_path / "t")
+    tf.commit_version(spark.range(10).toDF("k"), root)
+    tf.commit_version(spark.range(25).toDF("k"), root)
+    tf.collect_stats(root, version=0)
+    tf.collect_stats(root, version=1)
+    assert tf.metadata_count(root, 0) == 10
+    assert tf.metadata_count(root, 1) == 25
+
+
+def test_vacuum_drops_orphaned_stats_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for n in (10, 20, 30):
+        tf.commit_version(spark.range(n).toDF("k"), root)
+    for v in (0, 1, 2):
+        tf.collect_stats(root, version=v)
+    assert tf.vacuum(root, keep_last=1) == [0, 1]
+    assert not os.path.exists(os.path.join(root, "_stats_v0.json"))
+    assert not os.path.exists(os.path.join(root, "_stats_v1.json"))
+    assert tf.metadata_count(root, 2) == 30  # survivor intact
