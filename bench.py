@@ -155,6 +155,10 @@ HEADLINE = [
     "histogram_lineitem",
     # round 6 additions
     "stats_prune_scan_orders",
+    "assign_ids_orders",
+    "kn_bigram_lm_corpus",
+    "psi_drift_docs",
+    "trajectory_events",
 ]
 
 

@@ -286,3 +286,59 @@ def temperature_sample(
     return df.withColumn("keep_rate_bp", rate.cast("long")).withColumn(
         "sampled", keep
     )
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_cols: list,
+    id_col: str = "row_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """0-based CONTIGUOUS ids in ``order_cols`` order — the training-data
+    primitive behind sample manifests, sequence packing, and resumable
+    shard layouts ("row 3,172,884,101 of the corpus") — WITHOUT the
+    single-partition global sort that ``row_number() OVER (ORDER BY …)``
+    costs at corpus scale.
+
+    Distributed prefix-sum (the same shape as the zipf rank rewrite,
+    generalized): bucket rows by a MONOTONE pure function of the leading
+    order column (approxQuantile cuts → a CASE chain of ``x > cut``
+    comparisons), count per bucket (≤ ``n_buckets`` rows of driver
+    metadata), broadcast the bucket-offset prefix sums back, and
+    row_number WITHIN each bucket. Monotone + pure means equal keys can
+    never straddle a bucket boundary, so the result is independent of
+    where the (approximate!) cuts landed — cut skew costs balance, never
+    correctness. One shuffle on the bucket key, one tiny agg; every sort
+    is per-bucket.
+
+    Requirements: ``order_cols[0]`` numeric and non-null (use a hash
+    column for arbitrary keys); the full ``order_cols`` tuple must be a
+    total order (unique) for the ids to be deterministic — append a
+    unique id column as the tie-break. Size ``n_buckets`` to the
+    cluster's parallelism.
+    """
+    first = order_cols[0]
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.stat.approxQuantile(first, qs, 0.01)  # bounded driver metadata
+    bucket = F.lit(0)
+    for c in sorted(set(cuts)):
+        bucket = bucket + (F.col(first) > F.lit(float(c))).cast("int")
+    d = df.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["n"]
+        for r in d.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()], "_bkt int, _off long"
+    )
+    w = W.partitionBy("_bkt").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        d.join(F.broadcast(off_df), "_bkt")
+        .withColumn(id_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_bkt", "_off")
+    )
