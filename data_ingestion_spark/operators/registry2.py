@@ -1919,6 +1919,44 @@ QUERIES["stats_prune_scan_orders"] = (
 
 
 # --------------------------------------------------------------------------
+# Contiguous id assignment (global order, no global sort)
+# --------------------------------------------------------------------------
+def assign_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 0-based row ids over orders in (o_totalprice, o_orderkey)
+    order via sampling.assign_contiguous_ids — the distributed prefix-sum
+    form (bucket + offset + within-bucket rank), never a single-partition
+    ``row_number() OVER (ORDER BY …)``. The oracle computes the same ids
+    WITH the global window (fine at sf0.01), so any bucket-boundary or
+    offset error shows as a value mismatch. Output thinned to every 97th
+    orderkey to keep the driver compare small while still pinning ids
+    from every region of the global order."""
+    from . import sampling
+
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    withids = sampling.assign_contiguous_ids(
+        ords, ["o_totalprice", "o_orderkey"], id_col="row_id", n_buckets=32
+    )
+    return (
+        withids.filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "row_id")
+        .orderBy("o_orderkey")
+    )
+
+
+ASSIGN_IDS_ORDERS_SQL = """
+SELECT o_orderkey, row_id FROM (
+  SELECT o_orderkey,
+         (row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+          - 1)::BIGINT AS row_id
+  FROM orders
+) WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+"""
+
+QUERIES["assign_ids_orders"] = (assign_ids_orders, ASSIGN_IDS_ORDERS_SQL)
+
+
+# --------------------------------------------------------------------------
 # Per-document character entropy (garbage detector)
 # --------------------------------------------------------------------------
 def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2677,3 +2715,157 @@ FROM lineitem GROUP BY 1 ORDER BY bucket
 """
 
 QUERIES["histogram_lineitem"] = (histogram_lineitem, HISTOGRAM_LINEITEM_SQL)
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (round 6)
+# --------------------------------------------------------------------------
+def kn_bigram_lm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-150 Kneser-Ney smoothed bigram probabilities over the corpus
+    (text.kneser_ney_bigrams, D = 0.75): the standard n-gram LM smoothing
+    (Kneser-Ney 1995 / Chen-Goodman 1999) whose continuation counts are
+    what add-k smoothing (lm_perplexity_docs) lacks. The oracle replays
+    counts, both N1+ tables, and the full float formula; the top-150 cut
+    is fully tie-broken (prob desc, w1, w2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.kneser_ney_bigrams(docs, "text")
+        .orderBy(F.col("pkn_micro").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(150)
+    )
+
+
+def _kn_bigram_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+WITH t AS (
+  SELECT {toks} AS toks FROM documents
+), base AS (
+  SELECT toks FROM t WHERE len(toks) >= 2
+), big AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i + 1])) AS w2
+  FROM base
+), c2 AS (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM big GROUP BY w1, w2
+), lft AS (
+  SELECT w1, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1p_fw
+  FROM c2 GROUP BY w1
+), rgt AS (
+  SELECT w2, count(*)::BIGINT AS n1p_bw FROM c2 GROUP BY w2
+), btot AS (
+  SELECT count(*)::BIGINT AS b FROM c2
+)
+SELECT c2.w1, c2.w2, c2.c2, lft.c1, lft.n1p_fw, rgt.n1p_bw,
+       floor((greatest(c2.c2 - 0.75::DOUBLE, 0.0::DOUBLE) / lft.c1
+              + 0.75::DOUBLE * lft.n1p_fw / lft.c1
+                * (rgt.n1p_bw / btot.b::DOUBLE)) * 1e6 + 0.5)::BIGINT
+           AS pkn_micro
+FROM c2, btot
+JOIN lft ON lft.w1 = c2.w1
+JOIN rgt ON rgt.w2 = c2.w2
+ORDER BY pkn_micro DESC, c2.w1 ASC, c2.w2 ASC
+LIMIT 150
+"""
+
+
+KN_BIGRAM_LM_CORPUS_SQL = _kn_bigram_oracle()
+
+QUERIES["kn_bigram_lm_corpus"] = (kn_bigram_lm_corpus, KN_BIGRAM_LM_CORPUS_SQL)
+
+
+# --------------------------------------------------------------------------
+# PSI distribution drift per source (round 6)
+# --------------------------------------------------------------------------
+def psi_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution vs the whole corpus (stats.psi_by_group over power-of-two
+    n_chars bins) — the per-crawl drift monitor. Integer-exact binning,
+    add-one smoothing over a dense 21-bin universe, per-bin micro-rounded
+    contributions summed as integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stats.psi_by_group(docs, "source", "n_chars").orderBy("source")
+
+
+def _psi_oracle() -> str:
+    bkt = " + ".join(f"(n_chars >= {2 ** k})::INT" for k in range(20))
+    return f"""
+WITH c AS (
+  SELECT source AS grp, ({bkt}) AS bkt, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT count(*)::BIGINT AS n FROM documents
+), base AS (
+  SELECT bkt, sum(c)::BIGINT AS cq FROM c GROUP BY bkt
+), grps AS (
+  SELECT DISTINCT grp FROM c
+), u AS (
+  SELECT grp, range::INT AS bkt FROM grps, range(0, 21)
+), gn AS (
+  SELECT grp, sum(c)::BIGINT AS n_rows FROM c GROUP BY grp
+), dense AS (
+  SELECT u.grp, u.bkt,
+         coalesce(c.c, 0)::BIGINT AS c,
+         coalesce(base.cq, 0)::BIGINT AS cq,
+         gn.n_rows, tot.n
+  FROM u
+  LEFT JOIN c ON c.grp = u.grp AND c.bkt = u.bkt
+  LEFT JOIN base ON base.bkt = u.bkt
+  JOIN gn ON gn.grp = u.grp, tot
+), terms AS (
+  SELECT grp, n_rows,
+         floor(((c + 1)::DOUBLE / (n_rows + 21)::DOUBLE
+                - (cq + 1)::DOUBLE / (n + 21)::DOUBLE)
+               * ln(((c + 1)::DOUBLE / (n_rows + 21)::DOUBLE)
+                    / ((cq + 1)::DOUBLE / (n + 21)::DOUBLE))
+               * 1e6 + 0.5)::BIGINT AS term_micro
+  FROM dense
+)
+SELECT grp AS source, max(n_rows)::BIGINT AS n_rows,
+       sum(term_micro)::BIGINT AS psi_micro
+FROM terms GROUP BY grp ORDER BY source
+"""
+
+
+PSI_DRIFT_DOCS_SQL = _psi_oracle()
+
+QUERIES["psi_drift_docs"] = (psi_drift_docs, PSI_DRIFT_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Per-user event trajectories (round 6)
+# --------------------------------------------------------------------------
+def trajectory_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type trajectories, first 50 steps, md5
+    fingerprint (temporal.assemble_trajectories): the event-log →
+    training-sequence primitive. (ts, event_id) makes each sequence a
+    total order; the oracle rebuilds the same string with an ordered
+    string_agg under a row_number cutoff."""
+    from . import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.assemble_trajectories(
+        ev, "user_id", "ts", "event_id", "event_type", max_steps=50
+    ).orderBy("user_id")
+
+
+TRAJECTORY_EVENTS_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+), t AS (
+  SELECT user_id, md5(string_agg(event_type, '|' ORDER BY rn)) AS traj_md5
+  FROM r WHERE rn <= 50 GROUP BY user_id
+), g AS (
+  SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id
+)
+SELECT g.user_id, g.n_events,
+       least(g.n_events, 50)::BIGINT AS n_steps, t.traj_md5
+FROM g JOIN t USING (user_id) ORDER BY user_id
+"""
+
+QUERIES["trajectory_events"] = (trajectory_events, TRAJECTORY_EVENTS_SQL)

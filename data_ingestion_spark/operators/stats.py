@@ -132,3 +132,84 @@ def winsorize_by_group(
         .withColumn("clipped_high", v > F.col("_phi"))
         .drop("_plo", "_phi")
     )
+
+
+def psi_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_pow: int = 20,
+) -> DataFrame:
+    """Population Stability Index of each group's ``value_col``
+    distribution against the whole-corpus distribution — the standard
+    drift monitor (credit-scoring lineage; in a training-data pipeline it
+    flags a source whose length/score profile shifted between crawls
+    before that shift skews mixing weights). PSI = Σ_bins (p−q)·ln(p/q);
+    rule of thumb: <0.10 stable, 0.10–0.25 drifting, >0.25 shifted.
+
+    Bins are power-of-two buckets computed with INTEGER comparisons only
+    (bucket = Σ_k [value ≥ 2^k], k = 0..max_pow−1 — a monotone CASE
+    chain, no float log), so bin assignment is engine-exact. Both sides
+    are add-one smoothed over the SAME dense bucket universe
+    0..max_pow (so empty bins are defined and PSI is finite), and each
+    bin's contribution is micro-rounded to BIGINT before the final
+    integer sum — order-free, exactly SQL-replayable.
+
+    Scale shape: one map-side-combined agg to (group, bucket) counts —
+    ≤ |groups|·(max_pow+1) rows of metadata — then everything (dense
+    universe cross join, baseline join, PSI formula) runs on that tiny
+    table. Nothing after the first agg touches row-scale data.
+
+    Output: (group, n_rows, psi_micro), one row per group.
+    """
+    v = F.col(value_col)
+    bucket = F.lit(0)
+    for k in range(max_pow):
+        bucket = bucket + (v >= F.lit(2 ** k)).cast("int")
+    counts = (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bkt"))
+        .groupBy("grp", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base = counts.groupBy("bkt").agg(F.sum("c").alias("cq"))
+    n_total = df.count()  # one driver scalar
+    n_bins = max_pow + 1
+    universe = (
+        counts.select("grp")
+        .distinct()
+        .crossJoin(
+            counts.sparkSession.range(n_bins).select(
+                F.col("id").cast("int").alias("bkt")
+            )
+        )
+    )
+    grp_n = counts.groupBy("grp").agg(F.sum("c").alias("n_rows"))
+    dense = (
+        universe.join(counts, ["grp", "bkt"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .join(F.broadcast(base), "bkt", "left")
+        .withColumn("cq", F.coalesce(F.col("cq"), F.lit(0)))
+        .join(F.broadcast(grp_n), "grp")
+    )
+    p = (F.col("c") + F.lit(1)).cast("double") / (
+        F.col("n_rows") + F.lit(n_bins)
+    ).cast("double")
+    q = (F.col("cq") + F.lit(1)).cast("double") / F.lit(
+        float(n_total + n_bins)
+    )
+    term = F.floor((p - q) * F.log(p / q) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        dense.withColumn("term_micro", term)
+        .groupBy("grp")
+        .agg(
+            F.max("n_rows").cast("long").alias("n_rows"),
+            F.sum("term_micro").alias("psi_micro"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "psi_micro",
+        )
+    )

@@ -226,3 +226,52 @@ def point_in_time_join(
     cond.append(d[eff_to].isNull() | (ts < d[eff_to]))
     joined = facts.join(d, cond, "left")
     return joined.drop(*[f"_d_{c}" for c in keys])
+
+
+def assemble_trajectories(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    step_col: str,
+    max_steps: int = 50,
+    sep: str = "|",
+) -> DataFrame:
+    """Per-entity ordered event trajectories — the behavioral-sequence
+    primitive that turns an event log into training sequences (user
+    session → action string for a behavior model, tool-use log → agent
+    trace). Collect each key's events, order by (ts, tie) — the tie
+    column makes the sequence a TOTAL order, so the output is
+    engine-deterministic — truncate to the first ``max_steps``, join
+    with ``sep`` and fingerprint.
+
+    Scale shape: one shuffle on the entity key (map-side partial
+    collect_list), then sort_array + slice run per-row on the collected
+    array — no window, no global sort; a hot key costs one big array,
+    not a repartition. Cap ``max_steps`` (and pre-filter the event
+    window) so per-key arrays stay bounded at web scale.
+
+    Output: (key, n_events, n_steps, traj_md5) — the fingerprint rather
+    than the raw string keeps the result compact while pinning content
+    AND order.
+    """
+    collected = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tie_col).alias("tie"),
+                F.col(step_col).alias("step"),
+            ).alias("s"),
+        )
+        .groupBy("key")
+        .agg(F.collect_list("s").alias("steps"))
+    )
+    ordered = F.expr("transform(array_sort(steps), x -> x.step)")
+    traj = F.array_join(F.slice(ordered, 1, max_steps), sep)
+    return collected.select(
+        F.col("key").alias(key_col),
+        F.size("steps").cast("long").alias("n_events"),
+        F.least(F.size("steps"), F.lit(max_steps)).cast("long").alias("n_steps"),
+        F.md5(traj).alias("traj_md5"),
+    )

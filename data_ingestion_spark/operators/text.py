@@ -1326,3 +1326,79 @@ def vocab_coverage_joined(
         F.expr("(n_oov * 10000) div n_tokens"),
     ).otherwise(F.lit(0))
     return out.withColumn("oov_bp", bp.cast("long"))
+
+
+def kneser_ney_bigrams(
+    df: DataFrame, text_col: str, discount_milli: int = 750
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities over the
+    corpus (Kneser & Ney 1995; Chen & Goodman 1999 — the standard n-gram
+    LM smoothing behind quality-scoring / contamination LMs for training
+    data). With absolute discount D = ``discount_milli``/1000:
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0) / c1(w1)
+                      + D · N1+(w1,·) / c1(w1) · N1+(·,w2) / B
+
+    where c1(w1) = Σ_w2 c(w1,w2) (occurrences of w1 as a left context),
+    N1+(w1,·) = distinct continuations of w1, N1+(·,w2) = distinct left
+    contexts of w2 (the "novel-context" count that makes KN beat add-k),
+    and B = total distinct bigrams (so the lower-order term is the KN
+    continuation distribution P_cont(w2) = N1+(·,w2)/B).
+
+    Scale shape: the token stream collapses to the DISTINCT-BIGRAM table
+    in one map-side-combined agg; every other input (c1, N1+ forward,
+    N1+ backward) is a groupBy over that vocab-sized table on a single
+    short-string key, and B is one driver scalar. The probability is
+    computed once per distinct bigram — nothing after the first agg
+    touches corpus-scale data. Value parity: micro-rounded to BIGINT
+    (floor(p·1e6 + 0.5)); every input to the float formula is an exact
+    integer so both engines evaluate the identical expression.
+
+    Output: one row per distinct bigram —
+    (w1, w2, c2, c1, n1p_fw, n1p_bw, pkn_micro).
+    """
+    d = discount_milli / 1000.0
+    base = df.select(tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    left = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_fw")
+    )
+    right = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    b_total = c2.count()  # one driver scalar: |distinct bigrams|
+    scored = (
+        c2.join(left, "w1")
+        .join(right, "w2")
+        .withColumn(
+            "pkn_micro",
+            F.floor(
+                (
+                    F.greatest(F.col("c2") - F.lit(d), F.lit(0.0))
+                    / F.col("c1")
+                    + F.lit(d)
+                    * F.col("n1p_fw")
+                    / F.col("c1")
+                    * (F.col("n1p_bw") / F.lit(float(b_total)))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return scored.select(
+        "w1", "w2",
+        F.col("c2").cast("long").alias("c2"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("n1p_fw").cast("long").alias("n1p_fw"),
+        F.col("n1p_bw").cast("long").alias("n1p_bw"),
+        "pkn_micro",
+    )

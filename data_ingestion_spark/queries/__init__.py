@@ -33,6 +33,10 @@ from __future__ import annotations
 _PRIORITY = [
     # (b) new or changed this round — must earn a driver-green row
     "stats_prune_scan_orders",
+    "assign_ids_orders",
+    "kn_bigram_lm_corpus",
+    "psi_drift_docs",
+    "trajectory_events",
     "merge_upsert_customers",
     "zorder_prune_demo_events",
     "zipf_slope_corpus",
@@ -82,11 +86,11 @@ _PRIORITY = [
     "session_window_events",
     "time_window_events",
     "window_topk_orders",
+    # ---- driver window cutoff (first 50 above) ----
     "window_running_revenue",
     "percentile_lineitem",
     "percentile_approx_lineitem",
     "multi_distinct_events",
-    # ---- driver window cutoff (first 50 above) ----
     "skew_salted_agg_events",
     # Round-7 window queue: the remaining 46 r1/r2-era queries, oldest
     # first. Listing them here keeps next round's rotation a reorder, not

@@ -729,6 +729,47 @@ def test_snapshot_diff_planted(spark):
     assert out[4]["change_type"] == "insert" and out[4]["seg"] == "d"
 
 
+def test_assign_contiguous_ids_matches_global_order(spark):
+    """Distributed prefix-sum ids == row_number()-1 over the global order,
+    on an adversarial shape: heavy duplicate-key skew (one value holds
+    half the rows, so equal keys MUST all land in one bucket) plus a
+    uniform tail, shuffled input order."""
+    import random
+
+    from data_ingestion_spark.operators import sampling
+
+    rng = random.Random(7)
+    rows = [(i, 500.0) for i in range(500)]  # heavy tie class
+    rows += [(500 + i, float(rng.randint(0, 1000))) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k: long, x: double").repartition(7)
+    out = sampling.assign_contiguous_ids(df, ["x", "k"], n_buckets=8)
+    got = {r["k"]: r["row_id"] for r in out.collect()}
+    expect = {
+        k: i for i, (k, _x) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert got == expect
+    # contiguity: exactly 0..n-1, no gaps or dupes
+    assert sorted(got.values()) == list(range(len(rows)))
+
+
+def test_assign_contiguous_ids_no_global_sort(spark):
+    """The plan must contain no unpartitioned window: every Sort is
+    within the bucket partitioning (the whole point vs row_number() OVER
+    (ORDER BY ...))."""
+    from data_ingestion_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, float(i % 97)) for i in range(1000)], "k: long, x: double"
+    )
+    out = sampling.assign_contiguous_ids(df, ["x", "k"], n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # a global window would carry an empty partition spec; the bucketed
+    # one partitions by _bkt
+    assert "_bkt" in plan
+
+
 def test_snapshot_diff_key_only_table(spark):
     """ADVICE regression: a table whose every column is a key has no
     compare cols — the diff must emit inserts/deletes (never updates),
@@ -1159,3 +1200,140 @@ def test_temperature_sample_spark_determinism(spark):
     for lang, (n, s, bp) in got.items():
         assert abs(s - n * bp / 10000) < 0.1 * n + 10  # hash-gate tracks rate
     assert got["sw"][2] > got["en"][2]  # low-resource upweighted
+
+
+def test_kneser_ney_bigrams_hand_computed(spark):
+    """KN on a 3-doc corpus small enough to verify by hand:
+    bigrams (a,b)x2 (a,c)x1 -> c1(a)=3, N1+(a,.)=2, N1+(.,b)=N1+(.,c)=1,
+    B=2, D=0.75:
+      P(b|a) = (2-.75)/3 + .75*(2/3)*(1/2) = 2/3
+      P(c|a) = (1-.75)/3 + .75*(2/3)*(1/2) = 1/3
+    """
+    from data_ingestion_spark.operators import text as T
+
+    df = spark.createDataFrame([("a b",), ("a b",), ("a c",)], "text: string")
+    out = {(r["w1"], r["w2"]): r for r in T.kneser_ney_bigrams(df, "text").collect()}
+    assert set(out) == {("a", "b"), ("a", "c")}
+    ab, ac = out[("a", "b")], out[("a", "c")]
+    assert (ab["c2"], ab["c1"], ab["n1p_fw"], ab["n1p_bw"]) == (2, 3, 2, 1)
+    assert ab["pkn_micro"] == 666667  # floor(2/3 * 1e6 + .5)
+    assert ac["pkn_micro"] == 333333
+
+
+def test_kneser_ney_bigrams_sums_to_one(spark):
+    """Σ_{w2 ∈ V} P_KN(w2|w1) = 1 for every left context — the property
+    that makes interpolated KN a proper conditional distribution. Over
+    the FULL vocabulary the discounted term contributes
+    Σ_observed (c2−D)/c1 and the backoff term contributes
+    λ(w1) = D·N1+(w1,·)/c1 times Σ_V P_cont = 1 (since Σ N1+(·,w2) = B),
+    so the two reconstruct exactly to 1."""
+    from data_ingestion_spark.operators import text as T
+
+    docs = [
+        ("the cat sat on the mat",),
+        ("the dog sat on the log",),
+        ("a cat and a dog",),
+        ("the cat and the dog sat",),
+    ]
+    df = spark.createDataFrame(docs, "text: string")
+    rows = T.kneser_ney_bigrams(df, "text").collect()
+    by_w1 = {}
+    for r in rows:
+        by_w1.setdefault(r["w1"], []).append(r)
+    b_total = len(rows)
+    for w1, rs in by_w1.items():
+        c1, n1p_fw = rs[0]["c1"], rs[0]["n1p_fw"]
+        discounted = sum(max(r["c2"] - 0.75, 0.0) / c1 for r in rs)
+        lam = 0.75 * n1p_fw / c1  # backoff mass; Σ_V P_cont == 1
+        assert abs(discounted + lam - 1.0) < 1e-9, w1
+        # and the emitted probabilities are the discounted+backoff values
+        for r in rs:
+            p = max(r["c2"] - 0.75, 0.0) / c1 + lam * (r["n1p_bw"] / b_total)
+            assert abs(r["pkn_micro"] - round(p * 1e6)) <= 1, (w1, r["w2"])
+
+
+def test_psi_by_group_zero_and_shifted(spark):
+    """A group distributed exactly like the corpus baseline scores ~0;
+    a group concentrated far from the rest scores large positive.
+    Single-group corollary: p == q exactly -> psi == 0."""
+    from data_ingestion_spark.operators import stats as S
+
+    # one group == whole corpus -> exact zero
+    one = spark.createDataFrame(
+        [("a", v) for v in [1, 5, 9, 200, 3000]], "source: string, n_chars: long"
+    )
+    assert S.psi_by_group(one, "source", "n_chars").collect()[0]["psi_micro"] == 0
+
+    # two identical groups -> both ~0; then shift group b far away
+    same = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in [10, 20, 400, 800, 1600] * 20],
+        "source: string, n_chars: long",
+    )
+    # identical groups are not exactly 0: add-one smoothing spreads mass
+    # over all 21 bins and the group (n=100) vs baseline (n=200) smoothing
+    # scales differ — a floor that shrinks as 1/n, still ~5x under the
+    # 0.25 "shifted" threshold here
+    for r in S.psi_by_group(same, "source", "n_chars").collect():
+        assert abs(r["psi_micro"]) < 60_000, r  # < 0.06: stable
+    shifted = spark.createDataFrame(
+        [("a", v) for v in [4, 5, 6, 7] * 50]
+        + [("b", v) for v in [70000, 80000, 90000, 100000] * 50],
+        "source: string, n_chars: long",
+    )
+    out = {r["source"]: r["psi_micro"] for r in S.psi_by_group(shifted, "source", "n_chars").collect()}
+    assert out["a"] > 250_000 and out["b"] > 250_000  # > 0.25: shifted
+
+
+def test_psi_bucket_assignment_integer_exact(spark):
+    """Bucket k holds [2^(k-1), 2^k) for k>=1 and bucket 0 holds v<1 —
+    pinned by planting one value per boundary."""
+    from data_ingestion_spark.operators import stats as S
+
+    df = spark.createDataFrame(
+        [("x", 0), ("x", 1), ("x", 2), ("x", 3), ("x", 4), ("x", 1 << 19)],
+        "source: string, n_chars: long",
+    )
+    # 6 rows in buckets 0,1,2,2,3,20 -> n_rows pinned; psi vs itself == 0
+    r = S.psi_by_group(df, "source", "n_chars").collect()[0]
+    assert r["n_rows"] == 6 and r["psi_micro"] == 0
+
+
+def test_assemble_trajectories_order_truncate(spark):
+    """Out-of-order input, a ts tie broken by the tie column, and a key
+    overflowing max_steps: the trajectory is the time-ordered prefix."""
+    import hashlib
+
+    from data_ingestion_spark.operators import temporal as T
+
+    rows = [
+        (1, 3, 30, "c"),
+        (1, 1, 10, "a"),
+        (1, 2, 21, "bb"),
+        (1, 2, 20, "ba"),  # ts tie with event 21: event_id 20 first
+        (2, 9, 90, "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: long, event_id: long, event_type: string")
+    out = {
+        r["user_id"]: r
+        for r in T.assemble_trajectories(
+            df, "user_id", "ts", "event_id", "event_type", max_steps=3
+        ).collect()
+    }
+    u1 = out[1]
+    assert (u1["n_events"], u1["n_steps"]) == (4, 3)
+    assert u1["traj_md5"] == hashlib.md5(b"a|ba|bb").hexdigest()
+    assert out[2]["traj_md5"] == hashlib.md5(b"z").hexdigest()
+
+
+def test_assemble_trajectories_no_window_in_plan(spark):
+    """The assembly is collect_list + per-row array_sort — the plan must
+    contain no Window operator (a window would serialize hot keys)."""
+    from data_ingestion_spark.operators import temporal as T
+
+    df = spark.createDataFrame(
+        [(i % 5, i, i, "e") for i in range(100)],
+        "user_id: long, ts: long, event_id: long, event_type: string",
+    )
+    out = T.assemble_trajectories(df, "user_id", "ts", "event_id", "event_type")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
