@@ -159,6 +159,8 @@ HEADLINE = [
     "kn_bigram_lm_corpus",
     "psi_drift_docs",
     "trajectory_events",
+    "pq_adc_topk_embeddings",
+    "shuffle_ids_docs",
 ]
 
 

@@ -2869,3 +2869,153 @@ FROM g JOIN t USING (user_id) ORDER BY user_id
 """
 
 QUERIES["trajectory_events"] = (trajectory_events, TRAJECTORY_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN with asymmetric distance (round 6)
+# --------------------------------------------------------------------------
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search E2E (similarity.pq_train / pq_encode / pq_adc_topk;
+    Jégou et al. 2011): m=4 subspaces × k=8 codewords trained with two
+    deterministic Lloyd rounds, corpus encoded to 4 codes, the 3
+    lowest-id vectors queried through the micro-rounded ADC LUT, top-5
+    per query. The oracle replays training (seeds → two
+    assignment/mean/coalesce rounds), encoding, LUT, and the integer ADC
+    sum — a wrong codeword anywhere reorders the top-5."""
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    return similarity.pq_adc_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", qid_col="qid",
+        m=4, k=8, n_iter=2, topk=5,
+    ).orderBy("qid", "rk")
+
+
+def _pq_oracle(m: int = 4, k: int = 8, d_sub: int = 16, n_q: int = 3,
+               topk: int = 5) -> str:
+    def dist(vec: str, books: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {d_sub}), j -> "
+            f"({vec}[b.m * {d_sub} + j]::DOUBLE - b.cv[j])"
+            f" * ({vec}[b.m * {d_sub} + j]::DOUBLE - b.cv[j])))"
+        )
+
+    # each round coalesces empty clusters against the PREVIOUS round's
+    # table, so the rounds are generated with explicit prev references
+    rounds = []
+    for i in (1, 2):
+        prev = f"b{i-1}"
+        rounds.append(f"""a{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist ASC, d.code ASC) AS rk
+    FROM (SELECT e.vec_id, b.m, b.code, {dist('e.embedding', prev + 'l')} AS dist
+          FROM embeddings e, {prev}l b) d
+  ) WHERE rk = 1
+), n{i} AS (
+  SELECT a.m, a.code, t.j - 1 AS dim,
+         round(avg(e.embedding[a.m * {d_sub} + t.j]::DOUBLE), 6) AS c
+  FROM a{i} a JOIN embeddings e USING (vec_id),
+       generate_series(1, {d_sub}) t(j)
+  GROUP BY 1, 2, 3
+), b{i} AS (
+  SELECT p.m, p.code, p.dim, coalesce(n{i}.c, p.c) AS c
+  FROM {prev} p LEFT JOIN n{i}
+    ON n{i}.m = p.m AND n{i}.code = p.code AND n{i}.dim = p.dim
+), b{i}l AS (
+  SELECT m, code, list(c ORDER BY dim) AS cv FROM b{i} GROUP BY m, code
+)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+), b0 AS (
+  SELECT s.m, seeds.code, t.j - 1 AS dim,
+         seeds.embedding[s.m * {d_sub} + t.j]::DOUBLE AS c
+  FROM seeds, (SELECT range::INT AS m FROM range(0, {m})) s,
+       generate_series(1, {d_sub}) t(j)
+), b0l AS (
+  SELECT m, code, list(c ORDER BY dim) AS cv FROM b0 GROUP BY m, code
+),
+{rounds_sql},
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist ASC, d.code ASC) AS rk
+    FROM (SELECT e.vec_id, b.m, b.code, {dist('e.embedding', 'b2l')} AS dist
+          FROM embeddings e, b2l b) d
+  ) WHERE rk = 1
+), q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings ORDER BY vec_id LIMIT {n_q}
+), lut AS (
+  SELECT q.qid, b.m, b.code,
+         floor({dist('q.embedding', 'b2l')} * 1e6 + 0.5)::BIGINT AS d_micro
+  FROM q, b2l b
+), sc AS (
+  SELECT l.qid, f.vec_id, sum(l.d_micro)::BIGINT AS adc_micro
+  FROM enc f JOIN lut l ON l.m = f.m AND l.code = f.code
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, adc_micro, rk FROM (
+  SELECT qid, vec_id, adc_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_micro ASC, vec_id ASC)::INT AS rk
+  FROM sc
+) WHERE rk <= {topk} ORDER BY qid, rk
+"""
+
+
+PQ_ADC_TOPK_EMBEDDINGS_SQL = _pq_oracle()
+
+QUERIES["pq_adc_topk_embeddings"] = (
+    pq_adc_topk_embeddings,
+    PQ_ADC_TOPK_EMBEDDINGS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle manifest (round 6)
+# --------------------------------------------------------------------------
+def shuffle_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global training-order shuffle as a MANIFEST: contiguous 0-based
+    positions in (md5-hash, doc_id) order — a reproducible pseudo-random
+    permutation of the corpus with no RNG state and no global sort
+    (sampling.assign_contiguous_ids over the 60-bit md5 key — the
+    arbitrary-key path its docstring promises). Epoch reshuffles = salt
+    the hash input. Output thinned to every 37th doc_id; the oracle
+    replays with the exact global window."""
+    from ..functions import md5_hash60
+    from . import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", md5_hash60(F.col("doc_id").cast("string")).alias("h")
+    )
+    out = sampling.assign_contiguous_ids(
+        docs, ["h", "doc_id"], id_col="pos", n_buckets=32
+    )
+    return (
+        out.filter(F.col("doc_id") % 37 == 0)
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
+    )
+
+
+SHUFFLE_IDS_DOCS_SQL = f"""
+SELECT doc_id, pos FROM (
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY {_SQL_HASH60.format(c='doc_id::VARCHAR')} ASC,
+                             doc_id ASC) - 1)::BIGINT AS pos
+  FROM documents
+) WHERE doc_id % 37 = 0
+ORDER BY doc_id
+"""
+
+QUERIES["shuffle_ids_docs"] = (shuffle_ids_docs, SHUFFLE_IDS_DOCS_SQL)

@@ -841,3 +841,157 @@ def matryoshka_qc(
         F.min("retained_micro").alias("min_retained_micro"),
         F.sum("retained_micro").alias("sum_retained_micro"),
     )
+
+
+def _sql_l2sq(vec_col: str, off: int, vals: list[float]) -> str:
+    """SQL fragment: squared L2 distance between a subvector slice
+    (1-based ``off+1``, length ``len(vals)``) and a literal codeword —
+    same left-to-right accumulation as _sql_dot."""
+    arr = _sql_double_array(vals)
+    return (
+        f"aggregate(zip_with(slice({vec_col}, {off + 1}, {len(vals)}), {arr}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sql_argmin_code(vec_col: str, off: int, cents: list[list[float]]) -> str:
+    """SQL fragment: index of the nearest codeword (squared L2, ties to
+    the lower code) for one subspace."""
+    dists = "array(" + ",".join(_sql_l2sq(vec_col, off, c) for c in cents) + ")"
+    return (
+        f"element_at(array_sort(zip_with({dists}, "
+        f"sequence(0, {len(cents) - 1}), "
+        f"(d, i) -> struct(d AS d, i AS idx))), 1).idx"
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebook training (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into ``m``
+    subspaces and run ``n_iter`` Lloyd rounds per subspace — all subspaces
+    trained in ONE job per round (a single scan assigns every subspace's
+    code and one shuffle of m·k·d_sub keys updates every codebook).
+
+    Same engine-stability recipe as kmeans_centroids: deterministic seeds
+    (the k lowest-id vectors' slices), centroid components rounded to 6 dp
+    between rounds, empty clusters keep their previous codeword — so the
+    DuckDB oracle can replay training round by round.
+
+    Returns ``books[s][code] = [d_sub floats]`` (driver metadata:
+    m·k·d_sub floats — for 1B-vector corpora this is still KBs; train on a
+    sample and broadcast, the search path below is unchanged).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    d_sub = dim // m
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    books = [
+        [[float(r[0][s * d_sub + j]) for j in range(d_sub)] for r in rows]
+        for s in range(m)
+    ]
+    for _ in range(n_iter):
+        subs = ", ".join(
+            f"struct({s} AS m, ({_sql_argmin_code(vec_col, s * d_sub, books[s])}) AS code, "
+            f"slice({vec_col}, {s * d_sub + 1}, {d_sub}) AS sv)"
+            for s in range(m)
+        )
+        ex = (
+            df.select(F.expr(f"explode(array({subs}))").alias("x"))
+            .select("x.m", "x.code", F.posexplode("x.sv").alias("dim", "val"))
+            .groupBy("m", "code", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+            .collect()
+        )
+        for r in ex:  # absent (m, code) rows = empty cluster -> keep previous
+            books[r["m"]][r["code"]][r["dim"]] = float(r["c"])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """Encode every vector to ``m`` codes (nearest codeword per subspace,
+    squared L2, ties to the lower code). A narrow JVM-side map — at 100 TB
+    this runs once at ingest and the 8·m-bit code column (vs 4·dim bytes
+    of floats) is what the search path scans."""
+    d_sub = len(books[0][0])
+    cols = [
+        F.expr(_sql_argmin_code(vec_col, s * d_sub, books[s])).alias(f"code_{s}")
+        for s in range(len(books))
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """PQ search with Asymmetric Distance Computation: per query, a
+    LUT of m·k exact subspace distances (query side stays un-quantized);
+    each corpus vector's approximate distance is then m LUT lookups — no
+    per-pair float vector math.
+
+    Dataflow: train (driver-metadata codebooks) → encode corpus (narrow
+    map) → explode codes to (vec_id, m, code) → broadcast-join the
+    n_q·m·k LUT → integer-sum per (qid, vec_id) → per-query top-k window.
+    Each subspace distance is micro-rounded to BIGINT before the sum, so
+    the total is an order-free integer (repo parity rule) and the top-k
+    tie-break (adc_micro, vec_id) is engine-exact.
+
+    At corpus scale the (qid, vec_id) agg is the cost driver — compose
+    with IVF (encode per-list residuals, probe a few lists) to bound it;
+    the LUT/ADC path here is unchanged by that composition.
+
+    Output: (qid, vec_id, adc_micro, rk) — ``topk`` rows per query.
+    """
+    from pyspark.sql import Window as W
+
+    books = pq_train(corpus, id_col, vec_col, m=m, k=k, n_iter=n_iter)
+    d_sub = len(books[0][0])
+    codes = pq_encode(corpus, id_col, vec_col, books)
+    code_struct = ", ".join(
+        f"struct({s} AS m, code_{s} AS code)" for s in range(m)
+    )
+    flat = codes.select(
+        F.col(id_col), F.expr(f"explode(array({code_struct}))").alias("mc")
+    ).select(id_col, "mc.m", "mc.code")
+    lut_struct = ", ".join(
+        f"struct({s} AS m, {c} AS code, CAST(floor("
+        f"{_sql_l2sq(vec_col, s * d_sub, books[s][c])} * 1e6 + 0.5D) AS BIGINT)"
+        f" AS d_micro)"
+        for s in range(m)
+        for c in range(k)
+    )
+    lut = queries.select(
+        F.col(qid_col), F.expr(f"explode(array({lut_struct}))").alias("e")
+    ).select(qid_col, "e.m", "e.code", "e.d_micro")
+    scored = (
+        flat.join(F.broadcast(lut), ["m", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = W.partitionBy(qid_col).orderBy(
+        F.col("adc_micro").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select(qid_col, id_col, "adc_micro", "rk")
+    )

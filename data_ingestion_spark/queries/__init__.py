@@ -37,6 +37,8 @@ _PRIORITY = [
     "kn_bigram_lm_corpus",
     "psi_drift_docs",
     "trajectory_events",
+    "pq_adc_topk_embeddings",
+    "shuffle_ids_docs",
     "merge_upsert_customers",
     "zorder_prune_demo_events",
     "zipf_slope_corpus",
@@ -84,9 +86,9 @@ _PRIORITY = [
     "asof_join_events_orders",
     "range_join_event_pairs",
     "session_window_events",
+    # ---- driver window cutoff (first 50 above) ----
     "time_window_events",
     "window_topk_orders",
-    # ---- driver window cutoff (first 50 above) ----
     "window_running_revenue",
     "percentile_lineitem",
     "percentile_approx_lineitem",

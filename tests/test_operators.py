@@ -1337,3 +1337,61 @@ def test_assemble_trajectories_no_window_in_plan(spark):
     out = T.assemble_trajectories(df, "user_id", "ts", "event_id", "event_type")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_pq_encode_recovers_cluster_structure(spark):
+    """Four well-separated clusters in two 2-d subspaces: every vector
+    must share a codeword-pair with its cluster's seed, and ADC top-1
+    for a cluster-center query is the center itself (adc_micro == 0
+    for an exactly-reconstructed vector)."""
+    from data_ingestion_spark.operators import similarity as S
+
+    centers = [(0.0, 0.0, 10.0, 10.0), (10.0, 10.0, 0.0, 0.0),
+               (-10.0, -10.0, 5.0, 5.0), (5.0, 5.0, -10.0, -10.0)]
+    # ids round-robin across clusters so the deterministic seeds (the 4
+    # lowest ids) start one-per-cluster; cluster(vid) = vid % 4
+    rows = []
+    for j, jitter in enumerate((0.0, 0.1, -0.1)):
+        for ci, c in enumerate(centers):
+            rows.append((ci + 4 * j, [x + jitter for x in c]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    books = S.pq_train(df, m=2, k=4, n_iter=2)
+    codes = {r["vec_id"]: (r["code_0"], r["code_1"])
+             for r in S.pq_encode(df, "vec_id", "embedding", books).collect()}
+    for ci in range(4):  # members encode like their cluster head
+        assert codes[ci] == codes[ci + 4] == codes[ci + 8]
+    assert len(set(codes.values())) == 4  # distinct clusters stay distinct
+
+    from pyspark.sql import functions as F
+
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    top1 = {r["qid"]: r for r in S.pq_adc_topk(
+        df, queries, m=2, k=4, n_iter=2, topk=1
+    ).collect()}
+    for qid, r in top1.items():
+        # the query's own cluster wins; centroid==mean of the 3 members,
+        # so the ADC distance is the tiny jitter variance, far below the
+        # ~100-unit inter-cluster gaps
+        assert r["vec_id"] % 4 == qid % 4
+        assert r["adc_micro"] < 1_000_000
+
+
+def test_pq_adc_no_cartesian_in_plan(spark):
+    """The ADC join must be a broadcast of the n_q*m*k LUT, never a
+    cartesian or raw-vector pair join."""
+    from data_ingestion_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float(i % 3), float(i % 2)])
+         for i in range(40)],
+        "vec_id: long, embedding: array<double>",
+    )
+    from pyspark.sql import functions as F
+
+    q = df.limit(2).select(F.col("vec_id").alias("qid"), "embedding")
+    out = S.pq_adc_topk(df, q, m=2, k=4, n_iter=1, topk=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
