@@ -160,6 +160,7 @@ HEADLINE = [
     "psi_drift_docs",
     "trajectory_events",
     "pq_adc_topk_embeddings",
+    "pq_ivf_topk_embeddings",
     "shuffle_ids_docs",
 ]
 

@@ -2896,14 +2896,21 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rk")
 
 
-def _pq_oracle(m: int = 4, k: int = 8, d_sub: int = 16, n_q: int = 3,
-               topk: int = 5) -> str:
+def _pq_dist(d_sub: int, vec: str) -> str:
+    """DuckDB fragment: squared L2 between a subvector of ``vec`` and the
+    codeword list ``b.cv`` (b = alias of a b{i}l books table)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {d_sub}), j -> "
+        f"({vec}[b.m * {d_sub} + j]::DOUBLE - b.cv[j])"
+        f" * ({vec}[b.m * {d_sub} + j]::DOUBLE - b.cv[j])))"
+    )
+
+
+def _pq_training_ctes(m: int, k: int, d_sub: int) -> str:
+    """The shared PQ-training WITH-body: seeds -> b0/b0l -> two Lloyd
+    rounds (assign, re-mean, empty-cluster coalesce) -> b2l."""
     def dist(vec: str, books: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, {d_sub}), j -> "
-            f"({vec}[b.m * {d_sub} + j]::DOUBLE - b.cv[j])"
-            f" * ({vec}[b.m * {d_sub} + j]::DOUBLE - b.cv[j])))"
-        )
+        return _pq_dist(d_sub, vec)
 
     # each round coalesces empty clusters against the PREVIOUS round's
     # table, so the rounds are generated with explicit prev references
@@ -2932,8 +2939,7 @@ def _pq_oracle(m: int = 4, k: int = 8, d_sub: int = 16, n_q: int = 3,
   SELECT m, code, list(c ORDER BY dim) AS cv FROM b{i} GROUP BY m, code
 )""")
     rounds_sql = ",\n".join(rounds)
-    return f"""
-WITH seeds AS (
+    return f"""seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
 ), b0 AS (
@@ -2953,11 +2959,18 @@ enc AS (
     FROM (SELECT e.vec_id, b.m, b.code, {dist('e.embedding', 'b2l')} AS dist
           FROM embeddings e, b2l b) d
   ) WHERE rk = 1
-), q AS (
+)"""
+
+
+def _pq_oracle(m: int = 4, k: int = 8, d_sub: int = 16, n_q: int = 3,
+               topk: int = 5) -> str:
+    dist = _pq_dist(d_sub, 'q.embedding')
+    return f"""
+WITH {_pq_training_ctes(m, k, d_sub)}, q AS (
   SELECT vec_id AS qid, embedding FROM embeddings ORDER BY vec_id LIMIT {n_q}
 ), lut AS (
   SELECT q.qid, b.m, b.code,
-         floor({dist('q.embedding', 'b2l')} * 1e6 + 0.5)::BIGINT AS d_micro
+         floor({dist} * 1e6 + 0.5)::BIGINT AS d_micro
   FROM q, b2l b
 ), sc AS (
   SELECT l.qid, f.vec_id, sum(l.d_micro)::BIGINT AS adc_micro
@@ -3019,3 +3032,86 @@ ORDER BY doc_id
 """
 
 QUERIES["shuffle_ids_docs"] = (shuffle_ids_docs, SHUFFLE_IDS_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composition (round 6)
+# --------------------------------------------------------------------------
+def pq_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search E2E (similarity.pq_ivf_topk): a 4-list coarse
+    quantizer (argmax dot, deterministic seeds) routes every vector to
+    one inverted list, each query probes its 2 nearest lists, and the
+    ADC scoring runs over the probed lists' codes only — the composition
+    that bounds PQ's candidate volume at corpus scale. The oracle
+    replays the coarse assignment/probe ranking AND the full PQ
+    training/encode/LUT chain."""
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    return similarity.pq_ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", qid_col="qid",
+        n_lists=4, n_probe=2, m=4, k=8, n_iter=2, topk=5,
+    ).orderBy("qid", "rk")
+
+
+def _pq_ivf_oracle(m: int = 4, k: int = 8, d_sub: int = 16, n_q: int = 3,
+                   n_lists: int = 4, n_probe: int = 2, topk: int = 5) -> str:
+    dist = _pq_dist(d_sub, 'q.embedding')
+    return f"""
+WITH {_pq_training_ctes(m, k, d_sub)}, q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings ORDER BY vec_id LIMIT {n_q}
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT {n_lists})
+), asg AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC,
+                      c.cid ASC) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+), probe AS (
+  SELECT qid, cid AS list_id FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_inner_product(q.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC,
+                      c.cid ASC) AS rk
+    FROM q, cents c
+  ) WHERE rk <= {n_probe}
+), cand AS (
+  SELECT p.qid, a.vec_id FROM probe p JOIN asg a USING (list_id)
+), lut AS (
+  SELECT q.qid, b.m, b.code,
+         floor({dist} * 1e6 + 0.5)::BIGINT AS d_micro
+  FROM q, b2l b
+), sc AS (
+  SELECT cd.qid, f.vec_id, sum(l.d_micro)::BIGINT AS adc_micro
+  FROM enc f
+  JOIN cand cd ON cd.vec_id = f.vec_id
+  JOIN lut l ON l.qid = cd.qid AND l.m = f.m AND l.code = f.code
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, adc_micro, rk FROM (
+  SELECT qid, vec_id, adc_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_micro ASC, vec_id ASC)::INT AS rk
+  FROM sc
+) WHERE rk <= {topk} ORDER BY qid, rk
+"""
+
+
+PQ_IVF_TOPK_EMBEDDINGS_SQL = _pq_ivf_oracle()
+
+QUERIES["pq_ivf_topk_embeddings"] = (
+    pq_ivf_topk_embeddings,
+    PQ_IVF_TOPK_EMBEDDINGS_SQL,
+)

@@ -964,7 +964,6 @@ def pq_adc_topk(
     from pyspark.sql import Window as W
 
     books = pq_train(corpus, id_col, vec_col, m=m, k=k, n_iter=n_iter)
-    d_sub = len(books[0][0])
     codes = pq_encode(corpus, id_col, vec_col, books)
     code_struct = ", ".join(
         f"struct({s} AS m, code_{s} AS code)" for s in range(m)
@@ -972,6 +971,33 @@ def pq_adc_topk(
     flat = codes.select(
         F.col(id_col), F.expr(f"explode(array({code_struct}))").alias("mc")
     ).select(id_col, "mc.m", "mc.code")
+    lut = _pq_lut(queries, books, qid_col, vec_col)
+    scored = (
+        flat.join(F.broadcast(lut), ["m", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = W.partitionBy(qid_col).orderBy(
+        F.col("adc_micro").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select(qid_col, id_col, "adc_micro", "rk")
+    )
+
+
+def _pq_lut(
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    qid_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table: micro-rounded squared L2 from the
+    (un-quantized) query subvectors to every codeword — n_q·m·k rows of
+    broadcastable metadata."""
+    m, k = len(books), len(books[0])
+    d_sub = len(books[0][0])
     lut_struct = ", ".join(
         f"struct({s} AS m, {c} AS code, CAST(floor("
         f"{_sql_l2sq(vec_col, s * d_sub, books[s][c])} * 1e6 + 0.5D) AS BIGINT)"
@@ -979,11 +1005,64 @@ def pq_adc_topk(
         for s in range(m)
         for c in range(k)
     )
-    lut = queries.select(
+    return queries.select(
         F.col(qid_col), F.expr(f"explode(array({lut_struct}))").alias("e")
     ).select(qid_col, "e.m", "e.code", "e.d_micro")
+
+
+def pq_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    n_lists: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """IVF-PQ composition (FAISS's IVFPQ shape, here without residual
+    re-encoding — by_residual=False): a coarse quantizer routes each
+    vector to one inverted list and each query probes its ``n_probe``
+    nearest lists; ADC then scores ONLY the probed lists' codes.
+
+    This is the piece that bounds pq_adc_topk's (qid, vec_id) aggregate
+    at corpus scale: candidate volume drops from n_q·N to
+    ~n_q·N·n_probe/n_lists, and on a partitioned table list_id prunes
+    the scan itself (same argument as ivf_topk). With
+    ``n_probe == n_lists`` the result is EXACTLY pq_adc_topk — the
+    correctness anchor the tests pin.
+
+    Coarse assignment reuses ivf_assign (argmax dot, ties to the lower
+    list id); codebooks/encoding/LUT are the plain PQ pieces above.
+    Output: (qid, vec_id, adc_micro, rk).
+    """
+    cents = ivf_centroids_from_sample(corpus, n_lists, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), cents,
+        vec_col=vec_col, n_probe=1,
+    ).select(id_col, "list_id")
+    probes = ivf_assign(
+        queries.select(F.col(qid_col), F.col(vec_col)), cents,
+        vec_col=vec_col, n_probe=n_probe,
+    ).select(qid_col, "list_id")
+    cand = assigned.join(F.broadcast(probes), "list_id").select(
+        qid_col, id_col
+    )
+    books = pq_train(corpus, id_col, vec_col, m=m, k=k, n_iter=n_iter)
+    codes = pq_encode(corpus, id_col, vec_col, books)
+    code_struct = ", ".join(
+        f"struct({s} AS m, code_{s} AS code)" for s in range(m)
+    )
+    flat = codes.select(
+        F.col(id_col), F.expr(f"explode(array({code_struct}))").alias("mc")
+    ).select(id_col, "mc.m", "mc.code")
+    lut = _pq_lut(queries, books, qid_col, vec_col)
     scored = (
-        flat.join(F.broadcast(lut), ["m", "code"])
+        flat.join(cand, id_col)
+        .join(F.broadcast(lut), [qid_col, "m", "code"])
         .groupBy(qid_col, id_col)
         .agg(F.sum("d_micro").alias("adc_micro"))
     )

@@ -21,15 +21,18 @@ from __future__ import annotations
 #: driver-checked in rounds 1–2 against since-regenerated testdata (the r5
 #: window was byte-identical to r4's). Round-6 slots therefore go to
 #: (a) the ingest core (SURVEY §2.1–§2.3, always windowed),
-#: (b) queries whose implementation changed THIS round (merge_upsert's
-#:     integer-cents rename, zorder's new oracle-paired selectivity output,
-#:     zipf's de-globalized rank, two-stage retrieval's adaptive shortlist,
+#: (b) queries NEW or changed THIS round (8 new operators: prefix-sum id
+#:     manifests ×2, KN bigram LM, PSI drift, trajectories, PQ/ADC +
+#:     IVF-PQ, stats-manifest pruning; plus merge_upsert's integer-cents
+#:     rename, zorder's new oracle-paired selectivity output, zipf's
+#:     de-globalized rank, two-stage retrieval's adaptive shortlist,
 #:     matryoshka's zero-energy guard),
-#: (c) 35 of the 81 oldest (r1/r2-only) queries — the full TPC-H battery
-#:     head, the dedup/knn families, and the temporal joins.
-#: The remaining 46 r1/r2-era queries are queued first for the round-7
-#: window. Everything stays registered and locally verified by
-#: tools/check_oracle.py regardless of position.
+#: (c) 27 of the 81 oldest (r1/r2-only) queries — the TPC-H battery head
+#:     and the dedup/knn/temporal families.
+#: The remaining ~54 r1/r2-era queries are queued first for the round-7
+#: window (oldest first, directly below the cutoff). Everything stays
+#: registered and locally verified by tools/check_oracle.py regardless
+#: of position.
 _PRIORITY = [
     # (b) new or changed this round — must earn a driver-green row
     "stats_prune_scan_orders",
@@ -38,6 +41,7 @@ _PRIORITY = [
     "psi_drift_docs",
     "trajectory_events",
     "pq_adc_topk_embeddings",
+    "pq_ivf_topk_embeddings",
     "shuffle_ids_docs",
     "merge_upsert_customers",
     "zorder_prune_demo_events",
@@ -85,8 +89,8 @@ _PRIORITY = [
     "gapfill_events_locf",
     "asof_join_events_orders",
     "range_join_event_pairs",
-    "session_window_events",
     # ---- driver window cutoff (first 50 above) ----
+    "session_window_events",
     "time_window_events",
     "window_topk_orders",
     "window_running_revenue",

@@ -21,7 +21,7 @@ def test_registry_consistency():
     # round 6: zorder_prune_demo_events gained an oracle — the registry has
     # zero rows-only queries left
     assert set(q) == set(o)
-    assert len(q) >= 177
+    assert len(q) >= 178
     # driver verifies the first 50 in insertion order: every query new or
     # changed in round 6 must sit inside that window
     names = list(q)
@@ -29,7 +29,7 @@ def test_registry_consistency():
     for must in ("stats_prune_scan_orders", "assign_ids_orders",
                  "kn_bigram_lm_corpus", "psi_drift_docs",
                  "trajectory_events", "pq_adc_topk_embeddings",
-                 "shuffle_ids_docs",
+                 "pq_ivf_topk_embeddings", "shuffle_ids_docs",
                  "merge_upsert_customers", "zorder_prune_demo_events",
                  "zipf_slope_corpus", "knn_two_stage_topk",
                  "matryoshka_qc_embeddings"):

@@ -1395,3 +1395,48 @@ def test_pq_adc_no_cartesian_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_ivf_full_probe_equals_plain_pq(spark):
+    """With n_probe == n_lists the IVF routing prunes nothing, so IVF-PQ
+    must equal plain PQ/ADC row for row — the correctness anchor that
+    pins the composition (same anchor ivf_topk uses vs cosine_topk).
+    And with n_probe=1 every result must come from the query's own
+    probed list."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+         for i in range(60)],
+        "vec_id: long, embedding: array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    kw = dict(id_col="vec_id", vec_col="embedding", qid_col="qid",
+              m=2, k=4, n_iter=1, topk=4)
+    plain = sorted(
+        map(tuple, S.pq_adc_topk(df, q, **kw).collect())
+    )
+    full = sorted(
+        map(tuple, S.pq_ivf_topk(df, q, n_lists=3, n_probe=3, **kw).collect())
+    )
+    assert plain == full and len(plain) == 12
+
+    pruned = S.pq_ivf_topk(df, q, n_lists=3, n_probe=1, **kw)
+    cents = S.ivf_centroids_from_sample(df, 3)
+    probes = {
+        r["qid"]: r["list_id"]
+        for r in S.ivf_assign(
+            q.select(F.col("qid"), F.col("embedding")), cents,
+            vec_col="embedding", n_probe=1,
+        ).collect()
+    }
+    lists = {
+        r["vec_id"]: r["list_id"]
+        for r in S.ivf_assign(df, cents, vec_col="embedding", n_probe=1).collect()
+    }
+    for r in pruned.collect():
+        assert lists[r["vec_id"]] == probes[r["qid"]]
