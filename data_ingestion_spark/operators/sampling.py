@@ -319,7 +319,11 @@ def assign_contiguous_ids(
     """
     first = order_cols[0]
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.stat.approxQuantile(first, qs, 0.01)  # bounded driver metadata
+    # n_buckets=1 -> no cuts, one bucket (approxQuantile rejects an empty
+    # probability list)
+    cuts = (
+        df.stat.approxQuantile(first, qs, 0.01) if qs else []
+    )  # bounded driver metadata
     bucket = F.lit(0)
     for c in sorted(set(cuts)):
         bucket = bucket + (F.col(first) > F.lit(float(c))).cast("int")

@@ -299,3 +299,33 @@ def test_assign_splits_partition_properties(spark, keys):
     sub = spark.createDataFrame([(keys[0],)], ["doc_id"])
     r = assign_splits(sub, "doc_id").collect()[0]
     assert (r["bucket"], r["split"]) == full[keys[0]]
+
+
+@_SETTINGS
+@given(
+    xs=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=120
+    ),
+    n_buckets=st.integers(min_value=1, max_value=16),
+)
+def test_assign_contiguous_ids_property(spark, xs, n_buckets):
+    """For ANY multiset of keys (duplicates, negatives, constant columns,
+    fewer rows than buckets) and ANY bucket count, the distributed
+    prefix-sum ids equal row_number()-1 over the exact global
+    (x, k)-order — approximate quantile cuts must never change the
+    RESULT, only the balance."""
+    from data_ingestion_spark.operators import sampling
+
+    rows = [(i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k: long, x: double").repartition(5)
+    got = {
+        r["k"]: r["row_id"]
+        for r in sampling.assign_contiguous_ids(
+            df, ["x", "k"], n_buckets=n_buckets
+        ).collect()
+    }
+    expect = {
+        k: i
+        for i, (k, _x) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert got == expect
