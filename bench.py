@@ -162,6 +162,7 @@ HEADLINE = [
     "pq_adc_topk_embeddings",
     "pq_ivf_topk_embeddings",
     "shuffle_ids_docs",
+    "dedup_clusters_docs",
 ]
 
 

@@ -69,11 +69,37 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """All pairs within a block with shingle-Jaccard ≥ threshold.
+    """All pairs within a block with shingle-Jaccard ≥ threshold —
+    LOSSLESSLY pruned by AllPairs prefix + length filtering (Bayardo,
+    Ma & Srikant, WWW'07), so the output is identical to the naive
+    within-block all-pairs join while the candidate count stays
+    sub-quadratic.
+
+    Why not the plain block self-join: block-key cardinality is fixed,
+    so blocks grow linearly with the corpus and within-block pairs grow
+    QUADRATICALLY (measured: 2.2s → 71s → 1067s across 0.01/0.1/0.4×
+    tiers on dedup_clusters_docs). The two classic filters are exact:
+
+    - length filter: Jaccard(A,B) ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t;
+    - prefix filter: order each distinct-shingle set canonically and
+      keep the first |X| − ⌈t·|X|⌉ + 1 elements; any pair with
+      Jaccard ≥ t MUST share a prefix element, so exploding prefixes
+      and equi-joining on (block, prefix shingle) generates a candidate
+      superset. 3-word shingles are mostly rare, so candidates collapse
+      to near the true-pair count.
+
+    Canonical order here is lexicographic (engine-stable, oracle-free:
+    the filter is lossless so oracles verify the OUTPUT, not the order);
+    production refinement: global-frequency ascending order shrinks
+    prefixes sharing common shingles further.
+
+    Dataflow: shingle sets → prefix explode → (block, shingle) equi-join
+    of the narrow (id, block, shingle) stream → distinct candidate pairs
+    → rejoin the two shingle arrays BY ID (keys-only shuffles; arrays
+    move once per side) → exact Jaccard verify.
 
     Set semantics via array_intersect/array_union (both dedup — matching
-    DuckDB's list_intersect/list_distinct). The self-join shuffles both
-    sides on the block key; block design caps pair counts per partition.
+    DuckDB's list_intersect/list_distinct).
     """
     # Filter on token count (== "has >=1 shingle") BEFORE building shingles:
     # a size(shingles)>0 filter would be pushed below the projection and
@@ -85,20 +111,48 @@ def jaccard_pairs(
             F.struct(*block_cols).alias("block"),
         )
         .filter(F.size("toks") >= k)
-        .select("id", word_shingles(F.col("toks"), k).alias("shingles"), "block")
+        .select(
+            "id",
+            F.array_sort(F.array_distinct(word_shingles(F.col("toks"), k))).alias(
+                "sset"
+            ),
+            "block",
+        )
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    n = F.size("sset")
+    prefix_len = F.greatest(
+        n - F.ceil(n * F.lit(float(threshold))).cast("int") + F.lit(1), F.lit(1)
+    )
+    pref = base.select(
+        "id",
+        "block",
+        n.alias("n"),
+        F.explode(F.slice(F.col("sset"), F.lit(1), prefix_len)).alias("s"),
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.block") == F.col("pb.block"))
+            & (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            # length filter: t·|A| ≤ |B| ≤ |A|/t (lossless)
+            & (F.col("pb.n") * F.lit(float(threshold)) <= F.col("pa.n"))
+            & (F.col("pa.n") * F.lit(float(threshold)) <= F.col("pb.n")),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    sets = base.select("id", "sset")
+    verify = (
+        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "sa"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "sb"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
     jac = inter.cast("double") / union.cast("double")
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+        verify.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

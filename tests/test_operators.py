@@ -1440,3 +1440,51 @@ def test_pq_ivf_full_probe_equals_plain_pq(spark):
     }
     for r in pruned.collect():
         assert lists[r["vec_id"]] == probes[r["qid"]]
+
+
+def test_jaccard_pairs_prefix_filter_lossless(spark):
+    """The AllPairs prefix+length filtering must produce EXACTLY the
+    naive within-block all-pairs result — pinned on a fixture with
+    exact dups, near-dups straddling the threshold, length-mismatched
+    docs, and single-shingle docs."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import dedup
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),          # exact dup of 0
+        (2, "alpha beta gamma delta epsilon eta"),           # near dup of 0
+        (3, "one two three four five six seven"),            # unrelated
+        (4, "one two three four five six seven eight nine ten eleven twelve"),
+        (5, "zz yy xx"),                                     # single shingle
+        (6, "zz yy xx"),                                     # its dup
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string").withColumn(
+        "blk", F.lit(1)
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            df, "doc_id", "text", [F.col("blk")], k=3, threshold=0.3
+        ).collect()
+    }
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expect = {}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa or not sb:
+            continue
+        j = round(len(sa & sb) / len(sa | sb), 4)
+        if j >= 0.3:
+            expect[(ia, ib)] = j
+    assert got == expect
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (5, 6) in got  # single-shingle docs survive the prefix filter
+
