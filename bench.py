@@ -163,6 +163,9 @@ HEADLINE = [
     "pq_ivf_topk_embeddings",
     "shuffle_ids_docs",
     "dedup_clusters_docs",
+    "url_dedup_docs",
+    "dsir_importance_docs",
+    "nb_lang_confusion_docs",
 ]
 
 

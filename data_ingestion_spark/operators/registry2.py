@@ -3115,3 +3115,244 @@ QUERIES["pq_ivf_topk_embeddings"] = (
     pq_ivf_topk_embeddings,
     PQ_IVF_TOPK_EMBEDDINGS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup (round 6)
+# --------------------------------------------------------------------------
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-key dedup (web.canonicalize_url): the first pass of every
+    web-corpus pipeline. The documents table carries no URL column, so
+    each doc gets a DETERMINISTIC synthetic URL (source + doc_id%8 page,
+    decorated per doc_id%3 with scheme case, www., default ports, shuffled
+    + tracking query params, fragments, trailing slashes) built
+    identically in the oracle — the operator under test is the
+    canonicalizer + one hash agg on the canonical key, never the
+    synthesis. The moduli matter: 3 is coprime with the (source, page)
+    key cycle, so every canonical group mixes ALL the decoration
+    variants, proving cross-variant collapse (a 4-variant doc_id%4 key
+    sharing a factor with the key cycle would put only one variant in
+    each group and test nothing)."""
+    from . import web
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    page = (F.col("doc_id") % 8).cast("string")
+    src = F.col("source")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://www."), src, F.lit(".example.com/page/"), page,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(src), F.lit(".EXAMPLE.COM:443/page/"),
+                page, F.lit("/?b=2&a=1&utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://www."), src, F.lit(".example.com:80/page/"), page,
+                F.lit("/?a=1&utm_campaign=x&b=2&fbclid=zzz#frag"),
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", web.canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+URL_DEDUP_DOCS_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE (doc_id % 3)
+      WHEN 0 THEN 'https://www.' || source || '.example.com/page/'
+                  || (doc_id % 8)::VARCHAR || '?a=1&b=2'
+      WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM:443/page/'
+                  || (doc_id % 8)::VARCHAR || '/?b=2&a=1&utm_source=feed'
+      ELSE 'http://www.' || source || '.example.com:80/page/'
+           || (doc_id % 8)::VARCHAR || '/?a=1&utm_campaign=x&b=2&fbclid=zzz#frag'
+    END AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+             lower(trim(url)), '#.*$', ''), '^https?://', ''), '^www\.', '')
+             AS u
+  FROM raw
+), s2 AS (
+  SELECT doc_id,
+         regexp_replace(u, '^([^/?:]+):(80|443)([/?]|$)', '\1\3') AS u
+  FROM s1
+), parts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(u, '\?.*$', ''), '/+$', '') AS path,
+         CASE WHEN contains(u, '?')
+              THEN regexp_replace(u, '^[^?]*\?', '') ELSE '' END AS qs
+  FROM s2
+), canon AS (
+  SELECT doc_id,
+         CASE WHEN len(params) > 0
+              THEN path || '?' || array_to_string(params, '&')
+              ELSE path END AS canonical_url
+  FROM (
+    SELECT doc_id, path,
+           list_sort(list_filter(string_split(qs, '&'),
+             p -> p <> '' AND NOT regexp_matches(
+                 p, '^(utm_[a-z0-9_]*|fbclid|gclid|ref)='))) AS params
+    FROM parts
+  )
+)
+SELECT canonical_url, count(*)::BIGINT AS n_dups, min(doc_id)::BIGINT AS keep_id
+FROM canon GROUP BY 1 ORDER BY canonical_url
+"""
+
+QUERIES["url_dedup_docs"] = (url_dedup_docs, URL_DEDUP_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (round 6)
+# --------------------------------------------------------------------------
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 documents by DSIR importance log-weight toward the
+    English-language target (sampling.dsir_importance, 256 hashed
+    uni+bigram buckets): the classifier-free data-selection scorer of
+    Xie et al. 2023. Integer-micro bucket log-ratios make per-doc dot
+    products order-free; the cut is fully tie-broken (weight desc,
+    doc_id asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.dsir_importance(
+            docs, "doc_id", "text", F.col("lang") == "en", n_buckets=256
+        )
+        .orderBy(F.col("weight_micro").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", "is_target", "n_grams", "weight_micro")
+    )
+
+
+def _dsir_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    h = _SQL_HASH60.format(c="g")
+    return f"""
+WITH t AS (
+  SELECT doc_id, (lang = 'en') AS is_target, {toks} AS toks FROM documents
+), tt AS (
+  SELECT * FROM t WHERE len(toks) >= 1
+), g AS (
+  SELECT doc_id, is_target, unnest(toks) AS g FROM tt
+  UNION ALL
+  SELECT doc_id, is_target,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM tt WHERE len(toks) >= 2
+), db AS (
+  SELECT doc_id, is_target, {h} % 256 AS b, count(*)::BIGINT AS c
+  FROM g GROUP BY 1, 2, 3
+), bs AS (
+  SELECT b, sum(c)::BIGINT AS cr,
+         sum(CASE WHEN is_target THEN c ELSE 0 END)::BIGINT AS ct
+  FROM db GROUP BY b
+), tot AS (
+  SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM bs
+), lr AS (
+  SELECT b,
+         floor((ln((ct + 1)::DOUBLE / (nt + 256)::DOUBLE)
+                - ln((cr + 1)::DOUBLE / (nr + 256)::DOUBLE)) * 1e6 + 0.5)::BIGINT
+             AS term_micro
+  FROM bs, tot
+)
+SELECT doc_id, is_target, sum(c)::BIGINT AS n_grams,
+       sum(c * term_micro)::BIGINT AS weight_micro
+FROM db JOIN lr USING (b)
+GROUP BY doc_id, is_target
+ORDER BY weight_micro DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+DSIR_IMPORTANCE_DOCS_SQL = _dsir_oracle()
+
+QUERIES["dsir_importance_docs"] = (dsir_importance_docs, DSIR_IMPORTANCE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Naive-Bayes classifier confusion matrix (round 6)
+# --------------------------------------------------------------------------
+def nb_lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language confusion matrix of the one-pass multinomial Naive Bayes
+    classifier (text.nb_classify) trained on the corpus's own lang labels
+    — the 'fastText-like' quality/language-filter shape of CCNet and the
+    GPT-3/LLaMA data pipelines, argmax included, fully oracle-replayed."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.nb_classify(docs, "doc_id", "lang", "text")
+    return (
+        pred.groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "pred")
+    )
+
+
+def _nb_confusion_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {toks} AS toks FROM documents
+), b2 AS (
+  SELECT * FROM base WHERE len(toks) >= 1
+), dtc AS (
+  SELECT doc_id, lang, t, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, lang, unnest(toks) AS t FROM b2)
+  GROUP BY 1, 2, 3
+), ct AS (
+  SELECT lang AS cls, t, sum(c)::BIGINT AS nct FROM dtc GROUP BY 1, 2
+), clst AS (
+  SELECT cls, sum(nct)::BIGINT AS nc FROM ct GROUP BY cls
+), vocab AS (
+  SELECT DISTINCT t FROM ct
+), v AS (
+  SELECT count(*)::BIGINT AS v FROM vocab
+), model AS (
+  SELECT g.cls, g.t,
+         floor(ln((coalesce(ct.nct, 0) + 1)::DOUBLE
+                  / (clst.nc + v.v)::DOUBLE) * 1e6 + 0.5)::BIGINT AS lp_micro
+  FROM (SELECT c.cls, vo.t FROM (SELECT DISTINCT cls FROM clst) c, vocab vo) g
+  LEFT JOIN ct ON ct.cls = g.cls AND ct.t = g.t
+  JOIN clst ON clst.cls = g.cls, v
+), nd AS (
+  SELECT count(*)::BIGINT AS n_docs FROM b2
+), prior AS (
+  SELECT lang AS cls,
+         floor(ln(count(*)::DOUBLE / (SELECT n_docs FROM nd)::DOUBLE)
+               * 1e6 + 0.5)::BIGINT AS prior_micro
+  FROM b2 GROUP BY 1
+), sc AS (
+  SELECT d.doc_id, d.lang, m.cls, sum(d.c * m.lp_micro)::BIGINT AS dot_micro
+  FROM dtc d JOIN model m ON m.t = d.t GROUP BY 1, 2, 3
+), sc2 AS (
+  SELECT sc.doc_id, sc.lang, sc.cls, sc.dot_micro + p.prior_micro AS score_micro
+  FROM sc JOIN prior p ON p.cls = sc.cls
+), ranked AS (
+  SELECT doc_id, lang, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, cls ASC) AS rk
+  FROM sc2
+)
+SELECT lang, cls AS pred, count(*)::BIGINT AS n_docs
+FROM ranked WHERE rk = 1 GROUP BY 1, 2 ORDER BY lang, pred
+"""
+
+
+NB_LANG_CONFUSION_DOCS_SQL = _nb_confusion_oracle()
+
+QUERIES["nb_lang_confusion_docs"] = (nb_lang_confusion_docs, NB_LANG_CONFUSION_DOCS_SQL)

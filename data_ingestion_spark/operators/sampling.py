@@ -346,3 +346,81 @@ def assign_contiguous_ids(
         .withColumn(id_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
         .drop("_bkt", "_off")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score every
+    raw document by how target-like its hashed n-gram profile is, so a
+    100 TB crawl can be resampled toward a small high-quality target
+    domain without training a classifier.
+
+    Features are word uni+bigrams hashed into ``n_buckets`` buckets
+    (hashing fixes the feature space regardless of vocabulary size — the
+    whole point at web scale). Bucket unigram models with add-one
+    smoothing over target vs raw:
+
+        lw(d) = sum_{g in grams(d)} ln p_target(b(g)) - ln p_raw(b(g))
+
+    Exactness: the per-bucket log-ratio is micro-rounded to an integer
+    once (``term_micro``), and per-document weights are integer dot
+    products ``sum(count_b * term_micro_b)`` — order-free, so the result
+    is shuffle-deterministic and oracle-replayable.
+
+    Dataflow: one explode → (id, bucket) counts (narrow-key shuffle) →
+    a ``n_buckets``-row stats table joined back via broadcast → one
+    integer agg per document. No pass ever shuffles document text.
+    Documents with zero tokens produce no grams and are excluded.
+
+    Returns (id_col, is_target, n_grams, weight_micro), one row per
+    document with ≥1 token.
+    """
+    from ..functions.text_functions import tokens, word_shingles
+
+    base = df.select(
+        F.col(id_col),
+        is_target.alias("is_target"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).filter(F.size("toks") >= 1)
+    grams = base.select(
+        id_col,
+        "is_target",
+        F.explode(
+            F.concat(F.col("toks"), word_shingles(F.col("toks"), 2))
+        ).alias("g"),
+    )
+    doc_b = grams.groupBy(
+        id_col, "is_target", F.pmod(md5_hash60(F.col("g")), n_buckets).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bs = doc_b.groupBy("b").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
+    )
+    tot = bs.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    lr = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + F.lit(n_buckets)))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + F.lit(n_buckets)))
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("term_micro"),
+    )
+    return (
+        doc_b.join(F.broadcast(lr), "b")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("term_micro")).cast("long").alias("weight_micro"),
+        )
+    )

@@ -1402,3 +1402,98 @@ def kneser_ney_bigrams(
         F.col("n1p_bw").cast("long").alias("n1p_bw"),
         "pkn_micro",
     )
+
+
+def nb_classify(df: DataFrame, id_col: str, label_col: str, text_col: str) -> DataFrame:
+    """Multinomial Naive Bayes with add-one smoothing, trained and applied
+    in one pass over the corpus — the shape of every "fastText-like"
+    quality/language classifier in LLM data pipelines (CCNet's lang filter,
+    GPT-3/LLaMA's quality filter): per-class token log-odds, per-document
+    log-odds dot product, argmax.
+
+        score(d, c) = ln P(c) + sum_t count(d,t) * ln P(t | c)
+        P(t | c)    = (n_{c,t} + 1) / (N_c + |V|),   V = global vocab
+
+    Exactness: ln-prior and ln-likelihood are micro-rounded to integers
+    ONCE (per class / per (class, token)); document scores are integer
+    dot products, so the argmax is shuffle-deterministic and
+    oracle-replayable. Ties break on class name ascending.
+
+    Dataflow for 100 TB: one explode → (doc, token) counts; the model is a
+    (|V| × n_classes)-row table built by two token-key aggregations
+    (vocab-collapse — model size is independent of corpus row count); the
+    score join is a token-key equi-join of counts against the model, then
+    one integer agg per (doc, class) and a per-doc argmax window
+    (partitioned by doc id — never global). Document text is never
+    shuffled. Documents with zero tokens are excluded (no features).
+
+    Returns one row per document: (id_col, label_col, pred, score_micro).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col), F.col(label_col).alias("_label"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    dt = (
+        base.select(id_col, "_label", F.explode("toks").alias("t"))
+        .groupBy(id_col, "_label", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # class-token counts, class totals, global vocab — all vocab-collapsed
+    ct = dt.groupBy("_label", "t").agg(F.sum("c").alias("nct"))
+    cls = ct.groupBy("_label").agg(F.sum("nct").alias("nc"))
+    vocab = ct.select("t").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    # dense (class, token) grid so unseen (class, token) pairs get the
+    # add-one floor instead of silently dropping out of the dot product
+    classes = cls.select("_label")
+    grid = vocab.crossJoin(F.broadcast(classes))
+    model = (
+        grid.join(ct, ["_label", "t"], "left")
+        .join(F.broadcast(cls), "_label")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "_label",
+            "t",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("nct"), F.lit(0)) + 1)
+                    / (F.col("nc") + F.col("v"))
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    ndocs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    prior = (
+        base.groupBy("_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col("_label").alias("_cls"),
+            F.floor(F.log(F.col("n") / F.col("n_docs")) * 1e6 + 0.5)
+            .cast("long")
+            .alias("prior_micro"),
+        )
+    )
+    scores = (
+        dt.join(model.withColumnRenamed("_label", "_cls"), "t")
+        .groupBy(id_col, "_label", "_cls")
+        .agg(F.sum(F.col("c") * F.col("lp_micro")).alias("dot_micro"))
+        .join(F.broadcast(prior), "_cls")
+        .withColumn("score_micro", (F.col("dot_micro") + F.col("prior_micro")).cast("long"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score_micro").desc(), F.col("_cls").asc())
+    return (
+        scores.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("_label").alias(label_col),
+            F.col("_cls").alias("pred"),
+            "score_micro",
+        )
+    )

@@ -35,6 +35,9 @@ from __future__ import annotations
 #: of position.
 _PRIORITY = [
     # (b) new or changed this round — must earn a driver-green row
+    "url_dedup_docs",
+    "dsir_importance_docs",
+    "nb_lang_confusion_docs",
     "stats_prune_scan_orders",
     "assign_ids_orders",
     "kn_bigram_lm_corpus",

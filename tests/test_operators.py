@@ -1488,3 +1488,123 @@ def test_jaccard_pairs_prefix_filter_lossless(spark):
     assert (0, 1) in got and got[(0, 1)] == 1.0
     assert (5, 6) in got  # single-shingle docs survive the prefix filter
 
+
+def test_canonicalize_url(spark):
+    """Adversarial URL fixtures: every decoration the canonicalizer claims
+    to strip, plus the ones it must NOT touch."""
+    from data_ingestion_spark.operators.web import canonicalize_url
+
+    cases = [
+        # scheme / www / default port / fragment / trailing slash
+        ("https://www.Ex.COM:443/A/b/#frag", "ex.com/a/b"),
+        ("http://ex.com:80/a/b/", "ex.com/a/b"),
+        ("HTTP://EX.com/a/b", "ex.com/a/b"),
+        # non-default port survives
+        ("https://ex.com:8080/a", "ex.com:8080/a"),
+        # tracking params dropped, the rest sorted
+        ("https://ex.com/p?utm_source=x&b=2&a=1&fbclid=z", "ex.com/p?a=1&b=2"),
+        ("https://ex.com/p?a=1&b=2", "ex.com/p?a=1&b=2"),
+        ("https://ex.com/p?b=2&a=1", "ex.com/p?a=1&b=2"),
+        # all params tracking -> bare path, no '?'
+        ("https://ex.com/p/?utm_campaign=c&gclid=g", "ex.com/p"),
+        # empty query / lone '?'
+        ("https://ex.com/p?", "ex.com/p"),
+        # 'ref' is tracking; 'refresh' is NOT (anchored prefix match)
+        ("https://ex.com/p?ref=nav&refresh=1", "ex.com/p?refresh=1"),
+        # fragment may contain '?' — all of it goes
+        ("https://ex.com/p?a=1#sec?b=2", "ex.com/p?a=1"),
+        # host-only URLs
+        ("https://www.ex.com", "ex.com"),
+        ("https://www.ex.com:443", "ex.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url: string")
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_dsir_importance_matches_reference(spark):
+    """dsir_importance vs an independent pure-Python replay of the DSIR
+    formula (hashed uni+bigram buckets, add-one smoothing, integer-micro
+    log-ratios) on a corpus with an obvious target signature."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators.sampling import dsir_importance
+
+    docs = [
+        (0, "the quick brown fox", True),
+        (1, "the lazy brown dog", True),
+        (2, "zzz qqq vvv kkk", False),
+        (3, "the quick red fox", False),
+        (4, "qqq zzz", False),
+        (5, "", False),  # no tokens -> excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string, tgt: boolean")
+    got = {
+        r["doc_id"]: (r["is_target"], r["n_grams"], r["weight_micro"])
+        for r in dsir_importance(df, "doc_id", "text", F.col("tgt"), n_buckets=16)
+        .collect()
+    }
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 16
+
+    def grams(t):
+        w = t.lower().split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    cr, ct = {}, {}
+    per_doc = {}
+    for did, text, tgt in docs:
+        g = grams(text)
+        if not g:
+            continue
+        per_doc[did] = (tgt, g)
+        for x in g:
+            b = h60(x)
+            cr[b] = cr.get(b, 0) + 1
+            if tgt:
+                ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    term = {
+        b: math.floor(
+            (math.log((ct.get(b, 0) + 1) / (nt + 16)) - math.log((c + 1) / (nr + 16)))
+            * 1e6
+            + 0.5
+        )
+        for b, c in cr.items()
+    }
+    want = {
+        did: (tgt, len(g), sum(term[h60(x)] for x in g))
+        for did, (tgt, g) in per_doc.items()
+    }
+    assert got == want
+    assert 5 not in got
+    # targets must outscore the disjoint-vocabulary non-targets
+    assert min(got[0][2], got[1][2]) > max(got[2][2], got[4][2])
+
+
+def test_nb_classify_separable_and_tiebreak(spark):
+    """NB recovers labels on a separable corpus; unseen-in-class tokens hit
+    the add-one floor instead of dropping out; ties break on class asc."""
+    from data_ingestion_spark.operators.text import nb_classify
+
+    docs = [
+        (0, "en", "the cat and the dog"),
+        (1, "en", "the dog and the bird"),
+        (2, "fr", "le chat et le chien"),
+        (3, "fr", "le chien et le oiseau"),
+        (4, "en", "the cat"),
+        (5, "fr", "le chat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, lang: string, text: string")
+    got = {r["doc_id"]: r["pred"] for r in nb_classify(df, "doc_id", "lang", "text").collect()}
+    assert got == {0: "en", 1: "en", 2: "fr", 3: "fr", 4: "en", 5: "fr"}
+
+    # exact two-class symmetry -> identical scores -> class-asc tie-break
+    sym = [(0, "a", "x y"), (1, "b", "x y")]
+    df2 = spark.createDataFrame(sym, "doc_id: long, lang: string, text: string")
+    preds = {r["doc_id"]: r["pred"] for r in nb_classify(df2, "doc_id", "lang", "text").collect()}
+    assert preds == {0: "a", 1: "a"}
