@@ -1608,3 +1608,61 @@ def test_nb_classify_separable_and_tiebreak(spark):
     df2 = spark.createDataFrame(sym, "doc_id: long, lang: string, text: string")
     preds = {r["doc_id"]: r["pred"] for r in nb_classify(df2, "doc_id", "lang", "text").collect()}
     assert preds == {0: "a", 1: "a"}
+
+
+def test_canonicalize_url_decoration_invariance(spark):
+    """300 seeded random (host, path, params) keys, each decorated with a
+    random pile of the things the canonicalizer claims to strip (scheme,
+    case, www., default port, param order, tracking params, fragment,
+    trailing slash): every decoration must canonicalize to the plain
+    form's canonical key, and the canonical form must be a fixed point."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators.web import canonicalize_url
+
+    rng = random.Random(60)
+    rows = []
+    for i in range(300):
+        host = f"h{rng.randrange(40)}.example.org"
+        path = "/" + "/".join(
+            f"p{rng.randrange(9)}" for _ in range(rng.randrange(1, 4))
+        )
+        params = [
+            f"k{j}={rng.randrange(100)}" for j in range(rng.randrange(0, 4))
+        ]
+        rng.shuffle(params)
+        plain = f"https://{host}{path}" + (
+            "?" + "&".join(params) if params else ""
+        )
+        # decorate
+        u = host
+        if rng.random() < 0.5:
+            u = "www." + u
+        if rng.random() < 0.5:
+            u += ":443" if rng.random() < 0.5 else ":80"
+        shuffled = params[:]
+        rng.shuffle(shuffled)
+        for t in ("utm_source=x", "fbclid=abc", "gclid=1", "ref=nav"):
+            if rng.random() < 0.4:
+                shuffled.insert(rng.randrange(len(shuffled) + 1), t)
+        dec_path = path + ("/" * rng.randrange(0, 3))
+        u = (
+            rng.choice(["https://", "http://", "HTTPS://", ""])
+            + u
+            + dec_path
+            + ("?" + "&".join(shuffled) if shuffled else "")
+            + ("#frag?x=1" if rng.random() < 0.4 else "")
+        )
+        if rng.random() < 0.3:
+            u = u.upper()
+        rows.append((i, plain, u))
+    df = spark.createDataFrame(rows, "i: long, plain: string, decorated: string")
+    out = df.select(
+        "i",
+        canonicalize_url("plain").alias("cp"),
+        canonicalize_url("decorated").alias("cd"),
+    ).withColumn("cc", canonicalize_url(F.col("cp")))
+    bad = out.filter((F.col("cp") != F.col("cd")) | (F.col("cp") != F.col("cc")))
+    assert bad.count() == 0, bad.limit(5).collect()

@@ -908,3 +908,160 @@ def test_streaming_dedup_stream_equals_batch(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+class _FakeListState:
+    def __init__(self):
+        self.rows = []
+
+    def get(self):
+        return iter(self.rows)
+
+    def put(self, rows):
+        self.rows = list(rows)
+
+    def clear(self):
+        self.rows = []
+
+
+class _FakeNearDupHandle:
+    def __init__(self):
+        self.state = _FakeListState()
+        self.ttl_seen = "unset"
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        self.ttl_seen = ttlDurationMs
+        return self.state
+
+
+def test_neardup_simhash_expr_matches_batch(spark):
+    """The streaming per-row simhash expression must be bit-identical to
+    the batch grouped-aggregation simhash — stream and batch must agree
+    on document identity. Includes the no-token NULL edge."""
+    import pyspark.sql.functions as F
+
+    from data_ingestion_spark.operators.dedup import simhash
+    from data_ingestion_spark.streaming.neardup_stream import simhash_expr
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50).select("doc_id", "text")
+    batch = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    stream_side = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", simhash_expr(F.col("text")).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .collect()
+    }
+    assert batch == stream_side and len(batch) == 50
+
+    empty = spark.createDataFrame([(1, ""), (2, "   "), (3, "ok")], "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in empty.select("doc_id", simhash_expr(F.col("text")).alias("sig")).collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] is not None
+
+
+def test_neardup_band_keys_match_batch_banding(spark):
+    """band_keys must reproduce the batch pigeonhole banding (4 x 15-bit
+    chunks) so streaming buckets equal batch candidate blocks."""
+    import pyspark.sql.functions as F
+
+    from data_ingestion_spark.streaming.neardup_stream import band_keys
+
+    sigs = [0, 1, (1 << 60) - 1, 0x123456789ABCDEF, 0x800000000000000]
+    df = spark.createDataFrame([(s,) for s in sigs], "sig: long")
+    got = {r["sig"]: r["bk"] for r in df.select("sig", band_keys(F.col("sig")).alias("bk")).collect()}
+    for s in sigs:
+        want = [f"{bi}:{(s >> (bi * 15)) & ((1 << 15) - 1)}" for bi in range(4)]
+        assert got[s] == want
+
+
+def test_streaming_neardup_bucket_logic():
+    """Fake-state harness over StreamingNearDup: exact dup matches at
+    hamming 0 against the EARLIEST member, ham<=3 matches, ham>3 appends
+    as a new member, the bucket cap emits capped=true without storing,
+    and state round-trips across batches."""
+    import pandas as pd
+
+    from data_ingestion_spark.streaming.neardup_stream import StreamingNearDup
+
+    proc = StreamingNearDup(max_hamming=3, max_bucket=3)
+    handle = _FakeNearDupHandle()
+    proc.init(handle)
+    assert handle.ttl_seen is None
+
+    base = 0b111100001111
+    near = base ^ 0b101  # hamming 2
+    far = base ^ ((1 << 20) - 1)  # hamming 20
+    out1 = pd.concat(
+        proc.handleInputRows(
+            ("0:7",),
+            iter([pd.DataFrame({"doc_id": [1, 2, 3], "simhash": [base, near, far]})]),
+            None,
+        )
+    )
+    assert list(out1["kept"]) == [True, False, True]
+    assert out1["match_id"].tolist()[1] == 1 and out1["hamming"].tolist()[1] == 2
+    assert [tuple(r) for r in handle.state.rows] == [(1, base), (3, far)]
+
+    # batch 2: exact dup of member 3; then a non-matching arrival hits the
+    # cap (bucket already holds 2, the dup is not stored, cap is 3)
+    out2 = pd.concat(
+        proc.handleInputRows(
+            ("0:7",),
+            iter([pd.DataFrame({"doc_id": [4, 5, 6], "simhash": [far, base ^ (0xFF << 30), base ^ (0xFF << 40)]})]),
+            None,
+        )
+    )
+    assert list(out2["kept"]) == [False, True, True]
+    assert out2["match_id"].tolist()[0] == 3 and out2["hamming"].tolist()[0] == 0
+    assert list(out2["capped"]) == [False, False, True]
+    # capped arrival (doc 6) was NOT stored
+    assert [r[0] for r in handle.state.rows] == [1, 3, 5]
+    proc.close()
+
+
+def test_streaming_neardup_e2e_flags_planted_near_dups(spark, tmp_path):
+    """E2E over the state-server transport (protobuf-gated like the other
+    transformWithState E2Es): planted near-identical doc pairs must be
+    flagged on at least one band; unrelated docs must not be."""
+    pytest.importorskip("google.protobuf")
+    import pyspark.sql.functions as F
+
+    from data_ingestion_spark.streaming.neardup_stream import neardup_stream
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (3, "completely different content about other things entirely"),
+    ]
+    src = str(tmp_path / "neardup_src")
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            neardup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("t_neardup_stream")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "neardup_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        flagged = {
+            r["doc_id"]
+            for r in spark.table("t_neardup_stream").filter("NOT kept").collect()
+        }
+        assert flagged == {1} or flagged == {2}  # one of the pair, either order
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
