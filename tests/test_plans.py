@@ -481,3 +481,34 @@ def test_snapshot_diff_single_join_fingerprint_compare(spark):
     plan = plan_of(spark, "snapshot_diff_customers")
     assert plan.count("Join type: FullOuter") == 1
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_url_dedup_is_codegen_narrow_plus_one_agg(spark):
+    """The canonicalizer must stay a pure codegen expression chain — no
+    Python stages, no join, exactly the dedup agg's exchange plus the
+    bounded orderBy's."""
+    plan = plan_of(spark, "url_dedup_docs")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Join"):
+        assert bad not in plan, bad
+    assert "HashAggregate" in plan
+
+
+def test_dsir_stats_table_broadcasts(spark):
+    """The 256-row bucket stats table must broadcast back to the per-doc
+    counts (never a shuffle join against n_buckets rows), and the top-100
+    cut must be TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "dsir_importance_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_confusion_no_python_no_cartesian(spark):
+    """NB model build + scoring is all JVM hash joins/aggs; the only
+    crossJoins are single-row totals (BroadcastNestedLoopJoin over 1 row
+    is fine — a CartesianProduct is not)."""
+    plan = plan_of(spark, "nb_lang_confusion_docs")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
