@@ -166,6 +166,8 @@ HEADLINE = [
     "url_dedup_docs",
     "dsir_importance_docs",
     "nb_lang_confusion_docs",
+    "wilson_quality_sources",
+    "weighted_sample_docs",
 ]
 
 

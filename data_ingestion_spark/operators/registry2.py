@@ -3356,3 +3356,70 @@ FROM ranked WHERE rk = 1 GROUP BY 1, 2 ORDER BY lang, pred
 NB_LANG_CONFUSION_DOCS_SQL = _nb_confusion_oracle()
 
 QUERIES["nb_lang_confusion_docs"] = (nb_lang_confusion_docs, NB_LANG_CONFUSION_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Wilson lower-bound domain quality ranking (round 6)
+# --------------------------------------------------------------------------
+def wilson_quality_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources ranked by the Wilson score lower bound of their
+    quality-gate pass rate (stats.wilson_lower_bound, z=1.96, gate =
+    n_chars >= 200): the size-honest per-domain quality cut — a tiny
+    all-pass source must not outrank a large nearly-all-pass one."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stats.wilson_lower_bound(
+        docs, "source", F.col("n_chars") >= 200, z=1.96
+    ).orderBy(F.col("wilson_lb_micro").desc(), F.col("source").asc())
+
+
+WILSON_QUALITY_SOURCES_SQL = """
+WITH agg AS (
+  SELECT source, count(*)::BIGINT AS n_rows,
+         sum((n_chars >= 200)::INT)::BIGINT AS n_pass
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_rows, n_pass,
+         n_pass::DOUBLE / n_rows::DOUBLE AS p,
+         n_rows::DOUBLE AS n
+  FROM agg
+)
+SELECT source, n_rows, n_pass,
+       floor(((p + 3.8416 / (2 * n)
+               - 1.96 * sqrt(p * (1 - p) / n + 3.8416 / (4 * n * n)))
+              / (1 + 3.8416 / n)) * 1e6 + 0.5)::BIGINT AS wilson_lb_micro
+FROM w
+ORDER BY wilson_lb_micro DESC, source ASC
+"""
+
+QUERIES["wilson_quality_sources"] = (wilson_quality_sources, WILSON_QUALITY_SOURCES_SQL)
+
+
+# --------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sample (round 6)
+# --------------------------------------------------------------------------
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample of 50 docs without replacement
+    (sampling.weighted_sample): exponential keys ln(u)/w with the
+    portable-hash uniform, micro-rounded before the top-k cut so the
+    selected set is engine-exact; the cut itself is a
+    TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(docs, "doc_id", F.col("n_chars"), k=50)
+
+
+def _weighted_sample_oracle() -> str:
+    h = _SQL_HASH60.format(c="doc_id::VARCHAR")
+    return f"""
+SELECT doc_id, n_chars AS weight,
+       floor(ln(({h} + 1)::DOUBLE / 1152921504606846976.0)
+             / n_chars * 1e6 + 0.5)::BIGINT AS key_micro
+FROM documents
+WHERE n_chars > 0
+ORDER BY key_micro DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+WEIGHTED_SAMPLE_DOCS_SQL = _weighted_sample_oracle()
+
+QUERIES["weighted_sample_docs"] = (weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL)

@@ -424,3 +424,40 @@ def dsir_importance(
             F.sum(F.col("c") * F.col("term_micro")).cast("long").alias("weight_micro"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement via exponential
+    keys (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"): each row gets key = ln(u)/w with u uniform in (0,1]; the
+    k LARGEST keys are a weight-proportional sample. The standard way to
+    draw a DSIR/importance-weighted training subset from a 100 TB corpus
+    in ONE distributed pass: no sequential reservoir, no per-partition
+    state — just a top-k, which Spark executes as TakeOrderedAndProject
+    (per-partition heaps + driver merge, never a global sort).
+
+    Determinism/oracle parity: u derives from the portable md5 hash of
+    the id ((h+1)/2^60, never 0), and keys are micro-rounded BEFORE the
+    cut with id as the tie-break, so the selected SET is identical across
+    engines instead of hinging on float ulps at the boundary.
+
+    Rows with weight <= 0 are excluded (zero-weight rows must never be
+    sampled; ln(u)/w flips sign there).
+    """
+    u = (md5_hash60(F.col(id_col).cast("string")) + 1) / F.lit(float(1 << 60))
+    key = F.floor(F.log(u) / weight * 1e6 + 0.5).cast("long")
+    return (
+        df.filter(weight > 0)
+        .select(
+            F.col(id_col),
+            weight.alias("weight"),
+            key.alias("key_micro"),
+        )
+        .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -213,3 +213,46 @@ def psi_by_group(
             "psi_micro",
         )
     )
+
+
+def wilson_lower_bound(
+    df: DataFrame,
+    group_col: str,
+    success: "F.Column",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group Wilson score interval lower bound (Wilson 1927) on a
+    boolean quality predicate — the standard way to RANK domains/sources
+    by quality when group sizes differ wildly (a 5/5 source must not
+    outrank a 4800/5000 one; the raw pass-rate says it does, the Wilson
+    lower bound says it doesn't).
+
+        lb = (p + z²/2n − z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)
+
+    In a web-corpus pipeline this decides which domains survive a
+    per-domain quality cut: one count-based aggregation per group, so a
+    100 TB corpus reduces to |groups| rows before any float math. The
+    bound is micro-rounded once per group (integer output) — exactly
+    oracle-replayable.
+
+    Returns (group_col, n_rows, n_pass, wilson_lb_micro).
+    """
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(success.cast("long")).alias("n_pass"),
+    )
+    n = F.col("n_rows").cast("double")
+    p = F.col("n_pass") / n
+    z2 = float(z) * float(z)
+    lb = (
+        p
+        + F.lit(z2) / (2 * n)
+        - F.lit(float(z))
+        * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4 * n * n))
+    ) / (1 + F.lit(z2) / n)
+    return agg.select(
+        group_col,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        F.floor(lb * 1e6 + 0.5).cast("long").alias("wilson_lb_micro"),
+    )

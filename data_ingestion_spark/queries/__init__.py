@@ -38,6 +38,8 @@ _PRIORITY = [
     "url_dedup_docs",
     "dsir_importance_docs",
     "nb_lang_confusion_docs",
+    "wilson_quality_sources",
+    "weighted_sample_docs",
     "stats_prune_scan_orders",
     "assign_ids_orders",
     "kn_bigram_lm_corpus",

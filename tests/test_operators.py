@@ -1666,3 +1666,72 @@ def test_canonicalize_url_decoration_invariance(spark):
     ).withColumn("cc", canonicalize_url(F.col("cp")))
     bad = out.filter((F.col("cp") != F.col("cd")) | (F.col("cp") != F.col("cc")))
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_wilson_lower_bound_size_honest(spark):
+    """A tiny all-pass group must NOT outrank a large nearly-all-pass
+    group (the whole point vs raw pass-rate), and the bound must match an
+    independent Python evaluation of Wilson's formula."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators.stats import wilson_lower_bound
+
+    rows = [("tiny", True)] * 5 + [("big", True)] * 4800 + [("big", False)] * 200
+    df = spark.createDataFrame(rows, "src: string, ok: boolean")
+    got = {
+        r["src"]: (r["n_rows"], r["n_pass"], r["wilson_lb_micro"])
+        for r in wilson_lower_bound(df, "src", F.col("ok")).collect()
+    }
+
+    def wilson(n_pass, n, z=1.96):
+        p = n_pass / n
+        return math.floor(
+            (p + z * z / (2 * n) - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+            / (1 + z * z / n)
+            * 1e6
+            + 0.5
+        )
+
+    assert got["tiny"] == (5, 5, wilson(5, 5))
+    assert got["big"] == (5000, 4800, wilson(4800, 5000))
+    # raw rate says tiny (1.0) > big (0.96); Wilson says the opposite
+    assert got["big"][2] > got["tiny"][2]
+
+
+def test_weighted_sample_determinism_and_weight_rules(spark):
+    """Exponential-key sample: matches the pure-Python Efraimidis-Spirakis
+    replay exactly; zero/negative weights never sampled; k > n returns all
+    eligible rows; uniform weight scaling preserves the selected set."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i * 37) % 11 - 1) for i in range(200)]  # weights in [-1, 9]
+    df = spark.createDataFrame(rows, "doc_id: long, w: long")
+    got = [
+        (r["doc_id"], r["weight"], r["key_micro"])
+        for r in weighted_sample(df, "doc_id", F.col("w"), k=20).collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.floor(math.log((h + 1) / float(1 << 60)) / w * 1e6 + 0.5)
+
+    want = sorted(
+        ((i, w, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (-t[2], t[0]),
+    )[:20]
+    assert got == want
+    assert all(w > 0 for _, w, _ in got)
+    # scale invariance: keys divide by c, order (and set) unchanged
+    df4 = df.withColumn("w4", F.col("w") * 4)
+    got4 = {r["doc_id"] for r in weighted_sample(df4, "doc_id", F.col("w4"), k=20).collect()}
+    assert got4 == {i for i, _, _ in got}
+    # k > eligible rows -> all eligible rows
+    n_pos = sum(1 for _, w in rows if w > 0)
+    assert weighted_sample(df, "doc_id", F.col("w"), k=10_000).count() == n_pos

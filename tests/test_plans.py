@@ -512,3 +512,11 @@ def test_nb_confusion_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_weighted_sample_topk_not_global_sort(spark):
+    """The E-S cut must be TakeOrderedAndProject (per-partition heaps),
+    never a global Sort, and the key map must stay JVM-side."""
+    plan = plan_of(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
