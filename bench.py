@@ -168,6 +168,7 @@ HEADLINE = [
     "nb_lang_confusion_docs",
     "wilson_quality_sources",
     "weighted_sample_docs",
+    "unimax_mixture_sources",
 ]
 
 

@@ -3423,3 +3423,55 @@ LIMIT 50
 WEIGHTED_SAMPLE_DOCS_SQL = _weighted_sample_oracle()
 
 QUERIES["weighted_sample_docs"] = (weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# UniMax budget-capped mixture allocation (round 6)
+# --------------------------------------------------------------------------
+def unimax_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-budget allocation under the UniMax scheme
+    (sampling.unimax_allocation, epochs=1, budget = 95% of total corpus
+    chars): as-even-as-possible across sources, small sources capped at
+    one full pass, surplus waterfilled into the larger ones. The budget
+    derives from one bounded scalar agg (driver metadata) with exact
+    integer algebra — (total*19)//20 on both sides — so the oracle
+    replays the whole pivot computation."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars").cast("long").alias("t")).collect()[0]["t"]
+    budget = (int(total) * 19) // 20
+    return sampling.unimax_allocation(
+        docs, "source", "n_chars", budget=budget, epochs=1
+    )
+
+
+UNIMAX_MIXTURE_SOURCES_SQL = """
+WITH b AS (
+  SELECT (sum(n_chars)::BIGINT * 19) // 20 AS budget FROM documents
+), sizes AS (
+  SELECT source, sum(n_chars)::BIGINT AS avail FROM documents GROUP BY source
+), ranked AS (
+  SELECT source, avail, avail AS cap,
+         row_number() OVER (ORDER BY avail ASC, source ASC) AS j,
+         count(*) OVER () AS k,
+         coalesce(sum(avail) OVER (ORDER BY avail ASC, source ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS prefix
+  FROM sizes
+), flagged AS (
+  SELECT r.*, (r.cap * (r.k - r.j + 1) <= b.budget - r.prefix) AS capped
+  FROM ranked r, b
+), tot AS (
+  SELECT sum(CASE WHEN capped THEN cap ELSE 0 END)::BIGINT AS capped_sum,
+         sum(CASE WHEN capped THEN 0 ELSE 1 END)::BIGINT AS n_uncapped
+  FROM flagged
+)
+SELECT f.source, f.avail, f.cap,
+       CASE WHEN f.capped THEN f.cap
+            ELSE ((b.budget - t.capped_sum) // t.n_uncapped)::BIGINT
+       END AS alloc,
+       f.capped
+FROM flagged f, tot t, b
+ORDER BY f.source
+"""
+
+QUERIES["unimax_mixture_sources"] = (unimax_mixture_sources, UNIMAX_MIXTURE_SOURCES_SQL)

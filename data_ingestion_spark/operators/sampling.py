@@ -461,3 +461,81 @@ def weighted_sample(
         .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    budget: int,
+    epochs: int = 1,
+) -> DataFrame:
+    """Budget-capped uniform mixture allocation (the UniMax scheme,
+    Chung et al. 2023): split a total training budget as evenly as
+    possible across sources, capping each source at ``epochs`` passes
+    over its available data and waterfilling the surplus into the
+    larger sources.
+
+    Closed form, all integer arithmetic (exact oracle parity): order
+    sources by cap = epochs * size ascending (group name tie-break);
+    source at rank j (of k) is CAPPED iff
+
+        cap_j * (k - j + 1) <= budget - prefix_cap_{j-1}
+
+    (its cap is at most the even share of what's left — the capped set
+    is prefix-closed, the standard waterfilling pivot); every uncapped
+    source gets the integer waterline
+    floor((budget - sum of capped caps) / n_uncapped). The waterline is
+    <= every uncapped cap by the pivot condition, and the divisor floor
+    under-allocates by at most n_uncapped - 1 units (documented, never
+    redistributed — determinism beats exactness-to-the-last-token).
+
+    The allocator runs on the AGGREGATED groups table (|sources| rows),
+    so its single-partition windows are bounded by group cardinality,
+    never corpus size — the per-row work at 100 TB is only the groupBy
+    feeding it.
+
+    Returns (group_col, avail, cap, alloc, capped) ordered by group.
+    """
+    from pyspark.sql import Window as W
+
+    sizes = df.groupBy(group_col).agg(F.sum(size_col).cast("long").alias("avail"))
+    cap = (F.col("avail") * epochs).cast("long")
+    w = W.orderBy(F.col("cap").asc(), F.col(group_col).asc())
+    ranked = (
+        sizes.withColumn("cap", cap)
+        .withColumn("j", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(W.partitionBy()))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap") * (F.col("k") - F.col("j") + 1)
+            <= F.lit(int(budget)) - F.col("prefix"),
+        )
+    )
+    totals = ranked.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0)).alias("capped_sum"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1)).alias("n_uncapped"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            "avail",
+            "cap",
+            F.when(F.col("capped"), F.col("cap"))
+            .otherwise(
+                F.floor(
+                    (F.lit(int(budget)) - F.col("capped_sum")) / F.col("n_uncapped")
+                ).cast("long")
+            )
+            .alias("alloc"),
+            "capped",
+        )
+        .orderBy(group_col)
+    )

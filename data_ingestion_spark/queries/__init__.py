@@ -40,6 +40,7 @@ _PRIORITY = [
     "nb_lang_confusion_docs",
     "wilson_quality_sources",
     "weighted_sample_docs",
+    "unimax_mixture_sources",
     "stats_prune_scan_orders",
     "assign_ids_orders",
     "kn_bigram_lm_corpus",

@@ -1735,3 +1735,41 @@ def test_weighted_sample_determinism_and_weight_rules(spark):
     # k > eligible rows -> all eligible rows
     n_pos = sum(1 for _, w in rows if w > 0)
     assert weighted_sample(df, "doc_id", F.col("w"), k=10_000).count() == n_pos
+
+
+def test_unimax_allocation_waterfill_invariants(spark):
+    """UniMax pivot on a skewed fixture: small sources capped at
+    epochs*avail, every uncapped source gets one shared waterline <= its
+    cap, total allocation never exceeds budget and under-allocates by
+    < n_uncapped units; budget >= all caps means everyone capped."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators.sampling import unimax_allocation
+
+    rows = (
+        [("tiny", 10)] * 1
+        + [("small", 50)] * 2
+        + [("mid", 100)] * 5
+        + [("big", 100)] * 40
+    )
+    df = spark.createDataFrame(rows, "src: string, n: long")
+    # avail: tiny=10, small=100, mid=500, big=4000; budget=2000, epochs=1
+    out = {
+        r["src"]: (r["avail"], r["cap"], r["alloc"], r["capped"])
+        for r in unimax_allocation(df, "src", "n", budget=2000, epochs=1).collect()
+    }
+    assert out["tiny"] == (10, 10, 10, True)
+    assert out["small"] == (100, 100, 100, True)
+    assert out["mid"] == (500, 500, 500, True)
+    # waterline: (2000 - 610) / 1 = 1390 for big, below its cap
+    assert out["big"] == (4000, 4000, 1390, False)
+    total_alloc = sum(v[2] for v in out.values())
+    assert total_alloc <= 2000 and 2000 - total_alloc < 1  # 1 uncapped source
+
+    # epochs scale the caps; generous budget caps everyone
+    out2 = {
+        r["src"]: (r["cap"], r["alloc"], r["capped"])
+        for r in unimax_allocation(df, "src", "n", budget=100_000, epochs=2).collect()
+    }
+    assert all(capped for _, _, capped in out2.values())
+    assert out2["big"] == (8000, 8000, True)
