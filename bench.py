@@ -169,6 +169,7 @@ HEADLINE = [
     "wilson_quality_sources",
     "weighted_sample_docs",
     "unimax_mixture_sources",
+    "hll_intersection_events",
 ]
 
 

@@ -3475,3 +3475,67 @@ ORDER BY f.source
 """
 
 QUERIES["unimax_mixture_sources"] = (unimax_mixture_sources, UNIMAX_MIXTURE_SOURCES_SQL)
+
+
+# --------------------------------------------------------------------------
+# HLL sketch set-operation estimate (round 6)
+# --------------------------------------------------------------------------
+def hll_intersection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier cohort intersection: |users who clicked ∩ users with a
+    high-value event| estimated by inclusion-exclusion over HLL++
+    (est_a + est_b − est_union) — the distinct-set algebra a 100 TB
+    engine runs when exact distinct joins are unaffordable.
+
+    Same gated contract as ndv_hll_events: the estimate is
+    engine-specific, so the row emits the EXACT cohort sizes plus a
+    boolean asserting the estimate landed within 5·rsd of exact —
+    relative to the UNION, because that is how inclusion-exclusion
+    error actually scales (union errors do not cancel; when the true
+    intersection is small relative to the union the relative error on
+    the intersection blows up, which is why theta sketches replace HLL
+    for heavy set algebra — documented limitation, checked bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.col("event_type") == "click"
+    in_b = F.col("value") >= 3.0
+    ua = F.when(in_a, F.col("user_id"))
+    ub = F.when(in_b, F.col("user_id"))
+    uu = F.when(in_a | in_b, F.col("user_id"))
+    est_inter = (
+        F.approx_count_distinct(ua, rsd=0.01)
+        + F.approx_count_distinct(ub, rsd=0.01)
+        - F.approx_count_distinct(uu, rsd=0.01)
+    )
+    exact_inter = (
+        F.countDistinct(ua) + F.countDistinct(ub) - F.countDistinct(uu)
+    )
+    return ev.agg(
+        F.countDistinct(ua).cast("long").alias("exact_clickers"),
+        F.countDistinct(ub).cast("long").alias("exact_high_value"),
+        F.countDistinct(uu).cast("long").alias("exact_union"),
+        exact_inter.cast("long").alias("exact_intersection"),
+        (
+            F.abs(est_inter.cast("double") - exact_inter.cast("double"))
+            <= 0.05 * F.countDistinct(uu).cast("double")
+        ).alias("sketch_within_bound"),
+    )
+
+
+HLL_INTERSECTION_EVENTS_SQL = """
+SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)::BIGINT
+           AS exact_clickers,
+       count(DISTINCT CASE WHEN value >= 3.0 THEN user_id END)::BIGINT
+           AS exact_high_value,
+       count(DISTINCT CASE WHEN event_type = 'click' OR value >= 3.0
+                           THEN user_id END)::BIGINT AS exact_union,
+       (count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+        + count(DISTINCT CASE WHEN value >= 3.0 THEN user_id END)
+        - count(DISTINCT CASE WHEN event_type = 'click' OR value >= 3.0
+                              THEN user_id END))::BIGINT AS exact_intersection,
+       true AS sketch_within_bound
+FROM events
+"""
+
+QUERIES["hll_intersection_events"] = (
+    hll_intersection_events,
+    HLL_INTERSECTION_EVENTS_SQL,
+)
