@@ -1773,3 +1773,72 @@ def test_unimax_allocation_waterfill_invariants(spark):
     }
     assert all(capped for _, _, capped in out2.values())
     assert out2["big"] == (8000, 8000, True)
+
+
+def test_dedup_ladder_cross_tier_consistency(spark):
+    """The ladder's tiers trade recall for cost, but an EXACT duplicate
+    pair is the degenerate case every tier must catch: identical md5
+    fingerprints, Jaccard 1.0, identical MinHash signatures (candidate
+    with any banding), SimHash hamming 0, and identical winnowing
+    fingerprint sets. One planted fixture, all tiers asserted — a tier
+    regression that silently drops the easy case fails here even if its
+    own unit tests still pass."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import dedup
+    from data_ingestion_spark.operators.text import winnow_fingerprints
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, dup_text),
+        (2, dup_text),  # exact dup of 1
+        (3, "completely unrelated text about databases and query engines"),
+        (4, "another separate document mentioning streams and watermarks"),
+        (5, "the quick brown fox jumps over the lazy dog again and AGAIN x"),  # near
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    reps = {
+        r["doc_id"]: r["n_copies"]
+        for r in dedup.exact_dedup_representatives(df, "text", "doc_id").collect()
+    }
+    assert reps[1] == 2 and 2 not in reps and reps[3] == 1
+
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            df.withColumn("blk", F.lit(1)), "doc_id", "text", [F.col("blk")],
+            k=3, threshold=0.5,
+        ).collect()
+    }
+    assert jac[(1, 2)] == 1.0
+
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup(
+            df, "doc_id", "text", k=3, jaccard_distance_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in mh
+
+    sigs = dedup.simhash(df, "doc_id", "text")
+    ham = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(sigs, max_hamming=3).collect()
+    }
+    assert ham[(1, 2)] == 0
+
+    wf = winnow_fingerprints(df, "doc_id", "text")
+    fp_sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in wf.groupBy("doc_id")
+        .agg(F.collect_set("winnow_hash").alias("fps"))
+        .collect()
+    }
+    assert fp_sets[1] == fp_sets[2] and fp_sets[1] != fp_sets[3]
+
+    # the near-dup (5) must be visible to at least the similarity tiers
+    assert (1, 5) in jac or (2, 5) in jac
+    assert any(p in ham for p in [(1, 5), (2, 5)]) or any(
+        p in mh for p in [(1, 5), (2, 5)]
+    )
