@@ -170,6 +170,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "unimax_mixture_sources",
     "hll_intersection_events",
+    "ewma_user_values",
 ]
 
 

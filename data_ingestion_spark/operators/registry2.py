@@ -3539,3 +3539,42 @@ QUERIES["hll_intersection_events"] = (
     hll_intersection_events,
     HLL_INTERSECTION_EVENTS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# EWMA per user (round 6)
+# --------------------------------------------------------------------------
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 users by recency-weighted (EWMA, α=0.25) event value
+    (temporal.ewma_by_key): integer-micro terms summed order-free, cut
+    fully tie-broken (ewma desc, user asc)."""
+    from . import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        temporal.ewma_by_key(ev, "user_id", "ts", "value", alpha=0.25)
+        .orderBy(F.col("ewma_micro").desc(), F.col("user_id").asc())
+        .limit(50)
+    )
+
+
+EWMA_USER_VALUES_SQL = """
+WITH t AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), terms AS (
+  SELECT user_id,
+         floor(0.25 * power(0.75, (n - rn)::DOUBLE) * value * 1e6 + 0.5)::BIGINT
+             AS term_micro
+  FROM t
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(term_micro)::BIGINT AS ewma_micro
+FROM terms GROUP BY user_id
+ORDER BY ewma_micro DESC, user_id ASC
+LIMIT 50
+"""
+
+QUERIES["ewma_user_values"] = (ewma_user_values, EWMA_USER_VALUES_SQL)

@@ -275,3 +275,45 @@ def assemble_trajectories(
         F.least(F.size("steps"), F.lit(max_steps)).cast("long").alias("n_steps"),
         F.md5(traj).alias("traj_md5"),
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of a value sequence —
+    the recency-weighting primitive behind freshness-weighted sampling and
+    drift-sensitive per-entity monitors (yesterday's crawl should count
+    more than last year's).
+
+    Closed form of the zero-seeded recursion s_i = α·v_i + (1−α)·s_{i−1}:
+
+        ewma = Σ_i α · (1−α)^(n−i) · v_i      (i in arrival order)
+
+    Exactness: each term is micro-rounded to an integer BEFORE the sum, so
+    the per-key total is an order-free integer sum (the repo's standard
+    float-parity idiom) — shuffle-deterministic and oracle-replayable;
+    terms older than ~50 steps round to 0 micro, which IS the decay
+    semantics. One window per key (partitioned — never global) plus one
+    grouped agg; at 100 TB the work per key is its own event count.
+
+    Returns (key_col, n_events, ewma_micro) per key.
+    """
+    w = W.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    n = F.count(F.lit(1)).over(W.partitionBy(key_col))
+    rn = F.row_number().over(w)
+    decay = F.pow(F.lit(1.0 - alpha), (n - rn).cast("double"))
+    term = F.floor(
+        F.lit(alpha) * decay * F.col(value_col) * 1e6 + 0.5
+    ).cast("long")
+    return (
+        df.select(F.col(key_col), term.alias("term_micro"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("term_micro").cast("long").alias("ewma_micro"),
+        )
+    )

@@ -46,6 +46,7 @@ _PRIORITY = [
     "weighted_sample_docs",
     "unimax_mixture_sources",
     "hll_intersection_events",
+    "ewma_user_values",
     "stats_prune_scan_orders",
     "assign_ids_orders",
     "kn_bigram_lm_corpus",

@@ -1842,3 +1842,44 @@ def test_dedup_ladder_cross_tier_consistency(spark):
     assert any(p in ham for p in [(1, 5), (2, 5)]) or any(
         p in mh for p in [(1, 5), (2, 5)]
     )
+
+
+def test_ewma_by_key_matches_recursion(spark):
+    """ewma_by_key's order-free integer closed form vs the textbook
+    recursion s_i = a*v_i + (1-a)*s_{i-1} (zero-seeded): equal within the
+    per-term micro-rounding (n terms -> < n micro of drift), recency
+    dominance holds, and keys never mix."""
+    import math
+
+    from data_ingestion_spark.operators.temporal import ewma_by_key
+
+    rows = [
+        (1, 10, 4.0), (1, 20, 2.0), (1, 30, 8.0),
+        (2, 10, 100.0),
+        (3, 10, 1.0), (3, 20, 1.0), (3, 30, 1.0), (3, 40, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "k: long, ts: long, v: double")
+    got = {
+        r["k"]: (r["n_events"], r["ewma_micro"])
+        for r in ewma_by_key(df, "k", "ts", "v", alpha=0.25).collect()
+    }
+
+    def closed(vals, a=0.25):
+        n = len(vals)
+        return sum(
+            math.floor(a * (1 - a) ** (n - i) * v * 1e6 + 0.5)
+            for i, v in enumerate(vals, start=1)
+        )
+
+    def recursion(vals, a=0.25):
+        s = 0.0
+        for v in vals:
+            s = a * v + (1 - a) * s
+        return s
+
+    series = {1: [4.0, 2.0, 8.0], 2: [100.0], 3: [1.0, 1.0, 1.0, 50.0]}
+    for k, vals in series.items():
+        assert got[k] == (len(vals), closed(vals))
+        assert abs(got[k][1] - recursion(vals) * 1e6) < len(vals)
+    # recency dominance: key 3's spike at the end dominates its EWMA
+    assert got[3][1] > 0.24 * 50.0 * 1e6
