@@ -327,7 +327,12 @@ def main() -> None:
     # plan regression is a per-query outlier above it. The gate divides by
     # the LARGER of the two normalizers — conservative against false
     # positives, while a genuine regression still clears 1.2x of its own
-    # round's median.
+    # round's median. The norm is also clamped at 1.0: when the current
+    # run is FASTER than prev (both ratios < 1), dividing by a sub-1 norm
+    # would inflate adjusted times and flag every query that merely stayed
+    # flat while the environment sped up (measured: 27 false flags on a
+    # 0.91-median run) — an environment speedup is never evidence of a
+    # plan regression.
     shared = [
         t / prev_queries[name]
         for name, t in timings.items()
@@ -336,7 +341,7 @@ def main() -> None:
     median_ratio = (
         round(sorted(shared)[len(shared) // 2], 3) if shared else None
     )
-    norm = max(drift or 1.0, median_ratio or 1.0)
+    norm = max(drift or 1.0, median_ratio or 1.0, 1.0)
     regressions = {
         name: {
             "prev": prev_queries[name],
