@@ -28,15 +28,16 @@ from __future__ import annotations
 #:     de-globalized rank, two-stage retrieval's adaptive shortlist,
 #:     matryoshka's zero-energy guard),
 #: (c) 27 of the 81 oldest (r1/r2-only) queries — the TPC-H battery head
-#:     and the dedup/knn/temporal families. The 6 operators added LATE in
-#:     round 6 (url_dedup … unimax) take the front slots, which pushes
-#:     the knn/kmeans/temporal rotation tail (knn_cosine_topk,
-#:     knn_ivf_topk, kmeans_centroids_embeddings, gapfill_events_locf,
-#:     asof_join_events_orders, range_join_event_pairs, …) just below
-#:     the 50-name cutoff — they lead the round-7 window together with
-#:     the remaining ~48 r1/r2-era queries (oldest first). Everything
-#:     stays registered and locally verified by tools/check_oracle.py
-#:     regardless of position.
+#:     and the dedup/knn/temporal families. The 8 operators added LATE in
+#:     round 6 (url_dedup … ewma) take the front slots, which pushes the
+#:     knn/kmeans/temporal rotation tail (knn_cosine_topk, knn_ivf_topk,
+#:     kmeans_centroids_embeddings, gapfill_events_locf,
+#:     asof_join_events_orders, range_join_event_pairs,
+#:     session_window_events, time_window_events) just below the 50-name
+#:     cutoff — they lead the round-7 window together with the remaining
+#:     ~46 r1/r2-era queries (oldest first). Everything stays registered
+#:     and locally verified by tools/check_oracle.py regardless of
+#:     position.
 _PRIORITY = [
     # (b) new or changed this round — must earn a driver-green row
     "url_dedup_docs",
