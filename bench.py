@@ -171,6 +171,7 @@ HEADLINE = [
     "unimax_mixture_sources",
     "hll_intersection_events",
     "ewma_user_values",
+    "ks_drift_docs",
 ]
 
 

@@ -3578,3 +3578,48 @@ LIMIT 50
 """
 
 QUERIES["ewma_user_values"] = (ewma_user_values, EWMA_USER_VALUES_SQL)
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov drift per source (round 6)
+# --------------------------------------------------------------------------
+def ks_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic of each source's document-length
+    distribution vs the whole corpus (stats.ks_by_group): the rank-based
+    companion to psi_drift_docs — shape shifts inside one PSI bin are
+    invisible to PSI's fixed power-of-two bins but move the KS sup.
+    Integer cross-multiplied ECDF comparison, one final micro-rounded
+    division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stats.ks_by_group(docs, "source", "n_chars").orderBy("source")
+
+
+KS_DRIFT_DOCS_SQL = """
+WITH gv AS (
+  SELECT source AS grp, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+), vals AS (
+  SELECT v, sum(c)::BIGINT AS c_all FROM gv GROUP BY v
+), groups AS (
+  SELECT grp, sum(c)::BIGINT AS n_g FROM gv GROUP BY grp
+), na AS (
+  SELECT sum(c_all)::BIGINT AS n_all FROM vals
+), grid AS (
+  SELECT g.grp, g.n_g, va.v, coalesce(gv.c, 0)::BIGINT AS c, va.c_all
+  FROM groups g CROSS JOIN vals va
+  LEFT JOIN gv ON gv.grp = g.grp AND gv.v = va.v
+), cum AS (
+  SELECT grp, n_g,
+         sum(c) OVER (PARTITION BY grp ORDER BY v ASC) AS cum_g,
+         sum(c_all) OVER (PARTITION BY grp ORDER BY v ASC) AS cum_all
+  FROM grid
+)
+SELECT grp AS source, n_g AS n_rows,
+       floor(max(abs(cum_g * na.n_all - cum_all * n_g))
+             / (n_g * na.n_all)::DOUBLE * 1e6 + 0.5)::BIGINT AS ks_micro
+FROM cum, na
+GROUP BY grp, n_g, na.n_all
+ORDER BY source
+"""
+
+QUERIES["ks_drift_docs"] = (ks_drift_docs, KS_DRIFT_DOCS_SQL)

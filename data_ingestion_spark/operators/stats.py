@@ -256,3 +256,77 @@ def wilson_lower_bound(
         F.col("n_pass").cast("long").alias("n_pass"),
         F.floor(lb * 1e6 + 0.5).cast("long").alias("wilson_lb_micro"),
     )
+
+
+def ks_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic vs the whole
+    corpus: D_g = sup_v |ECDF_g(v) − ECDF_all(v)| — the rank-based drift
+    monitor that catches distribution-SHAPE changes psi_by_group's fixed
+    power-of-two bins smooth over (a median shift inside one PSI bin is
+    invisible to PSI; KS sees it).
+
+    Exactness: both ECDFs are step functions, so the sup is attained on
+    the union of jump points — evaluated here on the full distinct-value
+    grid. The comparison stays in INTEGER cross-multiplied form
+    (|cum_g·n_all − cum_all·n_g|) until one final division, micro-rounded
+    — exact oracle parity, no float ECDFs.
+
+    Scale shape: one (group, value) count agg, a dense grid of
+    |groups| × |distinct values| rows (cross join against the DISTINCT
+    value list, not the corpus), per-group cumulative windows partitioned
+    by group, one max agg. For continuous metrics with unbounded distinct
+    values, pre-bucket to quantiles first (the grid is the cost knob);
+    for discrete metrics (lengths, counts) the grid is naturally small.
+    The integer cross-products are bounded by n_g·n_all, which overflows
+    a signed 64-bit long past ~3e9 rows per side — at that scale
+    pre-bucket (which also caps the counts) or lift the products to
+    decimal; the exactness argument is unchanged.
+
+    Returns (group_col, n_rows, ks_micro) per group.
+    """
+    from pyspark.sql import Window as W
+
+    gv = df.groupBy(F.col(group_col).alias("grp"), F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vals = gv.groupBy("v").agg(F.sum("c").alias("c_all"))
+    groups = gv.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    n_all = vals.agg(F.sum("c_all").alias("n_all"))
+    grid = (
+        groups.crossJoin(vals)
+        .join(gv, ["grp", "v"], "left")
+        .select(
+            "grp",
+            "v",
+            "n_g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "c_all",
+        )
+    )
+    wg = W.partitionBy("grp").orderBy(F.col("v").asc())
+    cum = grid.select(
+        "grp",
+        "n_g",
+        F.sum("c").over(wg).alias("cum_g"),
+        F.sum("c_all").over(wg).alias("cum_all"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(n_all))
+        .groupBy("grp", "n_g", "n_all")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_g") * F.col("n_all") - F.col("cum_all") * F.col("n_g")
+                )
+            ).alias("num")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").cast("long").alias("n_rows"),
+            F.floor(
+                F.col("num") / (F.col("n_g") * F.col("n_all")) * 1e6 + 0.5
+            )
+            .cast("long")
+            .alias("ks_micro"),
+        )
+    )

@@ -48,6 +48,7 @@ _PRIORITY = [
     "unimax_mixture_sources",
     "hll_intersection_events",
     "ewma_user_values",
+    "ks_drift_docs",
     "stats_prune_scan_orders",
     "assign_ids_orders",
     "kn_bigram_lm_corpus",

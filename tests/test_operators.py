@@ -1883,3 +1883,53 @@ def test_ewma_by_key_matches_recursion(spark):
         assert abs(got[k][1] - recursion(vals) * 1e6) < len(vals)
     # recency dominance: key 3's spike at the end dominates its EWMA
     assert got[3][1] > 0.24 * 50.0 * 1e6
+
+
+def test_ks_by_group_exact_and_psi_blind_shift(spark):
+    """ks_by_group vs a pure-Python ECDF-sup replay, including the case
+    PSI is structurally blind to: a shift WITHIN one power-of-two bin
+    (values 100 vs 120 share PSI bin [64,128)) that KS must see at full
+    strength."""
+    import math
+
+    from data_ingestion_spark.operators.stats import ks_by_group
+
+    rows = (
+        [("a", 100)] * 10                      # all mass at 100
+        + [("b", 120)] * 10                    # same PSI bin, KS must fire
+        + [("c", 100)] * 5 + [("c", 120)] * 5  # half-half
+    )
+    df = spark.createDataFrame(rows, "src: string, v: long")
+    got = {
+        r["src"]: (r["n_rows"], r["ks_micro"])
+        for r in ks_by_group(df, "src", "v").collect()
+    }
+
+    # python replay
+    from collections import Counter
+
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    all_vals = sorted({v for _, v in rows})
+    c_all = Counter(v for _, v in rows)
+    n_all = len(rows)
+
+    def ks(vals):
+        n_g = len(vals)
+        cg = Counter(vals)
+        cum_g = cum_all = 0
+        best = 0
+        for v in all_vals:
+            cum_g += cg.get(v, 0)
+            cum_all += c_all[v]
+            best = max(best, abs(cum_g * n_all - cum_all * n_g))
+        return math.floor(best / (n_g * n_all) * 1e6 + 0.5)
+
+    for g, vals in by_g.items():
+        assert got[g] == (len(vals), ks(vals))
+    # group a: ECDF_a(100)=1, ECDF_all(100)=15/30 -> D=0.5 exactly
+    assert got["a"][1] == 500000
+    # b mirrors a at the same magnitude; c is balanced -> strictly smaller
+    assert got["b"][1] == 500000
+    assert got["c"][1] < got["a"][1]
