@@ -172,6 +172,7 @@ HEADLINE = [
     "hll_intersection_events",
     "ewma_user_values",
     "ks_drift_docs",
+    "chi2_lang_source_docs",
 ]
 
 

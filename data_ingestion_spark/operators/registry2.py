@@ -3623,3 +3623,48 @@ ORDER BY source
 """
 
 QUERIES["ks_drift_docs"] = (ks_drift_docs, KS_DRIFT_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test (round 6)
+# --------------------------------------------------------------------------
+def chi2_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of language vs source over
+    the documents table (stats.chi_square_independence): the corpus-
+    balance question — is language mix independent of crawl source? —
+    answered from the dense 5x20 contingency grid with integer-micro
+    cell terms summed order-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stats.chi_square_independence(docs, "lang", "source")
+
+
+CHI2_LANG_SOURCE_DOCS_SQL = """
+WITH ab AS (
+  SELECT lang AS a, source AS b, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+), ra AS (
+  SELECT a, sum(c)::BIGINT AS ra FROM ab GROUP BY a
+), cb AS (
+  SELECT b, sum(c)::BIGINT AS cb FROM ab GROUP BY b
+), n AS (
+  SELECT sum(c)::BIGINT AS n FROM ab
+), grid AS (
+  SELECT ra.a, cb.b, ra.ra, cb.cb, coalesce(ab.c, 0)::BIGINT AS c, n.n
+  FROM ra CROSS JOIN cb
+  LEFT JOIN ab ON ab.a = ra.a AND ab.b = cb.b, n
+), terms AS (
+  SELECT a, b, n,
+         floor((c - ra::DOUBLE * cb::DOUBLE / n::DOUBLE)
+               * (c - ra::DOUBLE * cb::DOUBLE / n::DOUBLE)
+               / (ra::DOUBLE * cb::DOUBLE / n::DOUBLE) * 1e6 + 0.5)::BIGINT
+             AS term
+  FROM grid
+)
+SELECT max(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_cells,
+       ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::BIGINT AS dof,
+       sum(term)::BIGINT AS chi2_micro
+FROM terms
+"""
+
+QUERIES["chi2_lang_source_docs"] = (chi2_lang_source_docs, CHI2_LANG_SOURCE_DOCS_SQL)

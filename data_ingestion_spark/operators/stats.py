@@ -330,3 +330,52 @@ def ks_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
             .alias("ks_micro"),
         )
     )
+
+
+def chi_square_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Pearson chi-square statistic for independence of two categorical
+    columns, from the full contingency table — the data-quality test
+    behind "is quality correlated with source?" / "did the label
+    distribution shift per shard?" questions.
+
+        X² = Σ_cells (observed − expected)² / expected,
+        expected = row_total · col_total / n
+
+    Exactness: observed counts, row/col totals, and n are integers; each
+    cell's term is micro-rounded once and the statistic is their integer
+    sum — order-free and oracle-replayable. Zero-count cells contribute
+    (0−e)²/e = e, so the dense row×col grid matters: absent combinations
+    are real evidence of dependence, not missing data (grid built by
+    cross-joining the DISTINCT level sets, never corpus rows).
+
+    Scale shape: one (a, b) count agg; everything after runs on the
+    |levels_a| × |levels_b| contingency grid. Returns one row:
+    (n_rows, n_cells, dof, chi2_micro).
+    """
+    ab = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ra = ab.groupBy("a").agg(F.sum("c").alias("ra"))
+    cb = ab.groupBy("b").agg(F.sum("c").alias("cb"))
+    n = ab.agg(F.sum("c").alias("n"))
+    grid = (
+        ra.crossJoin(cb)
+        .join(ab, ["a", "b"], "left")
+        .select("a", "b", "ra", "cb", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .crossJoin(F.broadcast(n))
+    )
+    # cast BEFORE the multiply: ra*cb in 64-bit overflows past ~3e9 rows
+    # per side (doubles stay exact to 2^53, far beyond any n where the
+    # micro-rounded statistic is still meaningful)
+    e = F.col("ra").cast("double") * F.col("cb").cast("double") / F.col("n")
+    term = F.floor((F.col("c") - e) * (F.col("c") - e) / e * 1e6 + 0.5).cast("long")
+    return grid.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)
+        ).cast("long").alias("dof"),
+        F.sum(term).cast("long").alias("chi2_micro"),
+    )

@@ -49,6 +49,7 @@ _PRIORITY = [
     "hll_intersection_events",
     "ewma_user_values",
     "ks_drift_docs",
+    "chi2_lang_source_docs",
     "stats_prune_scan_orders",
     "assign_ids_orders",
     "kn_bigram_lm_corpus",

@@ -1933,3 +1933,53 @@ def test_ks_by_group_exact_and_psi_blind_shift(spark):
     # b mirrors a at the same magnitude; c is balanced -> strictly smaller
     assert got["b"][1] == 500000
     assert got["c"][1] < got["a"][1]
+
+
+def test_chi_square_independence(spark):
+    """chi_square_independence vs a pure-Python contingency replay:
+    perfectly dependent columns hit the theoretical maximum
+    n*(min(r,c)-1), an independent-by-construction table scores ~0, and
+    zero-count grid cells contribute their expected value."""
+    import math
+
+    from data_ingestion_spark.operators.stats import chi_square_independence
+
+    # perfectly dependent: b determined by a (2x2, zero diagonal cells)
+    dep = [("x", "u")] * 10 + [("y", "v")] * 10
+    r = chi_square_independence(
+        spark.createDataFrame(dep, "a: string, b: string"), "a", "b"
+    ).collect()[0]
+    assert (r["n_rows"], r["n_cells"], r["dof"]) == (20, 4, 1)
+    assert r["chi2_micro"] == 20 * 1_000_000  # X² = n for a 2x2 perfect match
+
+    # independent by construction: every (a, b) combo equally likely
+    ind = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    r2 = chi_square_independence(
+        spark.createDataFrame(ind, "a: string, b: string"), "a", "b"
+    ).collect()[0]
+    assert r2["chi2_micro"] == 0
+
+    # python replay on an uneven 2x3 table
+    rows = (
+        [("x", "u")] * 7 + [("x", "v")] * 2 + [("x", "w")] * 1
+        + [("y", "u")] * 3 + [("y", "v")] * 6
+    )
+    r3 = chi_square_independence(
+        spark.createDataFrame(rows, "a: string, b: string"), "a", "b"
+    ).collect()[0]
+    from collections import Counter
+
+    cab = Counter(rows)
+    ca = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    want = sum(
+        math.floor(
+            (cab.get((a, b), 0) - ca[a] * cb[b] / n) ** 2 / (ca[a] * cb[b] / n) * 1e6
+            + 0.5
+        )
+        for a in ca
+        for b in cb
+    )
+    assert (r3["n_cells"], r3["dof"]) == (6, 2)
+    assert r3["chi2_micro"] == want
