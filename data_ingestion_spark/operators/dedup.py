@@ -88,15 +88,26 @@ def jaccard_pairs(
       superset. 3-word shingles are mostly rare, so candidates collapse
       to near the true-pair count.
 
-    Canonical order here is lexicographic (engine-stable, oracle-free:
-    the filter is lossless so oracles verify the OUTPUT, not the order);
-    production refinement: global-frequency ascending order shrinks
-    prefixes sharing common shingles further.
+    Canonical order (round 7): GLOBAL-FREQUENCY ASCENDING, ties broken by
+    the shingle string — the distributed AllPairs/PPJoin recipe of Vernica,
+    Carey & Li (SIGMOD'10): compute per-shingle document frequency over the
+    same corpus, reorder every set rarest-first, and take prefixes under
+    that order. Any global total order keeps the prefix filter lossless
+    (the oracle verifies the OUTPUT, not the order); frequency-ascending
+    minimizes it — a prefix then holds a set's RAREST shingles, so the
+    (block, shingle) equi-join collides only where sets genuinely share
+    rare content (measured on dedup_clusters_docs sf0.1: 7.4s → see
+    BASELINE.md round-7 row). The frequency table is filtered to df ≥ 2
+    (df-1 shingles coalesce to 1, so the table stays near-empty on
+    low-repetition corpora) and is NOT hint-forced: AQE broadcasts it when
+    small and falls back to a shuffle join on pathological corpora.
 
-    Dataflow: shingle sets → prefix explode → (block, shingle) equi-join
-    of the narrow (id, block, shingle) stream → distinct candidate pairs
-    → rejoin the two shingle arrays BY ID (keys-only shuffles; arrays
-    move once per side) → exact Jaccard verify.
+    Dataflow: shingle sets → df agg (map-side combined, shingle-keyed) →
+    per-set reorder + prefix explode → (block, shingle) equi-join of the
+    narrow (id, block, shingle) stream → distinct candidate pairs →
+    rejoin the two shingle arrays BY ID (keys-only shuffles; arrays move
+    once per side) → exact Jaccard verify (order-insensitive, so the
+    verify side keeps the original lexicographic arrays).
 
     Set semantics via array_intersect/array_union (both dedup — matching
     DuckDB's list_intersect/list_distinct).
@@ -119,15 +130,56 @@ def jaccard_pairs(
             "block",
         )
     )
-    n = F.size("sset")
-    prefix_len = F.greatest(
-        n - F.ceil(n * F.lit(float(threshold))).cast("int") + F.lit(1), F.lit(1)
+    # The shingle pipeline feeds THREE consumers (df agg, prefix stream,
+    # verify-side sets); materialize it once instead of re-tokenizing the
+    # corpus per consumer. localCheckpoint stores executor-local blocks —
+    # no driver collect, partitioning preserved.
+    base = base.localCheckpoint(eager=False)
+    # Global document frequency per shingle, kept only where df >= 2:
+    # unlisted shingles are unique (df = 1) and need no table entry. On a
+    # low-repetition corpus this table is tiny and AQE turns the join
+    # below into a broadcast; no hint is forced so a highly repetitive
+    # corpus degrades to a shuffle join instead of a driver OOM.
+    freq = (
+        base.select(F.explode("sset").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .filter(F.col("df_s") >= 2)
     )
-    pref = base.select(
-        "id",
-        "block",
-        n.alias("n"),
-        F.explode(F.slice(F.col("sset"), F.lit(1), prefix_len)).alias("s"),
+    n = F.size("sset")
+    # Reorder each set frequency-ascending (rarest first), then explode the
+    # prefix. The rebuild is one (id)-keyed aggregation of the narrow
+    # (id, shingle, df) stream — the price of the Vernica et al. global
+    # order; the candidate-join savings dominate it on any corpus where
+    # blocks share common shingles.
+    pref = (
+        base.select("id", "block", n.alias("n"), F.explode("sset").alias("s"))
+        .join(freq, "s", "left")
+        .select(
+            "id",
+            "block",
+            "n",
+            F.struct(F.coalesce("df_s", F.lit(1)).alias("df_s"), F.col("s").alias("s")).alias("e"),
+        )
+        .groupBy("id", "block", "n")
+        .agg(F.array_sort(F.collect_list("e")).alias("ordered"))
+        .select(
+            "id",
+            "block",
+            "n",
+            F.explode(
+                F.slice(
+                    F.transform(F.col("ordered"), lambda e: e["s"]),
+                    F.lit(1),
+                    F.greatest(
+                        F.col("n")
+                        - F.ceil(F.col("n") * F.lit(float(threshold))).cast("int")
+                        + F.lit(1),
+                        F.lit(1),
+                    ),
+                )
+            ).alias("s"),
+        )
     )
     pa, pb = pref.alias("pa"), pref.alias("pb")
     cand = (
@@ -530,9 +582,13 @@ def connected_components(
 
     Returns (id, component) — component = min node id reachable.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the (possibly expensive) upstream pair pipeline ONCE,
+    # then mirror the cheap checkpointed edge list — a union of two selects
+    # over `edges` would evaluate the whole upstream plan twice.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
     )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
