@@ -3668,3 +3668,167 @@ FROM terms
 """
 
 QUERIES["chi2_lang_source_docs"] = (chi2_lang_source_docs, CHI2_LANG_SOURCE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / theta-style) sketch set algebra (round 7)
+# --------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_CLICK_MICRO = 650_000_000  # per-user click value >= 650.0, in micros
+_KMV_N_PURCH = 14
+
+
+def theta_intersection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort set algebra on a KMV (bottom-k) sketch — the portable
+    theta-sketch tier the hll_intersection_events docstring points at:
+    HLL inclusion-exclusion degrades when the true intersection is small
+    relative to the union (union errors do not cancel), while a KMV
+    sketch estimates the intersection DIRECTLY from the shared sample
+    below the union threshold (Beyer et al., SIGMOD'07).
+
+    Cohorts (per-user aggregates, one pass over events):
+      A = users whose total click value >= 650.0 (integer-micro sum,
+          order-free for engine-exact parity),
+      B = users with >= 14 purchase events.
+
+    Dataflow (100 TB shape): ONE user-keyed aggregation builds the
+    (user_id, flag_a, flag_b) table — this also fixes the r6 watch item
+    on hll_intersection_events' 3-way countDistinct expand; everything
+    downstream runs on that distinct table. Bottom-k sketches are
+    TakeOrderedAndProject (k smallest hashes per set, never a full
+    sort); the estimate arithmetic is one fixed parenthesization over
+    exact integers so DuckDB replays the ESTIMATES bit-for-bit —
+    sketch values here are hash-checked, not just bounded. The exact
+    columns exist as the checked contract; at 100 TB only the sketch
+    side runs.
+
+    est_union = (k-1) / (theta / 2^60); est_inter = common/k * est_union
+    where common = |bottomk(A) ∩ bottomk(B) ∩ {h <= theta}|. When the
+    union fits the sketch (nk < k) both estimates are exact by
+    construction. within_bound asserts |est - exact| <= 5/sqrt(k-1) of
+    the exact union on the intersection estimate."""
+    from ..functions import md5_hash60
+    from . import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    k = _KMV_K
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.round(F.col("value") * 1e6).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("click_micro"),
+            F.count(F.when(F.col("event_type") == "purchase", F.lit(1))).alias(
+                "n_purch"
+            ),
+        )
+        .select(
+            (F.col("click_micro") >= _KMV_CLICK_MICRO).alias("a"),
+            (F.col("n_purch") >= _KMV_N_PURCH).alias("b"),
+            md5_hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .localCheckpoint(eager=False)  # feeds 4 consumers; one user-agg pass
+    )
+    ka = sketch.kmv_bottom_k(users.filter(F.col("a")), "h", k)
+    kb = sketch.kmv_bottom_k(users.filter(F.col("b")), "h", k)
+    ku = sketch.kmv_bottom_k(users.filter(F.col("a") | F.col("b")), "h", k)
+    u_stats = sketch.kmv_union_stats(ku, k)
+    common = (
+        ka.join(kb, "h")
+        .crossJoin(u_stats.select("theta"))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    exact = users.agg(
+        F.sum(F.col("a").cast("long")).alias("exact_a"),
+        F.sum(F.col("b").cast("long")).alias("exact_b"),
+        F.sum((F.col("a") | F.col("b")).cast("long")).alias("exact_union"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).alias("exact_intersection"),
+    )
+    two60 = 1152921504606846976.0  # 2^60, exact in double
+    est_inter = (
+        F.when(F.col("nk") < k, F.col("common").cast("double"))
+        .otherwise(
+            F.floor(
+                (
+                    (F.lit(float(k - 1)) * F.lit(two60))
+                    / F.col("theta").cast("double")
+                )
+                * F.col("common").cast("double")
+                / F.lit(float(k))
+            ).cast("double")
+        )
+        .cast("long")
+    )
+    bound = F.lit(5.0 / (k - 1) ** 0.5) * F.col("exact_union").cast("double")
+    return (
+        exact.crossJoin(u_stats)
+        .crossJoin(common)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersection",
+            F.col("union_est").alias("kmv_union_est"),
+            est_inter.alias("kmv_intersection_est"),
+            (
+                F.abs(
+                    est_inter.cast("double")
+                    - F.col("exact_intersection").cast("double")
+                )
+                <= bound
+            ).alias("sketch_within_bound"),
+        )
+    )
+
+
+THETA_INTERSECTION_EVENTS_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click'
+                  THEN (round(value * 1e6))::BIGINT ELSE 0 END) AS click_micro,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purch
+  FROM events GROUP BY user_id
+), flags AS (
+  SELECT click_micro >= {_KMV_CLICK_MICRO} AS a,
+         n_purch >= {_KMV_N_PURCH} AS b,
+         {_SQL_HASH60.format(c='user_id::VARCHAR')} AS h
+  FROM u
+), ka AS (SELECT h FROM flags WHERE a ORDER BY h LIMIT {_KMV_K}),
+   kb AS (SELECT h FROM flags WHERE b ORDER BY h LIMIT {_KMV_K}),
+   ku AS (SELECT h FROM flags WHERE a OR b ORDER BY h LIMIT {_KMV_K}),
+   us AS (SELECT max(h) AS theta, count(*) AS nk FROM ku),
+   cm AS (SELECT count(*) AS common
+          FROM ka JOIN kb USING (h), us WHERE ka.h <= us.theta),
+   ex AS (SELECT sum(a::INT)::BIGINT AS exact_a,
+                 sum(b::INT)::BIGINT AS exact_b,
+                 sum((a OR b)::INT)::BIGINT AS exact_union,
+                 sum((a AND b)::INT)::BIGINT AS exact_intersection
+          FROM flags)
+SELECT ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersection,
+       (CASE WHEN us.nk < {_KMV_K} THEN us.nk::DOUBLE
+             ELSE floor(({_KMV_K - 1}.0 * 1152921504606846976.0)
+                        / us.theta::DOUBLE)
+        END)::BIGINT AS kmv_union_est,
+       (CASE WHEN us.nk < {_KMV_K} THEN cm.common::DOUBLE
+             ELSE floor((({_KMV_K - 1}.0 * 1152921504606846976.0)
+                         / us.theta::DOUBLE)
+                        * cm.common::DOUBLE / {_KMV_K}.0)
+        END)::BIGINT AS kmv_intersection_est,
+       (abs((CASE WHEN us.nk < {_KMV_K} THEN cm.common::DOUBLE
+                  ELSE floor((({_KMV_K - 1}.0 * 1152921504606846976.0)
+                              / us.theta::DOUBLE)
+                             * cm.common::DOUBLE / {_KMV_K}.0)
+             END)::BIGINT::DOUBLE - ex.exact_intersection::DOUBLE)
+        <= {5.0 / (_KMV_K - 1) ** 0.5} * ex.exact_union::DOUBLE)
+           AS sketch_within_bound
+FROM ex, us, cm
+"""
+
+QUERIES["theta_intersection_events"] = (
+    theta_intersection_events,
+    THETA_INTERSECTION_EVENTS_SQL,
+)

@@ -128,3 +128,49 @@ def heavy_hitters(
         )
         rows = top.collect()
     return spark.createDataFrame(rows or [], "token string, freq long")
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / theta-style) distinct-value sketch with set algebra
+# --------------------------------------------------------------------------
+def kmv_bottom_k(df: DataFrame, hash_col: str, k: int) -> DataFrame:
+    """The KMV sketch of a hashed distinct-value stream: its ``k`` smallest
+    hash values (Beyer, Haas, Reinwald, Sismanis & Gemulla, SIGMOD'07 —
+    "On synopses for distinct-value estimation under multiset operations";
+    the same bottom-k form underlies the theta sketch of Dasgupta et al.).
+
+    ``df`` must already be DISTINCT on ``hash_col`` (one row per set
+    element). ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+    each partition keeps its own k smallest, only k·n_partitions values
+    reach the driver-side merge, never the full set. Unlike HLL, the
+    sketch content is plain integers from a cross-engine hash
+    (md5_hash60), so an ANSI-SQL oracle replays the ESTIMATE itself
+    bit-for-bit — estimates become hash-checkable, not just bounded."""
+    return df.select(F.col(hash_col).alias("h")).orderBy("h").limit(k)
+
+
+def kmv_union_stats(bottom_k_union: DataFrame, k: int) -> DataFrame:
+    """One row (theta, nk, union_est) from a union KMV sketch.
+
+    theta = k-th smallest hash (the sketch boundary); nk = sketch fill.
+    When nk < k the whole set fits in the sketch and the estimate IS the
+    exact count; otherwise est = (k-1) / (theta / 2^60) — the unbiased
+    KMV estimator over the [0, 2^60) hash domain. The arithmetic uses one
+    fixed parenthesization over exact-integer inputs so Spark and an SQL
+    oracle produce the identical IEEE double, floored to a BIGINT."""
+    two60 = 1152921504606846976.0  # 2^60, exact in double
+    return bottom_k_union.agg(
+        F.max("h").alias("theta"), F.count(F.lit(1)).alias("nk")
+    ).select(
+        "theta",
+        "nk",
+        F.when(F.col("nk") < k, F.col("nk").cast("double"))
+        .otherwise(
+            F.floor(
+                (F.lit(float(k - 1)) * F.lit(two60))
+                / F.col("theta").cast("double")
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("union_est"),
+    )

@@ -84,3 +84,52 @@ def test_mg_candidates_bounded_per_partition(spark):
     cands = sketch.mg_candidates(df, "text", sketch_k=32)
     # distinct-union across 4 partitions: at most 4 × 32 rows
     assert cands.count() <= 4 * 32
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k) sketch
+# --------------------------------------------------------------------------
+def test_kmv_bottom_k_returns_k_smallest(spark):
+    df = spark.createDataFrame([(h,) for h in [50, 10, 90, 30, 70, 20]], "h long")
+    got = [r["h"] for r in sketch.kmv_bottom_k(df, "h", 3).collect()]
+    assert got == [10, 20, 30]
+
+
+def test_kmv_union_stats_exact_when_under_k(spark):
+    """nk < k ⇒ the sketch holds the whole set and the estimate is exact."""
+    df = spark.createDataFrame([(h,) for h in [5, 7, 11]], "h long")
+    row = sketch.kmv_union_stats(sketch.kmv_bottom_k(df, "h", 64), 64).collect()[0]
+    assert (row["nk"], row["union_est"]) == (3, 3)
+
+
+def test_kmv_union_estimate_within_bound(spark):
+    """Sketch path (n >> k): (k-1)/theta estimator lands within 5/sqrt(k-1)
+    of the true distinct count on md5-uniform hashes."""
+    from data_ingestion_spark.functions import md5_hash60
+
+    n, k = 20000, 256
+    df = spark.range(n).select(md5_hash60(F.col("id").cast("string")).alias("h"))
+    row = sketch.kmv_union_stats(sketch.kmv_bottom_k(df, "h", k), k).collect()[0]
+    assert row["nk"] == k
+    assert abs(row["union_est"] - n) <= 5.0 / (k - 1) ** 0.5 * n
+
+
+def test_theta_intersection_exact_path_at_tiny_sf(spark):
+    """At sf0.001 the union fits the sketch, so BOTH estimates must equal
+    the exact counts — the CASE nk<k branch on both engines."""
+    from data_ingestion_spark.operators.registry2 import theta_intersection_events
+
+    row = theta_intersection_events(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["kmv_union_est"] == row["exact_union"]
+    assert row["kmv_intersection_est"] == row["exact_intersection"]
+    assert row["sketch_within_bound"]
+
+
+def test_theta_intersection_sketch_path_bound(spark):
+    """At sf0.01 the sketch path engages (union > k) and the checked
+    contract column must hold."""
+    from data_ingestion_spark.operators.registry2 import theta_intersection_events
+
+    row = theta_intersection_events(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["exact_union"] > 64  # sketch path actually exercised
+    assert row["sketch_within_bound"]
