@@ -2282,3 +2282,242 @@ QUERIES: dict = {
     "dq_checks_star_schema": (dq_checks_star_schema, DQ_CHECKS_STAR_SCHEMA_SQL),
     "s3_event_decode_docs": (s3_event_decode_docs, S3_EVENT_DECODE_DOCS_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# Nightly incremental-dedup pipeline over the versioned table (round 7)
+# --------------------------------------------------------------------------
+def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION nightly-dedup composition the minhash_incremental
+    docstring promises: the corpus minhash BAND INDEX and the corpus doc
+    table both live as committed snapshots (tableformat.commit_version);
+    tonight's batch is banded, candidate-joined against the STORED index
+    (read_version — not the in-memory frame), exact-Jaccard verified, and
+    the accepted (non-dup) docs are folded back in: corpus v1 and index v1
+    are committed, and table_changes(v0→v1) yields the insert feed a
+    downstream consumer (search indexer, replication sink) would read.
+
+    Corpus = even doc_ids, batch = odd doc_ids (same split and portable
+    md5 hash family as dedup_incremental_docs, so the oracle replays
+    signature → banding → cross-side candidate join → verify in SQL).
+
+    Output: one decision row per batch doc — (batch_id, is_dup,
+    n_matches, best_corpus_id, best_est_jaccard) — plus the pipeline's
+    audit constants (cdf_inserts from the change feed, index_rows_v0/v1).
+    Scale shape: the stored index is the only corpus-sized artifact
+    touched per night; corpus×corpus is never re-paired, and the index
+    join shuffles 8-byte band keys, not documents.
+    """
+    import tempfile
+
+    from ..functions import md5_hash60
+    from . import tableformat
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def prehash(s):
+        return md5_hash60(s) % _MINHASH_P
+
+    def portable(h, i):
+        a, b = _minhash_ab(i)
+        return h * F.lit(a) % _MINHASH_P + F.lit(b)
+
+    kwargs = dict(
+        k=3, num_hash_tables=8, seed=42, hash_fn=portable, band_r=2,
+        materialize=True, prehash_fn=prehash,
+    )
+    cbase, cbands = dedup._minhash_bands(corpus, "doc_id", "text", **kwargs)
+    bbase, bbands = dedup._minhash_bands(batch, "doc_id", "text", **kwargs)
+
+    root = tempfile.mkdtemp(prefix="nightly_dedup_")
+    flat = lambda b: b.select(  # noqa: E731 — (id, band, key) parquet rows
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    v0_docs = tableformat.commit_version(corpus, root + "/docs")
+    v0_idx = tableformat.commit_version(flat(cbands), root + "/index")
+
+    stored_idx = tableformat.read_version(spark, root + "/index", v0_idx)
+    cand = (
+        stored_idx.alias("a")
+        .join(
+            flat(bbands).alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.id").alias("corpus_id"), F.col("b.id").alias("batch_id"))
+        .dropDuplicates(["corpus_id", "batch_id"])
+    )
+    sa = cbase.select(F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_a"))
+    sb = bbase.select(F.col("id").alias("batch_id"), F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    )
+    pairs = (
+        cand.join(sa, "corpus_id")
+        .join(sb, "batch_id")
+        .select("corpus_id", "batch_id", F.round(jac, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.3)
+        .localCheckpoint(eager=True)  # feeds decisions AND the accept filter
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max(F.when(F.col("rn") == 1, F.col("corpus_id"))).alias(
+                "best_corpus_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("est_jaccard"))).alias(
+                "best_est_jaccard"
+            ),
+        )
+    )
+    decisions = (
+        batch.select(F.col("doc_id").alias("batch_id"))
+        .join(best, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.coalesce(F.col("n_matches") >= 1, F.lit(False)).alias("is_dup"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_corpus_id",
+            "best_est_jaccard",
+        )
+    )
+
+    accepted_ids = decisions.filter(~F.col("is_dup")).select(
+        F.col("batch_id").alias("doc_id")
+    )
+    v1_docs = tableformat.commit_version(
+        tableformat.read_version(spark, root + "/docs", v0_docs).unionByName(
+            batch.join(accepted_ids, "doc_id", "left_semi")
+        ),
+        root + "/docs",
+    )
+    accepted_bands = flat(bbands).join(
+        accepted_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi"
+    )
+    tableformat.commit_version(
+        stored_idx.unionByName(accepted_bands), root + "/index"
+    )
+
+    cdf = tableformat.table_changes(
+        spark, root + "/docs", v0_docs, v1_docs, key_cols=["doc_id"]
+    )
+    audit = (
+        cdf.agg(
+            F.sum((F.col("change_type") == "insert").cast("long")).alias(
+                "cdf_inserts"
+            )
+        )
+        .crossJoin(
+            tableformat.read_version(spark, root + "/index", 0)
+            .agg(F.count(F.lit(1)).alias("index_rows_v0"))
+        )
+        .crossJoin(
+            tableformat.read_version(spark, root + "/index", 1)
+            .agg(F.count(F.lit(1)).alias("index_rows_v1"))
+        )
+    )
+    return decisions.crossJoin(audit).orderBy("batch_id")
+
+
+def _nightly_oracle(num_hash_tables: int = 8, band_r: int = 2) -> str:
+    """CTE replay of the whole nightly pipeline: the versioned-table
+    mechanics (commit/read/table_changes) are Spark-side storage plumbing;
+    the ORACLE replays their observable algebra — the candidate join
+    against the v0 index contents, the accept filter, the insert feed
+    count, and both index cardinalities."""
+    h = _SQL_HASH60.format(c="s")
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"(({h} % {_MINHASH_P}) * {_minhash_ab(i)[0]} % {_MINHASH_P}"
+        f" + {_minhash_ab(i)[1]}))) AS mh{i}"
+        for i in range(num_hash_tables)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT id, {bi} AS band, {key} AS key FROM sigs".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"mh{bi * band_r + j}::VARCHAR" for j in range(band_r)
+            ),
+        )
+        for bi in range(num_hash_tables // band_r)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents)
+  WHERE len(toks) >= 3
+), sigs AS (
+  SELECT id, {mh}
+  FROM base
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.id AS corpus_id, b.id AS batch_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key
+   AND a.id % 2 = 0 AND b.id % 2 = 1
+), pairs AS (
+  SELECT corpus_id, batch_id,
+         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+           AS est_jaccard
+  FROM cand
+  JOIN base sa ON sa.id = cand.corpus_id
+  JOIN base sb ON sb.id = cand.batch_id
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+        >= 0.3
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY batch_id
+           ORDER BY est_jaccard DESC, corpus_id ASC) AS rn
+  FROM pairs
+), best AS (
+  SELECT batch_id,
+         count(*)::BIGINT AS n_matches,
+         max(CASE WHEN rn = 1 THEN corpus_id END) AS best_corpus_id,
+         max(CASE WHEN rn = 1 THEN est_jaccard END) AS best_est_jaccard
+  FROM ranked GROUP BY batch_id
+), decisions AS (
+  SELECT d.doc_id AS batch_id,
+         coalesce(b.n_matches >= 1, false) AS is_dup,
+         coalesce(b.n_matches, 0)::BIGINT AS n_matches,
+         b.best_corpus_id,
+         b.best_est_jaccard
+  FROM documents d LEFT JOIN best b ON b.batch_id = d.doc_id
+  WHERE d.doc_id % 2 = 1
+), audit AS (
+  SELECT (SELECT count(*) FROM decisions WHERE NOT is_dup)::BIGINT
+             AS cdf_inserts,
+         (SELECT count(*) FROM bands WHERE id % 2 = 0)::BIGINT
+             AS index_rows_v0,
+         ((SELECT count(*) FROM bands WHERE id % 2 = 0)
+          + (SELECT count(*)
+             FROM bands JOIN decisions ON bands.id = decisions.batch_id
+             WHERE NOT decisions.is_dup))::BIGINT AS index_rows_v1
+)
+SELECT decisions.*, audit.* FROM decisions, audit
+ORDER BY batch_id
+"""
+
+
+DEDUP_NIGHTLY_PIPELINE_DOCS_SQL = _nightly_oracle()
+
+QUERIES["dedup_nightly_pipeline_docs"] = (
+    dedup_nightly_pipeline_docs,
+    DEDUP_NIGHTLY_PIPELINE_DOCS_SQL,
+)

@@ -37,7 +37,7 @@ _PRIORITY = [
     # (a) new or changed in round 7 — must earn a driver-green row
     # (names are uncommented as each operator lands this round)
     "theta_intersection_events",
-    # "dedup_nightly_pipeline_docs",
+    "dedup_nightly_pipeline_docs",
     # "minhash_band_recall_docs",
     # "robust_scale_events",
     # "reservoir_sample_events",

@@ -283,3 +283,26 @@ def test_vacuum_drops_orphaned_stats_files(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "_stats_v0.json"))
     assert not os.path.exists(os.path.join(root, "_stats_v1.json"))
     assert tf.metadata_count(root, 2) == 30  # survivor intact
+
+
+def test_nightly_pipeline_versioned_composition(spark):
+    """The nightly dedup composition actually advances the versioned
+    tables: docs v1 = v0 ∪ accepted batch docs, index v1 row count grows
+    by exactly the accepted docs' band rows, and every decision row
+    carries the audit constants consistently."""
+    from data_ingestion_spark.operators.registry import (
+        dedup_nightly_pipeline_docs,
+    )
+
+    rows = dedup_nightly_pipeline_docs(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no batch decisions"
+    n_accepted = sum(1 for r in rows if not r["is_dup"])
+    first = rows[0]
+    assert first["cdf_inserts"] == n_accepted
+    assert first["index_rows_v1"] >= first["index_rows_v0"]
+    # dup rows must name their best corpus match; accepted rows must not
+    for r in rows:
+        if r["is_dup"]:
+            assert r["best_corpus_id"] is not None and r["n_matches"] >= 1
+        else:
+            assert r["best_corpus_id"] is None and r["n_matches"] == 0
