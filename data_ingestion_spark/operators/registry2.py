@@ -3832,3 +3832,88 @@ QUERIES["theta_intersection_events"] = (
     theta_intersection_events,
     THETA_INTERSECTION_EVENTS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# KS decision tier: critical-value drift flags (round 7)
+# --------------------------------------------------------------------------
+_KS_C_005 = 1.3581015157406195  # c(alpha=0.05) = sqrt(-ln(0.025)/2)
+
+
+def ks_critical_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECISION layer over ks_drift_docs: compare each source's KS
+    statistic against the two-sample critical value
+    c(0.05)·sqrt((n+m)/(n·m)) and flag sources whose length distribution
+    drifts significantly from the corpus. (The classical formula assumes
+    independent samples; group-vs-corpus overlaps, which makes the flag
+    CONSERVATIVE — the monitoring convention, documented here.) All float
+    steps (one division of exact integers, one IEEE-correctly-rounded
+    sqrt, one multiply) are bit-deterministic, so DuckDB replays the flag
+    and the micro-rounded critical value exactly — the alert itself is
+    oracle-checked, not just the statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    ks = stats.ks_by_group(docs, "source", "n_chars")
+    tot = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    dcrit = F.lit(_KS_C_005) * F.sqrt(
+        (F.col("n_rows") + F.col("n_all")).cast("double")
+        / (F.col("n_rows") * F.col("n_all")).cast("double")
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_rows",
+            "ks_micro",
+            F.floor(dcrit * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+                "d_crit_micro"
+            ),
+            (F.col("ks_micro").cast("double") / F.lit(1e6) > dcrit).alias(
+                "drifted"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+KS_CRITICAL_DRIFT_DOCS_SQL = f"""
+WITH gv AS (
+  SELECT source AS grp, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+), vals AS (
+  SELECT v, sum(c)::BIGINT AS c_all FROM gv GROUP BY v
+), groups AS (
+  SELECT grp, sum(c)::BIGINT AS n_g FROM gv GROUP BY grp
+), na AS (
+  SELECT sum(c_all)::BIGINT AS n_all FROM vals
+), grid AS (
+  SELECT g.grp, g.n_g, va.v, coalesce(gv.c, 0)::BIGINT AS c, va.c_all
+  FROM groups g CROSS JOIN vals va
+  LEFT JOIN gv ON gv.grp = g.grp AND gv.v = va.v
+), cum AS (
+  SELECT grp, n_g,
+         sum(c) OVER (PARTITION BY grp ORDER BY v ASC) AS cum_g,
+         sum(c_all) OVER (PARTITION BY grp ORDER BY v ASC) AS cum_all
+  FROM grid
+), ks AS (
+  SELECT grp AS source, n_g AS n_rows,
+         floor(max(abs(cum_g * na.n_all - cum_all * n_g))
+               / (n_g * na.n_all)::DOUBLE * 1e6 + 0.5)::BIGINT AS ks_micro,
+         na.n_all AS n_all
+  FROM cum, na
+  GROUP BY grp, n_g, na.n_all
+)
+SELECT source, n_rows, ks_micro,
+       floor({_KS_C_005} * sqrt((n_rows + n_all)::DOUBLE
+                                / (n_rows * n_all)::DOUBLE)
+             * 1e6 + 0.5)::BIGINT AS d_crit_micro,
+       (ks_micro::DOUBLE / 1e6
+        > {_KS_C_005} * sqrt((n_rows + n_all)::DOUBLE
+                             / (n_rows * n_all)::DOUBLE)) AS drifted
+FROM ks
+ORDER BY source
+"""
+
+QUERIES["ks_critical_drift_docs"] = (
+    ks_critical_drift_docs,
+    KS_CRITICAL_DRIFT_DOCS_SQL,
+)

@@ -234,16 +234,43 @@ def hyperplane_lsh_pairs(
             for bi in range(n_bands)
         ]
     )
-    # Band explode carries (id, band-key) ONLY — never the vector. Hauling
-    # v through the explode multiplies shuffle bytes by n_bands x dim (the
+    # Band explode carries (id, sig) ONLY — never the vector. Hauling v
+    # through the explode multiplies shuffle bytes by n_bands x dim (the
     # anti-pattern minhash_near_dup documents); candidates rejoin the base
     # table by id for the exact-cosine verify instead.
-    exploded = base.select("id", F.explode(bands).alias("bk"))
+    #
+    # Dedup WITHOUT an exchange (round 7): a pair colliding in m bands used
+    # to surface m times and go through dropDuplicates — a full shuffle of
+    # the candidate MULTISET, which for low-entropy geometries (3-bit bands
+    # = 8 buckets) is near-quadratic and dominated the whole query
+    # (measured 14.4s at sf0.1). Carrying the 8-byte signature through the
+    # explode lets each joined row recompute ALL band agreements from
+    # sig_a ^ sig_b and keep the pair only at its FIRST agreeing band — a
+    # stateless codegen filter inside the join stage. Each candidate pair
+    # survives exactly once; the dedup exchange disappears.
+    exploded = base.select("id", "sig", F.explode(bands).alias("bk"))
     a, b = exploded.alias("a"), exploded.alias("b")
+    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    mask = (1 << band_bits) - 1
+    first_agree = F.lit(None).cast("int")
+    for bi in range(n_bands - 1, -1, -1):
+        first_agree = F.when(
+            F.shiftright(xor, bi * band_bits).bitwiseAND(F.lit(mask)) == 0,
+            F.lit(bi),
+        ).otherwise(first_agree)
+    # The band join leaves cand partitioned by the LOW-ENTROPY (band, key)
+    # space (e.g. 16 bands x 8 keys = 128 groups for 3-bit bands) — a few
+    # huge partitions that serialize the downstream cosine verify
+    # (measured: 25s verify on skewed vs 4s after respreading). One
+    # exchange of the skinny (id_a, id_b) stream restores parallelism and
+    # co-keys the first verify join; AQE picks broadcast for the small
+    # vector sides on its own (never forced — they are corpus-sized at
+    # 100 TB).
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .filter(F.col("a.bk.band") == first_agree)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .repartition("id_a")
     )
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))

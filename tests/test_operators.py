@@ -1983,3 +1983,31 @@ def test_chi_square_independence(spark):
     )
     assert (r3["n_cells"], r3["dof"]) == (6, 2)
     assert r3["chi2_micro"] == want
+
+
+def test_ks_critical_flag_fires_on_planted_drift(spark, tmp_path):
+    """A group sampled from a shifted distribution must clear the
+    c(0.05)·sqrt((n+m)/nm) critical value; same-distribution groups must
+    not. Uses the registry query end-to-end via a synthetic documents
+    parquet."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    did = 0
+    # the shifted cohort is kept SMALL: the statistic is group-vs-corpus,
+    # so a large drifted group would legitimately drag every other group
+    # away from the blended corpus ECDF too
+    for src, n, shift in [("same_a", 300, 0), ("same_b", 300, 0), ("shifted", 40, 900)]:
+        for _ in range(n):
+            rows.append((did, src, "en", "x", rng.randint(100, 200) + shift))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from data_ingestion_spark.operators.registry2 import ks_critical_drift_docs
+
+    got = {r["source"]: r["drifted"] for r in ks_critical_drift_docs(
+        spark, str(tmp_path)
+    ).collect()}
+    assert got == {"same_a": False, "same_b": False, "shifted": True}
