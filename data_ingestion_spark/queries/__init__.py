@@ -38,10 +38,10 @@ _PRIORITY = [
     # (names are uncommented as each operator lands this round)
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
+    "ks_critical_drift_docs",
     # "minhash_band_recall_docs",
     # "robust_scale_events",
-    # "reservoir_sample_events",
-    # "ks_critical_drift_docs",
+    # "pmi_bigrams_corpus",
     # (b) r1-era: relational / window / scalar battery
     "array_hof_embeddings",
     "cube_order_status_priority",
