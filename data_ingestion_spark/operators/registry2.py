@@ -3917,3 +3917,187 @@ QUERIES["ks_critical_drift_docs"] = (
     ks_critical_drift_docs,
     KS_CRITICAL_DRIFT_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (round 7)
+# --------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 100
+
+
+def pmi_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations: token bigrams ranked by pointwise mutual
+    information, the classic collocation-extraction statistic (Church &
+    Hanks, 1990) an LLM-corpus pipeline uses to mine multiword units for
+    tokenizer and phrase vocabularies.
+
+    PMI = log(p(ab) / (p(a)p(b))) is ranked here by the LOG-FREE ratio
+    n_ab·N / (n_a·n_b) (log is monotone; libm log is NOT bit-identical
+    across engines, integer arithmetic is): pmi_micro =
+    (n_ab·N·1e6) div (n_a·n_b), pure BIGINT, so the oracle matches
+    bit-for-bit. Bigrams under {min_count} occurrences are dropped (the
+    standard sparse-PMI guard). 64-bit headroom: n_ab·N·1e6 needs
+    n_ab·N < 9.2e12 — fine through corpus sizes where exact counting is
+    the right tier; past that, subsample counts or lift to decimal.
+
+    Scale shape: two explode+count aggs (map-side combined) keyed by
+    bigram/token, two joins of the FILTERED bigram table (min_count
+    prunes the long tail before any join) against the unigram counts,
+    one scalar N crossJoin, top-k by (pmi desc, bigram asc)."""
+    from ..functions import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    big = (
+        toks.select(F.explode(word_shingles(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+    )
+    n_total = toks.select(F.sum(F.size("toks")).alias("n_tokens"))
+    parts = F.split(F.col("bigram"), " ", 2)
+    joined = (
+        big.select("bigram", "n_ab", parts.getItem(0).alias("ta"), parts.getItem(1).alias("tb"))
+        .join(uni.select(F.col("t").alias("ta"), F.col("n_t").alias("n_a")), "ta")
+        .join(uni.select(F.col("t").alias("tb"), F.col("n_t").alias("n_b")), "tb")
+        .crossJoin(F.broadcast(n_total))
+    )
+    return (
+        joined.select(
+            "bigram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * n_tokens * 1000000) div (n_a * n_b)").alias(
+                "pmi_micro"
+            ),
+        )
+        .orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc())
+        .limit(_PMI_TOPK)
+    )
+
+
+PMI_BIGRAMS_CORPUS_SQL = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+), uni AS (
+  SELECT t, count(*)::BIGINT AS n_t
+  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY t
+), big AS (
+  SELECT bigram, count(*)::BIGINT AS n_ab
+  FROM (SELECT unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+         )) AS bigram
+        FROM toks)
+  GROUP BY bigram
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+), nt AS (
+  SELECT sum(len(toks))::BIGINT AS n_tokens FROM toks
+)
+SELECT b.bigram, b.n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+       ((b.n_ab * nt.n_tokens * 1000000) // (ua.n_t * ub.n_t))::BIGINT
+           AS pmi_micro
+FROM big b
+JOIN uni ua ON ua.t = string_split(b.bigram, ' ')[1]
+JOIN uni ub ON ub.t = string_split(b.bigram, ' ')[2]
+CROSS JOIN nt
+ORDER BY pmi_micro DESC, bigram ASC
+LIMIT {_PMI_TOPK}
+"""
+
+QUERIES["pmi_bigrams_corpus"] = (pmi_bigrams_corpus, PMI_BIGRAMS_CORPUS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Robust scaling / boxplot-fence outliers (round 7)
+# --------------------------------------------------------------------------
+def robust_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ROBUST location/scale (median + IQR — the
+    median/IQR scaler of sklearn's RobustScaler, immune to the outliers
+    that poison mean/stddev z-scores) plus the Tukey boxplot-fence
+    outlier count (|v| beyond q1−1.5·IQR / q3+1.5·IQR).
+
+    Complements anomaly_zscore_events (moment-based) and
+    winsorize_events (clipping): this is the diagnosis tier — how heavy
+    are the tails per group, on estimators the tails cannot move.
+
+    Parity: exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both rank = p·(n−1)); fences rounded to 6 dp on both
+    engines before the comparison so a borderline value cannot flip on
+    last-bit float noise. Scale shape: one grouped percentile agg to a
+    |groups|-row table, broadcast back for one counting pass — two scans,
+    no sort of the full data (percentile's agg buffer is a value-count
+    map)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.percentile(
+                "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("q"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            F.element_at("q", 1).alias("q1"),
+            F.element_at("q", 2).alias("med"),
+            F.element_at("q", 3).alias("q3"),
+        )
+    )
+    lo = F.round(F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1")), 6)
+    hi = F.round(F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1")), 6)
+    fences = s.select("event_type", "n_rows", "q1", "med", "q3",
+                      lo.alias("lo"), hi.alias("hi"))
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "n_rows", "q1", "med", "q3")
+        .agg(
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+                .cast("long")
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            F.round("med", 4).alias("median_value"),
+            F.round("q1", 4).alias("q1_value"),
+            F.round("q3", 4).alias("q3_value"),
+            F.round(F.col("q3") - F.col("q1"), 4).alias("iqr_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+ROBUST_SCALE_EVENTS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_rows,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5)  AS med,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, s.n_rows,
+       round(s.med, 4) AS median_value,
+       round(s.q1, 4) AS q1_value,
+       round(s.q3, 4) AS q3_value,
+       round(s.q3 - s.q1, 4) AS iqr_value,
+       sum(CASE WHEN e.value < round(s.q1 - 1.5 * (s.q3 - s.q1), 6)
+                  OR e.value > round(s.q3 + 1.5 * (s.q3 - s.q1), 6)
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM events e JOIN s ON e.event_type = s.event_type
+GROUP BY s.event_type, s.n_rows, s.q1, s.med, s.q3
+ORDER BY s.event_type
+"""
+
+QUERIES["robust_scale_events"] = (robust_scale_events, ROBUST_SCALE_EVENTS_SQL)

@@ -40,8 +40,8 @@ _PRIORITY = [
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
     # "minhash_band_recall_docs",
-    # "robust_scale_events",
-    # "pmi_bigrams_corpus",
+    "robust_scale_events",
+    "pmi_bigrams_corpus",
     # (b) r1-era: relational / window / scalar battery
     "array_hof_embeddings",
     "cube_order_status_priority",

@@ -2011,3 +2011,19 @@ def test_ks_critical_flag_fires_on_planted_drift(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()}
     assert got == {"same_a": False, "same_b": False, "shifted": True}
+
+
+def test_robust_scale_flags_planted_outliers(spark, tmp_path):
+    """Planted extreme values land outside the Tukey fences; the bulk
+    does not. Median/IQR must ignore the outliers (robustness)."""
+    rows = [(i, None, i % 3, "click", float(10 + (i % 11)), "{}") for i in range(300)]
+    rows += [(1000 + j, None, j, "click", 1e6, "{}") for j in range(3)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from data_ingestion_spark.operators.registry2 import robust_scale_events
+
+    row = robust_scale_events(spark, str(tmp_path)).collect()[0]
+    assert row["n_outliers"] == 3
+    assert 10 <= row["median_value"] <= 21  # unmoved by the 1e6 spikes
