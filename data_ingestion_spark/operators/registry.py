@@ -2521,3 +2521,140 @@ QUERIES["dedup_nightly_pipeline_docs"] = (
     dedup_nightly_pipeline_docs,
     DEDUP_NIGHTLY_PIPELINE_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# MinHash banding recall QC (round 7)
+# --------------------------------------------------------------------------
+_MINHASH_THEORY_HIT_MICRO = int(1e6 * (1.0 - (1.0 - 0.3**2) ** 4))  # 314250
+
+
+def minhash_band_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the (8 tables, r=2) minhash banding against the
+    exact blocked-Jaccard ground truth at threshold 0.3 — the disclosure
+    operator for the approximate dedup tier (companion to
+    dedup_embedding_recall on the ANN side, but sub-quadratic on BOTH
+    sides, so it stays benchable: truth is the AllPairs prefix-filtered
+    join, found is the banded minhash join).
+
+    Ground truth is the BLOCKED exact pair set (lang × length-bucket,
+    dedup_jaccard_pairs_docs' universe); minhash is unblocked, so
+    cross-block finds are excluded by the semi join — recall is measured
+    against the blocked universe and stated as such. theory_hit_micro is
+    the textbook S-curve value at the threshold, 1−(1−s^r)^b at s=0.3:
+    the measured recall should beat it because most true pairs sit well
+    above the threshold."""
+    from ..functions import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.jaccard_pairs(
+        docs, id_col="doc_id", text_col="text",
+        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
+        k=3, threshold=0.3,
+    ).select("id_a", "id_b")
+
+    def prehash(s):
+        return md5_hash60(s) % _MINHASH_P
+
+    def portable(h, i):
+        a, b = _minhash_ab(i)
+        return h * F.lit(a) % _MINHASH_P + F.lit(b)
+
+    found = dedup.minhash_near_dup(
+        docs, id_col="doc_id", text_col="text", k=3,
+        jaccard_distance_threshold=0.7, hash_fn=portable, band_r=2,
+        materialize=True, prehash_fn=prehash,
+    ).select("id_a", "id_b")
+    truth = truth.localCheckpoint(eager=False)  # feeds n_true AND the hit join
+    hits = truth.join(found, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found_pairs")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit_pairs")))
+        .select(
+            "n_true_pairs",
+            "n_found_pairs",
+            "n_hit_pairs",
+            F.expr(
+                "CASE WHEN n_true_pairs = 0 THEN 1000000"
+                " ELSE (n_hit_pairs * 1000000) div n_true_pairs END"
+            ).alias("recall_micro"),
+            F.lit(_MINHASH_THEORY_HIT_MICRO).cast("long").alias(
+                "theory_hit_micro"
+            ),
+        )
+    )
+
+
+def _minhash_recall_oracle(num_hash_tables: int = 8, band_r: int = 2) -> str:
+    h = _SQL_HASH60.format(c="s")
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"(({h} % {_MINHASH_P}) * {_minhash_ab(i)[0]} % {_MINHASH_P}"
+        f" + {_minhash_ab(i)[1]}))) AS mh{i}"
+        for i in range(num_hash_tables)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT id, {bi} AS band, {key} AS key FROM sigs".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"mh{bi * band_r + j}::VARCHAR" for j in range(band_r)
+            ),
+        )
+        for bi in range(num_hash_tables // band_r)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, lang, n_chars // 200 AS bucket,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, lang, n_chars, {_SQL_TOKENS.format(c='text')} AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+), truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM base a JOIN base b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.id < b.id
+  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+        >= 0.3
+), sigs AS (
+  SELECT id, {mh}
+  FROM base
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), found AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN base sa ON sa.id = cand.id_a
+  JOIN base sb ON sb.id = cand.id_b
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+        >= 0.3
+), hit AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b
+)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true_pairs,
+       (SELECT count(*) FROM found)::BIGINT AS n_found_pairs,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit_pairs,
+       (CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000
+             ELSE ((SELECT count(*) FROM hit) * 1000000)
+                  // (SELECT count(*) FROM truth) END)::BIGINT
+           AS recall_micro,
+       {_MINHASH_THEORY_HIT_MICRO}::BIGINT AS theory_hit_micro
+"""
+
+
+MINHASH_BAND_RECALL_DOCS_SQL = _minhash_recall_oracle()
+
+QUERIES["minhash_band_recall_docs"] = (
+    minhash_band_recall_docs,
+    MINHASH_BAND_RECALL_DOCS_SQL,
+)

@@ -34,12 +34,11 @@ from __future__ import annotations
 #:     leads the round-8 window. Everything stays registered and locally
 #:     verified by tools/check_oracle.py regardless of position.
 _PRIORITY = [
-    # (a) new or changed in round 7 — must earn a driver-green row
-    # (names are uncommented as each operator lands this round)
+    # (a) new in round 7 — must earn a driver-green row
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
-    # "minhash_band_recall_docs",
+    "minhash_band_recall_docs",
     "robust_scale_events",
     "pmi_bigrams_corpus",
     # (b) r1-era: relational / window / scalar battery
