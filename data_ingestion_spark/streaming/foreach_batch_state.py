@@ -1,0 +1,233 @@
+"""foreachBatch fallback tier for the stateful streaming guards.
+
+``transformWithStateInPandas`` (dedup_stream / neardup_stream /
+running_totals) is the per-row tier, but its Python worker speaks
+protobuf to the state server — an install-time dependency this container
+lacks. This module is the SAME guards re-expressed as the other
+production pattern: ``writeStream.foreachBatch`` + a keyed state TABLE
+committed per micro-batch through the repo's versioned table
+(tableformat.commit_version — crash-safe pointer-flip commits, so a died
+micro-batch never tears the state; together with the stream checkpoint's
+batch-id replay this is the classic Delta-MERGE streaming-dedup shape).
+
+Semantics vs the tws tier (documented deviations, both batch-granular):
+- replay counters are resolved per micro-batch (one value per key per
+  batch), not per input row;
+- the near-dup guard's WITHIN-batch pass flags a doc that matches ANY
+  earlier state-kept arrival of the same batch — a conservative
+  over-flag of the rare chain case (doc C matching only an
+  already-flagged doc B) that the row-sequential tws tier admits.
+  Flagged docs are never persisted, so state converges identically.
+
+Scale shape: per micro-batch, one keyed agg of the batch + one keyed
+join against the state table + one commit. State lives in parquet
+snapshots (object store at scale), not executor memory; the join prunes
+to touched keys once the state table is bucketed/partitioned by key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import tableformat
+from .neardup_stream import band_keys, simhash_expr
+
+
+def _state_or_empty(spark: SparkSession, root: str, schema: str) -> DataFrame:
+    """Latest committed state snapshot, or an empty frame before the
+    first commit."""
+    if os.path.exists(tableformat._manifest_path(root)):
+        return tableformat.read_version(spark, root)
+    return spark.createDataFrame([], schema)
+
+
+# ---------------------------------------------------------------------------
+# Running totals
+# ---------------------------------------------------------------------------
+def running_totals_batch(state_root: str):
+    """foreachBatch processor: per-user running totals as a versioned
+    state table (user_id, total, n_events)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _state_or_empty(
+            spark, state_root, "user_id long, total double, n_events long"
+        )
+        delta = batch_df.groupBy("user_id").agg(
+            F.sum("value").alias("d_total"), F.count(F.lit(1)).alias("d_n")
+        )
+        merged = (
+            state.join(delta, "user_id", "full_outer")
+            .select(
+                "user_id",
+                (F.coalesce("total", F.lit(0.0)) + F.coalesce("d_total", F.lit(0.0))).alias("total"),
+                (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_events"),
+            )
+        )
+        tableformat.commit_version(merged, state_root)
+
+    return process
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def dedup_batch(state_root: str, out_root: str):
+    """foreachBatch processor for first-arrival-wins exact dedup.
+
+    State: (fp, winner_id, n_dup). Within a batch the winner is the
+    MIN doc_id (the deterministic variant dedup_stream's docstring
+    recommends). Emits every input row to ``out_root`` with kept +
+    the key's replay counter after this batch."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _state_or_empty(
+            spark, state_root, "fp string, winner_id long, n_dup long"
+        )
+        agg = batch_df.groupBy("fp").agg(
+            F.min("doc_id").alias("winner_b"), F.count(F.lit(1)).alias("n_b")
+        )
+        resolved = (
+            agg.join(state, "fp", "left")
+            .select(
+                "fp",
+                F.coalesce("winner_id", F.col("winner_b")).alias("winner_id"),
+                (
+                    F.coalesce("n_dup", F.lit(0))
+                    + F.col("n_b")
+                    - F.when(F.col("winner_id").isNull(), 1).otherwise(0)
+                ).alias("n_dup"),
+                F.col("winner_id").isNull().alias("fp_is_new"),
+            )
+        )
+        out = (
+            batch_df.join(resolved, "fp")
+            .select(
+                "fp",
+                "doc_id",
+                (F.col("fp_is_new") & (F.col("doc_id") == F.col("winner_id"))).alias("kept"),
+                "n_dup",
+            )
+        )
+        out.write.mode("append").parquet(out_root)
+        new_state = state.join(agg, "fp", "left_anti").unionByName(
+            resolved.select("fp", "winner_id", "n_dup")
+        )
+        tableformat.commit_version(new_state, state_root)
+
+    return process
+
+
+def run_dedup_fallback_stream(
+    stream_df: DataFrame, state_root: str, out_root: str, checkpoint: str
+):
+    """Wire the guard as a real Structured Streaming query:
+    readStream → foreachBatch(dedup_batch) with a checkpoint, so replays
+    and batch ids behave exactly as in production."""
+    return (
+        stream_df.writeStream.foreachBatch(dedup_batch(state_root, out_root))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup guard
+# ---------------------------------------------------------------------------
+def neardup_batch(
+    state_root: str, out_root: str, max_hamming: int = 3, max_bucket: int = 64
+):
+    """foreachBatch processor for the banded SimHash guard.
+
+    State: (band_key, doc_id, simhash) member rows per pigeonhole band.
+    A doc is flagged iff ANY of its bands holds a member (stored, or an
+    earlier state-kept arrival of the same batch) within ``max_hamming``.
+    Kept docs append to their bands up to ``max_bucket`` members (capped
+    docs are kept but not stored — same knob as the tws tier)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _state_or_empty(
+            spark, state_root, "band_key string, doc_id long, simhash long"
+        )
+        banded = (
+            batch_df.select(
+                F.col("doc_id"), simhash_expr(F.col("text")).alias("simhash")
+            )
+            .filter(F.col("simhash").isNotNull())
+            .select(
+                "doc_id",
+                "simhash",
+                F.explode(band_keys(F.col("simhash"))).alias("band_key"),
+            )
+            .localCheckpoint(eager=True)  # feeds 3 passes below
+        )
+        ham = lambda a, b: F.bit_count(a.bitwiseXOR(b))  # noqa: E731
+
+        # pass 1: vs stored members
+        vs_state = (
+            banded.alias("x")
+            .join(state.alias("m"), "band_key")
+            .filter(ham(F.col("x.simhash"), F.col("m.simhash")) <= max_hamming)
+            .select(F.col("x.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        # pass 2: vs earlier state-kept arrivals of this batch
+        clean = banded.join(vs_state, "doc_id", "left_anti")
+        vs_batch = (
+            clean.alias("x")
+            .join(clean.alias("e"), "band_key")
+            .filter(
+                (F.col("e.doc_id") < F.col("x.doc_id"))
+                & (ham(F.col("x.simhash"), F.col("e.simhash")) <= max_hamming)
+            )
+            .select(F.col("x.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        flagged = vs_state.unionByName(vs_batch).distinct()
+        docs = banded.select("doc_id").distinct()
+        out = docs.join(flagged.withColumn("kept", F.lit(False)), "doc_id", "left").select(
+            "doc_id", F.coalesce("kept", F.lit(True)).alias("kept")
+        )
+        out.write.mode("append").parquet(out_root)
+
+        # pass 3: append kept docs' bands, respecting the bucket cap
+        from pyspark.sql import Window
+
+        kept_bands = banded.join(out.filter("kept"), "doc_id", "left_semi")
+        counts = state.groupBy("band_key").agg(F.count(F.lit(1)).alias("n_m"))
+        rn = F.row_number().over(
+            Window.partitionBy("band_key").orderBy("doc_id")
+        )
+        admitted = (
+            kept_bands.join(counts, "band_key", "left")
+            .withColumn("rn", rn)
+            .filter(F.col("rn") + F.coalesce("n_m", F.lit(0)) <= max_bucket)
+            .select("band_key", "doc_id", "simhash")
+        )
+        tableformat.commit_version(state.unionByName(admitted), state_root)
+
+    return process
+
+
+def run_neardup_fallback_stream(
+    stream_df: DataFrame,
+    state_root: str,
+    out_root: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+):
+    return (
+        stream_df.writeStream.foreachBatch(
+            neardup_batch(state_root, out_root, max_hamming, max_bucket)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

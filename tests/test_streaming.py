@@ -22,6 +22,17 @@ from data_ingestion_spark.streaming import (
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# transformWithStateInPandas speaks protobuf to its state server; where the
+# install lacks google.protobuf, the stateful-guard E2Es dispatch to the
+# foreachBatch versioned-state fallback tier instead of skipping — a real
+# readStream E2E runs either way (round 7; previously these skipped).
+try:  # pragma: no cover - environment probe
+    import google.protobuf  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:
+    HAS_TWS = False
+
 
 # ---------------------------------------------------------------------------
 # Event loop
@@ -285,21 +296,49 @@ def test_streaming_dedup_collapses_redelivery(spark, tmp_path):
 # Spark 4 arbitrary-state API (transformWithStateInPandas)
 # ---------------------------------------------------------------------------
 def test_running_totals_stream_equals_batch(spark, tmp_path):
-    """The StatefulProcessor's final per-key running totals must equal the
-    batch groupBy aggregate over the same data.
-
-    transformWithStateInPandas speaks protobuf to its state server; this
-    container ships no google.protobuf, so the test SKIPS here and runs on
-    any normal Spark 4 install (same import-gate policy as pymongo/PIL).
-    """
-    pytest.importorskip("google.protobuf")
+    """Final per-key running totals must equal the batch groupBy aggregate
+    over the same data — via transformWithStateInPandas when the install
+    has protobuf, else via the foreachBatch versioned-state fallback
+    (streaming/foreach_batch_state.py). Both paths are real readStream
+    E2Es with a checkpoint."""
     import pyspark.sql.functions as F
-
-    from data_ingestion_spark.streaming.running_totals import running_totals_stream
 
     events_batch = load_table(spark, SF_DIR, "events").filter("user_id < 10")
     src = str(tmp_path / "events_tws_src")
     events_batch.write.parquet(src)
+    batch = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+
+    if not HAS_TWS:
+        from data_ingestion_spark.operators import tableformat
+        from data_ingestion_spark.streaming.foreach_batch_state import (
+            running_totals_batch,
+        )
+
+        state_root = str(tmp_path / "rt_state")
+        q = (
+            stream_events_from_dir(spark, src)
+            .writeStream.foreachBatch(running_totals_batch(state_root))
+            .option("checkpointLocation", str(tmp_path / "rt_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = {
+            r["user_id"]: (r["n_events"], r["total"])
+            for r in tableformat.read_version(spark, state_root).collect()
+        }
+        assert set(final) == set(batch) and len(batch) > 0
+        for k in batch:
+            assert final[k][0] == batch[k][0]
+            assert abs(final[k][1] - batch[k][1]) < 1e-6
+        return
+
+    from data_ingestion_spark.streaming.running_totals import running_totals_stream
 
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", ""
@@ -329,12 +368,6 @@ def test_running_totals_stream_equals_batch(spark, tmp_path):
             cur = final.get(r["user_id"])
             if cur is None or r["n_events"] > cur[0]:
                 final[r["user_id"]] = (r["n_events"], r["total_value"])
-        batch = {
-            r["user_id"]: (r["n"], r["total"])
-            for r in events_batch.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
-            .collect()
-        }
         assert set(final) == set(batch) and len(batch) > 0
         for k in batch:
             assert final[k][0] == batch[k][0]
@@ -847,11 +880,10 @@ def test_streaming_dedup_ttl_readmits_after_state_expiry():
 
 
 def test_streaming_dedup_stream_equals_batch(spark, tmp_path):
-    """E2E over the state-server transport: final kept-set equals the
-    batch min-per-fingerprint winners. SKIPS here (no google.protobuf in
-    the container), runs on any normal Spark 4 install — same gate as
-    the running-totals E2E."""
-    pytest.importorskip("google.protobuf")
+    """E2E: final kept-set equals the batch min-per-fingerprint winners —
+    over the transformWithStateInPandas state-server transport when the
+    install has protobuf, else over the foreachBatch versioned-state
+    fallback (which pins strict min-id winners)."""
     import pyspark.sql.functions as F
 
     from data_ingestion_spark.streaming.dedup_stream import dedup_stream
@@ -866,6 +898,31 @@ def test_streaming_dedup_stream_equals_batch(spark, tmp_path):
     )
     src = str(tmp_path / "docs_dedup_src")
     docs.write.parquet(src)
+    batch = {
+        r["fp"]: r["w"]
+        for r in docs.groupBy("fp").agg(F.min("doc_id").alias("w")).collect()
+    }
+
+    if not HAS_TWS:
+        from data_ingestion_spark.streaming.foreach_batch_state import (
+            run_dedup_fallback_stream,
+        )
+
+        out_root = str(tmp_path / "dedup_out")
+        q = run_dedup_fallback_stream(
+            spark.readStream.schema("fp string, doc_id long").parquet(src),
+            state_root=str(tmp_path / "dedup_state"),
+            out_root=out_root,
+            checkpoint=str(tmp_path / "dedup_fb_ckpt"),
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_root)
+        kept = {r["fp"]: r["doc_id"] for r in out.filter("kept").collect()}
+        # the fallback's within-batch winner is strict min-id — exact match
+        assert kept == batch and len(batch) > 0
+        # every input row surfaced exactly once with a kept verdict
+        assert out.count() == docs.count()
+        return
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
     spark.conf.set(
@@ -1022,10 +1079,11 @@ def test_streaming_neardup_bucket_logic():
 
 
 def test_streaming_neardup_e2e_flags_planted_near_dups(spark, tmp_path):
-    """E2E over the state-server transport (protobuf-gated like the other
-    transformWithState E2Es): planted near-identical doc pairs must be
-    flagged on at least one band; unrelated docs must not be."""
-    pytest.importorskip("google.protobuf")
+    """E2E: planted near-identical doc pairs must be flagged on at least
+    one band; unrelated docs must not be — over the state-server
+    transport when the install has protobuf, else over the foreachBatch
+    versioned-state fallback (which flags the higher id of a same-batch
+    pair deterministically)."""
     import pyspark.sql.functions as F
 
     from data_ingestion_spark.streaming.neardup_stream import neardup_stream
@@ -1037,6 +1095,25 @@ def test_streaming_neardup_e2e_flags_planted_near_dups(spark, tmp_path):
     ]
     src = str(tmp_path / "neardup_src")
     spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(src)
+
+    if not HAS_TWS:
+        from data_ingestion_spark.streaming.foreach_batch_state import (
+            run_neardup_fallback_stream,
+        )
+
+        out_root = str(tmp_path / "neardup_out")
+        q = run_neardup_fallback_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            state_root=str(tmp_path / "neardup_state"),
+            out_root=out_root,
+            checkpoint=str(tmp_path / "neardup_fb_ckpt"),
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_root)
+        flagged = {r["doc_id"] for r in out.filter("NOT kept").collect()}
+        assert flagged == {2}  # min-id winner kept, replay flagged
+        assert {r["doc_id"] for r in out.filter("kept").collect()} == {1, 3}
+        return
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
     spark.conf.set(
@@ -1065,3 +1142,79 @@ def test_streaming_neardup_e2e_flags_planted_near_dups(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch versioned-state fallback tier (round 7): cross-batch state
+# persists through the versioned table regardless of which install tier
+# runs the dispatch tests above — these always run.
+# ---------------------------------------------------------------------------
+def test_dedup_fallback_state_persists_across_streams(spark, tmp_path):
+    """A fingerprint kept in stream run 1 must be flagged as a replay in
+    stream run 2 (separate query, same state root) — the nightly-restart
+    shape: state outlives the streaming query."""
+    from data_ingestion_spark.streaming.foreach_batch_state import (
+        run_dedup_fallback_stream,
+    )
+
+    state_root = str(tmp_path / "state")
+    out_root = str(tmp_path / "out")
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [("fpA", 1), ("fpB", 2)], "fp string, doc_id long"
+    ).write.parquet(src1)
+    spark.createDataFrame(
+        [("fpA", 3), ("fpC", 4)], "fp string, doc_id long"
+    ).write.parquet(src2)
+    for i, src in enumerate([src1, src2]):
+        q = run_dedup_fallback_stream(
+            spark.readStream.schema("fp string, doc_id long").parquet(src),
+            state_root=state_root,
+            out_root=out_root,
+            checkpoint=str(tmp_path / f"ckpt{i}"),
+        )
+        q.awaitTermination()
+    out = {(r["fp"], r["doc_id"]): r["kept"] for r in spark.read.parquet(out_root).collect()}
+    assert out == {
+        ("fpA", 1): True,
+        ("fpB", 2): True,
+        ("fpA", 3): False,  # replay across stream restarts
+        ("fpC", 4): True,
+    }
+    from data_ingestion_spark.operators import tableformat
+
+    state = {r["fp"]: (r["winner_id"], r["n_dup"]) for r in
+             tableformat.read_version(spark, state_root).collect()}
+    assert state == {"fpA": (1, 1), "fpB": (2, 0), "fpC": (4, 0)}
+
+
+def test_neardup_fallback_state_persists_across_streams(spark, tmp_path):
+    """A doc near-identical to a member stored by an EARLIER stream run
+    must be flagged; genuinely new content must not be."""
+    from data_ingestion_spark.streaming.foreach_batch_state import (
+        run_neardup_fallback_stream,
+    )
+
+    state_root = str(tmp_path / "state")
+    out_root = str(tmp_path / "out")
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).write.parquet(src1)
+    spark.createDataFrame(
+        [(2, text), (3, "utterly unrelated words about some other topic here")],
+        "doc_id long, text string",
+    ).write.parquet(src2)
+    for i, src in enumerate([src1, src2]):
+        q = run_neardup_fallback_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            state_root=state_root,
+            out_root=out_root,
+            checkpoint=str(tmp_path / f"ckpt{i}"),
+        )
+        q.awaitTermination()
+    out = {r["doc_id"]: r["kept"] for r in spark.read.parquet(out_root).collect()}
+    assert out == {1: True, 2: False, 3: True}
