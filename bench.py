@@ -37,9 +37,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_ingestion_spark.queries import merged_queries  # noqa: E402
 from data_ingestion_spark.session import get_spark, load_table  # noqa: E402
 
-# Headline set: every relational operator class + the LLM-pipeline extension
-# operators. Keys must exist in merged_queries().
-HEADLINE = [
+# Round 7: the headline set is NO LONGER a hand-maintained allowlist — the
+# r6 review found it had silently drifted to 130 of 188 registered queries,
+# leaving the whole TPC-H battery and the relational/window basics without
+# per-round perf regression coverage. The bench now runs EVERY registered
+# query except an explicit, reason-carrying exclusion list (emitted into
+# BENCH_DETAIL.json as "excluded"), so a new query is benched by default
+# and nothing can fall out of coverage without a named rationale.
+#
+# NOTE for cross-round totals: this change grows n_queries from 130 to ~177
+# (r7). The total is NOT comparable to r6 raw; the regression gate is
+# per-query and unaffected.
+EXCLUDED = {
+    "dedup_embedding_recall": (
+        "deliberately quadratic brute-force recall anchor that validates the"
+        " ANN tiers; excluded by design (SCALING.md), not a production path"
+    ),
+    "ingest_csv_docs": "fixture-file parser: input is a KB-scale temp file independent of sf; timing measures tmpfile IO, not engine throughput",
+    "ingest_json_docs": "fixture-file parser (see ingest_csv_docs)",
+    "ingest_txt_docs": "fixture-file parser (see ingest_csv_docs)",
+    "ingest_xml_docs": "fixture-file parser (see ingest_csv_docs)",
+    "ingest_excel_docs": "fixture-file parser (see ingest_csv_docs)",
+    "ingest_audit_log": "fixture-scale audit-log lifecycle demo (2 rows)",
+    "ingest_logfmt_docs": "fixture-file parser (see ingest_csv_docs)",
+    "ingest_orc_docs": "fixture-file parser (see ingest_csv_docs)",
+    "ingest_avro_docs": "fixture-file parser (see ingest_csv_docs)",
+}
+
+# Legacy hand-curated set, kept ONLY as documentation of what rounds 1-6
+# benched (cross-round per-query comparisons remain valid for these names).
+_HEADLINE_R6 = [
     "agg_pricing_summary",
     "scan_filter_project",
     "join_revenue_by_segment",
@@ -215,6 +242,15 @@ def main() -> None:
     spark = get_spark("bench")
     registry = merged_queries()
 
+    # Bench-by-default: every registered query, registry order, minus the
+    # named exclusions. A typo in EXCLUDED would silently re-include a
+    # query (harmless) — but an EXCLUDED name missing from the registry is
+    # a stale exclusion and must fail loudly.
+    stale = [n for n in EXCLUDED if n not in registry]
+    if stale:
+        raise KeyError(f"EXCLUDED names not in registry: {stale}")
+    headline = [n for n in registry if n not in EXCLUDED]
+
     # Warm-up: touch the biggest table so JVM spin-up and parquet footer
     # reads are excluded from per-query timings.
     load_table(spark, sf_dir, "lineitem").count()
@@ -229,7 +265,7 @@ def main() -> None:
     # or results are cached by this pass — it runs on a 100x smaller copy.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
-        for name in HEADLINE:
+        for name in headline:
             fn, _sql = registry[name]
             try:
                 fn(spark, warm_dir).toPandas()
@@ -254,7 +290,7 @@ def main() -> None:
     fast_sec = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_SEC", "1.0"))
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn, _sql = registry[name]
         best = None
         for _ in range(max(reps, 1)):
@@ -362,7 +398,7 @@ def main() -> None:
         "unit": "sec",
         # headline set GROWS round over round — normalize cross-round
         # totals by n_queries or compare per-query.
-        "n_queries": len(HEADLINE),
+        "n_queries": len(headline),
         "reps": reps,
         "agg": "min",
         "heavy_extra_rep_above_sec": heavy_sec,
@@ -374,7 +410,10 @@ def main() -> None:
         "regress_vs": os.path.basename(prev_file) if prev_file else None,
         "regressions_gt_1.2x_norm_adj": regressions,
         "n_registered": len(registry),
-        "n_registered_not_benched": len(registry) - len(HEADLINE),
+        "n_registered_not_benched": len(registry) - len(headline),
+        # every non-benched query is named here with its rationale — no
+        # silent caps (r6 review item #1)
+        "excluded": EXCLUDED,
         "queries": timings,
         "sf": sf_val,
     }
@@ -392,7 +431,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "n_queries": len(HEADLINE),
+                "n_queries": len(headline),
                 "reps": reps,
                 "agg": "min",
                 "canary_sec": canary_sec,

@@ -3948,11 +3948,17 @@ def pmi_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import tokens, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(tokens(F.col("text")).alias("toks"))
+    # tokenized corpus feeds THREE consumers (unigram counts, bigram
+    # counts, total-token scalar); materialize once instead of
+    # re-tokenizing per consumer (same pattern as dedup.jaccard_pairs)
+    toks = docs.select(tokens(F.col("text")).alias("toks")).localCheckpoint(
+        eager=False
+    )
     uni = (
         toks.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n_t"))
+        .localCheckpoint(eager=False)  # joined twice (left/right token)
     )
     big = (
         toks.select(F.explode(word_shingles(F.col("toks"), 2)).alias("bigram"))

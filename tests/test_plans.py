@@ -520,3 +520,73 @@ def test_weighted_sample_topk_not_global_sort(spark):
     plan = plan_of(spark, "weighted_sample_docs")
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-7 operators
+# ---------------------------------------------------------------------------
+def test_theta_intersection_single_user_agg_and_takeordered(spark):
+    """One user-keyed aggregation feeds everything; the bottom-k sketches
+    compile to TakeOrderedAndProject (never a full sort of the user
+    table)."""
+    plan = plan_of(spark, "theta_intersection_events")
+    assert "TakeOrderedAndProject" in plan
+    # the user table is checkpointed after ONE user-keyed agg; consumers
+    # must read it, not re-aggregate raw events per sketch
+    assert plan.count("Scan parquet") <= 2  # events scan + (<=1) reuse
+
+
+def test_pmi_bigram_joins_are_hash_joins(spark):
+    plan = plan_of(spark, "pmi_bigrams_corpus")
+    assert "CartesianProduct" not in plan
+    # the unigram-count joins must be hash equi-joins; the only permitted
+    # nested-loop is the 1-row total-tokens scalar crossJoin
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # formatted plans can repeat the scalar subplan; just bound it
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "partial_count" in plan  # explode counts combine map-side
+    # tokenized corpus is checkpointed once — consumers read the RDD, not
+    # three fresh parquet scans of documents
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_robust_scale_fence_join_broadcasts(spark):
+    """The |groups|-row fence table must broadcast back onto events."""
+    plan = plan_of(spark, "robust_scale_events")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_critical_grid_not_cartesian_on_corpus(spark):
+    """The ECDF grid's nested-loop joins operate on AGGREGATED metadata
+    (|groups| x |distinct values|), never on the raw corpus: every
+    documents scan must sit below a grouped aggregate, so the cross joins
+    combine count tables, not document rows."""
+    plan = plan_of(spark, "ks_critical_drift_docs")
+    assert "CartesianProduct" not in plan
+    # corpus touched only via the (source, n_chars) count agg + the total
+    # count — both aggregate immediately above their scan
+    assert "partial_count" in plan
+
+
+def test_lsh_pairs_no_dedup_exchange(spark):
+    """The first-agreeing-band filter replaced dropDuplicates: no
+    HashAggregate keyed on (id_a, id_b) between the band join and the
+    verify joins (the near-quadratic exchange the round-7 rewrite
+    removed)."""
+    plan = plan_of(spark, "knn_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    # dropDuplicates compiles to partial/final HashAggregate over the pair
+    # keys; its removal means no aggregate with both pair ids as keys
+    import re
+
+    assert not re.search(r"HashAggregate.*keys=\[id_a[^\]]*id_b", plan)
+
+
+def test_nightly_pipeline_band_join_hash(spark):
+    plan = plan_of(spark, "dedup_nightly_pipeline_docs")
+    assert "CartesianProduct" not in plan
+    # candidate/verify joins must be hash equi-joins; nested-loops appear
+    # only for the 1-row audit-constant crossJoins (the formatted plan
+    # repeats those scalar subplans, so their count is not asserted)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
