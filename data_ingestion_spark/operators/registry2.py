@@ -3495,27 +3495,36 @@ def hll_intersection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the intersection blows up, which is why theta sketches replace HLL
     for heavy set algebra — documented limitation, checked bound)."""
     ev = load_table(spark, sf_dir, "events")
-    in_a = F.col("event_type") == "click"
-    in_b = F.col("value") >= 3.0
-    ua = F.when(in_a, F.col("user_id"))
-    ub = F.when(in_b, F.col("user_id"))
-    uu = F.when(in_a | in_b, F.col("user_id"))
+    # One-pass shape (round 7, closing the r6 review's watch item): ONE
+    # user-keyed aggregation builds the (user_id, in_a, in_b) distinct
+    # table; the three exact cohort counts are then plain conditional
+    # sums — no 3-way countDistinct Expand. The HLL sketches run over the
+    # same distinct grain: HLL registers are duplicate-insensitive, so
+    # the estimates are bit-identical to sketching the raw event stream.
+    users = ev.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "click").alias("a"),
+        F.max(F.col("value") >= 3.0).alias("b"),
+    )
+    ua = F.when(F.col("a"), F.col("user_id"))
+    ub = F.when(F.col("b"), F.col("user_id"))
+    uu = F.when(F.col("a") | F.col("b"), F.col("user_id"))
     est_inter = (
         F.approx_count_distinct(ua, rsd=0.01)
         + F.approx_count_distinct(ub, rsd=0.01)
         - F.approx_count_distinct(uu, rsd=0.01)
     )
-    exact_inter = (
-        F.countDistinct(ua) + F.countDistinct(ub) - F.countDistinct(uu)
-    )
-    return ev.agg(
-        F.countDistinct(ua).cast("long").alias("exact_clickers"),
-        F.countDistinct(ub).cast("long").alias("exact_high_value"),
-        F.countDistinct(uu).cast("long").alias("exact_union"),
+    exact_a = F.sum(F.col("a").cast("long"))
+    exact_b = F.sum(F.col("b").cast("long"))
+    exact_u = F.sum((F.col("a") | F.col("b")).cast("long"))
+    exact_inter = exact_a + exact_b - exact_u
+    return users.agg(
+        exact_a.cast("long").alias("exact_clickers"),
+        exact_b.cast("long").alias("exact_high_value"),
+        exact_u.cast("long").alias("exact_union"),
         exact_inter.cast("long").alias("exact_intersection"),
         (
             F.abs(est_inter.cast("double") - exact_inter.cast("double"))
-            <= 0.05 * F.countDistinct(uu).cast("double")
+            <= 0.05 * exact_u.cast("double")
         ).alias("sketch_within_bound"),
     )
 

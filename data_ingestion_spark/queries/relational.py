@@ -900,13 +900,21 @@ def ndv_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of round 1's ``no_oracle`` row. (The production 100 TB query
     drops the exact column and keeps only the sketch.)"""
     ev = load_table(spark, sf_dir, "events")
+    # One-pass shape (round 7): pre-aggregate to the distinct
+    # (event_type, user_id) grain — countDistinct alongside plain aggs
+    # otherwise compiles to an Expand that doubles the shuffle; and HLL
+    # registers are DUPLICATE-INSENSITIVE, so the sketch over the
+    # distinct grain is bit-identical to the sketch over raw events.
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     approx = F.approx_count_distinct("user_id", rsd=0.01)
-    exact = F.countDistinct("user_id")
+    exact = F.count(F.lit(1))
     return (
-        ev.groupBy("event_type")
+        per.groupBy("event_type")
         .agg(
             exact.alias("exact_users"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n").alias("n_events"),
             (
                 F.abs(approx.cast("double") - exact)
                 <= 0.05 * exact.cast("double")
