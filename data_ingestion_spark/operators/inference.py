@@ -133,3 +133,96 @@ def curriculum_bins_by_cuts(scored: DataFrame, cuts: list[int]) -> DataFrame:
             F.max("score_micro").alias("score_micro_max"),
         )
     )
+
+
+def binary_auc_exact(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """EXACT ROC-AUC of an integer score against a boolean label via the
+    Mann-Whitney U rank statistic with midrank tie handling — the
+    classifier QC you run before trusting a quality model to filter a
+    100 TB corpus (AUC is the threshold-free discrimination measure; a
+    near-0.5 classifier would delete random data).
+
+    All arithmetic is INTEGER (doubled midranks avoid the /2), so an SQL
+    oracle replays the statistic bit-for-bit:
+
+        R2    = Σ_s c_pos(s) · (2·cum_before(s) + c(s) + 1)
+        AUC   = (R2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+
+    emitted as auc_micro = (1e6 · numerator) div denominator; degenerate
+    label distributions (n_pos or n_neg = 0) emit the undefined-AUC
+    convention 500000. 64-bit headroom: R2 ≤ 2N², so 1e6·R2 needs
+    N ≲ 2e6 rows — past that, lift to decimal (same note as pmi).
+
+    Scale shape: one (score, label) count aggregation collapses the
+    corpus to the distinct-score grid (≤ 1e6 micro values — metadata,
+    like ks_by_group's ECDF grid); one unpartitioned cumulative window
+    over THAT grid (bounded, documented); one scalar aggregate.
+    """
+    grid = (
+        df.select(F.col(score_col).alias("s"), F.col(label_col).cast("long").alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("c_pos"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("s").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = grid.select(
+        "c_pos",
+        "c",
+        (F.coalesce(F.sum("c").over(w), F.lit(0)) * 2 + F.col("c") + 1).alias(
+            "midrank2"
+        ),
+    )
+    return ranked.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("c_pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("c_pos") * F.col("midrank2")).alias("r2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 500000"
+            " ELSE (1000000 * (r2 - n_pos * (n_pos + 1)))"
+            " div (2 * n_pos * n_neg) END"
+        )
+        .cast("long")
+        .alias("auc_micro"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram table: equal-width score bins (micro scores in
+    [0, 1e6]) with per-bin size, mean predicted score, and empirical
+    positive rate — the calibration companion to binary_auc_exact (a
+    discriminative but mis-calibrated quality model keeps the wrong
+    volume when you threshold it). Integer-division arithmetic on both
+    engines; the per-bin |confidence − accuracy| gaps are the ECE terms,
+    left per-bin so the diagram stays inspectable."""
+    width = 1_000_000 // n_bins
+    binned = scored.select(
+        # integer div keeps the bin id exact on both engines; scores of
+        # exactly 1e6 clamp into the top bin
+        F.expr(f"least({score_col} div {width}, {n_bins - 1})").alias("bin"),
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(s) div count(1)").cast("long").alias("mean_score_micro"),
+            F.expr("(1000000 * sum(y)) div count(1)").cast("long").alias(
+                "frac_pos_micro"
+            ),
+        )
+        .orderBy("bin")
+    )

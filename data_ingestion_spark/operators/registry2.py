@@ -4116,3 +4116,120 @@ ORDER BY s.event_type
 """
 
 QUERIES["robust_scale_events"] = (robust_scale_events, ROBUST_SCALE_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Classifier QC: exact AUC + calibration (round 7)
+# --------------------------------------------------------------------------
+_ALL_SW2 = ", ".join(f"'{w}'" for w in text.ALL_STOPWORDS)
+
+#: keep-label replay (same text.QUALITY_* constants as quality_filter_docs,
+#: so the two oracles cannot drift numerically)
+_KEEP_SQL = f"""
+  SELECT doc_id,
+         (n BETWEEN {text.QUALITY_MIN_TOKENS} AND {text.QUALITY_MAX_TOKENS})
+         AND (sum_len >= {text.QUALITY_MIN_MEAN_WORD_LEN} * n
+              AND sum_len <= {text.QUALITY_MAX_MEAN_WORD_LEN} * n)
+         AND hits >= {text.QUALITY_MIN_STOPWORD_HITS}
+         AND n_sym * 10 <= {text.QUALITY_MAX_SYMBOL_PER_10_CHARS} * n_chars
+         AND (n - nd) * {text.QUALITY_MAX_DUP_FRAC_DEN}
+             <= {text.QUALITY_MAX_DUP_FRAC_NUM} * n AS keep
+  FROM (
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS nd,
+           CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                AS BIGINT) AS sum_len,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS n_sym,
+           CAST(len(list_filter(toks, x -> x IN ({_ALL_SW2}))) AS INTEGER)
+               AS hits
+    FROM (SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS toks
+          FROM documents)
+  )
+"""
+
+
+def _scored_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = inference.classifier_scores(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+    labels = text.quality_flags(docs, "doc_id", "text").select("doc_id", "keep")
+    return scored.join(labels, "doc_id")
+
+
+def auc_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the column-tier quality classifier against the
+    C4/Gopher keep gate (inference.binary_auc_exact): does the cheap
+    logistic length prior actually DISCRIMINATE the documents the full
+    rule gate keeps? Integer Mann-Whitney midrank arithmetic — the AUC
+    value itself is oracle-replayed, not approximated."""
+    return inference.binary_auc_exact(
+        _scored_labeled(spark, sf_dir), "score_micro", "keep"
+    )
+
+
+AUC_QUALITY_CLASSIFIER_DOCS_SQL = f"""
+WITH lab AS ({_KEEP_SQL}),
+sc AS (SELECT doc_id, {_SCORE_SQL} AS score_micro FROM documents),
+j AS (SELECT sc.score_micro AS s, lab.keep::INT AS y
+      FROM sc JOIN lab ON lab.doc_id = sc.doc_id),
+grid AS (
+  SELECT s, sum(y)::BIGINT AS c_pos, count(*)::BIGINT AS c
+  FROM j GROUP BY s
+), ranked AS (
+  SELECT c_pos, c,
+         2 * coalesce(sum(c) OVER (ORDER BY s ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + c + 1 AS midrank2
+  FROM grid
+), agg AS (
+  SELECT sum(c_pos)::BIGINT AS n_pos,
+         (sum(c) - sum(c_pos))::BIGINT AS n_neg,
+         sum(c_pos * midrank2)::BIGINT AS r2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       (CASE WHEN n_pos = 0 OR n_neg = 0 THEN 500000
+             ELSE (1000000 * (r2 - n_pos * (n_pos + 1)))
+                  // (2 * n_pos * n_neg) END)::BIGINT AS auc_micro
+FROM agg
+"""
+
+QUERIES["auc_quality_classifier_docs"] = (
+    auc_quality_classifier_docs,
+    AUC_QUALITY_CLASSIFIER_DOCS_SQL,
+)
+
+
+def calibration_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table of the quality classifier vs the keep
+    gate (inference.calibration_bins, 10 equal-width score bins):
+    per-bin size, mean predicted score, empirical keep rate — the
+    calibration companion to the AUC row (threshold choices act on
+    calibrated scores)."""
+    return inference.calibration_bins(
+        _scored_labeled(spark, sf_dir), "score_micro", "keep", n_bins=10
+    )
+
+
+CALIBRATION_BINS_DOCS_SQL = f"""
+WITH lab AS ({_KEEP_SQL}),
+sc AS (SELECT doc_id, {_SCORE_SQL} AS score_micro FROM documents),
+j AS (SELECT sc.score_micro AS s, lab.keep::INT AS y
+      FROM sc JOIN lab ON lab.doc_id = sc.doc_id)
+SELECT least(s // 100000, 9)::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs,
+       (sum(s) // count(*))::BIGINT AS mean_score_micro,
+       ((1000000 * sum(y)) // count(*))::BIGINT AS frac_pos_micro
+FROM j
+GROUP BY 1
+ORDER BY bin
+"""
+
+QUERIES["calibration_bins_docs"] = (
+    calibration_bins_docs,
+    CALIBRATION_BINS_DOCS_SQL,
+)

@@ -41,6 +41,8 @@ _PRIORITY = [
     "minhash_band_recall_docs",
     "robust_scale_events",
     "pmi_bigrams_corpus",
+    "auc_quality_classifier_docs",
+    "calibration_bins_docs",
     # (b) r1-era: relational / window / scalar battery
     "array_hof_embeddings",
     "cube_order_status_priority",

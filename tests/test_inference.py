@@ -76,3 +76,53 @@ def test_curriculum_bins_by_cuts_no_sort_matches_case_semantics(spark):
     # single aggregate exchange; no global sort stage
     s = plan.queryExecution().executedPlan().toString()
     assert "Sort" not in s
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC + calibration (round 7)
+# ---------------------------------------------------------------------------
+def test_binary_auc_perfect_and_inverted(spark):
+    from data_ingestion_spark.operators.inference import binary_auc_exact
+
+    perfect = spark.createDataFrame(
+        [(10, False), (20, False), (30, True), (40, True)], "s long, y boolean"
+    )
+    row = binary_auc_exact(perfect, "s", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc_micro"]) == (2, 2, 1_000_000)
+    inverted = spark.createDataFrame(
+        [(40, False), (30, False), (20, True), (10, True)], "s long, y boolean"
+    )
+    assert binary_auc_exact(inverted, "s", "y").collect()[0]["auc_micro"] == 0
+
+
+def test_binary_auc_midrank_ties(spark):
+    """All-tied scores ⇒ AUC exactly 0.5 via midranks (a naive rank
+    would bias by arrival order)."""
+    from data_ingestion_spark.operators.inference import binary_auc_exact
+
+    tied = spark.createDataFrame(
+        [(5, True), (5, False), (5, True), (5, False)], "s long, y boolean"
+    )
+    assert binary_auc_exact(tied, "s", "y").collect()[0]["auc_micro"] == 500_000
+
+
+def test_binary_auc_degenerate_labels(spark):
+    from data_ingestion_spark.operators.inference import binary_auc_exact
+
+    allpos = spark.createDataFrame([(1, True), (2, True)], "s long, y boolean")
+    assert binary_auc_exact(allpos, "s", "y").collect()[0]["auc_micro"] == 500_000
+
+
+def test_calibration_bins_well_calibrated_fixture(spark):
+    """A fixture whose empirical rate equals its score lands each bin's
+    frac_pos at its mean score (up to integer division)."""
+    from data_ingestion_spark.operators.inference import calibration_bins
+
+    rows = []
+    for bin_mid, rate in [(150_000, 0.15), (850_000, 0.85)]:
+        for i in range(100):
+            rows.append((bin_mid, i < rate * 100))
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    got = {r["bin"]: (r["n_docs"], r["mean_score_micro"], r["frac_pos_micro"])
+           for r in calibration_bins(df, "s", "y", n_bins=10).collect()}
+    assert got == {1: (100, 150_000, 150_000), 8: (100, 850_000, 850_000)}
