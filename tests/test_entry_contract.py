@@ -21,16 +21,19 @@ def test_registry_consistency():
     # round 6: zorder_prune_demo_events gained an oracle — the registry has
     # zero rows-only queries left
     assert set(q) == set(o)
-    assert len(q) >= 178
-    # driver verifies the first 50 in insertion order: every query new or
-    # changed in round 6 must sit inside that window
+    assert len(q) >= 194
+    # driver verifies the first 50 in insertion order: every query new in
+    # round 7 must sit inside that window, and (r7 rotation) no query that
+    # already earned its driver-green row in the fully-green r6 window may
+    # burn a slot
     names = list(q)
     window = set(names[:50])
-    for must in ("stats_prune_scan_orders", "assign_ids_orders",
-                 "kn_bigram_lm_corpus", "psi_drift_docs",
-                 "trajectory_events", "pq_adc_topk_embeddings",
-                 "pq_ivf_topk_embeddings", "shuffle_ids_docs",
-                 "merge_upsert_customers", "zorder_prune_demo_events",
-                 "zipf_slope_corpus", "knn_two_stage_topk",
-                 "matryoshka_qc_embeddings"):
+    for must in ("theta_intersection_events", "dedup_nightly_pipeline_docs",
+                 "ks_critical_drift_docs", "minhash_band_recall_docs",
+                 "robust_scale_events", "pmi_bigrams_corpus",
+                 "auc_quality_classifier_docs", "calibration_bins_docs"):
         assert must in window, must
+    for r6_green in ("stats_prune_scan_orders", "kn_bigram_lm_corpus",
+                     "tpch_q9_product_profit", "ingest_csv_docs",
+                     "dedup_exact_docs"):
+        assert r6_green not in window, r6_green
