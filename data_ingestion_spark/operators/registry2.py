@@ -4233,3 +4233,83 @@ QUERIES["calibration_bins_docs"] = (
     calibration_bins_docs,
     CALIBRATION_BINS_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch point frequencies (round 7)
+# --------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 1024
+_CMS_PROBES = ["data", "hash", "join", "window", "zzz_absent_token"]
+
+
+def cms_token_freq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for a fixed probe set over the
+    corpus token stream, next to exact counts (sketch.cms_table /
+    cms_estimate): the "how often does THIS token occur" companion to
+    Misra-Gries' "which tokens are heavy". The md5 hash family makes the
+    whole sketch integer-replayable in SQL, so the ESTIMATES are
+    hash-checked; the exact columns are the gated contract (CMS never
+    underestimates — asserted as a column), dropped at 100 TB."""
+    from . import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = sketch.cms_table(docs, "text", depth=_CMS_D, width=_CMS_W)
+    return sketch.cms_estimate(
+        sk, docs, "text", _CMS_PROBES, depth=_CMS_D, width=_CMS_W
+    )
+
+
+def _cms_oracle() -> str:
+    h = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+    stream = " UNION ALL ".join(
+        f"SELECT {i} AS row, ({h.format(x=repr(str(i)) + ' || t')} % {_CMS_W})"
+        " AS col FROM tok"
+        for i in range(_CMS_D)
+    )
+    probe_vals = ", ".join(f"({p!r})" for p in _CMS_PROBES)
+    cells = " UNION ALL ".join(
+        f"SELECT token, {i} AS row,"
+        f" ({h.format(x=repr(str(i)) + ' || token')} % {_CMS_W}) AS col"
+        " FROM probes"
+        for i in range(_CMS_D)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKENS.format(c='text')}) AS t FROM documents
+), stream AS (
+  {stream}
+), sk AS (
+  SELECT row, col, count(*)::BIGINT AS cnt FROM stream GROUP BY 1, 2
+), probes(token) AS (
+  VALUES {probe_vals}
+), cells AS (
+  {cells}
+), est AS (
+  SELECT cells.token, min(coalesce(sk.cnt, 0))::BIGINT AS cms_est
+  FROM cells LEFT JOIN sk ON sk.row = cells.row AND sk.col = cells.col
+  GROUP BY cells.token
+), exact AS (
+  SELECT t AS token, count(*)::BIGINT AS exact_cnt
+  FROM tok WHERE t IN (SELECT token FROM probes)
+  GROUP BY t
+)
+SELECT p.token,
+       coalesce(exact.exact_cnt, 0)::BIGINT AS exact_cnt,
+       coalesce(est.cms_est, 0)::BIGINT AS cms_est,
+       (coalesce(est.cms_est, 0) - coalesce(exact.exact_cnt, 0))::BIGINT
+           AS overestimate,
+       coalesce(est.cms_est, 0) >= coalesce(exact.exact_cnt, 0)
+           AS never_underestimates
+FROM probes p
+LEFT JOIN est ON est.token = p.token
+LEFT JOIN exact ON exact.token = p.token
+ORDER BY p.token
+"""
+
+
+CMS_TOKEN_FREQ_CORPUS_SQL = _cms_oracle()
+
+QUERIES["cms_token_freq_corpus"] = (
+    cms_token_freq_corpus,
+    CMS_TOKEN_FREQ_CORPUS_SQL,
+)

@@ -174,3 +174,104 @@ def kmv_union_stats(bottom_k_union: DataFrame, k: int) -> DataFrame:
         .cast("long")
         .alias("union_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimates)
+# --------------------------------------------------------------------------
+def cms_table(
+    df: DataFrame, text_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch of the token stream as a (row, col, cnt) table
+    (Cormode & Muthukrishnan, J.Alg 2005): row i counts tokens at column
+    md5_hash60(i || token) mod width.
+
+    Complements Misra-Gries: MG answers "which tokens are heavy", CMS
+    answers "how often does THIS token occur" for any token, in
+    depth·width bounded space. Built as one explode + one aggregation
+    whose key space is depth·width (4096 cells here) — map-side combine
+    collapses the corpus before the shuffle regardless of vocabulary
+    size. The md5 hash family makes every cell (and so every estimate)
+    replayable in ANSI SQL — the sketch is value-checked, not just
+    bounded."""
+    from ..functions import md5_hash60, tokens
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    rows = [
+        tok.select(
+            F.lit(i).alias("row"),
+            (md5_hash60(F.concat(F.lit(str(i)), F.col("t"))) % width).alias(
+                "col"
+            ),
+        )
+        for i in range(depth)
+    ]
+    stream = rows[0]
+    for r in rows[1:]:
+        stream = stream.unionByName(r)
+    return stream.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch_df: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    probes: list,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` from a CMS table, next to
+    the exact counts (the checked contract: CMS NEVER underestimates, and
+    the overestimate is disclosed per probe; at 100 TB only the sketch
+    side runs). Probe lookups are a |probes|·depth-row join against the
+    4096-cell sketch — metadata-scale."""
+    from ..functions import md5_hash60, tokens
+
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame([(p,) for p in probes], "token string")
+    cells = probe_df.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            md5_hash60(F.concat(F.lit(str(i)), F.col("token")))
+                            % width
+                        ).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    est = (
+        cells.join(sketch_df, ["row", "col"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .join(probe_df.withColumnRenamed("token", "t"), "t", "left_semi")
+        .groupBy(F.col("t").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        probe_df.join(est, "token", "left")
+        .join(exact, "token", "left")
+        .select(
+            "token",
+            F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
+            F.coalesce("cms_est", F.lit(0)).alias("cms_est"),
+            (
+                F.coalesce("cms_est", F.lit(0))
+                - F.coalesce("exact_cnt", F.lit(0))
+            ).alias("overestimate"),
+            (
+                F.coalesce("cms_est", F.lit(0))
+                >= F.coalesce("exact_cnt", F.lit(0))
+            ).alias("never_underestimates"),
+        )
+        .orderBy("token")
+    )

@@ -43,6 +43,7 @@ _PRIORITY = [
     "pmi_bigrams_corpus",
     "auc_quality_classifier_docs",
     "calibration_bins_docs",
+    "cms_token_freq_corpus",
     # (b) r1-era: relational / window / scalar battery
     "array_hof_embeddings",
     "cube_order_status_priority",

@@ -133,3 +133,31 @@ def test_theta_intersection_sketch_path_bound(spark):
     row = theta_intersection_events(spark, "/root/testdata/sf0.01").collect()[0]
     assert row["exact_union"] > 64  # sketch path actually exercised
     assert row["sketch_within_bound"]
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    """CMS estimates >= exact always; with a vocabulary far smaller than
+    width, collisions are unlikely and estimates are exact."""
+    rows = [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sk = sketch.cms_table(df, "text", depth=4, width=1024)
+    got = {
+        r["token"]: (r["exact_cnt"], r["cms_est"], r["never_underestimates"])
+        for r in sketch.cms_estimate(
+            sk, df, "text", ["alpha", "gamma", "absent"], depth=4, width=1024
+        ).collect()
+    }
+    assert got["alpha"] == (50, 50, True)
+    assert got["absent"][0] == 0 and got["absent"][2]
+    assert got["gamma"][1] >= got["gamma"][0] and got["gamma"][2]
+
+
+def test_cms_bounded_cells(spark):
+    """The sketch table never exceeds depth*width rows regardless of
+    vocabulary size — the memory bound the scale story rests on."""
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(20))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert sketch.cms_table(df, "text", depth=4, width=64).count() <= 4 * 64
