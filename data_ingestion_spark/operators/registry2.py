@@ -4313,3 +4313,65 @@ QUERIES["cms_token_freq_corpus"] = (
     cms_token_freq_corpus,
     CMS_TOKEN_FREQ_CORPUS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Behavioral analytics: conversion funnel + retention cohorts (round 7)
+# --------------------------------------------------------------------------
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel over the event stream
+    (temporal.funnel_steps, ClickHouse windowFunnel semantics): greedy
+    chained min-matching from each user's first 'view', bounded by a
+    7-day completion DEADLINE — the time-windowed variant of
+    funnel_conversion_events (advanced.py), which counts unbounded
+    ordered reachability. The chain is three user-keyed aggs/joins —
+    shuffle partitioning reused, deterministic, hence fully
+    oracle-replayed, with per-stage conversion rates in integer micros."""
+    from . import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.funnel_steps(
+        ev, "user_id", "event_type", "ts", _FUNNEL_STEPS, window="7 days"
+    )
+
+
+FUNNEL_EVENTS_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, event_type AS et, ts AS t FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s0 AS (SELECT u, min(t) AS t0 FROM ev WHERE et = 'view' GROUP BY u),
+r0 AS (SELECT u, t0, t0 + INTERVAL 7 DAY AS deadline FROM s0),
+s1 AS (
+  SELECT e.u, min(e.t) AS t1 FROM ev e JOIN r0 ON e.u = r0.u
+  WHERE e.et = 'click' AND e.t > r0.t0 AND e.t <= r0.deadline GROUP BY e.u
+),
+s2 AS (
+  SELECT e.u, min(e.t) AS t2
+  FROM ev e JOIN r0 ON e.u = r0.u JOIN s1 ON s1.u = e.u
+  WHERE e.et = 'purchase' AND e.t > s1.t1 AND e.t <= r0.deadline GROUP BY e.u
+),
+c AS (SELECT (SELECT count(*) FROM s0)::BIGINT AS c0,
+             (SELECT count(*) FROM s1)::BIGINT AS c1,
+             (SELECT count(*) FROM s2)::BIGINT AS c2)
+SELECT 0::BIGINT AS step_idx, 'view' AS step_name, c0 AS n_users,
+       (CASE WHEN c0 = 0 THEN 0 ELSE 1000000 END)::BIGINT
+           AS conv_from_first_micro
+FROM c
+UNION ALL
+SELECT 1::BIGINT, 'click', c1,
+       (CASE WHEN c0 = 0 THEN 0 ELSE (1000000 * c1) // c0 END)::BIGINT
+FROM c
+UNION ALL
+SELECT 2::BIGINT, 'purchase', c2,
+       (CASE WHEN c0 = 0 THEN 0 ELSE (1000000 * c2) // c0 END)::BIGINT
+FROM c
+ORDER BY step_idx
+"""
+
+QUERIES["funnel_windowed_events"] = (funnel_windowed_events, FUNNEL_EVENTS_SQL)
+
+

@@ -317,3 +317,80 @@ def ewma_by_key(
             F.sum("term_micro").cast("long").alias("ewma_micro"),
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    window: str = "7 days",
+) -> DataFrame:
+    """Ordered-step conversion funnel (ClickHouse ``windowFunnel``
+    semantics): for each user, walk the ordered ``steps`` sequence
+    greedily from the user's EARLIEST step-0 event — step *i* matches the
+    first event of that type STRICTLY after the matched step *i−1* event
+    and no later than step-0's timestamp + ``window``. Returns one row per
+    funnel stage: ``(step_idx, step_name, n_users, conv_from_first_micro)``.
+
+    Spark-first shape (no per-user sequential scan, no UDFs): the greedy
+    walk is a chain of conditional min-aggregations — stage 0 is one
+    per-user ``min(ts)`` agg; each later stage joins the (|users|-row)
+    reached table back to the narrow ``(user, type, ts)`` stream and takes
+    ``min(ts)`` under the order/deadline predicate. Every join and agg
+    keys on the user column, so the shuffle partitioning is reused across
+    stages, and each stage's right side is pre-filtered to ONE event type
+    before the join. The final stage table is |users| rows; the funnel
+    summary is a single scalar agg + a literal unpivot.
+
+    Greedy-min matching is exactly the windowFunnel contract and is what
+    makes the operator deterministic (hence oracle-replayable): min() over
+    a fixed predicate has no tie ambiguity.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).alias("t"),
+    ).filter(F.col(type_col).isin(list(steps)))
+    reached = (
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t0"))
+        .withColumn("deadline", F.col("t0") + F.expr(f"INTERVAL {window}"))
+    )
+    for i in range(1, len(steps)):
+        nxt = (
+            ev.filter(F.col("et") == steps[i])
+            .join(reached.select("u", F.col(f"t{i-1}").alias("_prev"), "deadline"), "u")
+            .filter((F.col("t") > F.col("_prev")) & (F.col("t") <= F.col("deadline")))
+            .groupBy("u")
+            .agg(F.min("t").alias(f"t{i}"))
+        )
+        reached = reached.join(nxt, "u", "left")
+    counts = reached.agg(
+        *[
+            F.count(F.col(f"t{i}")).cast("long").alias(f"c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack = ", ".join(
+        f"{i}L, '{steps[i]}', c{i}" for i in range(len(steps))
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack}) AS (step_idx, step_name, n_users)"
+        )
+    ).select(
+        "step_idx",
+        "step_name",
+        "n_users",
+        F.expr(
+            "CASE WHEN first(n_users) OVER (ORDER BY step_idx"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0 THEN 0"
+            " ELSE (1000000 * n_users) div first(n_users) OVER (ORDER BY step_idx"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END"
+        )
+        .cast("long")
+        .alias("conv_from_first_micro"),
+    ).orderBy("step_idx")

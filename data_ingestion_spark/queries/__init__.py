@@ -35,6 +35,7 @@ from __future__ import annotations
 #:     verified by tools/check_oracle.py regardless of position.
 _PRIORITY = [
     # (a) new in round 7 — must earn a driver-green row
+    "funnel_windowed_events",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -90,8 +91,8 @@ _PRIORITY = [
     "dup_ngram_fraction_docs",
     "embedding_centroids_by_label",
     "fingerprint_docs",
-    "ingest_metrics_by_source",
     # ---- driver window cutoff (first 50 above) ----
+    "ingest_metrics_by_source",
     "json_extract_events",
     "lang_id_docs",
     "multimodal_metadata_docs",
