@@ -4375,3 +4375,64 @@ ORDER BY step_idx
 QUERIES["funnel_windowed_events"] = (funnel_windowed_events, FUNNEL_EVENTS_SQL)
 
 
+
+
+def join_size_sample_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled join-size pre-flight (stats.join_size_sampled, correlated
+    key sampling, 1/8 gate) next to the exact inner product — the
+    at-scale tier join_cardinality's docstring promises. The md5 key gate
+    makes the ESTIMATE itself deterministic, so the oracle replays it
+    bit-for-bit; the relative error is disclosed in the row (the
+    estimator is unbiased over gates, not per-gate — the contract states
+    what this gate saw, it does not assert a bound)."""
+    ords = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    est = stats.join_size_sampled(ords, cust, ["custkey"], mod=8)
+    exact = stats.join_cardinality(ords, cust, ["custkey"]).select(
+        F.col("est_join_rows").alias("exact_join_rows")
+    )
+    return est.crossJoin(exact).select(
+        "est_join_rows_sampled",
+        "n_sampled_keys",
+        "exact_join_rows",
+        F.expr(
+            "CASE WHEN exact_join_rows = 0 THEN 0 ELSE"
+            " (1000000 * abs(est_join_rows_sampled - exact_join_rows))"
+            " div exact_join_rows END"
+        )
+        .cast("long")
+        .alias("rel_err_micro"),
+    )
+
+
+JOIN_SIZE_SAMPLE_ORDERS_CUSTOMER_SQL = """
+WITH sa AS (
+  SELECT o_custkey AS k, count(*)::BIGINT AS na FROM orders
+  WHERE ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT % 8 = 0
+  GROUP BY 1
+), sb AS (
+  SELECT c_custkey AS k, count(*)::BIGINT AS nb FROM customer
+  WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT % 8 = 0
+  GROUP BY 1
+), sj AS (
+  SELECT coalesce(8 * sum(na * nb), 0)::BIGINT AS est_join_rows_sampled,
+         count(*)::BIGINT AS n_sampled_keys
+  FROM sa JOIN sb USING (k)
+), ca AS (SELECT o_custkey AS k, count(*)::BIGINT AS na FROM orders GROUP BY 1),
+   cb AS (SELECT c_custkey AS k, count(*)::BIGINT AS nb FROM customer GROUP BY 1),
+   ex AS (SELECT sum(na * nb)::BIGINT AS exact_join_rows FROM ca JOIN cb USING (k))
+SELECT est_join_rows_sampled, n_sampled_keys, exact_join_rows,
+       (CASE WHEN exact_join_rows = 0 THEN 0 ELSE
+        (1000000 * abs(est_join_rows_sampled - exact_join_rows))
+        // exact_join_rows END)::BIGINT AS rel_err_micro
+FROM sj, ex
+"""
+
+QUERIES["join_size_sample_orders_customer"] = (
+    join_size_sample_orders_customer,
+    JOIN_SIZE_SAMPLE_ORDERS_CUSTOMER_SQL,
+)

@@ -379,3 +379,49 @@ def chi_square_independence(
         ).cast("long").alias("dof"),
         F.sum(term).cast("long").alias("chi2_micro"),
     )
+
+
+def join_size_sampled(a, b, key_cols, mod: int = 8) -> "DataFrame":
+    """Sampled join-cardinality estimate via CORRELATED sampling
+    (Vengerov et al., VLDB 2015): both inputs keep only keys whose shared
+    deterministic hash lands in the same 1/``mod`` gate, per-key counts
+    are aggregated on the surviving keys, and the sampled inner product
+    scales back up by ``mod``:
+
+        est = mod · Σ_{h(key) % mod == 0} count_a(key) · count_b(key)
+
+    Sampling KEYS (not rows) with the SAME hash on both sides is what
+    makes the estimator work: a sampled key keeps its exact per-side
+    frequencies, so each term of the true inner product is either fully
+    present or fully absent — Bernoulli row sampling would need a 1/p²
+    correction and blows up the variance on heavy keys.
+
+    This is the at-scale tier of ``join_cardinality`` (whose docstring
+    promises exactly this swap): each side scans once but aggregates and
+    shuffles only ~1/``mod`` of the key space. The estimate is exact-
+    replayable in SQL (md5 hash gate), so the oracle checks the ESTIMATE
+    itself, and the contract query runs it next to the exact pre-flight.
+
+    Returns one row: (est_join_rows_sampled, n_sampled_keys).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text_functions import md5_hash60
+
+    keys = list(key_cols)
+
+    def gate(df):
+        h = md5_hash60(
+            F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+        )
+        return df.filter(h % mod == 0)
+
+    ca = gate(a).groupBy(*keys).agg(F.count(F.lit(1)).alias("_na"))
+    cb = gate(b).groupBy(*keys).agg(F.count(F.lit(1)).alias("_nb"))
+    j = ca.join(cb, keys)
+    return j.agg(
+        (F.lit(mod) * F.sum(F.col("_na") * F.col("_nb")))
+        .cast("long")
+        .alias("est_join_rows_sampled"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled_keys"),
+    )

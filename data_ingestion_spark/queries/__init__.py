@@ -36,6 +36,7 @@ from __future__ import annotations
 _PRIORITY = [
     # (a) new in round 7 — must earn a driver-green row
     "funnel_windowed_events",
+    "join_size_sample_orders_customer",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -90,8 +91,8 @@ _PRIORITY = [
     "decontaminate_docs",
     "dup_ngram_fraction_docs",
     "embedding_centroids_by_label",
-    "fingerprint_docs",
     # ---- driver window cutoff (first 50 above) ----
+    "fingerprint_docs",
     "ingest_metrics_by_source",
     "json_extract_events",
     "lang_id_docs",

@@ -2027,3 +2027,22 @@ def test_robust_scale_flags_planted_outliers(spark, tmp_path):
     row = robust_scale_events(spark, str(tmp_path)).collect()[0]
     assert row["n_outliers"] == 3
     assert 10 <= row["median_value"] <= 21  # unmoved by the 1e6 spikes
+
+
+def test_join_size_sampled_full_gate_is_exact(spark):
+    from data_ingestion_spark.operators import stats
+
+    a = spark.createDataFrame([(k % 5, i) for i, k in enumerate(range(40))], "k long, x long")
+    b = spark.createDataFrame([(k % 5, i) for i, k in enumerate(range(15))], "k long, y long")
+    exact = stats.join_cardinality(a, b, ["k"]).collect()[0]["est_join_rows"]
+    assert exact == a.join(b, "k").count()
+    # mod=1 keeps every key → the "estimate" must equal the exact count
+    full = stats.join_size_sampled(a, b, ["k"], mod=1).collect()[0]
+    assert full["est_join_rows_sampled"] == exact
+    assert full["n_sampled_keys"] == 5
+    # mod=2 is deterministic: same inputs → same estimate, and only the
+    # gated keys contribute
+    e1 = stats.join_size_sampled(a, b, ["k"], mod=2).collect()[0]
+    e2 = stats.join_size_sampled(a, b, ["k"], mod=2).collect()[0]
+    assert e1 == e2
+    assert e1["n_sampled_keys"] <= 5
