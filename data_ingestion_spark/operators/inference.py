@@ -226,3 +226,62 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def classification_report(
+    df: DataFrame, score_col: str, label_col: str, threshold_micro: int = 500_000
+) -> DataFrame:
+    """Thresholded classifier evaluation against a boolean reference
+    label: confusion counts plus precision / recall / F1 / Cohen's kappa,
+    every metric in exact integer micros — the companion readout to
+    binary_auc_exact (AUC is threshold-free; this is what the ONE
+    deployed threshold actually does to the corpus) and the
+    chance-corrected agreement (kappa) that a skewed keep-rate would
+    otherwise hide behind raw accuracy.
+
+        kappa = (N·(tp+tn) − pe) / (N² − pe),
+        pe    = (tp+fp)(tp+fn) + (fn+tn)(fp+tn)
+
+    Both engines truncate integer division toward zero (verified for the
+    negative-kappa case), so one `div` emits identical micros. 64-bit
+    headroom: 1e6·N² needs N ≲ 3e6 rows per evaluation slice — beyond
+    that, lift to decimal (same note as binary_auc_exact).
+
+    Scale shape: one scalar aggregation over (pred, label) indicator
+    sums; zero joins, zero windows.
+    """
+    pred = (F.col(score_col) >= threshold_micro).cast("long")
+    y = F.col(label_col).cast("long")
+    agg = df.agg(
+        F.sum(pred * y).cast("long").alias("tp"),
+        F.sum(pred * (1 - y)).cast("long").alias("fp"),
+        F.sum((1 - pred) * y).cast("long").alias("fn"),
+        F.sum((1 - pred) * (1 - y)).cast("long").alias("tn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN 0"
+            " ELSE (1000000 * tp) div (tp + fp) END"
+        ).cast("long").alias("precision_micro"),
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN 0"
+            " ELSE (1000000 * tp) div (tp + fn) END"
+        ).cast("long").alias("recall_micro"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN 0"
+            " ELSE (2000000 * tp) div (2 * tp + fp + fn) END"
+        ).cast("long").alias("f1_micro"),
+        F.expr(
+            "CASE WHEN (tp + fp + fn + tn) * (tp + fp + fn + tn)"
+            "        - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) = 0"
+            " THEN 0 ELSE"
+            " (1000000 * ((tp + fp + fn + tn) * (tp + tn)"
+            "             - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))))"
+            " div ((tp + fp + fn + tn) * (tp + fp + fn + tn)"
+            "      - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))) END"
+        ).cast("long").alias("kappa_micro"),
+    )

@@ -4436,3 +4436,52 @@ QUERIES["join_size_sample_orders_customer"] = (
     join_size_sample_orders_customer,
     JOIN_SIZE_SAMPLE_ORDERS_CUSTOMER_SQL,
 )
+
+
+def classifier_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded evaluation of the column-tier quality classifier
+    against the C4/Gopher keep gate (inference.classification_report,
+    threshold 0.5): confusion counts + precision/recall/F1 + Cohen's
+    kappa in exact integer micros — what the deployed threshold DOES to
+    the corpus, next to the threshold-free AUC row. Kappa's
+    chance-corrected agreement is the honest number under the gate's
+    skewed keep rate (raw accuracy would look fine by majority class)."""
+    return inference.classification_report(
+        _scored_labeled(spark, sf_dir), "score_micro", "keep", threshold_micro=500_000
+    )
+
+
+CLASSIFIER_REPORT_DOCS_SQL = f"""
+WITH lab AS ({_KEEP_SQL}),
+sc AS (SELECT doc_id, {_SCORE_SQL} AS score_micro FROM documents),
+j AS (SELECT (sc.score_micro >= 500000)::BIGINT AS p, lab.keep::BIGINT AS y
+      FROM sc JOIN lab ON lab.doc_id = sc.doc_id),
+c AS (
+  SELECT sum(p * y)::BIGINT AS tp,
+         sum(p * (1 - y))::BIGINT AS fp,
+         sum((1 - p) * y)::BIGINT AS fn,
+         sum((1 - p) * (1 - y))::BIGINT AS tn
+  FROM j
+)
+SELECT tp, fp, fn, tn,
+       (CASE WHEN tp + fp = 0 THEN 0
+             ELSE (1000000 * tp) // (tp + fp) END)::BIGINT AS precision_micro,
+       (CASE WHEN tp + fn = 0 THEN 0
+             ELSE (1000000 * tp) // (tp + fn) END)::BIGINT AS recall_micro,
+       (CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+             ELSE (2000000 * tp) // (2 * tp + fp + fn) END)::BIGINT AS f1_micro,
+       (CASE WHEN (tp + fp + fn + tn) * (tp + fp + fn + tn)
+                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) = 0
+             THEN 0 ELSE
+             (1000000 * ((tp + fp + fn + tn) * (tp + tn)
+                         - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))))
+             // ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+                 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))) END
+       )::BIGINT AS kappa_micro
+FROM c
+"""
+
+QUERIES["classifier_report_docs"] = (
+    classifier_report_docs,
+    CLASSIFIER_REPORT_DOCS_SQL,
+)

@@ -30,13 +30,15 @@ from __future__ import annotations
 #: (c) the 10 r2-era dedup/knn/temporal operators the r6 verdict queued by
 #:     name (they sat just below r6's 50-name cutoff),
 #: (d) as many of the remaining 27 r2-era queries as fit (alphabetical;
-#:     same age). The residue (~14, from percentile_approx_lineitem on)
-#:     leads the round-8 window. Everything stays registered and locally
-#:     verified by tools/check_oracle.py regardless of position.
+#:     same age). The residue (from chunk_docs on — each late-r7 addition
+#:     in (a) displaces one) leads the round-8 window. Everything stays
+#:     registered and locally verified by tools/check_oracle.py
+#:     regardless of position.
 _PRIORITY = [
     # (a) new in round 7 — must earn a driver-green row
     "funnel_windowed_events",
     "join_size_sample_orders_customer",
+    "classifier_report_docs",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -87,11 +89,11 @@ _PRIORITY = [
     "range_join_event_pairs",
     # (d) remaining r2-era queries, alphabetical (same age)
     "cap_per_source_docs",
+    # ---- driver window cutoff (first 50 above) ----
     "chunk_docs",
     "decontaminate_docs",
     "dup_ngram_fraction_docs",
     "embedding_centroids_by_label",
-    # ---- driver window cutoff (first 50 above) ----
     "fingerprint_docs",
     "ingest_metrics_by_source",
     "json_extract_events",

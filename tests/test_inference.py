@@ -126,3 +126,44 @@ def test_calibration_bins_well_calibrated_fixture(spark):
     got = {r["bin"]: (r["n_docs"], r["mean_score_micro"], r["frac_pos_micro"])
            for r in calibration_bins(df, "s", "y", n_bins=10).collect()}
     assert got == {1: (100, 150_000, 150_000), 8: (100, 850_000, 850_000)}
+
+
+def test_classification_report_hand_computed(spark):
+    from data_ingestion_spark.operators import inference
+
+    # 4 TP, 1 FP, 2 FN, 3 TN → P=0.8, R=2/3, F1=0.727..., kappa hand-checked
+    rows = (
+        [(900_000, True)] * 4 + [(900_000, False)] * 1
+        + [(100_000, True)] * 2 + [(100_000, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "score_micro long, keep boolean")
+    r = inference.classification_report(df, "score_micro", "keep").collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (4, 1, 2, 3)
+    assert r["precision_micro"] == 800_000
+    assert r["recall_micro"] == 666_666
+    assert r["f1_micro"] == 727_272
+    # po = 0.7, pe = (5*6 + 5*4)/100 = 0.5 → kappa = 0.4
+    assert r["kappa_micro"] == 400_000
+
+
+def test_classification_report_negative_kappa(spark):
+    from data_ingestion_spark.operators import inference
+
+    # systematic disagreement → kappa < 0, pinned for the div-truncation
+    # cross-engine case
+    rows = [(900_000, False)] * 3 + [(100_000, True)] * 3
+    df = spark.createDataFrame(rows, "score_micro long, keep boolean")
+    r = inference.classification_report(df, "score_micro", "keep").collect()[0]
+    assert (r["tp"], r["tn"]) == (0, 0)
+    assert r["kappa_micro"] == -1_000_000
+
+
+def test_classification_report_degenerate(spark):
+    from data_ingestion_spark.operators import inference
+
+    df = spark.createDataFrame([(900_000, True)] * 3, "score_micro long, keep boolean")
+    r = inference.classification_report(df, "score_micro", "keep").collect()[0]
+    assert r["precision_micro"] == 1_000_000
+    assert r["recall_micro"] == 1_000_000
+    # all-one-cell confusion → pe == N², kappa defined as 0
+    assert r["kappa_micro"] == 0
