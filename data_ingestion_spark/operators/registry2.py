@@ -4485,3 +4485,37 @@ QUERIES["classifier_report_docs"] = (
     classifier_report_docs,
     CLASSIFIER_REPORT_DOCS_SQL,
 )
+
+
+def pareto_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the corpus under (minimize n_chars, maximize
+    classifier quality score) — stats.pareto_frontier_2d over the
+    column-tier scores: the best quality attainable at each document
+    length, the multi-objective data-selection readout. The Spark side
+    is the collapsed-grid running-max skyline; the oracle is the
+    textbook quadratic NOT EXISTS dominance definition on the same
+    grid — two different algorithms that must agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = inference.classifier_scores(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+    j = docs.select("doc_id", "n_chars").join(scored, "doc_id")
+    return stats.pareto_frontier_2d(j, "n_chars", "score_micro")
+
+
+PARETO_QUALITY_DOCS_SQL = f"""
+WITH sc AS (SELECT doc_id, {_SCORE_SQL} AS score_micro FROM documents),
+j AS (SELECT d.n_chars, sc.score_micro
+      FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+grid AS (SELECT n_chars, max(score_micro)::BIGINT AS best_score_micro
+         FROM j GROUP BY 1)
+SELECT n_chars, best_score_micro
+FROM grid g
+WHERE NOT EXISTS (
+  SELECT 1 FROM grid q
+  WHERE q.n_chars < g.n_chars AND q.best_score_micro >= g.best_score_micro
+)
+ORDER BY n_chars
+"""
+
+QUERIES["pareto_quality_docs"] = (pareto_quality_docs, PARETO_QUALITY_DOCS_SQL)

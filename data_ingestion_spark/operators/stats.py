@@ -425,3 +425,37 @@ def join_size_sampled(a, b, key_cols, mod: int = 8) -> "DataFrame":
         .alias("est_join_rows_sampled"),
         F.count(F.lit(1)).cast("long").alias("n_sampled_keys"),
     )
+
+
+def pareto_frontier_2d(df, x_col: str, y_col: str) -> "DataFrame":
+    """2-D skyline / Pareto frontier (Börzsönyi et al., ICDE 2001):
+    the points not dominated under (minimize ``x_col``, maximize
+    ``y_col``) — multi-objective data selection (e.g. the best quality
+    score achievable at each document length, the classic
+    cost-vs-benefit readout).
+
+    Two dimensions admit the sort-free collapse: group to the
+    per-distinct-x maximum of y (this alone eliminates every within-x
+    domination), then one running-max window over the x-ascending grid —
+    a grid row survives iff its y strictly exceeds every smaller-x
+    row's y. The window is unpartitioned BUT runs on the collapsed
+    |distinct x| grid, not the corpus (the AUC distinct-score-grid
+    idiom); the corpus-sized stage is one partial-agg'd groupBy.
+
+    Returns (x_col, best_<y_col>) frontier rows, x ascending. Ties on x
+    collapse to the grid max; equal-y-at-larger-x rows are dominated
+    (strict-in-x dominance) and drop.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    grid = df.groupBy(F.col(x_col).alias("x")).agg(
+        F.max(y_col).alias("y")
+    )
+    w = W.orderBy(F.col("x").asc()).rowsBetween(W.unboundedPreceding, -1)
+    return (
+        grid.select("x", "y", F.max("y").over(w).alias("_prev"))
+        .filter(F.col("_prev").isNull() | (F.col("y") > F.col("_prev")))
+        .select(F.col("x").alias(x_col), F.col("y").alias(f"best_{y_col}"))
+        .orderBy(x_col)
+    )

@@ -39,6 +39,7 @@ _PRIORITY = [
     "funnel_windowed_events",
     "join_size_sample_orders_customer",
     "classifier_report_docs",
+    "pareto_quality_docs",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -87,9 +88,9 @@ _PRIORITY = [
     "gapfill_events_locf",
     "asof_join_events_orders",
     "range_join_event_pairs",
+    # ---- driver window cutoff (first 50 above) ----
     # (d) remaining r2-era queries, alphabetical (same age)
     "cap_per_source_docs",
-    # ---- driver window cutoff (first 50 above) ----
     "chunk_docs",
     "decontaminate_docs",
     "dup_ngram_fraction_docs",

@@ -2046,3 +2046,19 @@ def test_join_size_sampled_full_gate_is_exact(spark):
     e2 = stats.join_size_sampled(a, b, ["k"], mod=2).collect()[0]
     assert e1 == e2
     assert e1["n_sampled_keys"] <= 5
+
+
+def test_pareto_frontier_2d(spark):
+    from data_ingestion_spark.operators import stats
+
+    pts = [
+        (1, 10),   # frontier (smallest x)
+        (2, 30),   # frontier (better y than everything smaller)
+        (2, 5),    # same x, worse y → collapsed away
+        (3, 30),   # equal y at larger x → dominated (strict-in-x)
+        (4, 25),   # dominated by (2, 30)
+        (5, 40),   # frontier
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = stats.pareto_frontier_2d(df, "x", "y").collect()
+    assert [(r["x"], r["best_y"]) for r in out] == [(1, 10), (2, 30), (5, 40)]
