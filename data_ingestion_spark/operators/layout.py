@@ -231,3 +231,57 @@ def bloom_prune_probe(
         for j in range(n_hashes)
     ]
     return probe.filter(reduce(lambda a, b: a & b, checks))
+
+
+# --------------------------------------------------------------------------
+# Bucketed (co-located) joins: pre-shuffle the data at WRITE time
+# --------------------------------------------------------------------------
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Persist ``df`` as a bucketed, per-bucket-sorted table: rows are
+    hash-distributed into ``n_buckets`` files by ``bucket_col`` and sorted
+    within each bucket — Spark's bucketBy/sortBy, i.e. the shuffle a join
+    would need, paid ONCE at write time. Any later equi-join or
+    aggregation on ``bucket_col`` between tables bucketed the same way
+    runs with NO Exchange (asserted in tests/test_plans); only cheap
+    pipeline-local per-bucket Sorts remain, because Spark ≥3.0 ignores
+    bucket sort metadata by default
+    (spark.sql.legacy.bucketedTableScan.outputOrdering) rather than
+    force one-file-per-bucket reads.
+
+    At 100 TB this is the difference between re-shuffling a fact table
+    for every nightly join and never shuffling it again: the table IS the
+    shuffle output. Requires saveAsTable (bucket metadata lives in the
+    catalog); ``path`` keeps the data out of the default warehouse so
+    repeated runs are self-contained.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        df.write.mode("overwrite")
+        .option("path", os.path.join(path, table_name))
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(
+    spark, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Equi-join two co-bucketed catalog tables on their bucket key with a
+    sort-merge hint: because both inputs are already hash-partitioned by
+    ``key`` on disk, Catalyst plans the SMJ with zero Exchange — only
+    pipeline-local per-bucket Sorts, no data movement.
+    The merge hint keeps the small side from being
+    broadcast, which would hide what bucketing buys on two LARGE tables
+    (broadcast stops being an option when both sides are TBs)."""
+    lt = spark.table(left_table).hint("merge")
+    rt = spark.table(right_table)
+    return lt.join(rt, key)

@@ -4519,3 +4519,58 @@ ORDER BY n_chars
 """
 
 QUERIES["pareto_quality_docs"] = (pareto_quality_docs, PARETO_QUALITY_DOCS_SQL)
+
+
+def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join demo (layout.write_bucketed + layout.bucketed_join):
+    orders and customer are persisted bucketed-and-sorted by custkey (the
+    join shuffle paid once, at write time), then sort-merge-joined with
+    ZERO Exchange on the join path — only pipeline-local per-bucket
+    Sorts, no data movement (plan-asserted in
+    tests/test_plans.py — the oracle checks the join's ALGEBRA here:
+    revenue by market segment over the bucketed copies). The repartition
+    before each write lands every bucket in exactly one file, so the
+    on-disk sort order is usable by the SMJ."""
+    import tempfile
+
+    from . import layout
+
+    ords = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    path = tempfile.mkdtemp(prefix="bucketed_demo_")
+    layout.write_bucketed(
+        ords.repartition(8, "custkey"), "bkt_orders", "custkey", 8, path
+    )
+    layout.write_bucketed(
+        cust.repartition(8, "custkey"), "bkt_customer", "custkey", 8, path
+    )
+    j = layout.bucketed_join(spark, "bkt_orders", "bkt_customer", "custkey")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,8)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+BUCKETED_JOIN_ORDERS_CUSTOMER_SQL = """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice::DECIMAL(38,8))::DOUBLE, 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY c_mktsegment
+"""
+
+QUERIES["bucketed_join_orders_customer"] = (
+    bucketed_join_orders_customer,
+    BUCKETED_JOIN_ORDERS_CUSTOMER_SQL,
+)

@@ -40,6 +40,7 @@ _PRIORITY = [
     "join_size_sample_orders_customer",
     "classifier_report_docs",
     "pareto_quality_docs",
+    "bucketed_join_orders_customer",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -87,8 +88,8 @@ _PRIORITY = [
     "kmeans_centroids_embeddings",
     "gapfill_events_locf",
     "asof_join_events_orders",
-    "range_join_event_pairs",
     # ---- driver window cutoff (first 50 above) ----
+    "range_join_event_pairs",
     # (d) remaining r2-era queries, alphabetical (same age)
     "cap_per_source_docs",
     "chunk_docs",

@@ -590,3 +590,33 @@ def test_nightly_pipeline_band_join_hash(spark):
     # only for the 1-row audit-constant crossJoins (the formatted plan
     # repeats those scalar subplans, so their count is not asserted)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bucketed_join_has_zero_exchange(spark):
+    """Co-bucketed SMJ must move no data: the bucketed scan feeds the join
+    directly (Bucketed: true, all buckets selected), with zero Exchange
+    anywhere in the join plan — the write-time shuffle IS the join
+    shuffle. Local per-bucket Sorts are expected (Spark ≥3.0 ignores
+    bucket sort metadata by default)."""
+    import re
+    import tempfile
+
+    from data_ingestion_spark.operators import layout
+    from data_ingestion_spark.session import load_table
+
+    ords = load_table(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    path = tempfile.mkdtemp(prefix="bkt_plan_")
+    layout.write_bucketed(ords.repartition(8, "custkey"), "tp_bo", "custkey", 8, path)
+    layout.write_bucketed(cust.repartition(8, "custkey"), "tp_bc", "custkey", 8, path)
+    j = layout.bucketed_join(spark, "tp_bo", "tp_bc", "custkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", plan)) == 0, plan
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    # and the answer is still the join
+    assert j.count() == ords.join(cust, "custkey").count()
