@@ -4574,3 +4574,114 @@ QUERIES["bucketed_join_orders_customer"] = (
     bucketed_join_orders_customer,
     BUCKETED_JOIN_ORDERS_CUSTOMER_SQL,
 )
+
+
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pre-flight on events.user_id (skew.key_skew_profile): the
+    one-row decide-to-salt readout — max fanout vs average, top-1/top-10
+    row shares — run before committing a 100 TB shuffle to an unsalted
+    key. Deterministic micros, fully oracle-replayed."""
+    from . import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew.key_skew_profile(ev, "user_id")
+
+
+KEY_SKEW_PROFILE_EVENTS_SQL = """
+WITH c AS (SELECT user_id AS k, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+               max(cnt)::BIGINT AS max_fanout
+        FROM c),
+t10 AS (SELECT sum(cnt)::BIGINT AS s10, max(cnt)::BIGINT AS s1
+        FROM (SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 10))
+SELECT n_rows, n_keys, max_fanout,
+       ((1000000 * s1) // n_rows)::BIGINT AS top1_share_micro,
+       ((1000000 * s10) // n_rows)::BIGINT AS top10_share_micro,
+       ((1000000 * n_rows) // n_keys)::BIGINT AS avg_fanout_micro
+FROM tot, t10
+"""
+
+QUERIES["key_skew_profile_events"] = (
+    key_skew_profile_events,
+    KEY_SKEW_PROFILE_EVENTS_SQL,
+)
+
+
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (the same
+    blocked-Jaccard + connected-components pipeline as
+    dedup_clusters_docs) resolved by KEEPING THE BEST-SCORING member
+    instead of the min-id one — the production dedup policy (min-id is
+    arbitrary; the classifier score is why you ran a quality model). One
+    struct-max aggregation per cluster (max on (score, -id) gives
+    score-desc / id-asc without a window); singleton clusters are
+    filtered out as uninteresting. Oracle: the recursive-CTE closure +
+    a row_number window — different algorithms on both stages."""
+    from . import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
+        k=3,
+        threshold=0.3,
+    )
+    clusters = dedup.connected_components(pairs)
+    scored = inference.classifier_scores(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+    j = clusters.withColumnRenamed("id", "doc_id").join(scored, "doc_id")
+    return (
+        j.groupBy(F.col("comp").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("score_micro"), (-F.col("doc_id")).alias("_negid")
+                )
+            ).alias("_best"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "component",
+            "n_members",
+            (-F.col("_best._negid")).cast("long").alias("keep_doc_id"),
+            F.col("_best.score_micro").cast("long").alias("keep_score_micro"),
+        )
+        .orderBy("component")
+    )
+
+
+def _keep_best_oracle() -> str:
+    from .registry import DEDUP_CLUSTERS_DOCS_SQL
+
+    tail = "SELECT id AS doc_id, min(r) AS component\nFROM reach GROUP BY id"
+    assert tail in DEDUP_CLUSTERS_DOCS_SQL  # guards against CTE text drift
+    closure = DEDUP_CLUSTERS_DOCS_SQL.replace(
+        tail, f", comp AS ({tail.replace(chr(10), ' ')})"
+    ).rstrip()
+    return f"""
+{closure},
+sc AS (SELECT doc_id, {_SCORE_SQL} AS score_micro FROM documents),
+j AS (SELECT c.component, c.doc_id, sc.score_micro
+      FROM comp c JOIN sc USING (doc_id)),
+ranked AS (
+  SELECT component, doc_id, score_micro,
+         count(*) OVER (PARTITION BY component) AS n_members,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY score_micro DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT component, n_members::BIGINT AS n_members,
+       doc_id::BIGINT AS keep_doc_id,
+       score_micro::BIGINT AS keep_score_micro
+FROM ranked WHERE rn = 1 AND n_members >= 2
+ORDER BY component
+"""
+
+
+DEDUP_KEEP_BEST_DOCS_SQL = _keep_best_oracle()
+
+QUERIES["dedup_keep_best_docs"] = (dedup_keep_best_docs, DEDUP_KEEP_BEST_DOCS_SQL)

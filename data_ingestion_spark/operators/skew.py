@@ -81,3 +81,44 @@ def salted_join(
     )
     out = salted_probe.join(exploded_build, [on, "_salt"])
     return out.drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """The pre-flight that DECIDES whether to salt: a one-row skew profile
+    of a prospective join/agg key — total rows, distinct keys, the
+    heaviest key's fanout, and the row share held by the top-1 / top-10
+    keys (a near-uniform key has top1_share ≈ 1/n_keys; a power-law key
+    holds percent-scale shares and needs ``salted_agg``/``salted_join``
+    or AQE skew splitting).
+
+    Scale shape: one partial-agg'd per-key count (the only corpus-sized
+    stage), then scalar aggregates over the |keys| count table and a
+    TakeOrderedAndProject top-10 (per-partition heaps, no global sort).
+    Shares are integer micros with a deterministic (cnt desc, key asc)
+    tie-break, so the profile is oracle-replayable.
+    """
+    c = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = c.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_fanout"),
+    )
+    top10 = (
+        c.orderBy(F.col("cnt").desc(), F.col("k").asc())
+        .limit(10)
+        .agg(
+            F.sum("cnt").cast("long").alias("_s10"),
+            F.max("cnt").cast("long").alias("_s1"),
+        )
+    )
+    return tot.crossJoin(top10).select(
+        "n_rows",
+        "n_keys",
+        "max_fanout",
+        F.expr("(1000000 * _s1) div n_rows").cast("long").alias("top1_share_micro"),
+        F.expr("(1000000 * _s10) div n_rows").cast("long").alias("top10_share_micro"),
+        F.expr("(1000000 * n_rows) div n_keys").cast("long").alias("avg_fanout_micro"),
+    )

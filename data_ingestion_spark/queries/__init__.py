@@ -41,6 +41,8 @@ _PRIORITY = [
     "classifier_report_docs",
     "pareto_quality_docs",
     "bucketed_join_orders_customer",
+    "key_skew_profile_events",
+    "dedup_keep_best_docs",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -75,9 +77,6 @@ _PRIORITY = [
     "time_window_events",
     "unpivot_part_measures",
     "window_range_frame_events",
-    "window_running_revenue",
-    "window_topk_orders",
-    "word_count_docs",
     # (c) r2-era dedup / knn / temporal tail queued by the r6 verdict
     "dedup_minhash_docs",
     "dedup_simhash_pairs",
@@ -88,8 +87,13 @@ _PRIORITY = [
     "kmeans_centroids_embeddings",
     "gapfill_events_locf",
     "asof_join_events_orders",
-    # ---- driver window cutoff (first 50 above) ----
     "range_join_event_pairs",
+    # ---- driver window cutoff (first 50 above) ----
+    # displaced to round 8: three r1-era window-battery entries (same age
+    # as the rest of (b); the verdict-named (c) trio outranks them)
+    "window_running_revenue",
+    "window_topk_orders",
+    "word_count_docs",
     # (d) remaining r2-era queries, alphabetical (same age)
     "cap_per_source_docs",
     "chunk_docs",

@@ -2062,3 +2062,17 @@ def test_pareto_frontier_2d(spark):
     df = spark.createDataFrame(pts, "x long, y long")
     out = stats.pareto_frontier_2d(df, "x", "y").collect()
     assert [(r["x"], r["best_y"]) for r in out] == [(1, 10), (2, 30), (5, 40)]
+
+
+def test_key_skew_profile(spark):
+    from data_ingestion_spark.operators import skew
+
+    # one hot key (90 rows) + 10 cold keys (1 row each)
+    rows = [(0,)] * 90 + [(k,) for k in range(1, 11)]
+    df = spark.createDataFrame(rows, "k long")
+    r = skew.key_skew_profile(df, "k").collect()[0]
+    assert r["n_rows"] == 100 and r["n_keys"] == 11
+    assert r["max_fanout"] == 90
+    assert r["top1_share_micro"] == 900_000
+    assert r["top10_share_micro"] == 990_000  # hot key + 9 cold keys
+    assert r["avg_fanout_micro"] == 9_090_909
