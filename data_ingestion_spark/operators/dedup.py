@@ -641,3 +641,84 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components_twostar(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the at-scale tier ``connected_components``'s docstring
+    defers to: min-label propagation needs O(diameter) rounds, two-star
+    contracts paths aggressively and converges in O(log² n) even on long
+    chains (pathological diameters: linked paragraph chains, web-graph
+    tendrils).
+
+    Each round is two passes, both one per-key window + filter (no joins
+    inside the loop, unlike the propagation variant's join-per-round):
+
+    - large-star: every node's LARGER neighbors re-point to the minimum
+      of its closed neighborhood,
+    - small-star: with edges oriented large→small, the smaller neighbors
+      (and the node) re-point to the closed-neighborhood minimum.
+
+    Both passes only ever connect nodes already connected (correctness)
+    and strictly shrink the potential Σ-of-edge-spans (convergence).
+    Fixpoint = the edge multiset stops changing; the surviving edges form
+    stars (node → component root). Returns (id, comp) with roots
+    included, exactly ``connected_components``'s contract (pytest pins
+    equality on random graphs and a 200-node chain).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(max_iter):
+        # large-star over the symmetric adjacency: larger neighbors of
+        # each node re-point to min(closed neighborhood)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        wa = W.partitionBy("u")
+        ls = (
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wa)))
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on large→small orientation: the node and its smaller
+        # neighbors re-point to the minimum
+        wu = W.partitionBy("u")
+        base = ls.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
+        ss = (
+            base.select(F.col("v").alias("n"), F.col("m"))
+            .union(base.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the (u, v) multiset is unchanged (both sides distinct)
+        if ss.count() == e.count() and ss.subtract(e).count() == 0:
+            e = ss
+            break
+        e = ss
+    return nodes.join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("_c")), "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("_c"), F.col("id")).alias("comp")
+    )

@@ -4685,3 +4685,40 @@ ORDER BY component
 DEDUP_KEEP_BEST_DOCS_SQL = _keep_best_oracle()
 
 QUERIES["dedup_keep_best_docs"] = (dedup_keep_best_docs, DEDUP_KEEP_BEST_DOCS_SQL)
+
+
+def dedup_clusters_twostar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup clusters as dedup_clusters_docs, resolved by the
+    O(log² n) large-star/small-star contraction
+    (dedup.connected_components_twostar) instead of O(diameter) min-label
+    propagation — and checked against the IDENTICAL recursive-CTE oracle:
+    three independent algorithms (two Spark, one SQL) must land on the
+    same fixpoint."""
+    from . import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
+        k=3,
+        threshold=0.3,
+    )
+    return (
+        dedup.connected_components_twostar(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+def _twostar_oracle() -> str:
+    from .registry import DEDUP_CLUSTERS_DOCS_SQL
+
+    return DEDUP_CLUSTERS_DOCS_SQL
+
+
+QUERIES["dedup_clusters_twostar_docs"] = (
+    dedup_clusters_twostar_docs,
+    _twostar_oracle(),
+)

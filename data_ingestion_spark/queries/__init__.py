@@ -43,6 +43,7 @@ _PRIORITY = [
     "bucketed_join_orders_customer",
     "key_skew_profile_events",
     "dedup_keep_best_docs",
+    "dedup_clusters_twostar_docs",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -76,7 +77,6 @@ _PRIORITY = [
     "string_agg_segment",
     "time_window_events",
     "unpivot_part_measures",
-    "window_range_frame_events",
     # (c) r2-era dedup / knn / temporal tail queued by the r6 verdict
     "dedup_minhash_docs",
     "dedup_simhash_pairs",
@@ -89,8 +89,9 @@ _PRIORITY = [
     "asof_join_events_orders",
     "range_join_event_pairs",
     # ---- driver window cutoff (first 50 above) ----
-    # displaced to round 8: three r1-era window-battery entries (same age
+    # displaced to round 8: four r1-era window-battery entries (same age
     # as the rest of (b); the verdict-named (c) trio outranks them)
+    "window_range_frame_events",
     "window_running_revenue",
     "window_topk_orders",
     "word_count_docs",

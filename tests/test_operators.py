@@ -2076,3 +2076,38 @@ def test_key_skew_profile(spark):
     assert r["top1_share_micro"] == 900_000
     assert r["top10_share_micro"] == 990_000  # hot key + 9 cold keys
     assert r["avg_fanout_micro"] == 9_090_909
+
+
+def _cc_dict(df):
+    return {r["id"]: r["comp"] for r in df.collect()}
+
+
+def test_twostar_cc_equals_propagation_random_graphs(spark):
+    import random
+
+    from data_ingestion_spark.operators import dedup
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(40 + 20 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = _cc_dict(dedup.connected_components(df))
+        b = _cc_dict(dedup.connected_components_twostar(df))
+        assert a == b, (trial, {k: (a[k], b.get(k)) for k in a if a[k] != b.get(k)})
+
+
+def test_twostar_cc_long_chain(spark):
+    from data_ingestion_spark.operators import dedup
+
+    # 200-node path: diameter 199 — the propagation variant's worst case,
+    # two-star's motivating one. Component must collapse to min id 0.
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    out = _cc_dict(dedup.connected_components_twostar(df))
+    assert set(out) == set(range(200))
+    assert set(out.values()) == {0}
