@@ -68,3 +68,29 @@ def test_windowed_queries_dtype_parity(spark, duck):
             if not ok:
                 mismatches.append(f"{name}.{col}: spark={st} oracle={ot}")
     assert not mismatches, mismatches
+
+
+def test_dtype_class_flags_mixed_object_columns():
+    """The verdict's watch item: _dtype_class derives the class from the
+    non-null values present — pin that a column mixing Decimal and plain
+    objects reports 'mixed' (a numeric class, so a mismatch against int/
+    float on the other side is a hard error), and that all-null object
+    columns stay 'object'."""
+    import decimal
+    import importlib.util
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    mixed = pd.Series([decimal.Decimal("1.5"), "x", None], dtype=object)
+    assert m._dtype_class(mixed) == "mixed"
+    dec = pd.Series([decimal.Decimal("1.5"), None], dtype=object)
+    assert m._dtype_class(dec) == "decimal"
+    nul = pd.Series([None, None], dtype=object)
+    assert m._dtype_class(nul) == "object"
+    assert m._dtype_class(pd.Series([1, 2])) == "int"
