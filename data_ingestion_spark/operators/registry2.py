@@ -4722,3 +4722,224 @@ QUERIES["dedup_clusters_twostar_docs"] = (
     dedup_clusters_twostar_docs,
     _twostar_oracle(),
 )
+
+
+# --------------------------------------------------------------------------
+# Corpus provenance: cross-source overlap matrix (round 7)
+# --------------------------------------------------------------------------
+def source_overlap_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus SOURCES via shared
+    winnowing fingerprints — the provenance readout that catches mirror
+    sites / cross-source scrape duplication before mixing weights are
+    set (two sources sharing half their fingerprints are one source).
+    Any shared substring of length ≥ k+w−1 surfaces as a shared
+    fingerprint (the winnowing guarantee), so this is substring-level
+    overlap, not whole-doc equality.
+
+    Scale shape: fingerprints collapse to DISTINCT (hash, source) pairs
+    before the self-join — the join's fan-out per hash is bounded by
+    |sources|², never by corpus size — and the matrix is |sources|²/2
+    rows of metadata. The oracle replays the winnowing expression
+    (registry.py WINNOW_FINGERPRINT_DOCS_SQL's body) and the pair join."""
+    from . import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    fs = (
+        fps.join(docs.select("doc_id", "source"), "doc_id")
+        .select("winnow_hash", "source")
+        .distinct()
+    )
+    a, b = fs.alias("a"), fs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.winnow_hash") == F.col("b.winnow_hash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 5)
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_MATRIX_DOCS_SQL = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(text) - 5 + 2),
+           i -> substr(md5(substr(text, i, 5)), 1, 15)
+         ) AS hs
+  FROM documents
+  WHERE len(text) >= 5 + 4 - 1
+), fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(hs) - 4 + 2),
+             i -> list_min(hs[i:i+3])
+         ))) AS winnow_hash
+  FROM hs
+), fs AS (
+  SELECT DISTINCT fp.winnow_hash, d.source
+  FROM fp JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*)::BIGINT AS n_shared_fps
+FROM fs a JOIN fs b
+  ON a.winnow_hash = b.winnow_hash AND a.source < b.source
+GROUP BY 1, 2
+HAVING count(*) >= 5
+ORDER BY source_a, source_b
+"""
+
+QUERIES["source_overlap_matrix_docs"] = (
+    source_overlap_matrix_docs,
+    SOURCE_OVERLAP_MATRIX_DOCS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten deletion over the versioned table (round 7)
+# --------------------------------------------------------------------------
+def rtbf_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted (GDPR/right-to-be-forgotten) deletion as a versioned-table
+    commit: an erase-request set (deterministic md5 gate ≈5% of doc ids)
+    is removed by a copy-on-write commit, and the row PROVES the deletion
+    three independent ways — the version row counts, the change-data-feed
+    between the two versions (delete rows only, count equal to the erase
+    set), and an anti-join showing zero erased ids remain readable. At
+    100 TB the same shape runs per-partition off the stats manifest
+    (only files whose min/max overlap the erase keys rewrite); here the
+    observable algebra is what the oracle replays."""
+    import tempfile
+
+    from ..functions import md5_hash60
+    from . import tableformat
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="rtbf_")
+    erase_gate = md5_hash60(F.col("doc_id").cast("string")) % 20 == 0
+    v0 = tableformat.commit_version(docs, root)
+    v1 = tableformat.commit_version(docs.filter(~erase_gate), root)
+    rows_v0 = tableformat.read_version(spark, root, v0).count()
+    rows_v1 = tableformat.read_version(spark, root, v1).count()
+    feed = tableformat.table_changes(spark, root, v0, v1, ["doc_id"])
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in feed.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_delete_feed = int(by_type.get("delete", 0))
+    feed_clean = set(by_type) <= {"delete"}
+    remaining_erased = (
+        tableformat.read_version(spark, root, v1)
+        .filter(erase_gate)
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                rows_v0,
+                rows_v1,
+                rows_v0 - rows_v1,
+                n_delete_feed,
+                bool(feed_clean and n_delete_feed == rows_v0 - rows_v1),
+                remaining_erased == 0,
+            )
+        ],
+        "rows_v0 long, rows_v1 long, n_deleted long, n_delete_feed long,"
+        " feed_matches boolean, none_remaining boolean",
+    )
+
+
+RTBF_DELETE_DOCS_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         {_SQL_HASH60.format(c='doc_id::VARCHAR')} % 20 = 0 AS erased
+  FROM documents
+), c AS (
+  SELECT count(*)::BIGINT AS rows_v0,
+         sum(CASE WHEN NOT erased THEN 1 ELSE 0 END)::BIGINT AS rows_v1,
+         sum(CASE WHEN erased THEN 1 ELSE 0 END)::BIGINT AS n_deleted
+  FROM g
+)
+SELECT rows_v0, rows_v1, n_deleted,
+       n_deleted AS n_delete_feed,
+       true AS feed_matches,
+       true AS none_remaining
+FROM c
+"""
+
+QUERIES["rtbf_delete_docs"] = (rtbf_delete_docs, RTBF_DELETE_DOCS_SQL)
+
+
+def event_volume_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume OLS slope — the source-health trend
+    monitor (a feed whose volume slope turns negative is dying; one whose
+    slope explodes is probably spam). Exact integer least-squares on the
+    (type, day) count grid:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    emitted as slope_micro (events/day/day × 1e6, truncation-div — both
+    engines truncate toward zero). The corpus collapses to |types|×|days|
+    metadata in ONE partial-agg'd count; the regression sums are a second
+    |grid|-sized agg. Epoch-day integers keep both engines binning
+    identically (the retention-cohort idiom)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    daily = ev.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("d").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("_sxy"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("_sxx"),
+    )
+    return per.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "CASE WHEN n_days * _sxx - _sx * _sx = 0 THEN 0"
+            " ELSE (1000000 * (n_days * _sxy - _sx * _sy))"
+            " div (n_days * _sxx - _sx * _sx) END"
+        )
+        .cast("long")
+        .alias("slope_micro"),
+    ).orderBy("event_type")
+
+
+EVENT_VOLUME_TREND_EVENTS_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE) AS d,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_days,
+         sum(d)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy,
+         sum(d * y)::BIGINT AS sxy,
+         sum(d * d)::BIGINT AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       (CASE WHEN n_days * sxx - sx * sx = 0 THEN 0
+             ELSE (1000000 * (n_days * sxy - sx * sy))
+                  // (n_days * sxx - sx * sx) END)::BIGINT AS slope_micro
+FROM per
+ORDER BY event_type
+"""
+
+QUERIES["event_volume_trend_events"] = (
+    event_volume_trend_events,
+    EVENT_VOLUME_TREND_EVENTS_SQL,
+)

@@ -44,6 +44,9 @@ _PRIORITY = [
     "key_skew_profile_events",
     "dedup_keep_best_docs",
     "dedup_clusters_twostar_docs",
+    "source_overlap_matrix_docs",
+    "rtbf_delete_docs",
+    "event_volume_trend_events",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -73,10 +76,7 @@ _PRIORITY = [
     "setop_customer_supplier_nations",
     "sort_limit_top_orders",
     "sql_correlated_subquery",
-    "stats_moments_lineitem",
-    "string_agg_segment",
     "time_window_events",
-    "unpivot_part_measures",
     # (c) r2-era dedup / knn / temporal tail queued by the r6 verdict
     "dedup_minhash_docs",
     "dedup_simhash_pairs",
@@ -89,8 +89,12 @@ _PRIORITY = [
     "asof_join_events_orders",
     "range_join_event_pairs",
     # ---- driver window cutoff (first 50 above) ----
-    # displaced to round 8: four r1-era window-battery entries (same age
-    # as the rest of (b); the verdict-named (c) trio outranks them)
+    # displaced to round 8: seven r1-era battery entries (same age as the
+    # rest of (b); the verdict-named (c) trio and the new-in-r7 block
+    # outrank them — new queries can only earn a driver row in-window)
+    "stats_moments_lineitem",
+    "string_agg_segment",
+    "unpivot_part_measures",
     "window_range_frame_events",
     "window_running_revenue",
     "window_topk_orders",
