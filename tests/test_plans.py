@@ -620,3 +620,34 @@ def test_bucketed_join_has_zero_exchange(spark):
     assert plan.count("Bucketed: true") == 2
     # and the answer is still the join
     assert j.count() == ords.join(cust, "custkey").count()
+
+
+def test_round7_additions_plan_shapes(spark):
+    """The late round-7 operators keep the shapes their docstrings claim:
+    no cartesian/nested-loop candidate joins, no Python stages, and the
+    distributed-top-k path where promised."""
+    for name in [
+        "funnel_windowed_events",
+        "join_size_sample_orders_customer",
+        "classifier_report_docs",
+        "pareto_quality_docs",
+        "key_skew_profile_events",
+        "source_overlap_matrix_docs",
+        "event_volume_trend_events",
+        "dedup_keep_best_docs",
+        "dedup_clusters_twostar_docs",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in (
+            "join_size_sample_orders_customer",
+            "key_skew_profile_events",
+        ):
+            # (those two combine SINGLE-ROW aggregates — estimate+exact,
+            # totals+top10 — with a deliberate 1x1 crossJoin; a nested-
+            # loop join of two scalar rows is free at any scale)
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # skew profile's top-10 is per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in plan_of(spark, "key_skew_profile_events")
