@@ -4943,3 +4943,66 @@ QUERIES["event_volume_trend_events"] = (
     event_volume_trend_events,
     EVENT_VOLUME_TREND_EVENTS_SQL,
 )
+
+
+def dpp_prune_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning demo — the RUNTIME member of the pruning
+    family (bloom = row-level, stats manifest = file-level, Z-order =
+    layout, DPP = partition-level decided at execution time): events are
+    written partitioned by event_type, a materialized dimension maps
+    types to categories, and the fact scan is pruned by a runtime
+    subquery on the dimension's 'conversion' filter — a predicate the
+    optimizer CANNOT fold statically because it lives on a non-join
+    column of a separate scan. test_plans asserts the fact scan carries
+    a ``dynamicpruning#`` PartitionFilter; the oracle checks the join
+    algebra. At 100 TB this is the difference between scanning 2 of 500
+    partitions and scanning them all."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="dpp_")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(base + "/fact")
+    (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(
+                F.col("event_type").isin("purchase", "signup"),
+                F.lit("conversion"),
+            ).otherwise(F.lit("engagement")),
+        )
+        .write.mode("overwrite")
+        .parquet(base + "/dim")
+    )
+    fact = spark.read.parquet(base + "/fact")
+    dim = spark.read.parquet(base + "/dim").filter(
+        F.col("category") == "conversion"
+    )
+    return (
+        fact.join(dim.hint("broadcast"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,8)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DPP_PRUNE_JOIN_EVENTS_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value::DECIMAL(38,8))::DOUBLE, 2) AS total_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY 1
+ORDER BY event_type
+"""
+
+QUERIES["dpp_prune_join_events"] = (
+    dpp_prune_join_events,
+    DPP_PRUNE_JOIN_EVENTS_SQL,
+)

@@ -651,3 +651,18 @@ def test_round7_additions_plan_shapes(spark):
         assert "ArrowEvalPython" not in plan, name
     # skew profile's top-10 is per-partition heaps, not a global sort
     assert "TakeOrderedAndProject" in plan_of(spark, "key_skew_profile_events")
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """The fact scan must carry a dynamicpruning# PartitionFilter — the
+    dimension's category filter lives on a non-join column of a separate
+    materialized scan, so only runtime DPP (not static constraint
+    propagation) can prune the partitioned fact table."""
+    plan = plan_of(spark, "dpp_prune_join_events")
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert scan_lines, plan
+    # and the filter is NOT a statically-folded IN list on the fact side
+    assert not any("IN (purchase,signup)" in ln for ln in scan_lines)
