@@ -5006,3 +5006,62 @@ QUERIES["dpp_prune_join_events"] = (
     dpp_prune_join_events,
     DPP_PRUNE_JOIN_EVENTS_SQL,
 )
+
+
+def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution over the versioned table: v1 adds a
+    derived column to orders, and the contract row proves the semantics
+    three ways — time travel to v0 still serves the OLD schema (the new
+    column must not exist there), v1 serves the new one, and the
+    change-data-feed between the versions diffs over the COMMON columns
+    only, reporting zero spurious updates (an additive evolution must
+    not make unchanged rows look changed). This is the Iceberg/Delta
+    contract that lets a 100 TB table grow columns without rewriting
+    history — snapshots are immutable, readers pick their version."""
+    import tempfile
+
+    from . import tableformat
+
+    ords = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="schevo_")
+    v0 = tableformat.commit_version(ords, root)
+    evolved = ords.withColumn(
+        "is_urgent", F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    v1 = tableformat.commit_version(evolved, root)
+    t0 = tableformat.read_version(spark, root, v0)
+    t1 = tableformat.read_version(spark, root, v1)
+    feed = tableformat.table_changes(spark, root, v0, v1, ["o_orderkey"])
+    n_changes = feed.count()
+    n_urgent = t1.filter(F.col("is_urgent")).count()
+    return spark.createDataFrame(
+        [
+            (
+                t0.count(),
+                t1.count(),
+                "is_urgent" not in t0.columns,
+                "is_urgent" in t1.columns,
+                n_changes,
+                n_urgent,
+            )
+        ],
+        "rows_v0 long, rows_v1 long, v0_schema_unchanged boolean,"
+        " v1_has_column boolean, n_spurious_changes long, n_urgent long",
+    )
+
+
+SCHEMA_EVOLUTION_ORDERS_SQL = """
+SELECT count(*)::BIGINT AS rows_v0,
+       count(*)::BIGINT AS rows_v1,
+       true AS v0_schema_unchanged,
+       true AS v1_has_column,
+       0::BIGINT AS n_spurious_changes,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS n_urgent
+FROM orders
+"""
+
+QUERIES["schema_evolution_orders"] = (
+    schema_evolution_orders,
+    SCHEMA_EVOLUTION_ORDERS_SQL,
+)

@@ -48,6 +48,7 @@ _PRIORITY = [
     "rtbf_delete_docs",
     "event_volume_trend_events",
     "dpp_prune_join_events",
+    "schema_evolution_orders",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -74,7 +75,6 @@ _PRIORITY = [
     "scalar_functions_part",
     "semi_join_active_customers",
     "session_window_events",
-    "setop_customer_supplier_nations",
     "sql_correlated_subquery",
     "time_window_events",
     # (c) r2-era dedup / knn / temporal tail queued by the r6 verdict
@@ -92,6 +92,7 @@ _PRIORITY = [
     # displaced to round 8: seven r1-era battery entries (same age as the
     # rest of (b); the verdict-named (c) trio and the new-in-r7 block
     # outrank them — new queries can only earn a driver row in-window)
+    "setop_customer_supplier_nations",
     "sort_limit_top_orders",
     "stats_moments_lineitem",
     "string_agg_segment",
