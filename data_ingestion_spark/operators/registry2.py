@@ -5065,3 +5065,158 @@ QUERIES["schema_evolution_orders"] = (
     schema_evolution_orders,
     SCHEMA_EVOLUTION_ORDERS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Frequent-itemset mining: association rules (round 7)
+# --------------------------------------------------------------------------
+_ASSOC_MIN_ITEM = 2
+_ASSOC_MIN_PAIR = 2
+_ASSOC_TOPK = 20
+
+
+def assoc_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over order baskets (the Apriori pair
+    stage, Agrawal & Srikant VLDB'94): support / confidence / lift for
+    co-purchased part pairs, in exact integer micros. The basket-analysis
+    family — distinct from every aggregation/join shape already in the
+    registry — and the Apriori property does the scale work: items below
+    min-support are pruned BEFORE the pair join, so candidate volume is
+    (frequent items per basket)², not (all items)². Baskets are bounded
+    (≤ basket size² pair fan-out per order; cap the basket at corpus
+    scale — documented, the standard practice). Top-20 by lift through
+    TakeOrderedAndProject with a full deterministic tie-break, so the
+    cut is stable and oracle-replayable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_baskets = baskets.select("bid").distinct().count()
+    supp = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    freq = supp.filter(F.col("n_item") >= _ASSOC_MIN_ITEM)
+    fb = baskets.join(F.broadcast(freq), "item")
+    a, b = fb.alias("a"), fb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bid") == F.col("b.bid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _ASSOC_MIN_PAIR)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(freq.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr(f"(1000000 * n_ab) div {n_baskets}").cast("long").alias(
+                "support_micro"
+            ),
+            F.expr("(1000000 * n_ab) div n_a").cast("long").alias(
+                "confidence_micro"
+            ),
+            F.expr(f"(1000000 * n_ab * {n_baskets}) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_micro").desc(),
+        F.col("n_ab").desc(),
+        F.col("item_a").asc(),
+        F.col("item_b").asc(),
+    ).limit(_ASSOC_TOPK)
+
+
+ASSOC_RULES_LINEITEM_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem
+), nb AS (SELECT count(DISTINCT bid)::BIGINT AS n_baskets FROM baskets),
+supp AS (
+  SELECT item, count(*)::BIGINT AS n_item FROM baskets GROUP BY 1
+), freq AS (SELECT * FROM supp WHERE n_item >= {_ASSOC_MIN_ITEM}),
+fb AS (SELECT b.bid, b.item FROM baskets b JOIN freq USING (item)),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+  FROM fb a JOIN fb b ON a.bid = b.bid AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {_ASSOC_MIN_PAIR}
+)
+SELECT item_a, item_b, n_ab,
+       ((1000000 * n_ab) // n_baskets)::BIGINT AS support_micro,
+       ((1000000 * n_ab) // fa.n_item)::BIGINT AS confidence_micro,
+       ((1000000 * n_ab * n_baskets) // (fa.n_item * fb2.n_item))::BIGINT
+           AS lift_micro
+FROM pairs
+JOIN freq fa ON fa.item = pairs.item_a
+JOIN freq fb2 ON fb2.item = pairs.item_b
+CROSS JOIN nb
+ORDER BY lift_micro DESC, n_ab DESC, item_a ASC, item_b ASC
+LIMIT {_ASSOC_TOPK}
+"""
+
+QUERIES["assoc_rules_lineitem"] = (assoc_rules_lineitem, ASSOC_RULES_LINEITEM_SQL)
+
+
+def event_paths_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths (consecutive event-type
+    trigrams per user, clickstream path mining) — the sequence companion
+    to the first-order event_transitions matrix: two lead() windows over
+    ONE per-user ordering, a path count agg, TakeOrderedAndProject with
+    a full deterministic tie-break ((ts, event_id) ordering inside the
+    window, (count, steps) on the cut) so the top-k is stable and
+    oracle-replayable."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    paths = (
+        ev.select(
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    return paths.orderBy(
+        F.col("n_paths").desc(),
+        F.col("step1").asc(),
+        F.col("step2").asc(),
+        F.col("step3").asc(),
+    ).limit(20)
+
+
+EVENT_PATHS_TOPK_EVENTS_SQL = """
+WITH seq AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT step1, step2, step3, count(*)::BIGINT AS n_paths
+FROM seq
+WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+LIMIT 20
+"""
+
+QUERIES["event_paths_topk_events"] = (
+    event_paths_topk_events,
+    EVENT_PATHS_TOPK_EVENTS_SQL,
+)

@@ -49,6 +49,8 @@ _PRIORITY = [
     "event_volume_trend_events",
     "dpp_prune_join_events",
     "schema_evolution_orders",
+    "assoc_rules_lineitem",
+    "event_paths_topk_events",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -73,9 +75,7 @@ _PRIORITY = [
     "rank_dist_orders",
     "rollup_order_priority",
     "scalar_functions_part",
-    "semi_join_active_customers",
     "session_window_events",
-    "sql_correlated_subquery",
     "time_window_events",
     # (c) r2-era dedup / knn / temporal tail queued by the r6 verdict
     "dedup_minhash_docs",
@@ -89,11 +89,13 @@ _PRIORITY = [
     "asof_join_events_orders",
     "range_join_event_pairs",
     # ---- driver window cutoff (first 50 above) ----
-    # displaced to round 8: seven r1-era battery entries (same age as the
-    # rest of (b); the verdict-named (c) trio and the new-in-r7 block
+    # displaced to round 8: eleven r1-era battery entries (same age as
+    # the rest of (b); the verdict-named (c) trio and the new-in-r7 block
     # outrank them — new queries can only earn a driver row in-window)
+    "semi_join_active_customers",
     "setop_customer_supplier_nations",
     "sort_limit_top_orders",
+    "sql_correlated_subquery",
     "stats_moments_lineitem",
     "string_agg_segment",
     "unpivot_part_measures",
