@@ -380,6 +380,41 @@ def main() -> None:
         round(sorted(shared)[len(shared) // 2], 3) if shared else None
     )
     norm = max(drift or 1.0, median_ratio or 1.0, 1.0)
+
+    # Retry-confirm (round 7): even min-of-4 sub-second sampling showed
+    # ±40% same-day scatter (34 false flags against a same-day baseline
+    # while the canary measured the machine FASTER). A flag must now
+    # survive two fresh samples taken after the whole suite ran (warm
+    # JVM, settled load) — min can only drop, so a genuine regression
+    # keeps flagging while a jittered sample gets corrected. The median
+    # normalizer is then recomputed from the corrected timings.
+    suspect = [
+        name
+        for name, t in timings.items()
+        if name in prev_queries
+        and prev_queries[name] > 0.1
+        and (t / norm) > 1.2 * prev_queries[name]
+    ]
+    for name in suspect:
+        fn, _sql = registry[name]
+        best = timings[name]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    if suspect:
+        total = round(sum(timings.values()), 3)
+        shared = [
+            t / prev_queries[name]
+            for name, t in timings.items()
+            if name in prev_queries and prev_queries[name] > 0.1
+        ]
+        median_ratio = (
+            round(sorted(shared)[len(shared) // 2], 3) if shared else None
+        )
+        norm = max(drift or 1.0, median_ratio or 1.0, 1.0)
+
     regressions = {
         name: {
             "prev": prev_queries[name],
