@@ -5220,3 +5220,64 @@ QUERIES["event_paths_topk_events"] = (
     event_paths_topk_events,
     EVENT_PATHS_TOPK_EVENTS_SQL,
 )
+
+
+def neyman_allocation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a 1000-slot QC-review budget across
+    event-type strata (sampling.neyman_allocation): n_h ∝ N_h·S_h, the
+    minimum-variance spend of fixed human-review capacity — the third
+    allocation family next to UniMax (budget caps) and temperature
+    (power reweighting). Integer moments → IEEE-exact std → integer
+    largest-remainder apportionment: Σ alloc == 1000 exactly, every
+    value oracle-replayed."""
+    ev = load_table(spark, sf_dir, "events")
+    return sampling.neyman_allocation(ev, "event_type", "value", budget=1000)
+
+
+NEYMAN_ALLOCATION_EVENTS_SQL = """
+WITH vm AS (
+  SELECT event_type AS stratum,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+), per AS (
+  SELECT stratum, count(*)::BIGINT AS n_rows, sum(vm)::BIGINT AS s1,
+         sum(vm::DECIMAL(38,0) * vm)::DECIMAL(38,0) AS s2
+  FROM vm GROUP BY 1
+), wgt AS (
+  SELECT stratum, n_rows,
+         CASE WHEN n_rows < 2 THEN 0.0 ELSE
+           sqrt((CAST(s2 AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / CAST(n_rows AS DOUBLE))
+                / (CAST(n_rows AS DOUBLE) - 1.0)) END AS std
+  FROM per
+), w2 AS (
+  SELECT stratum, n_rows,
+         CAST(floor(std + 0.5) AS BIGINT) AS std_micro,
+         CAST(floor(n_rows * std + 0.5) AS BIGINT) AS w
+  FROM wgt
+), q0 AS (
+  SELECT stratum, n_rows, std_micro,
+         CASE WHEN sum(w) OVER () = 0 THEN n_rows ELSE w END AS w2
+  FROM w2
+), q AS (SELECT *, sum(w2) OVER () AS wsum FROM q0),
+q2 AS (
+  SELECT stratum, n_rows, std_micro,
+         CASE WHEN wsum = 0 THEN 0 ELSE (1000 * w2) // wsum END AS base,
+         CASE WHEN wsum = 0 THEN 0 ELSE (1000 * w2) % wsum END AS rem
+  FROM q
+), q3 AS (
+  SELECT *, 1000 - sum(base) OVER () AS give,
+         row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+  FROM q2
+)
+SELECT stratum, n_rows, std_micro,
+       (base + CASE WHEN rk <= give THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM q3
+ORDER BY stratum
+"""
+
+QUERIES["neyman_allocation_events"] = (
+    neyman_allocation_events,
+    NEYMAN_ALLOCATION_EVENTS_SQL,
+)

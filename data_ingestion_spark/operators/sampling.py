@@ -539,3 +539,106 @@ def unimax_allocation(
         )
         .orderBy(group_col)
     )
+
+
+def neyman_allocation(
+    df: DataFrame, stratum_col: str, value_col: str, budget: int
+) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934) of a fixed QC-sampling
+    budget across strata: n_h ∝ N_h·S_h — the minimum-variance way to
+    spend a fixed number of human-review slots across heterogeneous
+    strata (a big low-variance stratum needs FEWER samples than a small
+    chaotic one; proportional allocation wastes budget on the former).
+    The third member of the allocation family: UniMax caps by budget,
+    temperature reweights by power, Neyman spends by variance.
+
+    Exactness: values micro-round to integers first, so Σv and Σv² are
+    EXACT (Σv² in DECIMAL(38,0) — v²·rows overflows int64); the std then
+    computes in doubles from identical integer inputs with an identical
+    operation sequence on both engines, and IEEE sqrt is correctly
+    rounded — bit-identical cross-engine. Weights micro-round back to
+    integers before the largest-remainder (Hamilton) apportionment:
+    floor quotas + remainders ranked (remainder desc, stratum asc), so
+    Σ alloc == budget EXACTLY and every step is integer-replayable.
+
+    Scale shape: one partial-agg'd moments pass (the only corpus-sized
+    stage) to a |strata|-row table; windows run on that metadata table.
+    Returns (stratum, n_rows, std_micro, alloc), Σ alloc = budget.
+    """
+    vm = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("long")
+    per = (
+        df.select(F.col(stratum_col).alias("stratum"), vm.alias("vm"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("vm").cast("long").alias("_s1"),
+            F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).alias("_s2"),
+        )
+    )
+    std = F.expr(
+        "CASE WHEN n_rows < 2 THEN 0.0 ELSE"
+        " sqrt((CAST(_s2 AS DOUBLE) - (CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE))"
+        "       / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0)) END"
+    )
+    weighted = per.select(
+        "stratum",
+        "n_rows",
+        F.floor(std + F.lit(0.5)).cast("long").alias("std_micro"),
+        F.floor(F.col("n_rows") * std + F.lit(0.5)).cast("long").alias("_w"),
+    )
+    wall = W.partitionBy()
+    # degenerate fallback: if EVERY stratum has zero variance there is no
+    # Neyman signal — fall back to proportional-to-size weights so the
+    # Σ alloc == budget invariant still holds
+    quotas = weighted.select(
+        "stratum",
+        "n_rows",
+        "std_micro",
+        F.when(F.sum("_w").over(wall) == 0, F.col("n_rows"))
+        .otherwise(F.col("_w"))
+        .alias("_w2"),
+    ).select(
+        "stratum",
+        "n_rows",
+        "std_micro",
+        F.sum("_w2").over(wall).alias("_wsum"),
+        F.col("_w2"),
+    ).select(
+        "stratum",
+        "n_rows",
+        "std_micro",
+        F.expr(f"CASE WHEN _wsum = 0 THEN 0 ELSE ({budget} * _w2) div _wsum END")
+        .cast("long")
+        .alias("_base"),
+        F.expr(f"CASE WHEN _wsum = 0 THEN 0 ELSE ({budget} * _w2) % _wsum END")
+        .cast("long")
+        .alias("_rem"),
+    )
+    give = F.lit(budget) - F.sum("_base").over(wall)
+    rk = F.row_number().over(
+        W.orderBy(F.col("_rem").desc(), F.col("stratum").asc())
+    )
+    return (
+        quotas.select(
+            "stratum",
+            "n_rows",
+            "std_micro",
+            "_base",
+            give.alias("_give"),
+            rk.alias("_rk"),
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            "std_micro",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_give"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("stratum")
+    )

@@ -51,6 +51,7 @@ _PRIORITY = [
     "schema_evolution_orders",
     "assoc_rules_lineitem",
     "event_paths_topk_events",
+    "neyman_allocation_events",
     "theta_intersection_events",
     "dedup_nightly_pipeline_docs",
     "ks_critical_drift_docs",
@@ -74,7 +75,6 @@ _PRIORITY = [
     "pivot_priority_by_status",
     "rank_dist_orders",
     "rollup_order_priority",
-    "scalar_functions_part",
     "session_window_events",
     "time_window_events",
     # (c) r2-era dedup / knn / temporal tail queued by the r6 verdict
@@ -89,9 +89,10 @@ _PRIORITY = [
     "asof_join_events_orders",
     "range_join_event_pairs",
     # ---- driver window cutoff (first 50 above) ----
-    # displaced to round 8: eleven r1-era battery entries (same age as
+    # displaced to round 8: twelve r1-era battery entries (same age as
     # the rest of (b); the verdict-named (c) trio and the new-in-r7 block
     # outrank them — new queries can only earn a driver row in-window)
+    "scalar_functions_part",
     "semi_join_active_customers",
     "setop_customer_supplier_nations",
     "sort_limit_top_orders",

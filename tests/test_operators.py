@@ -2111,3 +2111,30 @@ def test_twostar_cc_long_chain(spark):
     out = _cc_dict(dedup.connected_components_twostar(df))
     assert set(out) == set(range(200))
     assert set(out.values()) == {0}
+
+
+def test_neyman_allocation_budget_and_proportionality(spark):
+    from data_ingestion_spark.operators import sampling
+
+    # stratum 0: large but CONSTANT (zero variance) — gets nothing;
+    # stratum 1: small but high-spread; stratum 2: mid
+    rows = (
+        [(0, 100.0)] * 50
+        + [(1, float(v)) for v in (0, 1000, 0, 1000, 0, 1000)]
+        + [(2, float(v % 7)) for v in range(20)]
+    )
+    df = spark.createDataFrame(rows, "s long, v double")
+    out = {r["stratum"]: r for r in sampling.neyman_allocation(df, "s", "v", 100).collect()}
+    assert sum(r["alloc"] for r in out.values()) == 100
+    assert out[0]["alloc"] == 0  # zero variance -> zero slots
+    assert out[1]["alloc"] > out[2]["alloc"]  # N*S dominates despite size
+
+
+def test_neyman_allocation_degenerate_all_constant(spark):
+    from data_ingestion_spark.operators import sampling
+
+    df = spark.createDataFrame([(0, 5.0)] * 3 + [(1, 7.0)] * 3, "s long, v double")
+    out = sampling.neyman_allocation(df, "s", "v", 10).collect()
+    # all-zero weights: the largest-remainder pass still hands out the
+    # full budget deterministically (remainder ties broken by stratum)
+    assert sum(r["alloc"] for r in out) == 10
