@@ -365,12 +365,16 @@ def main() -> None:
     # plan regression is a per-query outlier above it. The gate divides by
     # the LARGER of the two normalizers — conservative against false
     # positives, while a genuine regression still clears 1.2x of its own
-    # round's median. The norm is also clamped at 1.0: when the current
-    # run is FASTER than prev (both ratios < 1), dividing by a sub-1 norm
-    # would inflate adjusted times and flag every query that merely stayed
-    # flat while the environment sped up (measured: 27 false flags on a
-    # 0.91-median run) — an environment speedup is never evidence of a
-    # plan regression.
+    # round's median. Round 8: the ≥1.0 clamp is GONE — the norm now
+    # scales both directions, so a faster-than-prev environment tightens
+    # the threshold symmetrically instead of freezing at raw times. The
+    # false-flag mode the clamp papered over (sub-second scatter on a
+    # faster run: 27 flags on a 0.91-median run, 34 on a same-day
+    # baseline) is handled at the CAUSE by the retry-confirm stage below:
+    # every would-be flag must survive two fresh min-samples, and the
+    # final flag set is restricted to names that were suspects under BOTH
+    # the pre- and post-retry norms, so a recomputed norm can never mint
+    # flags that skipped the confirmation pass.
     shared = [
         t / prev_queries[name]
         for name, t in timings.items()
@@ -379,7 +383,7 @@ def main() -> None:
     median_ratio = (
         round(sorted(shared)[len(shared) // 2], 3) if shared else None
     )
-    norm = max(drift or 1.0, median_ratio or 1.0, 1.0)
+    norm = max(drift or 1.0, median_ratio or 1.0)
 
     # Retry-confirm (round 7): even min-of-4 sub-second sampling showed
     # ±40% same-day scatter (34 false flags against a same-day baseline
@@ -387,7 +391,11 @@ def main() -> None:
     # survive two fresh samples taken after the whole suite ran (warm
     # JVM, settled load) — min can only drop, so a genuine regression
     # keeps flagging while a jittered sample gets corrected. The median
-    # normalizer is then recomputed from the corrected timings.
+    # normalizer is then recomputed from the corrected timings, and the
+    # final flag set is RESTRICTED to the suspect set: retried min-samples
+    # can only lower timings, which can lower the recomputed norm, which
+    # could otherwise flag queries that never went through the two-sample
+    # confirmation — exactly the false-flag mode this stage removes.
     suspect = [
         name
         for name, t in timings.items()
@@ -413,8 +421,9 @@ def main() -> None:
         median_ratio = (
             round(sorted(shared)[len(shared) // 2], 3) if shared else None
         )
-        norm = max(drift or 1.0, median_ratio or 1.0, 1.0)
+        norm = max(drift or 1.0, median_ratio or 1.0)
 
+    suspect_set = set(suspect)
     regressions = {
         name: {
             "prev": prev_queries[name],
@@ -422,8 +431,7 @@ def main() -> None:
             "now_norm_adj": round(t / norm, 3),
         }
         for name, t in timings.items()
-        if name in prev_queries
-        and prev_queries[name] > 0.1  # sub-100ms timings are pure noise
+        if name in suspect_set  # only two-sample-confirmed flags survive
         and (t / norm) > 1.2 * prev_queries[name]
     }
 

@@ -686,6 +686,7 @@ def connected_components_twostar(
     )
     from pyspark.sql import Window as W
 
+    converged = False
     for _ in range(max_iter):
         # large-star over the symmetric adjacency: larger neighbors of
         # each node re-point to min(closed neighborhood)
@@ -715,8 +716,20 @@ def connected_components_twostar(
         # fixpoint: the (u, v) multiset is unchanged (both sides distinct)
         if ss.count() == e.count() and ss.subtract(e).count() == 0:
             e = ss
+            converged = True
             break
         e = ss
+    if not converged:
+        # A non-converged edge set may still contain nodes with multiple
+        # outgoing edges; the final left join would then fan out and emit
+        # duplicate (id, comp) rows with inconsistent labels — a SILENT
+        # correctness failure. Refuse instead: O(log² n) rounds suffice in
+        # theory but adversarial graphs can exceed a fixed max_iter.
+        raise RuntimeError(
+            f"connected_components_twostar: no fixpoint after {max_iter} "
+            "rounds; raise max_iter (each round strictly shrinks the edge-"
+            "span potential, so a larger budget always converges)"
+        )
     return nodes.join(
         e.select(F.col("u").alias("id"), F.col("v").alias("_c")), "id", "left"
     ).select(

@@ -4323,8 +4323,10 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase conversion funnel over the event stream
-    (temporal.funnel_steps, ClickHouse windowFunnel semantics): greedy
-    chained min-matching from each user's first 'view', bounded by a
+    (temporal.funnel_steps — greedy funnel anchored at each user's first
+    'view', a deliberate single-anchor restriction of ClickHouse
+    windowFunnel, which slides the anchor across every 'view'): greedy
+    chained min-matching from that first 'view', bounded by a
     7-day completion DEADLINE — the time-windowed variant of
     funnel_conversion_events (advanced.py), which counts unbounded
     ordered reachability. The chain is three user-keyed aggs/joins —
@@ -5127,7 +5129,17 @@ def assoc_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_ab) div n_a").cast("long").alias(
                 "confidence_micro"
             ),
-            F.expr(f"(1000000 * n_ab * {n_baskets}) div (n_a * n_b)")
+            # int64 headroom: 1e6·n_ab·n_baskets overflows 2^63 once
+            # n_baskets > ~3.0e6 (n_ab <= n_baskets), i.e. well inside the
+            # 100 TB range — so the lift numerator runs in DECIMAL(38,0)
+            # (HUGEINT on the DuckDB side), exact integer floor-division
+            # on both engines. support/confidence stay BIGINT: their
+            # numerators are bounded by 1e6·n_baskets < 2^63 up to ~9e12
+            # baskets.
+            F.expr(
+                f"(CAST(1000000 AS DECIMAL(38,0)) * n_ab * {n_baskets})"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            )
             .cast("long")
             .alias("lift_micro"),
         )
@@ -5157,8 +5169,8 @@ pairs AS (
 SELECT item_a, item_b, n_ab,
        ((1000000 * n_ab) // n_baskets)::BIGINT AS support_micro,
        ((1000000 * n_ab) // fa.n_item)::BIGINT AS confidence_micro,
-       ((1000000 * n_ab * n_baskets) // (fa.n_item * fb2.n_item))::BIGINT
-           AS lift_micro
+       ((1000000::HUGEINT * n_ab * n_baskets)
+        // (fa.n_item::HUGEINT * fb2.n_item))::BIGINT AS lift_micro
 FROM pairs
 JOIN freq fa ON fa.item = pairs.item_a
 JOIN freq fb2 ON fb2.item = pairs.item_b

@@ -327,9 +327,13 @@ def funnel_steps(
     steps: Sequence[str],
     window: str = "7 days",
 ) -> DataFrame:
-    """Ordered-step conversion funnel (ClickHouse ``windowFunnel``
-    semantics): for each user, walk the ordered ``steps`` sequence
-    greedily from the user's EARLIEST step-0 event — step *i* matches the
+    """Ordered-step conversion funnel — a greedy funnel anchored at each
+    user's EARLIEST step-0 event, a deliberate RESTRICTION of ClickHouse
+    ``windowFunnel`` semantics (windowFunnel slides the window anchor
+    across EVERY step-0 event and reports the best chain; this anchors
+    once — ``test_greedy_anchor_is_first_view`` pins a case where the two
+    disagree). For each user, walk the ordered ``steps`` sequence
+    greedily from that first step-0 event — step *i* matches the
     first event of that type STRICTLY after the matched step *i−1* event
     and no later than step-0's timestamp + ``window``. Returns one row per
     funnel stage: ``(step_idx, step_name, n_users, conv_from_first_micro)``.
@@ -344,9 +348,10 @@ def funnel_steps(
     before the join. The final stage table is |users| rows; the funnel
     summary is a single scalar agg + a literal unpivot.
 
-    Greedy-min matching is exactly the windowFunnel contract and is what
-    makes the operator deterministic (hence oracle-replayable): min() over
-    a fixed predicate has no tie ambiguity.
+    Single-anchor greedy-min matching (not windowFunnel's every-anchor
+    scan) is what makes the operator deterministic AND join-chain-shaped
+    (hence oracle-replayable): min() over a fixed predicate has no tie
+    ambiguity, and one anchor per user keeps every stage |users|-rows.
     """
     ev = events.select(
         F.col(user_col).alias("u"),
