@@ -34,6 +34,8 @@ from __future__ import annotations
 _PRIORITY = [
     # (a) new or changed in round 8 — must (re-)earn a driver-green row
     # (prepended as they land)
+    "dedup_embedding_pairs",  # r8 fold-lean verify (bit-identical, replanned)
+    "knn_lsh_pairs",  # same rewrite
     # (b) the full r1/r2-era staleness queue (39) — clears it in one window
     "cap_per_source_docs",
     "chunk_docs",

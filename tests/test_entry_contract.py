@@ -22,30 +22,34 @@ def test_registry_consistency():
     # zero rows-only queries left
     assert set(q) == set(o)
     assert len(q) >= 194
-    # driver verifies the first 50 in insertion order: every query new in
-    # round 7 must sit inside that window, and (r7 rotation) no query that
-    # already earned its driver-green row in the fully-green r6 window may
-    # burn a slot
+    # driver verifies the first 50 in insertion order: round-8 rotation
+    # clears the whole r1/r2-era staleness queue (39 names) in one window,
+    # and no query that already earned a driver-green row in the fully
+    # green r6/r7 windows may burn a slot
     names = list(q)
     window = set(names[:50])
-    for must in ("theta_intersection_events", "dedup_nightly_pipeline_docs",
-                 "ks_critical_drift_docs", "minhash_band_recall_docs",
-                 "robust_scale_events", "pmi_bigrams_corpus",
-                 "auc_quality_classifier_docs", "calibration_bins_docs",
-                 # late round-7 additions — all new, all need driver rows
-                 "funnel_windowed_events", "join_size_sample_orders_customer",
-                 "classifier_report_docs", "pareto_quality_docs",
-                 "bucketed_join_orders_customer", "key_skew_profile_events",
-                 "dedup_keep_best_docs", "dedup_clusters_twostar_docs",
-                 "source_overlap_matrix_docs", "rtbf_delete_docs",
-                 "event_volume_trend_events", "cms_token_freq_corpus",
-                 # the r6-verdict-named displaced temporal/knn tail
-                 "knn_cosine_topk", "knn_ivf_topk",
-                 "kmeans_centroids_embeddings", "gapfill_events_locf",
-                 "asof_join_events_orders", "range_join_event_pairs",
-                 "session_window_events", "time_window_events"):
+    stale_r1r2 = (
+        "cap_per_source_docs", "chunk_docs", "decontaminate_docs",
+        "dup_ngram_fraction_docs", "embedding_centroids_by_label",
+        "fingerprint_docs", "ingest_metrics_by_source", "json_extract_events",
+        "lang_id_docs", "multimodal_metadata_docs", "ndv_hll_events",
+        "ngram_topk_corpus", "normalize_text_docs", "pack_sequences_docs",
+        "percentile_approx_lineitem", "pii_scrub_docs", "quality_filter_docs",
+        "quantize_embeddings", "regexp_extract_docs", "repetition_stats_docs",
+        "sample_docs_hash", "scalar_functions_part",
+        "semi_join_active_customers", "setop_customer_supplier_nations",
+        "skew_salted_agg_events", "sort_limit_top_orders", "split_docs_hash",
+        "sql_correlated_subquery", "stats_moments_lineitem",
+        "string_agg_segment", "text_quality_docs", "tfidf_docs",
+        "token_count_docs", "unpivot_part_measures",
+        "window_range_frame_events", "window_running_revenue",
+        "window_topk_orders", "winnow_fingerprint_docs", "word_count_docs",
+    )
+    for must in stale_r1r2:
         assert must in window, must
-    for r6_green in ("stats_prune_scan_orders", "kn_bigram_lm_corpus",
-                     "tpch_q9_product_profit", "ingest_csv_docs",
-                     "dedup_exact_docs"):
-        assert r6_green not in window, r6_green
+    for fresh_green in ("stats_prune_scan_orders", "kn_bigram_lm_corpus",
+                        "tpch_q9_product_profit", "ingest_csv_docs",
+                        "dedup_exact_docs", "theta_intersection_events",
+                        "funnel_windowed_events", "knn_cosine_topk",
+                        "session_window_events"):
+        assert fresh_green not in window, fresh_green
