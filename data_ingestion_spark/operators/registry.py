@@ -2305,8 +2305,14 @@ def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_matches, best_corpus_id, best_est_jaccard) — plus the pipeline's
     audit constants (cdf_inserts from the change feed, index_rows_v0/v1).
     Scale shape: the stored index is the only corpus-sized artifact
-    touched per night; corpus×corpus is never re-paired, and the index
-    join shuffles 8-byte band keys, not documents.
+    touched per night; corpus×corpus is never re-paired. Round 8: the
+    index is committed BUCKETED by the packed band key
+    (tableformat.commit_version_bucketed), so the index side of the
+    nightly candidate join is exchange-free — plan-asserted in
+    tests/test_plans.py — and only the night's batch (the small side)
+    shuffles. At 100 TB that converts the nightly join's dominant cost
+    from re-shuffling the whole index every night to a one-time
+    write-side shuffle per commit.
     """
     import tempfile
 
@@ -2332,19 +2338,30 @@ def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bbase, bbands = dedup._minhash_bands(batch, "doc_id", "text", **kwargs)
 
     root = tempfile.mkdtemp(prefix="nightly_dedup_")
-    flat = lambda b: b.select(  # noqa: E731 — (id, band, key) parquet rows
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # bkey packs (band, key) into ONE column — 'band:key' with ':' absent
+    # from the comma-joined hash key, so the packing is collision-free and
+    # joining on bkey alone is EXACTLY the (band, key) equi-join. A single
+    # key is what the stored index is BUCKETED by (r8): the index commit
+    # pays the join's shuffle once at write time, and every nightly join
+    # after that reads the index exchange-free (plan-asserted in
+    # tests/test_plans.py); only the night's batch shuffles.
+    flat = lambda b: b.select(  # noqa: E731 — (id, band, key, bkey) rows
+        "id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        F.concat_ws(":", F.col("bk.band").cast("string"), F.col("bk.key")).alias(
+            "bkey"
+        ),
     )
     v0_docs = tableformat.commit_version(corpus, root + "/docs")
-    v0_idx = tableformat.commit_version(flat(cbands), root + "/index")
+    v0_idx = tableformat.commit_version_bucketed(
+        flat(cbands), root + "/index", bucket_col="bkey", n_buckets=8
+    )
 
     stored_idx = tableformat.read_version(spark, root + "/index", v0_idx)
     cand = (
         stored_idx.alias("a")
-        .join(
-            flat(bbands).alias("b"),
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
-        )
+        .join(flat(bbands).alias("b"), F.col("a.bkey") == F.col("b.bkey"))
         .select(F.col("a.id").alias("corpus_id"), F.col("b.id").alias("batch_id"))
         .dropDuplicates(["corpus_id", "batch_id"])
     )
@@ -2404,8 +2421,13 @@ def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted_bands = flat(bbands).join(
         accepted_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi"
     )
-    tableformat.commit_version(
-        stored_idx.unionByName(accepted_bands), root + "/index"
+    # v1 of the index stays bucketed — every nightly commit preserves the
+    # exchange-free join property for the next night
+    tableformat.commit_version_bucketed(
+        stored_idx.unionByName(accepted_bands),
+        root + "/index",
+        bucket_col="bkey",
+        n_buckets=8,
     )
 
     cdf = tableformat.table_changes(

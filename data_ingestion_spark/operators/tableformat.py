@@ -74,17 +74,79 @@ def commit_version(df: DataFrame, root: str) -> int:
     return v
 
 
+def commit_version_bucketed(
+    df: DataFrame, root: str, bucket_col: str, n_buckets: int
+) -> int:
+    """Commit the next snapshot as a BUCKETED table: rows are
+    hash-distributed into ``n_buckets`` files by ``bucket_col`` and sorted
+    within each bucket (Spark bucketBy/sortBy) — the shuffle every later
+    equi-join on ``bucket_col`` would need, paid once at commit time.
+
+    This is the production shape for a stored index that a nightly batch
+    joins against (dedup_nightly_pipeline_docs): the index side of the
+    join reads exchange-free forever; only the (small) nightly batch
+    shuffles. Bucket metadata lives in the session catalog, not in the
+    parquet files, so the manifest records the catalog table name and
+    ``read_version`` resolves bucketed snapshots through ``spark.table``
+    — reading the path directly would silently lose the bucketing (and
+    with it the exchange elision).
+
+    Same crash discipline as ``commit_version``: data (and catalog entry)
+    land before the manifest pointer flips.
+    """
+    spark = df.sparkSession
+    os.makedirs(root, exist_ok=True)
+    if os.path.exists(_manifest_path(root)):
+        manifest = read_manifest(root)
+    else:
+        manifest = {"current": -1, "versions": []}
+    v = manifest["current"] + 1
+    vdir = f"v{v}"
+    # catalog names must be identifiers; derive one from the root dirname
+    safe = "".join(c if c.isalnum() else "_" for c in os.path.basename(root.rstrip("/")))
+    table = f"vtab_{safe}_{vdir}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # bucketBy WITHOUT sortBy: only the hashpartitioning matters for
+    # exchange elision — Spark ≥3.0 ignores bucket sort metadata at read
+    # time by default (see write_bucketed), so a write-side sort would be
+    # pure cost here.
+    (
+        df.write.mode("overwrite")
+        .option("path", os.path.join(root, vdir))
+        .bucketBy(n_buckets, bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    manifest["versions"].append(
+        {
+            "v": v,
+            "dir": vdir,
+            "table": table,
+            "bucket_col": bucket_col,
+            "n_buckets": n_buckets,
+        }
+    )
+    manifest["current"] = v
+    _write_manifest_atomic(root, manifest)
+    return v
+
+
 def read_version(spark, root: str, version: int | None = None) -> DataFrame:
     """Read a snapshot: ``version=None`` → the current pointer; an int →
-    time travel to that committed version. Unknown versions raise."""
+    time travel to that committed version. Unknown versions raise.
+    Bucketed snapshots resolve through the catalog so the scan keeps its
+    hashpartitioning(bucket_col) output partitioning."""
     manifest = read_manifest(root)
     v = manifest["current"] if version is None else version
-    entries = {e["v"]: e["dir"] for e in manifest["versions"]}
+    entries = {e["v"]: e for e in manifest["versions"]}
     if v not in entries:
         raise ValueError(
             f"version {v} not in table (have {sorted(entries)})"
         )
-    return spark.read.parquet(os.path.join(root, entries[v]))
+    entry = entries[v]
+    if "table" in entry:
+        return spark.table(entry["table"])
+    return spark.read.parquet(os.path.join(root, entry["dir"]))
 
 
 def vacuum(root: str, keep_last: int) -> list[int]:

@@ -666,3 +666,46 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
     assert scan_lines, plan
     # and the filter is NOT a statically-folded IN list on the fact side
     assert not any("IN (purchase,signup)" in ln for ln in scan_lines)
+
+
+def test_nightly_index_commit_is_exchange_free_on_index_side(spark):
+    """The nightly-dedup production shape (dedup_nightly_pipeline_docs):
+    a band index committed via tableformat.commit_version_bucketed and
+    re-read through read_version keeps its bucketed hashpartitioning, so
+    the nightly candidate equi-join on the bucket key needs NO Exchange
+    on the (corpus-sized) index side — exactly one Exchange total, the
+    night's batch. Broadcast is disabled so a small test batch can't
+    hide the property (at 100 TB the batch side can exceed broadcast
+    size, which is when bucketing is the only thing standing between
+    the join and a nightly full-index shuffle)."""
+    import re
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import tableformat
+
+    bkey = F.concat_ws(
+        ":", (F.col("id") % 7).cast("string"), (F.col("id") % 13).cast("string")
+    )
+    idx = spark.range(2000).select(F.col("id"), bkey.alias("bkey"))
+    batch = spark.range(200).select((F.col("id") + 10_000).alias("id"), bkey.alias("bkey"))
+    root = tempfile.mkdtemp(prefix="nidx_plan_")
+    v = tableformat.commit_version_bucketed(idx, root, "bkey", 8)
+    stored = tableformat.read_version(spark, root, v)
+    assert stored.count() == 2000  # manifest round-trip, catalog-resolved
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = stored.alias("a").join(
+            batch.alias("b"), F.col("a.bkey") == F.col("b.bkey")
+        ).select(F.col("a.id").alias("corpus_id"), F.col("b.id").alias("batch_id"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Bucketed: true") == 1, plan
+        # exactly ONE Exchange: the batch side shuffling to meet the
+        # index's write-time partitioning — the index side reads in place
+        assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
