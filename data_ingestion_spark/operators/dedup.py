@@ -68,6 +68,7 @@ def jaccard_pairs(
     block_cols: list[Column],
     k: int = 3,
     threshold: float = 0.2,
+    prebuilt_base: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs within a block with shingle-Jaccard ≥ threshold —
     LOSSLESSLY pruned by AllPairs prefix + length filtering (Bayardo,
@@ -112,29 +113,40 @@ def jaccard_pairs(
     Set semantics via array_intersect/array_union (both dedup — matching
     DuckDB's list_intersect/list_distinct).
     """
-    # Filter on token count (== "has >=1 shingle") BEFORE building shingles:
-    # a size(shingles)>0 filter would be pushed below the projection and
-    # re-evaluate the whole shingle expression against raw text per row.
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            tokens(F.col(text_col)).alias("toks"),
-            F.struct(*block_cols).alias("block"),
+    if prebuilt_base is not None:
+        # Fusion seam (r8): a caller that ALSO runs the minhash pipeline
+        # over the same corpus (minhash_band_recall_docs) tokenizes and
+        # shingles once and hands the materialized (id, sset, block)
+        # frame in — sset must be array_sort(array_distinct(shingles)),
+        # exactly what the in-line branch below builds. The caller owns
+        # materialization.
+        base = prebuilt_base
+    else:
+        # Filter on token count (== "has >=1 shingle") BEFORE building
+        # shingles: a size(shingles)>0 filter would be pushed below the
+        # projection and re-evaluate the whole shingle expression against
+        # raw text per row.
+        base = (
+            df.select(
+                F.col(id_col).alias("id"),
+                tokens(F.col(text_col)).alias("toks"),
+                F.struct(*block_cols).alias("block"),
+            )
+            .filter(F.size("toks") >= k)
+            .select(
+                "id",
+                F.array_sort(
+                    F.array_distinct(word_shingles(F.col("toks"), k))
+                ).alias("sset"),
+                "block",
+            )
         )
-        .filter(F.size("toks") >= k)
-        .select(
-            "id",
-            F.array_sort(F.array_distinct(word_shingles(F.col("toks"), k))).alias(
-                "sset"
-            ),
-            "block",
-        )
-    )
-    # The shingle pipeline feeds THREE consumers (df agg, prefix stream,
-    # verify-side sets); materialize it once instead of re-tokenizing the
-    # corpus per consumer. localCheckpoint stores executor-local blocks —
-    # no driver collect, partitioning preserved.
-    base = base.localCheckpoint(eager=False)
+        # The shingle pipeline feeds THREE consumers (df agg, prefix
+        # stream, verify-side sets); materialize it once instead of
+        # re-tokenizing the corpus per consumer. localCheckpoint stores
+        # executor-local blocks — no driver collect, partitioning
+        # preserved.
+        base = base.localCheckpoint(eager=False)
     # Global document frequency per shingle, kept only where df >= 2:
     # unlisted shingles are unique (df = 1) and need no table entry. On a
     # low-repetition corpus this table is tiny and AQE turns the join
@@ -214,24 +226,33 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 def _minhash_bands(
     df, id_col, text_col, k, num_hash_tables, seed, hash_fn, band_r,
-    materialize, prehash_fn,
+    materialize, prehash_fn, prebuilt_shingles=None,
 ):
     """Shared signature machinery for minhash_near_dup /
     minhash_incremental_pairs: shingle sets + (band, key) explode.
-    Returns (base(id, shingles[, hvals]), exploded(id, bk))."""
+    Returns (base(id, shingles[, hvals]), exploded(id, bk)).
+    ``prebuilt_shingles`` (r8 fusion seam): an already-materialized
+    (id, shingles) frame — shingles = array_distinct(word_shingles(toks))
+    with the size(toks) >= k filter applied, exactly what the in-line
+    branch builds — so a caller running BOTH the exact and the minhash
+    pipeline (minhash_band_recall_docs) tokenizes the corpus once."""
     if hash_fn is None:
         def hash_fn(s, i):
             return F.xxhash64(s, F.lit(seed + i))
-    base = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-        .filter(F.size("toks") >= k)
-        .select(
-            "id", F.array_distinct(word_shingles(F.col("toks"), k)).alias("shingles")
+    if prebuilt_shingles is not None:
+        base = prebuilt_shingles
+    else:
+        base = (
+            df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+            .filter(F.size("toks") >= k)
+            .select(
+                "id",
+                F.array_distinct(word_shingles(F.col("toks"), k)).alias("shingles"),
+            )
         )
-    )
     if prehash_fn is not None:
         base = base.withColumn("hvals", F.transform("shingles", prehash_fn))
-    if materialize:
+    if materialize and prebuilt_shingles is None:
         base = base.localCheckpoint(eager=True)
 
     def _table_hash(idx):
@@ -280,6 +301,7 @@ def minhash_near_dup(
     band_r: int = 1,
     materialize: bool = False,
     prehash_fn=None,
+    prebuilt_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash LSH, entirely in codegen'd
     JVM expressions (no ML pipeline, no Python in the hot path).
@@ -323,7 +345,7 @@ def minhash_near_dup(
     """
     base, exploded = _minhash_bands(
         df, id_col, text_col, k, num_hash_tables, seed, hash_fn, band_r,
-        materialize, prehash_fn,
+        materialize, prehash_fn, prebuilt_shingles=prebuilt_shingles,
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (

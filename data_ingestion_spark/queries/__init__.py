@@ -37,6 +37,7 @@ _PRIORITY = [
     "dedup_embedding_pairs",  # r8 fold-lean verify (bit-identical, replanned)
     "knn_lsh_pairs",  # same rewrite
     "dedup_nightly_pipeline_docs",  # r8 bucketed stored index
+    "minhash_band_recall_docs",  # r8 fused shingle pipeline
     # (b) the full r1/r2-era staleness queue (39) — clears it in one window
     "cap_per_source_docs",
     "chunk_docs",
