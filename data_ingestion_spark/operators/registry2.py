@@ -4878,6 +4878,91 @@ FROM c
 QUERIES["rtbf_delete_docs"] = (rtbf_delete_docs, RTBF_DELETE_DOCS_SQL)
 
 
+def rtbf_delete_dv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTBF deletion via a DELETION VECTOR (the Delta DV design) — the
+    100 TB-friendly sibling of rtbf_delete_docs: instead of copy-on-write
+    rewriting every stats-overlapping file, the commit writes ONLY the
+    erase-key mask (O(|erase set|) — a one-row request commits in
+    milliseconds against any table size) and readers apply it as a
+    broadcast anti-join (tableformat.commit_deletion_vector /
+    read_version). The row PROVES the same deletion contract as the
+    copy-on-write path — version row counts, delete-only change feed of
+    the right size, zero erased ids readable — PLUS the tier-equivalence
+    guarantee: the masked read is row-for-row equal to the rewritten
+    read (exceptAll in both directions), so a reader cannot tell which
+    deletion tier produced the version. mask_rows surfaces that the
+    commit wrote exactly |erase set| rows and nothing else."""
+    import tempfile
+
+    from ..functions import md5_hash60
+    from . import tableformat
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="rtbf_dv_")
+    erase_gate = md5_hash60(F.col("doc_id").cast("string")) % 20 == 0
+    erase_keys = docs.filter(erase_gate).select("doc_id")
+    v0 = tableformat.commit_version(docs, root)
+    v1 = tableformat.commit_deletion_vector(erase_keys, root, "doc_id")
+    masked = tableformat.read_version(spark, root, v1)
+    rows_v0 = tableformat.read_version(spark, root, v0).count()
+    rows_v1 = masked.count()
+    mask_rows = spark.read.parquet(root + "/v1").count()
+    feed = tableformat.table_changes(spark, root, v0, v1, ["doc_id"])
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in feed.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_delete_feed = int(by_type.get("delete", 0))
+    feed_clean = set(by_type) <= {"delete"}
+    remaining_erased = masked.filter(erase_gate).count()
+    cow = docs.filter(~erase_gate)
+    dv_equals_cow = (
+        masked.exceptAll(cow).count() == 0 and cow.exceptAll(masked).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                rows_v0,
+                rows_v1,
+                rows_v0 - rows_v1,
+                mask_rows,
+                n_delete_feed,
+                bool(feed_clean and n_delete_feed == rows_v0 - rows_v1),
+                remaining_erased == 0,
+                bool(dv_equals_cow),
+            )
+        ],
+        "rows_v0 long, rows_v1 long, n_deleted long, mask_rows long,"
+        " n_delete_feed long, feed_matches boolean, none_remaining boolean,"
+        " dv_equals_cow boolean",
+    )
+
+
+RTBF_DELETE_DV_DOCS_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         {_SQL_HASH60.format(c='doc_id::VARCHAR')} % 20 = 0 AS erased
+  FROM documents
+), c AS (
+  SELECT count(*)::BIGINT AS rows_v0,
+         sum(CASE WHEN NOT erased THEN 1 ELSE 0 END)::BIGINT AS rows_v1,
+         sum(CASE WHEN erased THEN 1 ELSE 0 END)::BIGINT AS n_deleted
+  FROM g
+)
+SELECT rows_v0, rows_v1, n_deleted,
+       n_deleted AS mask_rows,
+       n_deleted AS n_delete_feed,
+       true AS feed_matches,
+       true AS none_remaining,
+       true AS dv_equals_cow
+FROM c
+"""
+
+QUERIES["rtbf_delete_dv_docs"] = (rtbf_delete_dv_docs, RTBF_DELETE_DV_DOCS_SQL)
+
+
 def event_volume_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type daily-volume OLS slope — the source-health trend
     monitor (a feed whose volume slope turns negative is dying; one whose

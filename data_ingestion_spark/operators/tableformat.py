@@ -131,11 +131,45 @@ def commit_version_bucketed(
     return v
 
 
+def commit_deletion_vector(keys_df: DataFrame, root: str, key_col: str) -> int:
+    """Metadata-only delete (the Delta deletion-vector design): commit a
+    new version whose DATA is the previous version's files — untouched —
+    plus a small mask of deleted keys. The write is O(|erase set|), not
+    O(files overlapping the erase keys): a one-row RTBF request against a
+    100 TB table commits in milliseconds instead of rewriting every
+    stats-overlapping file (the copy-on-write path, rtbf_delete_docs).
+    Reads of this version apply the mask as an anti-join on ``key_col``
+    (read_version); AQE broadcasts the mask when small — which a deletion
+    vector is by design. Compaction/vacuum can later fold the mask into a
+    rewritten snapshot; until then every reader sees the deletion with
+    zero data movement. Same crash discipline: the mask lands before the
+    pointer flips."""
+    spark = keys_df.sparkSession  # noqa: F841 — parity with commit_version
+    manifest = read_manifest(root)
+    base_v = manifest["current"]
+    if base_v < 0:
+        raise ValueError("deletion vector needs an existing base version")
+    v = base_v + 1
+    vdir = f"v{v}"
+    keys_df.select(key_col).write.mode("overwrite").parquet(
+        os.path.join(root, vdir)
+    )
+    manifest["versions"].append(
+        {"v": v, "dir": vdir, "dv_base": base_v, "dv_key": key_col}
+    )
+    manifest["current"] = v
+    _write_manifest_atomic(root, manifest)
+    return v
+
+
 def read_version(spark, root: str, version: int | None = None) -> DataFrame:
     """Read a snapshot: ``version=None`` → the current pointer; an int →
     time travel to that committed version. Unknown versions raise.
     Bucketed snapshots resolve through the catalog so the scan keeps its
-    hashpartitioning(bucket_col) output partitioning."""
+    hashpartitioning(bucket_col) output partitioning. Deletion-vector
+    versions resolve recursively: base-version data anti-joined with the
+    committed key mask — the mask is metadata-scale, so the anti-join is
+    a broadcast at any table size."""
     manifest = read_manifest(root)
     v = manifest["current"] if version is None else version
     entries = {e["v"]: e for e in manifest["versions"]}
@@ -144,6 +178,10 @@ def read_version(spark, root: str, version: int | None = None) -> DataFrame:
             f"version {v} not in table (have {sorted(entries)})"
         )
     entry = entries[v]
+    if "dv_base" in entry:
+        base = read_version(spark, root, entry["dv_base"])
+        mask = spark.read.parquet(os.path.join(root, entry["dir"]))
+        return base.join(mask, entry["dv_key"], "left_anti")
     if "table" in entry:
         return spark.table(entry["table"])
     return spark.read.parquet(os.path.join(root, entry["dir"]))
@@ -236,9 +274,19 @@ def collect_stats(root: str, version: int | None = None, columns=None) -> dict:
 
     manifest = read_manifest(root)
     v = manifest["current"] if version is None else version
+    full = {e["v"]: e for e in manifest["versions"]}
+    if v not in full:
+        raise ValueError(f"version {v} not in table (have {sorted(full)})")
+    if "dv_base" in full[v]:
+        # A deletion-vector version's directory holds the KEY MASK, not
+        # data files — footer stats over it would silently describe the
+        # mask. Stats for the live rows require a read (or a compaction
+        # that folds the mask into a rewritten snapshot first).
+        raise ValueError(
+            f"version {v} is a deletion-vector commit; collect stats on "
+            "its base version or compact the mask into a full snapshot"
+        )
     entries = {e["v"]: e["dir"] for e in manifest["versions"]}
-    if v not in entries:
-        raise ValueError(f"version {v} not in table (have {sorted(entries)})")
     vdir = os.path.join(root, entries[v])
     files = []
     for name in sorted(os.listdir(vdir)):

@@ -38,6 +38,7 @@ _PRIORITY = [
     "knn_lsh_pairs",  # same rewrite
     "dedup_nightly_pipeline_docs",  # r8 bucketed stored index
     "minhash_band_recall_docs",  # r8 fused shingle pipeline
+    "rtbf_delete_dv_docs",  # NEW r8: deletion-vector RTBF tier
     # (b) the full r1/r2-era staleness queue (39) — clears it in one window
     "cap_per_source_docs",
     "chunk_docs",

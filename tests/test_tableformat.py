@@ -306,3 +306,61 @@ def test_nightly_pipeline_versioned_composition(spark):
             assert r["best_corpus_id"] is not None and r["n_matches"] >= 1
         else:
             assert r["best_corpus_id"] is None and r["n_matches"] == 0
+
+
+def test_deletion_vector_masks_reads_and_chains(spark, tmp_path):
+    """commit_deletion_vector is metadata-only: the new version dir holds
+    ONLY the key mask, the base snapshot's files are untouched, reads
+    apply the mask (recursively for DV-on-DV chains), and time travel to
+    the base still sees every row."""
+    import os
+
+    from data_ingestion_spark.operators import tableformat as tf
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "dv")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    v0 = tf.commit_version(df, root)
+    v1 = tf.commit_deletion_vector(
+        spark.range(10).select(F.col("id").alias("k")), root, "k"
+    )
+    assert tf.read_version(spark, root, v1).count() == 90
+    assert tf.read_version(spark, root, v0).count() == 100  # time travel
+    # the DV dir contains only the (1-column) mask, not rewritten data
+    mask = spark.read.parquet(os.path.join(root, "v1"))
+    assert mask.columns == ["k"] and mask.count() == 10
+    # chain: a second DV on top of the first composes
+    v2 = tf.commit_deletion_vector(
+        spark.range(10, 15).select(F.col("id").alias("k")), root, "k"
+    )
+    live = tf.read_version(spark, root, v2)
+    assert live.count() == 85
+    assert live.filter(F.col("k") < 15).count() == 0
+    # change feed across the chain is delete-only with the right keys
+    feed = tf.table_changes(spark, root, v0, v2, ["k"])
+    types = {r["change_type"] for r in feed.select("change_type").distinct().collect()}
+    assert types == {"delete"}
+    assert feed.count() == 15
+
+
+def test_deletion_vector_guards(spark, tmp_path):
+    """Footer-stats math over a DV version would silently describe the
+    mask — collect_stats must refuse; a DV without a base must refuse."""
+    import pytest as _pytest
+
+    from data_ingestion_spark.operators import tableformat as tf
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "dvg")
+    with _pytest.raises(Exception):
+        tf.commit_deletion_vector(
+            spark.range(1).select(F.col("id").alias("k")), root, "k"
+        )
+    tf.commit_version(spark.range(5).toDF("k"), root)
+    v1 = tf.commit_deletion_vector(
+        spark.range(1).select(F.col("id").alias("k")), root, "k"
+    )
+    with _pytest.raises(ValueError, match="deletion-vector"):
+        tf.collect_stats(root, version=v1)
