@@ -4609,6 +4609,72 @@ QUERIES["key_skew_profile_events"] = (
 )
 
 
+def skew_autogate_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-gated skew salting (skew.autogated_join, r8): the skew
+    pre-flight is wired as the DECISION INPUT — profile the join key,
+    salt iff the hottest key holds ≥10% of the rows, plain join
+    otherwise. The fixture joins events to a type-level dim on
+    event_type (|types| ≈ 5, so the top key holds ~20% of a 100 TB
+    shuffle — the hot-category case salting exists for): the profile
+    trips the gate and the SALTED branch runs (plan-asserted in
+    tests/test_plans.py; the same helper on near-uniform user_id takes
+    the plain branch, pytest-pinned). Salting is semantically invisible,
+    so the oracle is the PLAIN join — and the gate decision itself is a
+    value-checked column, re-derived by the oracle from the same
+    threshold arithmetic."""
+    from . import skew
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_code", F.substring(F.md5(F.col("event_type")), 1, 4)
+        )
+    )
+    joined, salted = skew.autogated_join(
+        ev, dim, on="event_type", probe_salt_from="event_id", buckets=8
+    )
+    return (
+        joined.groupBy("type_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.sum("value") * F.lit(100) + F.lit(0.5))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .withColumn("salted", F.lit(bool(salted)))
+        .orderBy("type_code")
+    )
+
+
+SKEW_AUTOGATE_JOIN_EVENTS_SQL = """
+WITH c AS (SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+gate AS (
+  SELECT ((1000000 * max(cnt)) // sum(cnt)) >= 100000 AS salted FROM c
+),
+dim AS (
+  SELECT DISTINCT event_type, substr(md5(event_type), 1, 4) AS type_code
+  FROM events
+)
+SELECT d.type_code,
+       count(*)::BIGINT AS n_events,
+       floor(sum(e.value) * 100 + 0.5)::BIGINT AS total_cents,
+       (SELECT salted FROM gate) AS salted
+FROM events e
+JOIN dim d ON d.event_type = e.event_type
+GROUP BY d.type_code
+ORDER BY d.type_code
+"""
+
+QUERIES["skew_autogate_join_events"] = (
+    skew_autogate_join_events,
+    SKEW_AUTOGATE_JOIN_EVENTS_SQL,
+)
+
+
 def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: near-dup clusters (the same
     blocked-Jaccard + connected-components pipeline as

@@ -122,3 +122,40 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         F.expr("(1000000 * _s10) div n_rows").cast("long").alias("top10_share_micro"),
         F.expr("(1000000 * n_rows) div n_keys").cast("long").alias("avg_fanout_micro"),
     )
+
+
+def autogated_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_salt_from: str,
+    buckets: int = 8,
+    gate_micro: int = 100_000,
+) -> tuple[DataFrame, bool]:
+    """The profile→threshold→branch composition (round 8): run
+    ``key_skew_profile`` on the probe side's join key and pick
+    ``salted_join`` iff the hottest key holds ≥ ``gate_micro`` millionths
+    of the rows (default 10% — a key that routes a tenth of a 100 TB
+    shuffle through one reducer is the thing salting exists for); plain
+    equi-join otherwise, because salting a uniform key just multiplies
+    the build side ×buckets for nothing.
+
+    The profile is a ONE-ROW driver collect (metadata-scale: the per-key
+    count agg runs distributed; only six integers reach the driver) — the
+    same pre-flight pattern as join_cardinality/stats-manifest planning.
+    Salting is semantically invisible, so callers' results are identical
+    on both branches; returns (joined, salted_flag) so the caller can
+    surface WHICH branch ran (and an oracle can re-derive the flag from
+    the same threshold arithmetic).
+    """
+    prof = key_skew_profile(probe, on).collect()[0]
+    salted = int(prof["top1_share_micro"]) >= gate_micro
+    if salted:
+        return (
+            salted_join(
+                probe, build, on=on, buckets=buckets,
+                probe_salt_from=probe_salt_from,
+            ),
+            True,
+        )
+    return probe.join(build, on), False

@@ -2138,3 +2138,30 @@ def test_neyman_allocation_degenerate_all_constant(spark):
     # all-zero weights: the largest-remainder pass still hands out the
     # full budget deterministically (remainder ties broken by stratum)
     assert sum(r["alloc"] for r in out) == 10
+
+
+def test_autogated_join_branches(spark):
+    """skew.autogated_join picks salted on a hot key, plain on uniform —
+    and both branches return identical join results."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import skew
+
+    hot = spark.range(1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("k")
+    )
+    uniform = spark.range(1000).select(
+        F.col("id").alias("rid"), F.col("id").alias("k")
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+    )
+    j_hot, salted_hot = skew.autogated_join(hot, dim, "k", "rid")
+    j_uni, salted_uni = skew.autogated_join(uniform, dim, "k", "rid")
+    assert salted_hot is True
+    assert salted_uni is False
+    # salting is semantically invisible
+    plain_hot = hot.join(dim, "k")
+    assert j_hot.count() == plain_hot.count() == 1000
+    assert j_hot.exceptAll(plain_hot).count() == 0
+    assert j_uni.count() == 1000

@@ -709,3 +709,15 @@ def test_nightly_index_commit_is_exchange_free_on_index_side(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_skew_autogate_takes_salted_branch_on_hot_key(spark):
+    """skew_autogate_join_events joins on event_type (~5 values, top key
+    ~20% of rows) — the profile must trip the 10% gate and the SALTED
+    plan must run: build side exploded over the 8 salt values, join key
+    widened with _salt. The salted flag column is value-checked by the
+    oracle; this pins the PHYSICAL shape."""
+    plan = plan_of(spark, "skew_autogate_join_events")
+    assert "_salt" in plan, plan
+    # Catalyst constant-folds sequence(0, 7) into the literal array
+    assert "explode([0,1,2,3,4,5,6,7])" in plan, plan
