@@ -4377,6 +4377,94 @@ ORDER BY step_idx
 QUERIES["funnel_windowed_events"] = (funnel_windowed_events, FUNNEL_EVENTS_SQL)
 
 
+def funnel_windowfunnel_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ClickHouse-windowFunnel funnel (temporal.window_funnel_exact,
+    r8) side by side with the greedy single-anchor restriction
+    (temporal.funnel_steps): the anchor slides across EVERY 'view', so a
+    user converts iff ANY view starts a view→click→purchase chain inside
+    the 7-day window. n_users_exact ≥ n_users_greedy by construction
+    (every greedy chain is an exact chain); anchor_gain surfaces how many
+    users the single-anchor shortcut loses per stage — the disclosure row
+    for the semantics restriction documented on funnel_steps. Both
+    funnels replay fully in SQL (chained per-anchor min-aggregations)."""
+    from . import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = temporal.window_funnel_exact(
+        ev, "user_id", "event_type", "ts", _FUNNEL_STEPS, window="7 days"
+    ).select(
+        "step_idx", "step_name", F.col("n_users").alias("n_users_exact")
+    )
+    greedy = temporal.funnel_steps(
+        ev, "user_id", "event_type", "ts", _FUNNEL_STEPS, window="7 days"
+    ).select("step_idx", F.col("n_users").alias("n_users_greedy"))
+    return (
+        exact.join(greedy, "step_idx")
+        .select(
+            "step_idx",
+            "step_name",
+            "n_users_exact",
+            "n_users_greedy",
+            (F.col("n_users_exact") - F.col("n_users_greedy"))
+            .cast("long")
+            .alias("anchor_gain"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+FUNNEL_WINDOWFUNNEL_EXACT_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, event_type AS et, ts AS t FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+a0 AS (SELECT DISTINCT u, t AS t0 FROM ev WHERE et = 'view'),
+r0 AS (SELECT u, t0, t0 + INTERVAL 7 DAY AS deadline FROM a0),
+r1 AS (
+  SELECT e.u, r0.t0, r0.deadline, min(e.t) AS t1
+  FROM ev e JOIN r0 ON e.u = r0.u
+  WHERE e.et = 'click' AND e.t > r0.t0 AND e.t <= r0.deadline
+  GROUP BY 1, 2, 3
+),
+r2 AS (
+  SELECT e.u, r1.t0, min(e.t) AS t2
+  FROM ev e JOIN r1 ON e.u = r1.u
+  WHERE e.et = 'purchase' AND e.t > r1.t1 AND e.t <= r1.deadline
+  GROUP BY 1, 2
+),
+ce AS (SELECT (SELECT count(DISTINCT u) FROM a0)::BIGINT AS e0,
+              (SELECT count(DISTINCT u) FROM r1)::BIGINT AS e1,
+              (SELECT count(DISTINCT u) FROM r2)::BIGINT AS e2),
+g0 AS (SELECT u, min(t) AS t0 FROM ev WHERE et = 'view' GROUP BY u),
+gr0 AS (SELECT u, t0, t0 + INTERVAL 7 DAY AS deadline FROM g0),
+g1 AS (
+  SELECT e.u, min(e.t) AS t1 FROM ev e JOIN gr0 ON e.u = gr0.u
+  WHERE e.et = 'click' AND e.t > gr0.t0 AND e.t <= gr0.deadline GROUP BY e.u
+),
+g2 AS (
+  SELECT e.u, min(e.t) AS t2
+  FROM ev e JOIN gr0 ON e.u = gr0.u JOIN g1 ON g1.u = e.u
+  WHERE e.et = 'purchase' AND e.t > g1.t1 AND e.t <= gr0.deadline GROUP BY e.u
+),
+cg AS (SELECT (SELECT count(*) FROM g0)::BIGINT AS c0,
+              (SELECT count(*) FROM g1)::BIGINT AS c1,
+              (SELECT count(*) FROM g2)::BIGINT AS c2)
+SELECT 0::BIGINT AS step_idx, 'view' AS step_name,
+       e0 AS n_users_exact, c0 AS n_users_greedy, (e0 - c0)::BIGINT AS anchor_gain
+FROM ce, cg
+UNION ALL
+SELECT 1::BIGINT, 'click', e1, c1, (e1 - c1)::BIGINT FROM ce, cg
+UNION ALL
+SELECT 2::BIGINT, 'purchase', e2, c2, (e2 - c2)::BIGINT FROM ce, cg
+ORDER BY step_idx
+"""
+
+QUERIES["funnel_windowfunnel_exact_events"] = (
+    funnel_windowfunnel_exact_events,
+    FUNNEL_WINDOWFUNNEL_EXACT_SQL,
+)
+
+
 
 
 def join_size_sample_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:

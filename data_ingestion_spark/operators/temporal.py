@@ -332,7 +332,9 @@ def funnel_steps(
     ``windowFunnel`` semantics (windowFunnel slides the window anchor
     across EVERY step-0 event and reports the best chain; this anchors
     once — ``test_greedy_anchor_is_first_view`` pins a case where the two
-    disagree). For each user, walk the ordered ``steps`` sequence
+    disagree; ``window_funnel_exact`` below is the full-fidelity
+    sliding-anchor variant). For each user, walk the ordered ``steps``
+    sequence
     greedily from that first step-0 event — step *i* matches the
     first event of that type STRICTLY after the matched step *i−1* event
     and no later than step-0's timestamp + ``window``. Returns one row per
@@ -399,3 +401,74 @@ def funnel_steps(
         .cast("long")
         .alias("conv_from_first_micro"),
     ).orderBy("step_idx")
+
+
+def window_funnel_exact(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    window: str = "7 days",
+) -> DataFrame:
+    """EXACT ClickHouse ``windowFunnel`` semantics: the anchor slides
+    across EVERY step-0 event — a user reaches step *i* iff ANY of their
+    step-0 events starts a strictly-increasing chain of the first *i*
+    step types finishing within ``window`` of that anchor. This is the
+    full-fidelity sibling of ``funnel_steps`` (which deliberately anchors
+    once, at the earliest step-0 event; ``test_greedy_anchor_is_first_view``
+    pins a case where the two disagree).
+
+    Correctness: for a FIXED anchor, greedy min-matching is optimal (the
+    exchange argument — taking the earliest valid next event can only
+    leave more room for later steps), so per-anchor chained
+    min-aggregations decide reachability exactly; a user reaches step i
+    iff any anchor row survives to stage i.
+
+    Scale shape: stage tables are keyed by (user, anchor_ts) instead of
+    funnel_steps' (user) — per-user work is #step-0-events × #step-i
+    events (the price ClickHouse pays inside its per-user array scan),
+    parallel across users, with every join/agg reusing the user-keyed
+    shuffle. Returns one row per stage: (step_idx, step_name, n_users)
+    where n_users counts DISTINCT users reaching the stage from any
+    anchor.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).alias("t"),
+    ).filter(F.col(type_col).isin(list(steps)))
+    reached = (
+        ev.filter(F.col("et") == steps[0])
+        .select("u", F.col("t").alias("t0"))
+        .dropDuplicates(["u", "t0"])
+        .withColumn("deadline", F.col("t0") + F.expr(f"INTERVAL {window}"))
+    )
+    stage_counts = [
+        reached.agg(F.countDistinct("u").cast("long").alias("c0"))
+    ]
+    prev = "t0"
+    for i in range(1, len(steps)):
+        reached = (
+            ev.filter(F.col("et") == steps[i])
+            .join(
+                reached.select(
+                    "u", F.col(prev).alias("_prev"), "t0", "deadline"
+                ),
+                "u",
+            )
+            .filter((F.col("t") > F.col("_prev")) & (F.col("t") <= F.col("deadline")))
+            .groupBy("u", "t0", "deadline")
+            .agg(F.min("t").alias(f"t{i}"))
+        )
+        prev = f"t{i}"
+        stage_counts.append(
+            reached.agg(F.countDistinct("u").cast("long").alias(f"c{i}"))
+        )
+    counts = stage_counts[0]
+    for c in stage_counts[1:]:
+        counts = counts.crossJoin(c)
+    stack = ", ".join(f"{i}L, '{steps[i]}', c{i}" for i in range(len(steps)))
+    return counts.select(
+        F.expr(f"stack({len(steps)}, {stack}) AS (step_idx, step_name, n_users)")
+    )

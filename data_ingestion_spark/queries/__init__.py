@@ -40,6 +40,7 @@ _PRIORITY = [
     "minhash_band_recall_docs",  # r8 fused shingle pipeline
     "rtbf_delete_dv_docs",  # NEW r8: deletion-vector RTBF tier
     "skew_autogate_join_events",  # NEW r8: auto-gated skew salting
+    "funnel_windowfunnel_exact_events",  # NEW r8: exact sliding-anchor windowFunnel
     # (b) the full r1/r2-era staleness queue (39) — clears it in one window
     "cap_per_source_docs",
     "chunk_docs",

@@ -95,3 +95,43 @@ def test_conversion_rates_across_users(spark):
     assert rows["purchase"]["n_users"] == 1
     assert rows["click"]["conv_from_first_micro"] == 666_666
     assert rows["purchase"]["conv_from_first_micro"] == 333_333
+
+
+def test_window_funnel_exact_recovers_late_anchor(spark):
+    """The case the greedy restriction loses: the first view's 7-day
+    window expires before the click→purchase pair, but a LATER view
+    anchors a completing chain — exact windowFunnel must count it."""
+    ev = _ev(
+        spark,
+        [
+            (1, "view", ts(0)),
+            (1, "view", ts(10 * 24)),
+            (1, "click", ts(10 * 24 + 1)),
+            (1, "purchase", ts(10 * 24 + 2)),
+        ],
+    )
+    exact = temporal.window_funnel_exact(
+        ev, "u", "et", "t", ["view", "click", "purchase"]
+    )
+    counts = {r["step_name"]: r["n_users"] for r in exact.collect()}
+    assert counts == {"view": 1, "click": 1, "purchase": 1}
+    # greedy on the same data reports step 0 only (pinned above)
+    greedy = temporal.funnel_steps(ev, "u", "et", "t", ["view", "click", "purchase"])
+    assert _counts(greedy) == {"view": 1, "click": 0, "purchase": 0}
+
+
+def test_window_funnel_exact_equals_greedy_on_single_anchor(spark):
+    """With one view per user the two semantics coincide exactly."""
+    ev = _ev(
+        spark,
+        [
+            (1, "view", ts(0)), (1, "click", ts(1)), (1, "purchase", ts(2)),
+            (2, "view", ts(0)), (2, "click", ts(3)),
+            (3, "view", ts(0)),
+        ],
+    )
+    exact = temporal.window_funnel_exact(
+        ev, "u", "et", "t", ["view", "click", "purchase"]
+    )
+    counts = {r["step_name"]: r["n_users"] for r in exact.collect()}
+    assert counts == {"view": 3, "click": 2, "purchase": 1}
