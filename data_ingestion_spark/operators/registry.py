@@ -2710,3 +2710,247 @@ QUERIES["minhash_band_recall_docs"] = (
     minhash_band_recall_docs,
     MINHASH_BAND_RECALL_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Retrieval rank-quality QC: NDCG / MRR of the approximate retriever (r8)
+# --------------------------------------------------------------------------
+def ndcg_ivf_retrieval_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality QC of the IVF retriever against the exact cosine
+    ranking — recall says WHETHER the true neighbors were found, NDCG/MRR
+    say WHERE the retriever put them (a retriever that returns the right
+    set in the wrong order degrades downstream rerankers and RAG context
+    packing). Per query (the knn_* fixture, vec_id < 5):
+
+    - hits10: |approx top-10 ∩ exact top-10|
+    - rr_micro: 1e6 div (rank of the first exact-relevant item) — MRR's
+      per-query term
+    - ndcg_micro: rational-discount NDCG@10 in exact integer micros —
+      gain(i) = 11 − exact_rank(i) for items in the exact top-10 (graded
+      relevance from the exact ranking), discount 1/(rank+1) instead of
+      1/log2(rank+1). The rational discount keeps every term an integer
+      division both engines compute bit-identically (log2 would hang the
+      hash gate on libm last-ulp differences); it is a documented, order-
+      aware member of the same discount family.
+
+    Both the approximate ranking (deterministic IVF, n_probe=2) and the
+    exact ranking replay fully in SQL, so the METRIC — not just the
+    retrieval — is value-checked end to end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists=8)
+    approx = similarity.ivf_topk(emb, queries, cents, k=10, n_probe=2)
+    rel = exact.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(11) - F.col("rank")).cast("long").alias("gain"),
+    )
+    j = approx.join(rel, ["query_id", "neighbor_id"], "left").withColumn(
+        "gain", F.coalesce("gain", F.lit(0))
+    )
+    per = j.groupBy("query_id").agg(
+        F.sum(F.expr("(1000000 * gain) div (rank + 1)"))
+        .cast("long")
+        .alias("dcg_micro"),
+        F.count(F.when(F.col("gain") > 0, 1)).cast("long").alias("hits10"),
+        F.min(F.when(F.col("gain") > 0, F.col("rank"))).alias("_minr"),
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(F.expr("(1000000 * (11 - rank)) div (rank + 1)"))
+        .cast("long")
+        .alias("idcg_micro")
+    )
+    return (
+        per.join(idcg, "query_id")
+        .select(
+            "query_id",
+            "hits10",
+            F.coalesce(F.expr("1000000 div _minr"), F.lit(0))
+            .cast("long")
+            .alias("rr_micro"),
+            F.expr("(1000000 * dcg_micro) div idcg_micro")
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+NDCG_IVF_RETRIEVAL_QC_SQL = f"""
+WITH approx AS ({KNN_IVF_TOPK_SQL}),
+exact AS ({KNN_COSINE_TOPK_SQL}),
+rel AS (
+  SELECT query_id, neighbor_id, (11 - rank)::BIGINT AS gain FROM exact
+),
+j AS (
+  SELECT a.query_id, a.rank, coalesce(r.gain, 0) AS gain
+  FROM approx a
+  LEFT JOIN rel r
+    ON r.query_id = a.query_id AND r.neighbor_id = a.neighbor_id
+),
+per AS (
+  SELECT query_id,
+         sum((1000000 * gain) // (rank + 1))::BIGINT AS dcg_micro,
+         sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END)::BIGINT AS hits10,
+         min(CASE WHEN gain > 0 THEN rank END) AS minr
+  FROM j GROUP BY 1
+),
+idcg AS (
+  SELECT query_id,
+         sum((1000000 * (11 - rank)) // (rank + 1))::BIGINT AS idcg_micro
+  FROM exact GROUP BY 1
+)
+SELECT p.query_id, p.hits10,
+       coalesce(1000000 // p.minr, 0)::BIGINT AS rr_micro,
+       ((1000000 * p.dcg_micro) // i.idcg_micro)::BIGINT AS ndcg_micro
+FROM per p JOIN idcg i USING (query_id)
+ORDER BY p.query_id
+"""
+
+QUERIES["ndcg_ivf_retrieval_qc"] = (
+    ndcg_ivf_retrieval_qc,
+    NDCG_IVF_RETRIEVAL_QC_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Containment (asymmetric) near-dup pairs (r8): quote-inclusion detection
+# --------------------------------------------------------------------------
+def dedup_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-dup pairs by shingle CONTAINMENT
+    C(A→B) = |A ∩ B| / |A| ≥ 0.6 within language blocks — the dedup
+    relation Jaccard misses: a short document quoted inside a long one has
+    high containment but low Jaccard (the union is dominated by the long
+    side), which is exactly the "document embedded in another" case
+    corpus dedup (Broder's resemblance vs containment distinction,
+    SEQUENCES'97) needs a separate operator for.
+
+    Lossless pruning, adapted from AllPairs for the asymmetric threshold:
+    overlap ≥ t·|A| bounds only the CONTAINED side, so A explodes its
+    frequency-ascending PREFIX (|A| − ⌈t·|A|⌉ + 1 rarest shingles — any
+    qualifying pair must share one) and joins against the FULL inverted
+    index of the block (B has no prefix bound: a superset can hide A's
+    rare shingles anywhere). Rarest-first ordering keeps the candidate
+    join collision-bound by rare-shingle document frequency. No length
+    filter applies (|B| is unbounded above by design — that asymmetry IS
+    the operator). Verify rejoins shingle sets by id and checks the exact
+    integer-ratio threshold (10·inter ≥ 6·|A| — no float division in the
+    gate).
+
+    Output: (id_a, id_b, containment_micro) for id_a ≠ id_b, BOTH
+    directions possible, containment in exact integer micros.
+    """
+    from ..functions import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    t_num, t_den = 6, 10  # threshold 0.6 as an exact rational
+    base = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            tokens(F.col("text")).alias("toks"),
+            F.col("lang").alias("block"),
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "id",
+            F.array_distinct(word_shingles(F.col("toks"), 3)).alias("sset"),
+            "block",
+        )
+        .localCheckpoint(eager=False)
+    )
+    freq = (
+        base.select(F.explode("sset").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .filter(F.col("df_s") >= 2)
+    )
+    n = F.size("sset")
+    pref = (
+        base.select("id", "block", n.alias("n"), F.explode("sset").alias("s"))
+        .join(freq, "s", "left")
+        .select(
+            "id",
+            "block",
+            "n",
+            F.struct(
+                F.coalesce("df_s", F.lit(1)).alias("df_s"), F.col("s").alias("s")
+            ).alias("e"),
+        )
+        .groupBy("id", "block", "n")
+        .agg(F.array_sort(F.collect_list("e")).alias("ordered"))
+        .select(
+            "id",
+            "block",
+            F.explode(
+                F.slice(
+                    F.transform(F.col("ordered"), lambda e: e["s"]),
+                    F.lit(1),
+                    F.greatest(
+                        F.col("n")
+                        - F.ceil(F.col("n") * F.lit(t_num) / F.lit(t_den)).cast(
+                            "int"
+                        )
+                        + F.lit(1),
+                        F.lit(1),
+                    ),
+                )
+            ).alias("s"),
+        )
+    )
+    inv = base.select("id", "block", F.explode("sset").alias("s"))
+    cand = (
+        pref.alias("pa")
+        .join(
+            inv.alias("ib"),
+            (F.col("pa.block") == F.col("ib.block"))
+            & (F.col("pa.s") == F.col("ib.s"))
+            & (F.col("pa.id") != F.col("ib.id")),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("ib.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("sset").alias("sh_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sset").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    na = F.size("sh_a").cast("long")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(inter * t_den >= na * t_num)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000000 * size(array_intersect(sh_a, sh_b)))"
+                   " div size(sh_a)")
+            .cast("long")
+            .alias("containment_micro"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_CONTAINMENT_PAIRS_DOCS_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, lang AS block,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS sset
+  FROM (SELECT doc_id, lang, {_SQL_TOKENS.format(c='text')} AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ((1000000 * len(list_intersect(a.sset, b.sset)))
+        // len(a.sset))::BIGINT AS containment_micro
+FROM base a JOIN base b ON a.block = b.block AND a.id <> b.id
+WHERE 10 * len(list_intersect(a.sset, b.sset)) >= 6 * len(a.sset)
+ORDER BY id_a, id_b
+"""
+
+QUERIES["dedup_containment_pairs_docs"] = (
+    dedup_containment_pairs_docs,
+    DEDUP_CONTAINMENT_PAIRS_DOCS_SQL,
+)

@@ -5532,3 +5532,178 @@ QUERIES["neyman_allocation_events"] = (
     neyman_allocation_events,
     NEYMAN_ALLOCATION_EVENTS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private aggregate release (r8): discrete-Laplace noisy
+# counts with a literal inverse-CDF table, so the MECHANISM replays
+# bit-identically in both engines.
+# --------------------------------------------------------------------------
+_DP_EPSILON = 1.0
+_DP_SEED = "dpnoise-r8:"
+_DP_K = 20  # noise support clamp: P(|k| > 20) < 3e-9 at eps=1
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """Cumulative inverse-CDF thresholds for the two-sided geometric
+    (discrete Laplace) distribution at eps=1, sensitivity 1 — the
+    standard DP mechanism for integer counts (Ghosh-Roughgarden-
+    Sundararajan's geometric mechanism). P(k) ∝ exp(-eps·|k|); the CDF is
+    evaluated ONCE here in driver Python and embedded as INTEGER
+    thresholds over a 40-bit uniform, so both engines map the same hash
+    to the same noise with pure integer comparisons — no ln/exp in
+    either engine's hot path (libm last-ulp drift would break the value
+    gate)."""
+    import math
+
+    a = math.exp(-_DP_EPSILON)
+    p0 = (1 - a) / (1 + a)
+    ks = list(range(-_DP_K, _DP_K + 1))
+    cum = 0.0
+    out = []
+    for k in ks:
+        cum += p0 * (a ** abs(k))
+        out.append((k, min(int(cum * (1 << 40)), (1 << 40) - 1)))
+    out[-1] = (ks[-1], 1 << 40)  # clamp: the last bucket absorbs the tail
+    return out
+
+
+def _dp_noise_case(r_expr: str) -> str:
+    """CASE chain mapping a uniform 40-bit integer to discrete-Laplace
+    noise via the literal threshold table (same text feeds Spark and the
+    DuckDB oracle)."""
+    branches = " ".join(
+        f"WHEN {r_expr} < {t} THEN {k}" for k, t in _dp_thresholds()
+    )
+    return f"(CASE {branches} ELSE {_DP_K} END)"
+
+
+def dp_noisy_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-language document counts: the geometric
+    mechanism (discrete Laplace, eps=1, sensitivity 1 — disjoint groups,
+    so parallel composition keeps the total budget at eps=1) with
+    DETERMINISTIC noise replay: the uniform driving each group's noise is
+    a seeded md5 hash of the group key, so audits (and the oracle) can
+    re-derive the exact release. Production note, stated honestly: a real
+    release draws FRESH randomness per publication — the seeded draw here
+    is the audit/replay mode, and the distribution is exactly the
+    mechanism's either way. true_n is emitted as the audit surface; the
+    release view is (lang, noisy_n, epsilon_micro). Noise mapping is a
+    literal integer inverse-CDF table (see _dp_thresholds), so no
+    ln/exp runs in either engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    spark_r = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_DP_SEED), F.col("lang"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1 << 40)
+    )
+    spark_noise = F.lit(None).cast("int")
+    for k, t in reversed(_dp_thresholds()):
+        spark_noise = F.when(spark_r < F.lit(t), F.lit(k)).otherwise(spark_noise)
+    spark_noise = F.coalesce(spark_noise, F.lit(_DP_K))
+    return (
+        grouped.select(
+            "lang",
+            "true_n",
+            spark_noise.cast("long").alias("noise"),
+            (F.col("true_n") + spark_noise).cast("long").alias("noisy_n"),
+            F.lit(int(_DP_EPSILON * 1_000_000)).cast("long").alias("epsilon_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+DP_NOISY_COUNTS_DOCS_SQL = f"""
+WITH g AS (
+  SELECT lang, count(*)::BIGINT AS true_n FROM documents GROUP BY lang
+), n AS (
+  SELECT lang, true_n,
+         {_dp_noise_case(f"({_SQL_HASH60.format(c=chr(39) + _DP_SEED + chr(39) + ' || lang')} % {1 << 40})")}::BIGINT
+           AS noise
+  FROM g
+)
+SELECT lang, true_n, noise, (true_n + noise)::BIGINT AS noisy_n,
+       {int(_DP_EPSILON * 1_000_000)}::BIGINT AS epsilon_micro
+FROM n
+ORDER BY lang
+"""
+
+QUERIES["dp_noisy_counts_docs"] = (dp_noisy_counts_docs, DP_NOISY_COUNTS_DOCS_SQL)
+
+
+def diversity_index_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity indices — the corpus-mixing QC that
+    catches a 'web' source silently collapsing to one language (a
+    diversity drop precedes a mixture drift PSI only sees later). All
+    math is exact integer ratios, deliberately avoiding Shannon entropy's
+    ln() (libm last-ulp drift across engines):
+
+    - simpson_micro: 1e6·(1 − Σ nᵢ(nᵢ−1)/(N(N−1))) — the unbiased
+      Gini-Simpson estimator (probability two draws WITHOUT replacement
+      differ in language); 0 = monoculture, →1e6 = uniform.
+    - effective_langs_micro: 1e6·N²/Σnᵢ² — the Hill number of order 2
+      (inverse Simpson concentration), the 'effective number of equally
+      common languages'.
+    - top_lang_share_micro and n_langs as the raw readouts.
+
+    One (source, lang) count agg (the only corpus-sized stage), then
+    per-source sums over the ≤|sources|×|langs| grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per = cell.groupBy("source").agg(
+        F.sum("n").cast("long").alias("N"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("n").cast("long").alias("top_n"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("sum_nn1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+    )
+    return per.select(
+        "source",
+        "n_langs",
+        F.expr("(1000000 * top_n) div N").cast("long").alias(
+            "top_lang_share_micro"
+        ),
+        F.expr(
+            "CASE WHEN N <= 1 THEN 0"
+            " ELSE 1000000 - (1000000 * sum_nn1) div (N * (N - 1)) END"
+        )
+        .cast("long")
+        .alias("simpson_micro"),
+        F.expr("(1000000 * N * N) div sum_n2").cast("long").alias(
+            "effective_langs_micro"
+        ),
+    ).orderBy("source")
+
+
+DIVERSITY_INDEX_SOURCES_SQL = """
+WITH cell AS (
+  SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2
+), per AS (
+  SELECT source, sum(n)::BIGINT AS N, count(*)::BIGINT AS n_langs,
+         max(n)::BIGINT AS top_n,
+         sum(n * (n - 1))::BIGINT AS sum_nn1,
+         sum(n * n)::BIGINT AS sum_n2
+  FROM cell GROUP BY 1
+)
+SELECT source, n_langs,
+       ((1000000 * top_n) // N)::BIGINT AS top_lang_share_micro,
+       (CASE WHEN N <= 1 THEN 0
+             ELSE 1000000 - (1000000 * sum_nn1) // (N * (N - 1)) END)::BIGINT
+           AS simpson_micro,
+       ((1000000 * N * N) // sum_n2)::BIGINT AS effective_langs_micro
+FROM per
+ORDER BY source
+"""
+
+QUERIES["diversity_index_sources"] = (
+    diversity_index_sources,
+    DIVERSITY_INDEX_SOURCES_SQL,
+)

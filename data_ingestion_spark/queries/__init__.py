@@ -41,6 +41,10 @@ _PRIORITY = [
     "rtbf_delete_dv_docs",  # NEW r8: deletion-vector RTBF tier
     "skew_autogate_join_events",  # NEW r8: auto-gated skew salting
     "funnel_windowfunnel_exact_events",  # NEW r8: exact sliding-anchor windowFunnel
+    "ndcg_ivf_retrieval_qc",  # NEW r8: retrieval rank-quality QC
+    "dp_noisy_counts_docs",  # NEW r8: DP geometric-mechanism release
+    "dedup_containment_pairs_docs",  # NEW r8: asymmetric containment dedup
+    "diversity_index_sources",  # NEW r8: per-source diversity indices
     # (b) the full r1/r2-era staleness queue (39) — clears it in one window
     "cap_per_source_docs",
     "chunk_docs",

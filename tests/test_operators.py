@@ -2165,3 +2165,47 @@ def test_autogated_join_branches(spark):
     assert j_hot.count() == plain_hot.count() == 1000
     assert j_hot.exceptAll(plain_hot).count() == 0
     assert j_uni.count() == 1000
+
+
+def test_dp_threshold_table_is_a_valid_cdf():
+    """The literal inverse-CDF table must be monotone, symmetric about 0,
+    and absorb the full 40-bit mass — otherwise the geometric mechanism
+    is silently mis-calibrated."""
+    import math
+
+    from data_ingestion_spark.operators.registry2 import (
+        _DP_EPSILON,
+        _DP_K,
+        _dp_thresholds,
+    )
+
+    tab = _dp_thresholds()
+    ks = [k for k, _ in tab]
+    ts = [t for _, t in tab]
+    assert ks == list(range(-_DP_K, _DP_K + 1))
+    assert ts == sorted(ts) and ts[-1] == 1 << 40
+    # symmetry: P(k) == P(-k) → threshold increments mirror, EXCEPT the
+    # outermost +K bucket, which absorbs the clamped tail mass by design
+    inc = [b - a for a, b in zip([0] + ts, ts)]
+    for i in range(1, _DP_K):
+        assert abs(inc[i] - inc[-1 - i]) <= 2  # integer rounding slack
+    tail_absorbed = inc[-1] - inc[0]
+    assert 0 <= tail_absorbed < 4000  # P(|k| > K) ≈ 2e-9 of 2^40
+    # the center bucket carries the mechanism's P(0) = (1-a)/(1+a)
+    a = math.exp(-_DP_EPSILON)
+    p0 = inc[_DP_K] / (1 << 40)
+    assert abs(p0 - (1 - a) / (1 + a)) < 1e-6
+
+
+def test_dp_noisy_counts_noise_bounded(spark):
+    from data_ingestion_spark.operators.registry2 import (
+        _DP_K,
+        dp_noisy_counts_docs,
+    )
+
+    rows = dp_noisy_counts_docs(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["noise"]) <= _DP_K
+        assert r["noisy_n"] == r["true_n"] + r["noise"]
+        assert r["epsilon_micro"] == 1_000_000
