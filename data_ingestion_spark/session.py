@@ -58,6 +58,27 @@ def get_spark(app_name: str = "data_ingestion_spark", cpus: int | None = None) -
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Targeted suppression (r8), documented: a handful of operators run
+    # deliberately-unpartitioned windows over METADATA-SCALE tables (the
+    # |sources| mixture grid, the |distinct scores| AUC/Pareto grids, the
+    # |strata| Neyman quota table, a 3-row funnel summary — each bounded
+    # by group/level counts, never corpus rows; see their docstrings).
+    # WindowExec warns "No Partition Defined … serious performance
+    # degradation" per evaluation, flooding the bench log (~110 lines per
+    # run) and masking real warnings. A partitionBy(lit(1)) spec does NOT
+    # silence it — Catalyst strips foldable partition keys and the spec
+    # comes out empty again — so the honest fix is muting THIS logger
+    # alone, at ERROR, with the justification recorded here.
+    jvm = spark.sparkContext._jvm
+    try:
+        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        )
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            logger.getName(), jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:
+        pass  # log4j internals moved — warning spam is cosmetic, never fail
     return spark
 
 
