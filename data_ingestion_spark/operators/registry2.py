@@ -5707,3 +5707,151 @@ QUERIES["diversity_index_sources"] = (
     diversity_index_sources,
     DIVERSITY_INDEX_SOURCES_SQL,
 )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-ID ASSIGNMENT (the row-level sibling of the
+    session_window aggregate): per user, a new session starts when the
+    gap to the previous event exceeds 30 minutes; sessions get per-user
+    ordinal ids via a running sum of boundary flags. This is the
+    sessionization every clickstream pipeline runs BEFORE session-level
+    features — session_window only yields the aggregate windows, not the
+    event→session mapping downstream joins need.
+
+    One user-keyed window (ordered by ts, event_id — full tie-break, so
+    both engines assign identical ordinals) does boundary detection AND
+    numbering; the session rollup reuses the same shuffle key. Output is
+    the per-session summary (user_id, session_idx, n_events, first/last
+    event ids, duration_s) — corpus-scale row output kept to |sessions|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    # ALL time math in integer MICROSECONDS (unix_micros / epoch_us):
+    # second-truncated casts shift gap comparisons and durations by one
+    # around sub-second boundaries, and the two engines truncate
+    # differently — µs integers compare and subtract identically.
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    tus = F.unix_micros(F.col("ts"))
+    gap_us = tus - F.lag(tus).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        tus.alias("tus"),
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy(F.col("tus").asc(), F.col("event_id").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long"),
+    )
+    return (
+        flagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("event_id").cast("long").alias("first_event_id"),
+            F.max("event_id").cast("long").alias("last_event_id"),
+            ((F.max("tus") - F.min("tus")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("duration_s"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT user_id, event_id, tus,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*)::BIGINT AS n_events,
+       min(event_id)::BIGINT AS first_event_id,
+       max(event_id)::BIGINT AS last_event_id,
+       ((max(tus) - min(tus)) // 1000000)::BIGINT AS duration_s
+FROM numbered
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+QUERIES["sessionize_events"] = (sessionize_events, SESSIONIZE_EVENTS_SQL)
+
+
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix — the product-analytics staple:
+    cohort = the user's FIRST-event epoch-week; each (cohort_week,
+    week_offset) cell counts distinct users from that cohort active
+    offset weeks later. Two aggs: per-user min-week (one user-keyed
+    shuffle), then the cell count over the |weeks|² grid after an
+    epoch-week derivation rejoin. Epoch-week integers
+    (floor(epoch_days / 7)) bin identically in both engines — no
+    locale-dependent week-of-year anywhere. retention_micro is the cell
+    share of its cohort's size, exact integer micros."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+    ).cast("long")
+    activity = ev.select("user_id", week.alias("w")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    cells = (
+        activity.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    cohort_size = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        cells.join(cohort_size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.expr("(1000000 * n_users) div cohort_size")
+            .cast("long")
+            .alias("retention_micro"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_COHORTS_EVENTS_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         (datediff('day', DATE '1970-01-01', ts::DATE) // 7)::BIGINT AS w
+  FROM events
+), first AS (
+  SELECT user_id, min(w) AS cohort_week FROM activity GROUP BY user_id
+), cells AS (
+  SELECT f.cohort_week, (a.w - f.cohort_week) AS week_offset,
+         count(DISTINCT a.user_id)::BIGINT AS n_users
+  FROM activity a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+), size_ AS (
+  SELECT cohort_week, n_users AS cohort_size FROM cells WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_users,
+       ((1000000 * c.n_users) // s.cohort_size)::BIGINT AS retention_micro
+FROM cells c JOIN size_ s USING (cohort_week)
+ORDER BY c.cohort_week, c.week_offset
+"""
+
+QUERIES["retention_cohorts_events"] = (
+    retention_cohorts_events,
+    RETENTION_COHORTS_EVENTS_SQL,
+)

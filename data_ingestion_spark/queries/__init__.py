@@ -86,6 +86,11 @@ _PRIORITY = [
     "winnow_fingerprint_docs",
     "word_count_docs",
     # ---- driver window cutoff (first 50 above; (a)+(b) <= 50) ----
+    # r8-late additions below the cutoff — locally 3-SF-verified; they
+    # lead the ROUND-9 window (new queries can only earn a driver row
+    # in-window, and this round's 50 slots are spoken for):
+    "sessionize_events",
+    "retention_cohorts_events",
 ]
 
 
