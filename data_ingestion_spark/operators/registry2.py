@@ -5792,66 +5792,3 @@ ORDER BY user_id, session_idx
 QUERIES["sessionize_events"] = (sessionize_events, SESSIONIZE_EVENTS_SQL)
 
 
-def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention-cohort matrix — the product-analytics staple:
-    cohort = the user's FIRST-event epoch-week; each (cohort_week,
-    week_offset) cell counts distinct users from that cohort active
-    offset weeks later. Two aggs: per-user min-week (one user-keyed
-    shuffle), then the cell count over the |weeks|² grid after an
-    epoch-week derivation rejoin. Epoch-week integers
-    (floor(epoch_days / 7)) bin identically in both engines — no
-    locale-dependent week-of-year anywhere. retention_micro is the cell
-    share of its cohort's size, exact integer micros."""
-    ev = load_table(spark, sf_dir, "events")
-    week = F.floor(
-        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
-    ).cast("long")
-    activity = ev.select("user_id", week.alias("w")).distinct()
-    first = activity.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
-    cells = (
-        activity.join(first, "user_id")
-        .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
-        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
-    )
-    cohort_size = cells.filter(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("n_users").alias("cohort_size")
-    )
-    return (
-        cells.join(cohort_size, "cohort_week")
-        .select(
-            "cohort_week",
-            "week_offset",
-            "n_users",
-            F.expr("(1000000 * n_users) div cohort_size")
-            .cast("long")
-            .alias("retention_micro"),
-        )
-        .orderBy("cohort_week", "week_offset")
-    )
-
-
-RETENTION_COHORTS_EVENTS_SQL = """
-WITH activity AS (
-  SELECT DISTINCT user_id,
-         (datediff('day', DATE '1970-01-01', ts::DATE) // 7)::BIGINT AS w
-  FROM events
-), first AS (
-  SELECT user_id, min(w) AS cohort_week FROM activity GROUP BY user_id
-), cells AS (
-  SELECT f.cohort_week, (a.w - f.cohort_week) AS week_offset,
-         count(DISTINCT a.user_id)::BIGINT AS n_users
-  FROM activity a JOIN first f USING (user_id)
-  GROUP BY 1, 2
-), size_ AS (
-  SELECT cohort_week, n_users AS cohort_size FROM cells WHERE week_offset = 0
-)
-SELECT c.cohort_week, c.week_offset, c.n_users,
-       ((1000000 * c.n_users) // s.cohort_size)::BIGINT AS retention_micro
-FROM cells c JOIN size_ s USING (cohort_week)
-ORDER BY c.cohort_week, c.week_offset
-"""
-
-QUERIES["retention_cohorts_events"] = (
-    retention_cohorts_events,
-    RETENTION_COHORTS_EVENTS_SQL,
-)

@@ -90,7 +90,6 @@ _PRIORITY = [
     # lead the ROUND-9 window (new queries can only earn a driver row
     # in-window, and this round's 50 slots are spoken for):
     "sessionize_events",
-    "retention_cohorts_events",
 ]
 
 
