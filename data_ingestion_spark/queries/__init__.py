@@ -97,25 +97,32 @@ def merged_queries() -> dict:
     """All query registries merged, ``_PRIORITY`` names first."""
     from . import advanced, ingestion, relational, tpch, tpch2, tpch3
 
-    pool: dict = {}
-    pool.update(relational.QUERIES)
-    pool.update(tpch.QUERIES)
-    pool.update(tpch2.QUERIES)
-    pool.update(tpch3.QUERIES)
-    pool.update(advanced.QUERIES)
-    pool.update(ingestion.QUERIES)
+    sources = [relational, tpch, tpch2, tpch3, advanced, ingestion]
     try:
         from ..operators import registry as ops_registry
 
-        pool.update(ops_registry.QUERIES)
+        sources.append(ops_registry)
     except ImportError:
         pass
     try:
         from ..operators import registry2 as ops_registry2
 
-        pool.update(ops_registry2.QUERIES)
+        sources.append(ops_registry2)
     except ImportError:
         pass
+    pool: dict = {}
+    for mod in sources:
+        # A name registered twice would SILENTLY shadow the earlier
+        # implementation (dict.update) — the r8 duplicate
+        # retention_cohorts_events got masked exactly this way. Refuse
+        # instead: every query name must be registered exactly once.
+        clash = set(pool) & set(mod.QUERIES)
+        if clash:
+            raise KeyError(
+                f"duplicate query registrations in {mod.__name__}: "
+                f"{sorted(clash)}"
+            )
+        pool.update(mod.QUERIES)
 
     missing = [name for name in _PRIORITY if name not in pool]
     if missing:  # a typo here would silently drop a query out of the window
