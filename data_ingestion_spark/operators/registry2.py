@@ -5792,3 +5792,205 @@ ORDER BY user_id, session_idx
 QUERIES["sessionize_events"] = (sessionize_events, SESSIONIZE_EVENTS_SQL)
 
 
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit data-QC (r8)
+# --------------------------------------------------------------------------
+def _benford_micro() -> list[tuple[int, int]]:
+    """Benford expected first-digit shares log10(1 + 1/d), as integer
+    micros computed once in driver Python and embedded as literals in
+    both engines (no log10 in either hot path)."""
+    import math
+
+    return [(d, int(round(math.log10(1 + 1 / d) * 1_000_000))) for d in range(1, 10)]
+
+
+def benford_digits_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the fraud/synthetic-
+    data QC (genuine multiplicative amounts follow log10(1+1/d); uniform
+    or fabricated generators don't, and THIS fixture's totals are
+    uniform-ish — the deviations are the point, surfaced per digit).
+    Digit extraction is engine-proof: totals go through the repo's exact
+    cents idiom (floor(x·100 + 0.5) as BIGINT), and the first digit is
+    substr of the INTEGER's string form — float formatting never touches
+    either engine. Expected shares are literal micros (_benford_micro).
+    Output: one row per digit with observed/expected shares and the
+    absolute deviation, all exact integer micros."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digits = (
+        orders.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = digits.agg(F.sum("n").cast("long").alias("N"))
+    exp_rows = spark.createDataFrame(
+        _benford_micro(), "digit int, benford_micro long"
+    )
+    return (
+        digits.crossJoin(total)
+        .join(F.broadcast(exp_rows), "digit")
+        .select(
+            "digit",
+            "n",
+            F.expr("(1000000 * n) div N").cast("long").alias("share_micro"),
+            "benford_micro",
+            F.abs(
+                F.expr("(1000000 * n) div N") - F.col("benford_micro")
+            )
+            .cast("long")
+            .alias("dev_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL_ROWS = ", ".join(f"({d}, {m})" for d, m in _benford_micro())
+
+BENFORD_DIGITS_ORDERS_SQL = f"""
+WITH cents AS (
+  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS c FROM orders
+), digits AS (
+  SELECT substr(c::VARCHAR, 1, 1)::INT AS digit, count(*)::BIGINT AS n
+  FROM cents WHERE c > 0 GROUP BY 1
+), total AS (SELECT sum(n)::BIGINT AS N FROM digits),
+expected(digit, benford_micro) AS (VALUES {_BENFORD_SQL_ROWS})
+SELECT d.digit, d.n,
+       ((1000000 * d.n) // t.N)::BIGINT AS share_micro,
+       e.benford_micro::BIGINT AS benford_micro,
+       abs((1000000 * d.n) // t.N - e.benford_micro)::BIGINT AS dev_micro
+FROM digits d CROSS JOIN total t JOIN expected e ON e.digit = d.digit
+ORDER BY d.digit
+"""
+
+QUERIES["benford_digits_orders"] = (benford_digits_orders, BENFORD_DIGITS_ORDERS_SQL)
+
+
+def tokenizer_fertility_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility QC per language: chars-per-token and
+    tokens-per-doc in exact integer micros. Fertility drift per language
+    is the cheap early warning that a tokenizer (or an upstream
+    normalizer) is fragmenting one language's text — the per-lang cost
+    multiplier that decides context-window budgets. One narrow projection
+    + one |langs|-key agg; the token count is the same whitespace
+    tokenizer the corpus stats use (token_count_docs), so the two QC
+    surfaces can be compared directly."""
+    from ..functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("tokens_total"),
+        F.sum("chars").cast("long").alias("chars_total"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "tokens_total",
+        "chars_total",
+        F.expr("(1000000 * chars_total) div tokens_total")
+        .cast("long")
+        .alias("chars_per_token_micro"),
+        F.expr("(1000000 * tokens_total) div n_docs")
+        .cast("long")
+        .alias("tokens_per_doc_micro"),
+    ).orderBy("lang")
+
+
+TOKENIZER_FERTILITY_LANGS_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         len({_SQL_TOKENS.format(c='text')})::BIGINT AS toks,
+         length(text)::BIGINT AS chars
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(toks)::BIGINT AS tokens_total,
+       sum(chars)::BIGINT AS chars_total,
+       ((1000000 * sum(chars)) // sum(toks))::BIGINT
+           AS chars_per_token_micro,
+       ((1000000 * sum(toks)) // count(*))::BIGINT AS tokens_per_doc_micro
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["tokenizer_fertility_langs"] = (
+    tokenizer_fertility_langs,
+    TOKENIZER_FERTILITY_LANGS_SQL,
+)
+
+
+def range_partition_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition PLANNING with a balance proof: exact linear-
+    interpolation octile boundaries over o_totalprice (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, the parity percentile_lineitem pins), then
+    every row bucketed by comparing against the in-query boundary array
+    — the write-side planning step behind repartitionByRange / Iceberg
+    sort orders, with the resulting per-bucket row counts and shares as
+    the value-checked CONTRACT (a planner whose buckets come out skewed
+    is worse than no planner). At 100 TB the boundary step runs on a
+    sample via approx_percentile — this exact form is the correctness
+    anchor, same tiering as percentile_lineitem."""
+    orders = load_table(spark, sf_dir, "orders")
+    probs = [i / 8 for i in range(1, 8)]
+    bounds = orders.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(p) for p in probs])
+        ).alias("bs")
+    )
+    bucket = sum(
+        (F.col("o_totalprice") > F.element_at("bs", i + 1)).cast("int")
+        for i in range(len(probs))
+    )
+    total = orders.count()
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            "bucket",
+            "n_rows",
+            F.expr(f"(1000000 * n_rows) div {total}L")
+            .cast("long")
+            .alias("share_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+RANGE_PARTITION_PLAN_ORDERS_SQL = """
+WITH bs AS (
+  SELECT quantile_cont(o_totalprice,
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS b
+  FROM orders
+), bucketed AS (
+  SELECT ((o.o_totalprice > bs.b[1])::INT + (o.o_totalprice > bs.b[2])::INT
+        + (o.o_totalprice > bs.b[3])::INT + (o.o_totalprice > bs.b[4])::INT
+        + (o.o_totalprice > bs.b[5])::INT + (o.o_totalprice > bs.b[6])::INT
+        + (o.o_totalprice > bs.b[7])::INT) AS bucket
+  FROM orders o CROSS JOIN bs
+), total AS (SELECT count(*)::BIGINT AS N FROM orders)
+SELECT bucket, count(*)::BIGINT AS n_rows,
+       ((1000000 * count(*)) // t.N)::BIGINT AS share_micro
+FROM bucketed CROSS JOIN total t
+GROUP BY bucket, t.N
+ORDER BY bucket
+"""
+
+QUERIES["range_partition_plan_orders"] = (
+    range_partition_plan_orders,
+    RANGE_PARTITION_PLAN_ORDERS_SQL,
+)
