@@ -5830,7 +5830,7 @@ def benford_digits_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    total = digits.agg(F.sum("n").cast("long").alias("N"))
+    total = digits.agg(F.sum("n").cast("long").alias("n_total"))
     exp_rows = spark.createDataFrame(
         _benford_micro(), "digit int, benford_micro long"
     )
@@ -5840,10 +5840,10 @@ def benford_digits_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             "n",
-            F.expr("(1000000 * n) div N").cast("long").alias("share_micro"),
+            F.expr("(1000000 * n) div n_total").cast("long").alias("share_micro"),
             "benford_micro",
             F.abs(
-                F.expr("(1000000 * n) div N") - F.col("benford_micro")
+                F.expr("(1000000 * n) div n_total") - F.col("benford_micro")
             )
             .cast("long")
             .alias("dev_micro"),

@@ -90,6 +90,9 @@ _PRIORITY = [
     # lead the ROUND-9 window (new queries can only earn a driver row
     # in-window, and this round's 50 slots are spoken for):
     "sessionize_events",
+    "benford_digits_orders",
+    "tokenizer_fertility_langs",
+    "range_partition_plan_orders",
 ]
 
 
