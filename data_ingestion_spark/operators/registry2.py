@@ -5994,3 +5994,389 @@ QUERIES["range_partition_plan_orders"] = (
     range_partition_plan_orders,
     RANGE_PARTITION_PLAN_ORDERS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrievers (r8)
+# --------------------------------------------------------------------------
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR'09)
+
+
+def rrf_fusion_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-Rank Fusion of two retrievers over the same query
+    ({hash, join, window}): BM25 top-10 and a coordinate-match ranker
+    (distinct query terms matched, then total occurrences — the classic
+    boolean-ish baseline). RRF (Cormack, Clarke & Buettcher, SIGIR'09) is
+    THE standard way to merge rankers with incomparable scores — hybrid
+    search (BM25 + dense) ships on exactly this:
+
+        rrf(d) = Σ_r 1 / (k + rank_r(d)),  k = 60
+
+    computed here as exact integer micros (1e6 div (k + rank)), so the
+    fused ranking is value-checked end to end — both input RANKINGS and
+    the fusion replay in SQL (ranks are integers; BM25's float scores
+    only ever feed rank assignment, which the BM25 oracle already pins).
+    Scale shape: each ranker's top-k is corpus-scale work already proven
+    (bm25_topk scan-prunes; the coordinate ranker is one term-filtered
+    agg + TakeOrderedAndProject); the fusion itself touches ≤ 2k rows.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = text.bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+    ra = bm.select(
+        "id",
+        F.row_number()
+        .over(W.orderBy(F.col("score_micro").desc(), F.col("id").asc()))
+        .alias("rank_a"),
+    )
+    from ..functions import tokens as _toks
+
+    hits = (
+        docs.select(
+            F.col("doc_id").alias("id"), F.explode(_toks(F.col("text"))).alias("t")
+        )
+        .filter(F.col("t").isin(list(_BM25_TERMS)))
+        .groupBy("id")
+        .agg(
+            F.countDistinct("t").cast("long").alias("matches"),
+            F.count(F.lit(1)).cast("long").alias("occs"),
+        )
+    )
+    rb10 = hits.orderBy(
+        F.col("matches").desc(), F.col("occs").desc(), F.col("id").asc()
+    ).limit(_BM25_K)
+    rb = rb10.select(
+        "id",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.col("matches").desc(), F.col("occs").desc(), F.col("id").asc()
+            )
+        )
+        .alias("rank_b"),
+    )
+    fused = (
+        ra.join(rb, "id", "full_outer")
+        .select(
+            "id",
+            "rank_a",
+            "rank_b",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + rank_a)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + rank_b)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col("id").asc())
+        .limit(_BM25_K)
+    )
+    return fused.withColumnRenamed("id", "doc_id")
+
+
+RRF_FUSION_TOPK_DOCS_SQL = f"""
+WITH bm AS ({_bm25_oracle()}),
+ra AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank_a
+  FROM bm
+),
+hits AS (
+  SELECT doc_id AS id,
+         count(DISTINCT t)::BIGINT AS matches, count(*)::BIGINT AS occs
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS t
+        FROM documents)
+  WHERE t IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY 1
+),
+rb AS (
+  SELECT id, row_number()
+           OVER (ORDER BY matches DESC, occs DESC, id ASC) AS rank_b
+  FROM (SELECT * FROM hits
+        ORDER BY matches DESC, occs DESC, id ASC LIMIT {_BM25_K})
+),
+fused AS (
+  SELECT coalesce(ra.id, rb.id) AS doc_id, ra.rank_a, rb.rank_b,
+         (coalesce(1000000 // ({_RRF_K} + ra.rank_a), 0)
+          + coalesce(1000000 // ({_RRF_K} + rb.rank_b), 0))::BIGINT
+             AS rrf_micro
+  FROM ra FULL OUTER JOIN rb ON ra.id = rb.id
+)
+SELECT doc_id, rank_a, rank_b, rrf_micro
+FROM fused
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+QUERIES["rrf_fusion_topk_docs"] = (rrf_fusion_topk_docs, RRF_FUSION_TOPK_DOCS_SQL)
+
+
+def item_cf_similarity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity over the order→supplier
+    bipartite graph: cosine similarity of two suppliers' order sets,
+    sim²(a,b) = co(a,b)² / (n_a·n_b), emitted as exact integer micros —
+    squaring keeps the metric rational (no sqrt in either engine) and
+    preserves the ranking (x² is monotone on x ≥ 0). This is the
+    co-occurrence item-CF every recommender starts from (Linden et al.,
+    IEEE IC'03, Amazon item-to-item) re-expressed as joins/aggs: pair
+    generation is the co-order self-join capped to the top-20k strongest
+    pairs (the same constant-bounded edge budget as
+    triangle_count_suppliers — a 100 TB co-occurrence projection is
+    near-complete and MUST be budgeted), then one broadcast join against
+    the per-supplier order counts. Top-50 pairs by similarity with full
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    counts = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .orderBy(F.col("co").desc(), F.col("sa").asc(), F.col("sb").asc())
+        .limit(20000)
+    )
+    return (
+        co.join(
+            F.broadcast(
+                counts.select(
+                    F.col("l_suppkey").alias("sa"), F.col("n_orders").alias("n_a")
+                )
+            ),
+            "sa",
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("l_suppkey").alias("sb"), F.col("n_orders").alias("n_b")
+                )
+            ),
+            "sb",
+        )
+        .select(
+            "sa",
+            "sb",
+            "co",
+            F.expr("(1000000 * co * co) div (n_a * n_b)")
+            .cast("long")
+            .alias("cosine2_micro"),
+        )
+        .orderBy(
+            F.col("cosine2_micro").desc(),
+            F.col("co").desc(),
+            F.col("sa").asc(),
+            F.col("sb").asc(),
+        )
+        .limit(50)
+    )
+
+
+ITEM_CF_SIMILARITY_SUPPLIERS_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+counts AS (SELECT l_suppkey, count(*)::BIGINT AS n_orders FROM li GROUP BY 1),
+co AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*)::BIGINT AS co
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+  ORDER BY co DESC, sa ASC, sb ASC
+  LIMIT 20000
+)
+SELECT co.sa, co.sb, co.co,
+       ((1000000 * co.co * co.co) // (ca.n_orders * cb.n_orders))::BIGINT
+           AS cosine2_micro
+FROM co
+JOIN counts ca ON ca.l_suppkey = co.sa
+JOIN counts cb ON cb.l_suppkey = co.sb
+ORDER BY cosine2_micro DESC, co.co DESC, co.sa ASC, co.sb ASC
+LIMIT 50
+"""
+
+QUERIES["item_cf_similarity_suppliers"] = (
+    item_cf_similarity_suppliers,
+    ITEM_CF_SIMILARITY_SUPPLIERS_SQL,
+)
+
+
+def attribution_last_touch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the marketing-analytics staple: every
+    'purchase' is attributed to the user's most recent PRECEDING
+    non-purchase event within 7 days (the touchpoint), via the SAME
+    union-merge as-of machinery the asof_join operator uses (one
+    user-keyed window, no inequality join). Output: per touchpoint type,
+    attributed purchase count and share in exact micros; unattributed
+    purchases (no touch within the window) surface as the
+    'unattributed' row — silently dropping them is the classic
+    attribution-report bug."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    tus = F.unix_micros(F.col("ts"))
+    tagged = ev.select(
+        "user_id",
+        tus.alias("tus"),
+        F.col("event_type").alias("et"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_p"),
+        F.col("event_id").alias("eid"),
+    )
+    # order: time asc, touches BEFORE purchases at equal timestamps
+    # (inclusive <=), event_id as the final total tie-break
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("tus").asc(), F.col("is_p").asc(), F.col("eid").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_touch = F.last(
+        F.when(F.col("is_p") == 0, F.col("et")), ignorenulls=True
+    ).over(w)
+    last_touch_t = F.last(
+        F.when(F.col("is_p") == 0, F.col("tus")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        tagged.select(
+            "user_id",
+            "tus",
+            "is_p",
+            last_touch.alias("touch"),
+            last_touch_t.alias("touch_t"),
+        )
+        .filter(F.col("is_p") == 1)
+        .select(
+            F.when(
+                F.col("touch").isNotNull()
+                & (F.col("tus") - F.col("touch_t") <= 7 * 86400 * 1_000_000),
+                F.col("touch"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("touchpoint")
+        )
+    )
+    per = purchases.groupBy("touchpoint").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    total = per.agg(F.sum("n_purchases").cast("long").alias("n_total"))
+    return (
+        per.crossJoin(total)
+        .select(
+            "touchpoint",
+            "n_purchases",
+            F.expr("(1000000 * n_purchases) div n_total")
+            .cast("long")
+            .alias("share_micro"),
+        )
+        .orderBy("touchpoint")
+    )
+
+
+ATTRIBUTION_LAST_TOUCH_EVENTS_SQL = """
+WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_type AS et,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         event_id AS eid
+  FROM events
+), carried AS (
+  SELECT user_id, tus, is_p,
+         last_value(CASE WHEN is_p = 0 THEN et END IGNORE NULLS)
+           OVER w AS touch,
+         last_value(CASE WHEN is_p = 0 THEN tus END IGNORE NULLS)
+           OVER w AS touch_t
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY tus ASC, is_p ASC, eid ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), purchases AS (
+  SELECT CASE WHEN touch IS NOT NULL
+                   AND tus - touch_t <= 604800000000::BIGINT
+              THEN touch ELSE 'unattributed' END AS touchpoint
+  FROM carried WHERE is_p = 1
+), per AS (
+  SELECT touchpoint, count(*)::BIGINT AS n_purchases FROM purchases GROUP BY 1
+), total AS (SELECT sum(n_purchases)::BIGINT AS n_total FROM per)
+SELECT p.touchpoint, p.n_purchases,
+       ((1000000 * p.n_purchases) // t.n_total)::BIGINT AS share_micro
+FROM per p CROSS JOIN total t
+ORDER BY p.touchpoint
+"""
+
+QUERIES["attribution_last_touch_events"] = (
+    attribution_last_touch_events,
+    ATTRIBUTION_LAST_TOUCH_EVENTS_SQL,
+)
+
+
+def k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length decile bucket) — the privacy pre-release check beside the DP
+    release tier: a document is k-anonymous iff at least k−1 others share
+    its quasi-identifier combination; equivalence classes below k are
+    re-identification risks and must be generalized or suppressed before
+    release (Sweeney 2002). One QI-tuple count agg (the only corpus-sized
+    stage), then the summary: class counts, violating classes/rows at
+    k = 5, the minimum class size, and the share of rows at risk in
+    exact micros."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = 5
+    qi = docs.select(
+        "lang", "source", F.expr("n_chars div 200").alias("len_bucket")
+    )
+    classes = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_class_size"),
+        F.sum((F.col("n") < k).cast("long")).cast("long").alias(
+            "violating_classes"
+        ),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+    ).select(
+        "n_classes",
+        "n_rows",
+        "min_class_size",
+        "violating_classes",
+        "rows_at_risk",
+        F.expr("(1000000 * rows_at_risk) div n_rows")
+        .cast("long")
+        .alias("risk_share_micro"),
+        (F.col("min_class_size") >= k).alias("k5_anonymous"),
+    )
+
+
+K_ANONYMITY_DOCS_SQL = """
+WITH classes AS (
+  SELECT lang, source, n_chars // 200 AS len_bucket, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT count(*)::BIGINT AS n_classes,
+       sum(n)::BIGINT AS n_rows,
+       min(n)::BIGINT AS min_class_size,
+       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS violating_classes,
+       sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+       ((1000000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END)) // sum(n))::BIGINT
+           AS risk_share_micro,
+       (min(n) >= 5) AS k5_anonymous
+FROM classes
+"""
+
+QUERIES["k_anonymity_docs"] = (k_anonymity_docs, K_ANONYMITY_DOCS_SQL)

@@ -93,6 +93,10 @@ _PRIORITY = [
     "benford_digits_orders",
     "tokenizer_fertility_langs",
     "range_partition_plan_orders",
+    "rrf_fusion_topk_docs",
+    "item_cf_similarity_suppliers",
+    "attribution_last_touch_events",
+    "k_anonymity_docs",
 ]
 
 
