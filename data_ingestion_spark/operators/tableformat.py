@@ -187,23 +187,47 @@ def read_version(spark, root: str, version: int | None = None) -> DataFrame:
     return spark.read.parquet(os.path.join(root, entry["dir"]))
 
 
-def vacuum(root: str, keep_last: int) -> list[int]:
+def vacuum(root: str, keep_last: int, spark=None) -> list[int]:
     """Drop all but the last ``keep_last`` versions (and any orphan
     ``v*`` directories a crashed commit left unreferenced). Returns the
     removed version numbers. The manifest flips BEFORE directories are
     deleted, so a concurrent reader of a dropped version fails fast at
-    the manifest rather than mid-scan."""
+    the manifest rather than mid-scan.
+
+    Deletion-vector versions hold no data of their own — their reads
+    resolve through ``dv_base`` — so the kept set is closed TRANSITIVELY
+    over dv_base chains: a kept DV pins its base snapshot (manifest entry
+    and directory) even when the base falls outside the last
+    ``keep_last``. Without this, vacuuming after a DV commit would delete
+    the only data files the current version can read (r8 fix, pinned in
+    tests/test_tableformat.py). Bucketed versions registered a catalog
+    table at commit; pass ``spark`` to drop the catalog entries of
+    removed versions (the data dirs are removed either way)."""
     import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     manifest = read_manifest(root)
-    keep = manifest["versions"][-keep_last:]
-    drop = manifest["versions"][:-keep_last]
+    by_v = {e["v"]: e for e in manifest["versions"]}
+    needed: set = set()
+    stack = [e["v"] for e in manifest["versions"][-keep_last:]]
+    while stack:
+        v = stack.pop()
+        if v in needed:
+            continue
+        needed.add(v)
+        if "dv_base" in by_v[v]:
+            stack.append(by_v[v]["dv_base"])
+    keep = [e for e in manifest["versions"] if e["v"] in needed]
+    drop = [e for e in manifest["versions"] if e["v"] not in needed]
     manifest["versions"] = keep
     _write_manifest_atomic(root, manifest)
     referenced = {e["dir"] for e in keep}
     removed = [e["v"] for e in drop]
+    if spark is not None:
+        for e in drop:
+            if "table" in e:
+                spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
     for name in os.listdir(root):
         path = os.path.join(root, name)
         if (

@@ -364,3 +364,40 @@ def test_deletion_vector_guards(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="deletion-vector"):
         tf.collect_stats(root, version=v1)
+
+
+def test_vacuum_keeps_dv_base_chain(spark, tmp_path):
+    """A kept deletion-vector version must pin its base snapshot through
+    vacuum — otherwise the current version's only data files vanish."""
+    from data_ingestion_spark.operators import tableformat as tf
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "dvv")
+    tf.commit_version(spark.range(100).toDF("k"), root)      # v0 (base)
+    tf.commit_deletion_vector(
+        spark.range(5).select(F.col("id").alias("k")), root, "k"
+    )                                                        # v1 = DV on v0
+    removed = tf.vacuum(root, keep_last=1)
+    assert removed == []  # v0 is pinned by v1's dv_base
+    assert tf.read_version(spark, root, 1).count() == 95
+    # a plain commit unpins the chain; the next vacuum drops v0 AND v1
+    tf.commit_version(spark.range(10).toDF("k"), root)       # v2 (full)
+    removed = tf.vacuum(root, keep_last=1)
+    assert set(removed) == {0, 1}
+    assert tf.read_version(spark, root).count() == 10
+
+
+def test_vacuum_drops_bucketed_catalog_tables(spark, tmp_path):
+    from data_ingestion_spark.operators import tableformat as tf
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "bktv")
+    v0 = tf.commit_version_bucketed(
+        spark.range(50).select(F.col("id").alias("k")), root, "k", 4
+    )
+    entry = tf.read_manifest(root)["versions"][0]
+    assert spark.catalog.tableExists(entry["table"])
+    tf.commit_version(spark.range(5).toDF("k"), root)
+    removed = tf.vacuum(root, keep_last=1, spark=spark)
+    assert removed == [v0]
+    assert not spark.catalog.tableExists(entry["table"])
