@@ -6380,3 +6380,152 @@ FROM classes
 """
 
 QUERIES["k_anonymity_docs"] = (k_anonymity_docs, K_ANONYMITY_DOCS_SQL)
+
+
+def watermark_lateness_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay planning input: the out-of-orderness profile of the
+    event stream. Lateness of an event = (running max event-time over the
+    ARRIVAL order so far) − (its own event-time), computed per user
+    (arrival order = event_id within the user's sequence; per-key
+    profiles bound the global watermark need when the stream partitions
+    by that key — and a GLOBAL running max would be a single-partition
+    window over the corpus). Output: one row with the late-event count/
+    share and exact lateness percentiles in seconds (p50/p95/max over
+    integer µs, percentile ≡ quantile_cont parity) — p95 is the number
+    you feed withWatermark(); picking it blind is how streams silently
+    drop their tail."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    tus = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late = ev.select(
+        (F.max(tus).over(w) - tus).alias("late_us")
+    )
+    return late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).cast("long").alias("n_late"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END))"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("late_share_micro"),
+        F.round(F.percentile("late_us", F.lit(0.5)) / 1e6, 4).alias("p50_late_s"),
+        F.round(F.percentile("late_us", F.lit(0.95)) / 1e6, 4).alias(
+            "p95_late_s"
+        ),
+        F.round(F.max("late_us") / 1e6, 4).alias("max_late_s"),
+    )
+
+
+WATERMARK_LATENESS_PROFILE_EVENTS_SQL = """
+WITH late AS (
+  SELECT max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                                 ROWS UNBOUNDED PRECEDING)
+         - epoch_us(ts) AS late_us
+  FROM events
+)
+SELECT count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       ((1000000 * sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS late_share_micro,
+       round(quantile_cont(late_us, 0.5) / 1e6, 4) AS p50_late_s,
+       round(quantile_cont(late_us, 0.95) / 1e6, 4) AS p95_late_s,
+       round(max(late_us) / 1e6, 4) AS max_late_s
+FROM late
+"""
+
+QUERIES["watermark_lateness_profile_events"] = (
+    watermark_lateness_profile_events,
+    WATERMARK_LATENESS_PROFILE_EVENTS_SQL,
+)
+
+
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over each event type's daily volume —
+    the level-shift monitor (a feed that silently halves after a deploy
+    shows a CUSUM peak at the deploy day long before an eyeball does).
+    The statistic is kept EXACTLY integer by scaling out the mean:
+    S_i = n·prefix_i − i·total (≡ n·Σ_{j≤i}(c_j − mean)); the change
+    point is argmax |S_i| with a deterministic (day asc) tie-break.
+    int64 headroom: n·prefix ≤ days·rows < 2^63 up to ~10^14 row-days.
+    One (type, day) count agg, then |days|-row windows per type —
+    metadata-scale after the count."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    daily = ev.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("d").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "d",
+        (
+            F.count(F.lit(1)).over(tot) * F.sum("c").over(w)
+            - F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.col("d").asc())
+            ).cast("long")
+            * F.sum("c").over(tot)
+        ).alias("s_scaled"),
+    )
+    from pyspark.sql import Window as W2
+
+    pick = W2.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.col("d").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_day"),
+            F.abs(F.col("s_scaled")).cast("long").alias("cusum_peak_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_CHANGEPOINT_EVENTS_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, d,
+         (count(*) OVER (PARTITION BY event_type)
+            * sum(c) OVER (PARTITION BY event_type ORDER BY d ASC
+                           ROWS UNBOUNDED PRECEDING)
+          - row_number() OVER (PARTITION BY event_type ORDER BY d ASC)
+            * sum(c) OVER (PARTITION BY event_type)) AS s_scaled
+  FROM daily
+), picked AS (
+  SELECT event_type, d, s_scaled,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s_scaled) DESC, d ASC) AS rn
+  FROM scored
+)
+SELECT event_type, d AS change_day,
+       abs(s_scaled)::BIGINT AS cusum_peak_scaled
+FROM picked WHERE rn = 1
+ORDER BY event_type
+"""
+
+QUERIES["cusum_changepoint_events"] = (
+    cusum_changepoint_events,
+    CUSUM_CHANGEPOINT_EVENTS_SQL,
+)

@@ -97,6 +97,8 @@ _PRIORITY = [
     "item_cf_similarity_suppliers",
     "attribution_last_touch_events",
     "k_anonymity_docs",
+    "watermark_lateness_profile_events",
+    "cusum_changepoint_events",
 ]
 
 
