@@ -2353,10 +2353,20 @@ def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bkey"
         ),
     )
-    v0_docs = tableformat.commit_version(corpus, root + "/docs")
-    v0_idx = tableformat.commit_version_bucketed(
-        flat(cbands), root + "/index", bucket_col="bkey", n_buckets=8
+    # Night 0 bootstrap and every nightly pair commit go through ONE
+    # transaction (tableformat.commit_atomic): a crash between the docs
+    # flip and the index flip would otherwise leave a torn pair — new
+    # docs invisible to tomorrow's candidate join (or vice versa). The
+    # group pointer flip is the transaction; per-member time travel and
+    # CDF keep working unchanged.
+    v0 = tableformat.commit_atomic(
+        root,
+        {
+            "docs": ("plain", corpus),
+            "index": ("bucketed", flat(cbands), "bkey", 8),
+        },
     )
+    v0_docs, v0_idx = v0["docs"], v0["index"]
 
     stored_idx = tableformat.read_version(spark, root + "/index", v0_idx)
     cand = (
@@ -2412,23 +2422,28 @@ def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted_ids = decisions.filter(~F.col("is_dup")).select(
         F.col("batch_id").alias("doc_id")
     )
-    v1_docs = tableformat.commit_version(
-        tableformat.read_version(spark, root + "/docs", v0_docs).unionByName(
-            batch.join(accepted_ids, "doc_id", "left_semi")
-        ),
-        root + "/docs",
-    )
     accepted_bands = flat(bbands).join(
         accepted_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi"
     )
-    # v1 of the index stays bucketed — every nightly commit preserves the
-    # exchange-free join property for the next night
-    tableformat.commit_version_bucketed(
-        stored_idx.unionByName(accepted_bands),
-        root + "/index",
-        bucket_col="bkey",
-        n_buckets=8,
+    # tonight's docs + index land as ONE transaction; the index stays
+    # bucketed so every nightly join keeps the exchange-free property
+    v1 = tableformat.commit_atomic(
+        root,
+        {
+            "docs": (
+                "plain",
+                tableformat.read_version(spark, root + "/docs", v0_docs)
+                .unionByName(batch.join(accepted_ids, "doc_id", "left_semi")),
+            ),
+            "index": (
+                "bucketed",
+                stored_idx.unionByName(accepted_bands),
+                "bkey",
+                8,
+            ),
+        },
     )
+    v1_docs = v1["docs"]
 
     cdf = tableformat.table_changes(
         spark, root + "/docs", v0_docs, v1_docs, key_cols=["doc_id"]

@@ -400,3 +400,65 @@ def scan_pruned(
     return spark.read.parquet(*paths).filter(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
+
+
+# ---------------------------------------------------------------------------
+# Atomic MULTI-TABLE commit: one transaction pointer over a group of
+# versioned tables (the Delta/Iceberg single-log idea applied across
+# tables). The nightly-dedup composition commits a docs snapshot AND a
+# band-index snapshot per night; with two independent manifests a crash
+# between the flips leaves a torn pair (new docs, old index → tonight's
+# accepted docs are invisible to tomorrow's candidate join). Here every
+# member table's snapshot directory and manifest entry land FIRST, then
+# ONE rename flips the group pointer — a reader resolving through the
+# group (read_atomic) sees either the whole transaction or none of it.
+# Honestly stated: per-table manifests still flip sequentially inside
+# the commit, so a reader bypassing the group pointer (plain
+# read_version on a member) can observe a mid-commit mix; the group
+# pointer is the transactional read path, same as reading a Delta table
+# through its log instead of listing its files.
+# ---------------------------------------------------------------------------
+def _txn_path(root: str) -> str:
+    return os.path.join(root, "_txn.json")
+
+
+def commit_atomic(root: str, tables: dict) -> dict:
+    """Commit a group of tables as one transaction.
+
+    ``tables``: name → ``("plain", df)`` or
+    ``("bucketed", df, bucket_col, n_buckets)``. Each member lives at
+    ``<root>/<name>`` as a normal versioned table (time travel, CDF and
+    vacuum all keep working per member). Returns {name: version}.
+    """
+    committed = {}
+    for name, spec in tables.items():
+        sub = os.path.join(root, name)
+        if spec[0] == "plain":
+            committed[name] = commit_version(spec[1], sub)
+        elif spec[0] == "bucketed":
+            committed[name] = commit_version_bucketed(
+                spec[1], sub, spec[2], spec[3]
+            )
+        else:
+            raise ValueError(f"unknown table spec kind: {spec[0]!r}")
+    os.makedirs(root, exist_ok=True)
+    prev = {"txn": -1, "tables": {}}
+    if os.path.exists(_txn_path(root)):
+        with open(_txn_path(root)) as f:
+            prev = json.load(f)
+    doc = {"txn": prev["txn"] + 1, "tables": {**prev["tables"], **committed}}
+    tmp = _txn_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.rename(tmp, _txn_path(root))  # THE transaction: one atomic flip
+    return committed
+
+
+def read_atomic(spark, root: str, name: str) -> DataFrame:
+    """Read a group member at the version the LAST COMMITTED TRANSACTION
+    pinned — the consistent cross-table read path."""
+    with open(_txn_path(root)) as f:
+        doc = json.load(f)
+    if name not in doc["tables"]:
+        raise KeyError(f"table {name!r} not in transaction group {sorted(doc['tables'])}")
+    return read_version(spark, os.path.join(root, name), doc["tables"][name])

@@ -401,3 +401,42 @@ def test_vacuum_drops_bucketed_catalog_tables(spark, tmp_path):
     removed = tf.vacuum(root, keep_last=1, spark=spark)
     assert removed == [v0]
     assert not spark.catalog.tableExists(entry["table"])
+
+
+def test_commit_atomic_group_is_all_or_nothing(spark, tmp_path):
+    """A crash between member commits must leave the group pointer on the
+    previous transaction: readers through read_atomic see the old
+    consistent pair, never a torn one."""
+    import pytest as _pytest
+
+    from data_ingestion_spark.operators import tableformat as tf
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "grp")
+    docs0 = spark.range(10).toDF("k")
+    idx0 = spark.range(10).select(F.col("id").alias("k"), (F.col("id") % 3).alias("b"))
+    v = tf.commit_atomic(root, {"docs": ("plain", docs0), "index": ("plain", idx0)})
+    assert v == {"docs": 0, "index": 0}
+    assert tf.read_atomic(spark, root, "docs").count() == 10
+
+    # simulate a crash AFTER docs v1 lands but BEFORE the group flip:
+    # commit docs directly (bypassing the group), then verify the group
+    # read still resolves the OLD consistent pair
+    tf.commit_version(spark.range(99).toDF("k"), root + "/docs")
+    assert tf.read_version(spark, root + "/docs").count() == 99  # torn direct read
+    assert tf.read_atomic(spark, root, "docs").count() == 10      # consistent group read
+    assert tf.read_atomic(spark, root, "index").count() == 10
+
+    # a full transaction advances both together (bucketed member included)
+    v2 = tf.commit_atomic(
+        root,
+        {
+            "docs": ("plain", spark.range(20).toDF("k")),
+            "index": ("bucketed", idx0.withColumn("b", F.col("b") + 1), "b", 4),
+        },
+    )
+    assert v2["docs"] == 2 and v2["index"] == 1
+    assert tf.read_atomic(spark, root, "docs").count() == 20
+    assert tf.read_atomic(spark, root, "index").count() == 10
+    with _pytest.raises(KeyError):
+        tf.read_atomic(spark, root, "nope")
