@@ -424,6 +424,16 @@ def main() -> None:
         norm = max(drift or 1.0, median_ratio or 1.0)
 
     suspect_set = set(suspect)
+    # Final flags need BOTH the norm-adjusted excess AND a raw increase
+    # (now > 1.05×prev). The raw guard closes the one false-flag mode the
+    # unclamped norm re-opens that retry-confirm cannot cure: on a
+    # faster-than-prev environment (norm < 1) a fixed-overhead-bound
+    # query legitimately stays FLAT in raw terms, its adjusted time
+    # inflates past 1.2×, and two fresh samples re-measure the same true
+    # fixed cost (min can't drop below it). A genuinely regressed query
+    # on a faster machine that still runs at or under its old raw time is
+    # at worst a missed marginal case — a query that got no slower in
+    # absolute terms is not an actionable regression.
     regressions = {
         name: {
             "prev": prev_queries[name],
@@ -433,6 +443,7 @@ def main() -> None:
         for name, t in timings.items()
         if name in suspect_set  # only two-sample-confirmed flags survive
         and (t / norm) > 1.2 * prev_queries[name]
+        and t > 1.05 * prev_queries[name]  # raw guard: no absolute slowdown, no flag
     }
 
     detail = {

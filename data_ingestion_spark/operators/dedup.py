@@ -61,6 +61,95 @@ def exact_dedup_representatives(
 # --------------------------------------------------------------------------
 # Tier 2: blocked exact n-gram Jaccard
 # --------------------------------------------------------------------------
+def build_shingle_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    block_cols: list[Column] | None = None,
+    sort_sets: bool = True,
+    out_col: str = "sset",
+) -> DataFrame:
+    """THE tokenize→shingle→distinct derivation every text-dedup tier
+    consumes (exact AllPairs, containment, minhash, and the recall QC) —
+    one definition so the tiers can never silently desynchronize (the r8
+    review found the recall query and the containment operator each
+    hand-copying it). Filters on token count BEFORE building shingles: a
+    size(shingles) > 0 filter would be pushed below the projection and
+    re-evaluate the whole shingle expression against raw text per row.
+    ``sort_sets`` adds the canonical array_sort the AllPairs verify uses;
+    minhash skips it (its hashes are order-free)."""
+    cols = [
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("toks"),
+    ]
+    if block_cols is not None:
+        cols.append(F.struct(*block_cols).alias("block"))
+    sh = F.array_distinct(word_shingles(F.col("toks"), k))
+    if sort_sets:
+        sh = F.array_sort(sh)
+    out = [F.col("id"), sh.alias(out_col)]
+    if block_cols is not None:
+        out.append(F.col("block"))
+    return df.select(*cols).filter(F.size("toks") >= k).select(*out)
+
+
+def frequency_ordered_prefix(
+    base: DataFrame,
+    threshold: float,
+    set_col: str = "sset",
+    group_cols: tuple = ("block",),
+) -> DataFrame:
+    """The shared AllPairs prefix machinery (Bayardo WWW'07 prefixes under
+    the Vernica et al. SIGMOD'10 global-frequency-ascending order): emits
+    the (id, *group_cols, n, s) prefix stream where each set keeps its
+    |X| − ⌈t·|X|⌉ + 1 RAREST shingles — any pair with overlap ≥ t·|X|
+    must share one. Consumed by jaccard_pairs (prefix×prefix with the
+    length filter) and the containment tier (prefix×full inverted index;
+    the superset side has no prefix bound). The frequency table keeps
+    only df ≥ 2 (df-1 shingles need no entry) and is NOT hint-forced —
+    AQE broadcasts it when small."""
+    freq = (
+        base.select(F.explode(set_col).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .filter(F.col("df_s") >= 2)
+    )
+    n = F.size(set_col)
+    gcols = list(group_cols)
+    return (
+        base.select("id", *gcols, n.alias("n"), F.explode(set_col).alias("s"))
+        .join(freq, "s", "left")
+        .select(
+            "id",
+            *gcols,
+            "n",
+            F.struct(
+                F.coalesce("df_s", F.lit(1)).alias("df_s"), F.col("s").alias("s")
+            ).alias("e"),
+        )
+        .groupBy("id", *gcols, "n")
+        .agg(F.array_sort(F.collect_list("e")).alias("ordered"))
+        .select(
+            "id",
+            *gcols,
+            "n",
+            F.explode(
+                F.slice(
+                    F.transform(F.col("ordered"), lambda e: e["s"]),
+                    F.lit(1),
+                    F.greatest(
+                        F.col("n")
+                        - F.ceil(F.col("n") * F.lit(float(threshold))).cast("int")
+                        + F.lit(1),
+                        F.lit(1),
+                    ),
+                )
+            ).alias("s"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -122,77 +211,15 @@ def jaccard_pairs(
         # materialization.
         base = prebuilt_base
     else:
-        # Filter on token count (== "has >=1 shingle") BEFORE building
-        # shingles: a size(shingles)>0 filter would be pushed below the
-        # projection and re-evaluate the whole shingle expression against
-        # raw text per row.
-        base = (
-            df.select(
-                F.col(id_col).alias("id"),
-                tokens(F.col(text_col)).alias("toks"),
-                F.struct(*block_cols).alias("block"),
-            )
-            .filter(F.size("toks") >= k)
-            .select(
-                "id",
-                F.array_sort(
-                    F.array_distinct(word_shingles(F.col("toks"), k))
-                ).alias("sset"),
-                "block",
-            )
-        )
         # The shingle pipeline feeds THREE consumers (df agg, prefix
         # stream, verify-side sets); materialize it once instead of
         # re-tokenizing the corpus per consumer. localCheckpoint stores
         # executor-local blocks — no driver collect, partitioning
         # preserved.
-        base = base.localCheckpoint(eager=False)
-    # Global document frequency per shingle, kept only where df >= 2:
-    # unlisted shingles are unique (df = 1) and need no table entry. On a
-    # low-repetition corpus this table is tiny and AQE turns the join
-    # below into a broadcast; no hint is forced so a highly repetitive
-    # corpus degrades to a shuffle join instead of a driver OOM.
-    freq = (
-        base.select(F.explode("sset").alias("s"))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df_s"))
-        .filter(F.col("df_s") >= 2)
-    )
-    n = F.size("sset")
-    # Reorder each set frequency-ascending (rarest first), then explode the
-    # prefix. The rebuild is one (id)-keyed aggregation of the narrow
-    # (id, shingle, df) stream — the price of the Vernica et al. global
-    # order; the candidate-join savings dominate it on any corpus where
-    # blocks share common shingles.
-    pref = (
-        base.select("id", "block", n.alias("n"), F.explode("sset").alias("s"))
-        .join(freq, "s", "left")
-        .select(
-            "id",
-            "block",
-            "n",
-            F.struct(F.coalesce("df_s", F.lit(1)).alias("df_s"), F.col("s").alias("s")).alias("e"),
-        )
-        .groupBy("id", "block", "n")
-        .agg(F.array_sort(F.collect_list("e")).alias("ordered"))
-        .select(
-            "id",
-            "block",
-            "n",
-            F.explode(
-                F.slice(
-                    F.transform(F.col("ordered"), lambda e: e["s"]),
-                    F.lit(1),
-                    F.greatest(
-                        F.col("n")
-                        - F.ceil(F.col("n") * F.lit(float(threshold))).cast("int")
-                        + F.lit(1),
-                        F.lit(1),
-                    ),
-                )
-            ).alias("s"),
-        )
-    )
+        base = build_shingle_base(
+            df, id_col, text_col, k=k, block_cols=block_cols, sort_sets=True
+        ).localCheckpoint(eager=False)
+    pref = frequency_ordered_prefix(base, threshold)
     pa, pb = pref.alias("pa"), pref.alias("pb")
     cand = (
         pa.join(
@@ -242,13 +269,8 @@ def _minhash_bands(
     if prebuilt_shingles is not None:
         base = prebuilt_shingles
     else:
-        base = (
-            df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-            .filter(F.size("toks") >= k)
-            .select(
-                "id",
-                F.array_distinct(word_shingles(F.col("toks"), k)).alias("shingles"),
-            )
+        base = build_shingle_base(
+            df, id_col, text_col, k=k, sort_sets=False, out_col="shingles"
         )
     if prehash_fn is not None:
         base = base.withColumn("hvals", F.transform("shingles", prehash_fn))

@@ -2581,7 +2581,7 @@ def minhash_band_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook S-curve value at the threshold, 1−(1−s^r)^b at s=0.3:
     the measured recall should beat it because most true pairs sit well
     above the threshold."""
-    from ..functions import md5_hash60, tokens, word_shingles
+    from ..functions import md5_hash60
 
     docs = load_table(spark, sf_dir, "documents")
     # Fused shingle pipeline (r8): BOTH sides of the recall measurement —
@@ -2595,22 +2595,11 @@ def minhash_band_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # legitimately pays to know ground truth. sset/shingles derivations
     # are exactly what jaccard_pairs/_minhash_bands build in-line, so the
     # recall VALUE is unchanged (oracle green, same n_true/n_found/n_hit).
-    shingled = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            tokens(F.col("text")).alias("toks"),
-            F.struct(
-                F.col("lang"), F.expr("n_chars div 200").alias("bucket")
-            ).alias("block"),
-        )
-        .filter(F.size("toks") >= 3)
-        .select(
-            "id",
-            F.array_distinct(word_shingles(F.col("toks"), 3)).alias("shingles"),
-            "block",
-        )
-        .localCheckpoint(eager=True)
-    )
+    shingled = dedup.build_shingle_base(
+        docs, "doc_id", "text", k=3,
+        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
+        sort_sets=False, out_col="shingles",
+    ).localCheckpoint(eager=True)
     truth = dedup.jaccard_pairs(
         None, id_col="doc_id", text_col="text",
         block_cols=None, k=3, threshold=0.3,
@@ -2857,63 +2846,14 @@ def dedup_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (id_a, id_b, containment_micro) for id_a ≠ id_b, BOTH
     directions possible, containment in exact integer micros.
     """
-    from ..functions import tokens, word_shingles
-
     docs = load_table(spark, sf_dir, "documents")
     t_num, t_den = 6, 10  # threshold 0.6 as an exact rational
-    base = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            tokens(F.col("text")).alias("toks"),
-            F.col("lang").alias("block"),
-        )
-        .filter(F.size("toks") >= 3)
-        .select(
-            "id",
-            F.array_distinct(word_shingles(F.col("toks"), 3)).alias("sset"),
-            "block",
-        )
-        .localCheckpoint(eager=False)
-    )
-    freq = (
-        base.select(F.explode("sset").alias("s"))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df_s"))
-        .filter(F.col("df_s") >= 2)
-    )
-    n = F.size("sset")
-    pref = (
-        base.select("id", "block", n.alias("n"), F.explode("sset").alias("s"))
-        .join(freq, "s", "left")
-        .select(
-            "id",
-            "block",
-            "n",
-            F.struct(
-                F.coalesce("df_s", F.lit(1)).alias("df_s"), F.col("s").alias("s")
-            ).alias("e"),
-        )
-        .groupBy("id", "block", "n")
-        .agg(F.array_sort(F.collect_list("e")).alias("ordered"))
-        .select(
-            "id",
-            "block",
-            F.explode(
-                F.slice(
-                    F.transform(F.col("ordered"), lambda e: e["s"]),
-                    F.lit(1),
-                    F.greatest(
-                        F.col("n")
-                        - F.ceil(F.col("n") * F.lit(t_num) / F.lit(t_den)).cast(
-                            "int"
-                        )
-                        + F.lit(1),
-                        F.lit(1),
-                    ),
-                )
-            ).alias("s"),
-        )
-    )
+    base = dedup.build_shingle_base(
+        docs, "doc_id", "text", k=3, block_cols=[F.col("lang")], sort_sets=True
+    ).localCheckpoint(eager=False)
+    pref = dedup.frequency_ordered_prefix(
+        base, threshold=t_num / t_den
+    ).select("id", "block", "s")
     inv = base.select("id", "block", F.explode("sset").alias("s"))
     cand = (
         pref.alias("pa")

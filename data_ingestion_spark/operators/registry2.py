@@ -5671,15 +5671,24 @@ def diversity_index_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * top_n) div N").cast("long").alias(
             "top_lang_share_micro"
         ),
+        # int64 headroom: 1e6·Σnᵢ(nᵢ−1) and 1e6·N² overflow 2^63 once a
+        # source holds ≳3.0e6 rows — well inside 100 TB — so both
+        # numerators run in DECIMAL(38,0) (HUGEINT on the DuckDB side),
+        # exact integer floor-division on both engines (the
+        # assoc_rules_lineitem discipline).
         F.expr(
             "CASE WHEN N <= 1 THEN 0"
-            " ELSE 1000000 - (1000000 * sum_nn1) div (N * (N - 1)) END"
+            " ELSE 1000000 - (CAST(1000000 AS DECIMAL(38,0)) * sum_nn1)"
+            " div (CAST(N AS DECIMAL(38,0)) * (N - 1)) END"
         )
         .cast("long")
         .alias("simpson_micro"),
-        F.expr("(1000000 * N * N) div sum_n2").cast("long").alias(
-            "effective_langs_micro"
-        ),
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * N * N) div"
+            " CAST(sum_n2 AS DECIMAL(38,0))"
+        )
+        .cast("long")
+        .alias("effective_langs_micro"),
     ).orderBy("source")
 
 
@@ -5696,9 +5705,10 @@ WITH cell AS (
 SELECT source, n_langs,
        ((1000000 * top_n) // N)::BIGINT AS top_lang_share_micro,
        (CASE WHEN N <= 1 THEN 0
-             ELSE 1000000 - (1000000 * sum_nn1) // (N * (N - 1)) END)::BIGINT
-           AS simpson_micro,
-       ((1000000 * N * N) // sum_n2)::BIGINT AS effective_langs_micro
+             ELSE 1000000 - (1000000::HUGEINT * sum_nn1)
+                  // (N::HUGEINT * (N - 1)) END)::BIGINT AS simpson_micro,
+       ((1000000::HUGEINT * N * N) // sum_n2::HUGEINT)::BIGINT
+           AS effective_langs_micro
 FROM per
 ORDER BY source
 """
@@ -6173,7 +6183,12 @@ def item_cf_similarity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sa",
             "sb",
             "co",
-            F.expr("(1000000 * co * co) div (n_a * n_b)")
+            # int64 headroom: 1e6·co² overflows 2^63 once co ≳3.0e6 —
+            # DECIMAL(38,0)/HUGEINT, the assoc_rules_lineitem discipline
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * co * co)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            )
             .cast("long")
             .alias("cosine2_micro"),
         )
@@ -6199,8 +6214,8 @@ co AS (
   LIMIT 20000
 )
 SELECT co.sa, co.sb, co.co,
-       ((1000000 * co.co * co.co) // (ca.n_orders * cb.n_orders))::BIGINT
-           AS cosine2_micro
+       ((1000000::HUGEINT * co.co * co.co)
+        // (ca.n_orders::HUGEINT * cb.n_orders))::BIGINT AS cosine2_micro
 FROM co
 JOIN counts ca ON ca.l_suppkey = co.sa
 JOIN counts cb ON cb.l_suppkey = co.sb

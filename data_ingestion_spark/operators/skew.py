@@ -149,7 +149,11 @@ def autogated_join(
     the same threshold arithmetic).
     """
     prof = key_skew_profile(probe, on).collect()[0]
-    salted = int(prof["top1_share_micro"]) >= gate_micro
+    # empty probe → NULL shares (sum over zero rows); skew is undefined,
+    # so degrade to the plain join instead of crashing the gate — an
+    # incremental pipeline's nightly batch can legitimately be empty
+    share = prof["top1_share_micro"]
+    salted = share is not None and int(share) >= gate_micro
     if salted:
         return (
             salted_join(

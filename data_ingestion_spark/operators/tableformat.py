@@ -102,9 +102,18 @@ def commit_version_bucketed(
         manifest = {"current": -1, "versions": []}
     v = manifest["current"] + 1
     vdir = f"v{v}"
-    # catalog names must be identifiers; derive one from the root dirname
-    safe = "".join(c if c.isalnum() else "_" for c in os.path.basename(root.rstrip("/")))
-    table = f"vtab_{safe}_{vdir}"
+    # catalog names must be identifiers AND unique per table root: the
+    # basename alone collides (every nightly-pipeline run has an 'index'
+    # member under a different temp root, and DROP TABLE on the colliding
+    # name would silently repoint an older root's reads at the new data),
+    # so the FULL root path is fingerprinted into the name.
+    import hashlib
+
+    fp = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:10]
+    safe = "".join(
+        c if c.isalnum() else "_" for c in os.path.basename(root.rstrip("/"))
+    )
+    table = f"vtab_{safe}_{fp}_{vdir}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # bucketBy WITHOUT sortBy: only the hashpartitioning matters for
     # exchange elision — Spark ≥3.0 ignores bucket sort metadata at read

@@ -440,3 +440,25 @@ def test_commit_atomic_group_is_all_or_nothing(spark, tmp_path):
     assert tf.read_atomic(spark, root, "index").count() == 10
     with _pytest.raises(KeyError):
         tf.read_atomic(spark, root, "nope")
+
+
+def test_bucketed_catalog_names_unique_per_root(spark, tmp_path):
+    """Two versioned tables whose roots share a basename must not clobber
+    each other's catalog entry (the pre-fix name was basename+version
+    only, so every nightly run's 'index' member collided)."""
+    from data_ingestion_spark.operators import tableformat as tf
+    from pyspark.sql import functions as F
+
+    ra = str(tmp_path / "run1" / "index")
+    rb = str(tmp_path / "run2" / "index")
+    tf.commit_version_bucketed(
+        spark.range(10).select(F.col("id").alias("k")), ra, "k", 2
+    )
+    tf.commit_version_bucketed(
+        spark.range(99).select(F.col("id").alias("k")), rb, "k", 2
+    )
+    assert tf.read_version(spark, ra, 0).count() == 10  # not repointed
+    assert tf.read_version(spark, rb, 0).count() == 99
+    ta = tf.read_manifest(ra)["versions"][0]["table"]
+    tb = tf.read_manifest(rb)["versions"][0]["table"]
+    assert ta != tb
