@@ -2209,3 +2209,30 @@ def test_dp_noisy_counts_noise_bounded(spark):
         assert abs(r["noise"]) <= _DP_K
         assert r["noisy_n"] == r["true_n"] + r["noise"]
         assert r["epsilon_micro"] == 1_000_000
+
+
+def test_sessionize_events_matches_session_window(spark):
+    """Cross-tier sessionization parity: the row-level session-ID
+    assignment (sessionize_events) must induce the same per-user session
+    multiset (n_events per session) as the declarative F.session_window
+    aggregate at the same 30-minute gap — two independent formulations of
+    the same semantics. (Boundary note: they differ only for gaps of
+    EXACTLY 1800s — measure-zero on µs timestamps; the fixture has none.)"""
+    from collections import Counter
+
+    from data_ingestion_spark.operators.registry2 import sessionize_events
+    from data_ingestion_spark.streaming.event_time import session_window_agg
+    from data_ingestion_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    mine = Counter(
+        (r["user_id"], r["n_events"])
+        for r in sessionize_events(spark, sf).collect()
+    )
+    declarative = Counter(
+        (r["user_id"], r["n_events"])
+        for r in session_window_agg(
+            load_table(spark, sf, "events"), gap="30 minutes"
+        ).collect()
+    )
+    assert mine == declarative and sum(mine.values()) > 0
