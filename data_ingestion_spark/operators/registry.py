@@ -2909,3 +2909,101 @@ QUERIES["dedup_containment_pairs_docs"] = (
     dedup_containment_pairs_docs,
     DEDUP_CONTAINMENT_PAIRS_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# IVF with actually-trained (k-means) lists (r8)
+# --------------------------------------------------------------------------
+def knn_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat whose inverted lists come from the REAL k-means training
+    loop (similarity.kmeans_centroid_list: 2 Lloyd rounds, k=4, 6 dp
+    rounding between rounds) instead of the lowest-id seed stand-in
+    knn_ivf_topk documents — the full production composition: train →
+    assign → probe → list-restricted exact cosine. The entire pipeline is
+    engine-replayable because the training loop itself is (the 6 dp
+    inter-round rounding makes both engines iterate on identical
+    doubles, the property kmeans_centroids_embeddings pins); the oracle
+    unrolls both Lloyd rounds AND the probe/scoring in one SQL. Trained
+    lists change which lists get probed — recall on clustered data rises
+    for the same n_probe, which is the reason FAISS trains lists at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.kmeans_centroid_list(
+        emb, vec_col="embedding", k=4, n_iter=2, id_col="vec_id"
+    )
+    return similarity.ivf_topk(emb, queries, cents, k=10, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+KNN_IVF_KMEANS_TOPK_SQL = """
+WITH cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC) AS rk
+    FROM embeddings e, cents0 c
+  ) WHERE rk = 1
+), c1 AS (
+  SELECT cid, i - 1 AS dim, round(avg(e.embedding[i]::DOUBLE), 6) AS c
+  FROM a1 JOIN embeddings e USING (vec_id), generate_series(1, 64) s(i)
+  GROUP BY cid, i
+), c1l AS (
+  SELECT cid, list(c ORDER BY dim) AS cv FROM c1 GROUP BY cid
+), a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC) AS rk
+    FROM embeddings e, c1l c
+  ) WHERE rk = 1
+), c2 AS (
+  SELECT cid, i - 1 AS dim, round(avg(e.embedding[i]::DOUBLE), 6) AS c
+  FROM a2 JOIN embeddings e USING (vec_id), generate_series(1, 64) s(i)
+  GROUP BY cid, i
+), c2l AS (
+  SELECT cid, list(c ORDER BY dim) AS cv FROM c2 GROUP BY cid
+), corpus_assign AS (
+  SELECT neighbor_id, cv2, cid FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv2, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC
+           ) AS rk
+    FROM embeddings e, c2l c
+  ) WHERE rk = 1
+), query_probe AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_inner_product(q.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC
+           ) AS rk
+    FROM embeddings q, c2l c
+    WHERE q.vec_id < 5
+  ) WHERE rk <= 2
+), scored AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.qv::DOUBLE[], a.cv2::DOUBLE[]), 6)
+           AS cosine
+  FROM query_probe p
+  JOIN corpus_assign a ON a.cid = p.cid
+  WHERE a.neighbor_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+QUERIES["knn_ivf_kmeans_topk"] = (knn_ivf_kmeans_topk, KNN_IVF_KMEANS_TOPK_SQL)

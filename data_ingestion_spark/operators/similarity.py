@@ -348,9 +348,34 @@ def kmeans_centroids(
 
     Returns (grp, dim, centroid_val) exploded rows for the final centroids.
     """
-    cents = ivf_centroids_from_sample(df, k, id_col=id_col, vec_col=vec_col)
+    cents = kmeans_centroid_list(
+        df, vec_col=vec_col, k=k, n_iter=n_iter, id_col=id_col
+    )
     dim = len(cents[0])
-    spark = df.sparkSession
+    out = [
+        (grp, d, float(cents[grp][d])) for grp in range(k) for d in range(dim)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "grp int, dim int, centroid_val double"
+    )
+
+
+def kmeans_centroid_list(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """The Lloyd loop of ``kmeans_centroids`` returning the raw k×dim
+    centroid list — the TRAINING step an IVF index consumes
+    (knn_ivf_kmeans_topk feeds this straight into ivf_topk, replacing the
+    lowest-id seed stand-in with actually-trained lists). Per round: one
+    narrow broadcast-literal assignment + one (cluster, dim)-keyed mean
+    agg; only the k×dim centroid table crosses the driver. Centroids are
+    rounded to 6 dp between rounds, which is what keeps the whole
+    iteration engine-replayable (see kmeans_centroids)."""
+    cents = ivf_centroids_from_sample(df, k, id_col=id_col, vec_col=vec_col)
     for _ in range(n_iter):
         assigned = ivf_assign(
             df.select(F.col(vec_col).alias("v")), cents, vec_col="v", n_probe=1
@@ -365,12 +390,7 @@ def kmeans_centroids(
         for r in rows:
             new[r["list_id"]][r["dim"]] = float(r["c"])
         cents = new
-    out = [
-        (grp, d, float(cents[grp][d])) for grp in range(k) for d in range(dim)
-    ]
-    return spark.createDataFrame(
-        out, "grp int, dim int, centroid_val double"
-    )
+    return cents
 
 
 def group_centroids(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:

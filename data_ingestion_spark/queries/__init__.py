@@ -99,6 +99,7 @@ _PRIORITY = [
     "k_anonymity_docs",
     "watermark_lateness_profile_events",
     "cusum_changepoint_events",
+    "knn_ivf_kmeans_topk",
 ]
 
 
