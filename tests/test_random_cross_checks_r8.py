@@ -253,3 +253,43 @@ def test_benford_table_matches_math():
     assert sum(tab.values()) in (999_999, 1_000_000, 1_000_001)  # rounding
     for d in range(1, 10):
         assert abs(tab[d] / 1e6 - math.log10(1 + 1 / d)) < 1e-6
+
+
+def test_frequency_ordered_prefix_is_lossless(spark):
+    """The shared AllPairs prefix machinery must generate a candidate
+    SUPERSET of the true pairs for BOTH consumers' thresholds: any pair
+    with Jaccard >= t shares a prefix element (prefix x prefix), and any
+    pair with containment C(A->B) >= t shares an element of A's prefix
+    with B's full set — on random corpora and random thresholds."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import dedup
+
+    rnd = random.Random(86)
+    vocab = [f"w{i}" for i in range(25)]
+    for t in (0.3, 0.5, 0.7):
+        docs = [
+            (i, " ".join(rnd.choices(vocab, k=rnd.randrange(4, 20))), "en")
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+        base = dedup.build_shingle_base(
+            df, "doc_id", "text", k=3, block_cols=[F.col("lang")], sort_sets=True
+        )
+        pref = dedup.frequency_ordered_prefix(base, threshold=t)
+        pref_sets = defaultdict(set)
+        for r in pref.collect():
+            pref_sets[r["id"]].add(r["s"])
+        full = {
+            r["id"]: set(r["sset"]) for r in base.collect() if r["sset"]
+        }
+        for a, sa in full.items():
+            for b, sb in full.items():
+                if a >= b:
+                    continue
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                if inter / union >= t:  # Jaccard pair must collide prefix×prefix
+                    assert pref_sets[a] & pref_sets[b], (t, a, b)
+                if inter >= t * len(sa):  # containment pair: A-prefix × B-full
+                    assert pref_sets[a] & sb, (t, a, b)
