@@ -27,6 +27,7 @@ _SQL_HASH60 = "(('0x' || substr(md5({c}), 1, 15))::BIGINT)"
 # Dedup
 # --------------------------------------------------------------------------
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup representatives: min-id per distinct content + copy counts (dedup.exact_dedup_representatives)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup_representatives(docs, "text", "doc_id").orderBy("doc_id")
 
@@ -255,6 +256,7 @@ DEDUP_INCREMENTAL_DOCS_SQL = _minhash_incremental_oracle()
 
 
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures per document (dedup tier 4; md5-derived token hashes, bitwise majority)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
@@ -423,6 +425,7 @@ DEDUP_EMBEDDING_PAIRS_SQL = _knn_lsh_pairs_oracle(
 # Text analysis
 # --------------------------------------------------------------------------
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword-ratio quality scores per document."""
     docs = load_table(spark, sf_dir, "documents")
     return text.text_quality(docs, "doc_id", "text").orderBy("doc_id")
 
@@ -445,6 +448,7 @@ FROM (SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
 
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-heuristic language ID per document (text.language_id)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.language_id(docs, "doc_id", "text").orderBy("doc_id")
 
@@ -477,6 +481,7 @@ LANG_ID_DOCS_SQL = _lang_id_oracle()
 
 
 def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document (text module)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.token_counts(docs, "doc_id", "text").orderBy("doc_id")
 
@@ -522,6 +527,7 @@ SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 3
 
 
 def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (text fingerprinting tier)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.fingerprint(docs, "doc_id", "text").orderBy("doc_id")
 
@@ -823,6 +829,7 @@ FROM ranked WHERE rank <= 10
 # the expected fields from doc_id — a bit-level check of the binary path.
 # --------------------------------------------------------------------------
 def multimodal_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction over synthesized PNG/WAV blobs — see the header-comment block above for the bit-level oracle design."""
     import struct
 
     import pandas as pd

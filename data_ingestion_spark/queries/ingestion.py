@@ -55,6 +55,7 @@ def _run_pipeline(spark: SparkSession, files: dict, keys: list[str], rules=None)
 # CSV: headers + ragged-row column_{i} fallback (§2.2 P1/P3)
 # --------------------------------------------------------------------------
 def ingest_csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference CSV parser E2E (headers, ragged column_{i} fallback) through the full pipeline."""
     pipe = _run_pipeline(
         spark,
         {
@@ -89,6 +90,7 @@ SELECT * FROM (VALUES
 # JSON passthrough: native types preserved (§2.2 P5)
 # --------------------------------------------------------------------------
 def ingest_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference JSON parser E2E (array explode / single-object wrap) through the full pipeline."""
     pipe = _run_pipeline(
         spark,
         {
@@ -116,6 +118,7 @@ FROM (VALUES
 # TXT: 1-based line_number + content (§2.2 P6)
 # --------------------------------------------------------------------------
 def ingest_txt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference TXT parser E2E (stable 1-based line_number) through the full pipeline."""
     pipe = _run_pipeline(
         spark,
         {"logs/app.txt": "service started\nprocessing batch\ndone\n"},
@@ -139,6 +142,7 @@ FROM (VALUES
 # XML: <record> elements, attributes + child-element text (§2.2 P7)
 # --------------------------------------------------------------------------
 def ingest_xml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference XML <record> parser E2E (attrs, last-wins) through the full pipeline."""
     pipe = _run_pipeline(
         spark,
         {
@@ -168,6 +172,7 @@ SELECT * FROM (VALUES
 # (§2.2 P8 — contrast CSV's column_{i} keep)
 # --------------------------------------------------------------------------
 def ingest_excel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Excel parser E2E (sheet 0, overflow-drop, xlsx-only) through the full pipeline."""
     from ..sources.xlsx_writer import make_xlsx
 
     pipe = _run_pipeline(
@@ -204,6 +209,7 @@ SELECT * FROM (VALUES
 # rejection path (§2.2 P9 + §2.3 L1/L2)
 # --------------------------------------------------------------------------
 def ingest_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-log lifecycle E2E: insert -> finalize rows the reference writes per file."""
     pipe = _run_pipeline(
         spark,
         {
@@ -237,6 +243,7 @@ SELECT * FROM (VALUES
 # ORC: native columnar ingest (rebuild extension; typed passthrough like JSON)
 # --------------------------------------------------------------------------
 def ingest_orc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip through the dispatch registry."""
     def write_orc_fixture(path: str) -> None:
         src = spark.createDataFrame(
             [(1, "ann", 1.5), (2, "bob", None), (3, "cy", -0.25)],
@@ -270,6 +277,7 @@ FROM (VALUES
 # Avro: pure-stdlib Object Container File ingest (rebuild extension)
 # --------------------------------------------------------------------------
 def ingest_avro_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink round-trip through the dispatch registry."""
     from ..sources.avro_source import write_avro_file
 
     schema = {
