@@ -6040,6 +6040,7 @@ def rrf_fusion_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.row_number()
         .over(W.orderBy(F.col("score_micro").desc(), F.col("id").asc()))
+        .cast("long")
         .alias("rank_a"),
     )
     from ..functions import tokens as _toks
@@ -6066,6 +6067,7 @@ def rrf_fusion_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("matches").desc(), F.col("occs").desc(), F.col("id").asc()
             )
         )
+        .cast("long")
         .alias("rank_b"),
     )
     fused = (
