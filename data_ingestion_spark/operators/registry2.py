@@ -6546,3 +6546,165 @@ QUERIES["cusum_changepoint_events"] = (
     cusum_changepoint_events,
     CUSUM_CHANGEPOINT_EVENTS_SQL,
 )
+
+
+def semantic_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-drift QC per label: cosine between the label's centroid
+    over EVEN vec_ids and over ODD vec_ids (two deterministic halves —
+    the batch-over-batch drift probe for an embedding pipeline: an
+    encoder change or upstream content shift moves a class centroid long
+    before a classifier's accuracy shows it; identical halves sit at
+    cosine ≈ 1). Per-dim means are 6 dp-rounded (the kmeans/centroid
+    precedent that keeps both engines iterating on identical doubles);
+    the cosine itself uses the fold/sqrt machinery proven bit-identical
+    to DuckDB's list_cosine_similarity in every knn oracle. Scale shape:
+    one (label, half, dim) mean agg — KB-scale partials — then the
+    cosine on 2×|labels| metadata rows."""
+    from ..functions.vector_functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).cast("int").alias("half"),
+            F.posexplode("embedding").alias("dim", "val"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .groupBy("label", "half")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("c")))
+            ).alias("ordered")
+        )
+        .select(
+            "label",
+            "half",
+            F.transform(F.col("ordered"), lambda e: e["c"]).alias("cv"),
+        )
+    )
+    c0 = cents.filter(F.col("half") == 0).select(
+        "label", F.col("cv").alias("cv0")
+    )
+    c1 = cents.filter(F.col("half") == 1).select(
+        "label", F.col("cv").alias("cv1")
+    )
+    return (
+        c0.join(c1, "label")
+        .select(
+            "label",
+            F.round(
+                cosine_similarity(F.col("cv0"), F.col("cv1")), 6
+            ).alias("drift_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+SEMANTIC_DRIFT_LABELS_SQL = """
+WITH cents AS (
+  SELECT label, (vec_id % 2)::INT AS half, i - 1 AS dim,
+         round(avg(embedding[i]::DOUBLE), 6) AS c
+  FROM embeddings, generate_series(1, 64) s(i)
+  GROUP BY 1, 2, 3
+), arrs AS (
+  SELECT label, half, list(c ORDER BY dim) AS cv
+  FROM cents GROUP BY 1, 2
+)
+SELECT a.label,
+       round(list_cosine_similarity(a.cv, b.cv), 6) AS drift_cosine
+FROM arrs a JOIN arrs b ON a.label = b.label AND a.half = 0 AND b.half = 1
+ORDER BY a.label
+"""
+
+QUERIES["semantic_drift_labels"] = (semantic_drift_labels, SEMANTIC_DRIFT_LABELS_SQL)
+
+
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-holdout evaluation of the Markov next-event model (the
+    transition matrix event_transitions_events builds): transitions whose
+    TARGET lands on an even epoch-day train the model, odd-day targets
+    evaluate it — a deterministic time-sliced split, the eval discipline
+    every sequence model needs before anyone trusts its lift. Per source
+    state: the argmax prediction (count desc, type asc tie-break), eval
+    support, hits, and accuracy in exact micros. One user-keyed lag
+    window builds transitions; everything after runs on the |types|²
+    grid. The whole train→predict→score loop replays in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("nxt"),
+        (day % 2 == 0).alias("is_train"),
+    ).filter(F.col("prev").isNotNull())
+    train = trans.filter("is_train").groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pick = W.partitionBy("prev").orderBy(F.col("n").desc(), F.col("nxt").asc())
+    model = (
+        train.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    ev_eval = trans.filter(~F.col("is_train")).groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        ev_eval.join(model, "prev")
+        .groupBy("prev", "predicted")
+        .agg(
+            F.sum("n").cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "prev",
+            "predicted",
+            "n_eval",
+            "n_correct",
+            F.expr("(1000000 * n_correct) div n_eval").cast("long").alias(
+                "accuracy_micro"
+            ),
+        )
+        .orderBy("prev")
+    )
+
+
+MARKOV_NEXT_EVENT_ACCURACY_SQL = """
+WITH trans AS (
+  SELECT lag(event_type) OVER w AS prev, event_type AS nxt,
+         (datediff('day', DATE '1970-01-01', ts::DATE) % 2 = 0) AS is_train
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), t2 AS (SELECT * FROM trans WHERE prev IS NOT NULL),
+train AS (
+  SELECT prev, nxt, count(*)::BIGINT AS n FROM t2 WHERE is_train GROUP BY 1, 2
+), model AS (
+  SELECT prev, nxt AS predicted FROM (
+    SELECT prev, nxt, row_number() OVER (PARTITION BY prev
+                                         ORDER BY n DESC, nxt ASC) AS rn
+    FROM train
+  ) WHERE rn = 1
+), ev AS (
+  SELECT prev, nxt, count(*)::BIGINT AS n
+  FROM t2 WHERE NOT is_train GROUP BY 1, 2
+)
+SELECT e.prev, m.predicted,
+       sum(e.n)::BIGINT AS n_eval,
+       sum(CASE WHEN e.nxt = m.predicted THEN e.n ELSE 0 END)::BIGINT
+           AS n_correct,
+       ((1000000 * sum(CASE WHEN e.nxt = m.predicted THEN e.n ELSE 0 END))
+        // sum(e.n))::BIGINT AS accuracy_micro
+FROM ev e JOIN model m USING (prev)
+GROUP BY e.prev, m.predicted
+ORDER BY e.prev
+"""
+
+QUERIES["markov_next_event_accuracy"] = (
+    markov_next_event_accuracy,
+    MARKOV_NEXT_EVENT_ACCURACY_SQL,
+)

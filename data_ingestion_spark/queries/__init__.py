@@ -100,6 +100,8 @@ _PRIORITY = [
     "watermark_lateness_profile_events",
     "cusum_changepoint_events",
     "knn_ivf_kmeans_topk",
+    "semantic_drift_labels",
+    "markov_next_event_accuracy",
 ]
 
 
