@@ -6708,3 +6708,207 @@ QUERIES["markov_next_event_accuracy"] = (
     markov_next_event_accuracy,
     MARKOV_NEXT_EVENT_ACCURACY_SQL,
 )
+
+
+def ht_sampled_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation over a deterministic hash sample — the
+    unbiased-estimator discipline for sampled aggregates (join_size_
+    sample estimates a JOIN; this is the single-table total every
+    sampled dashboard needs): a 1/8 md5-gate sample of orders, each
+    sampled row weighted by the inverse inclusion probability (×8), the
+    estimated total-price CENTS against the exact total, with the signed
+    relative error in micros surfaced — an estimator whose error you
+    don't publish is a guess. Exact integer cents (the repo's float-sum
+    idiom) keep both engines' sums order-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions import md5_hash60
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    gate = md5_hash60(F.col("o_orderkey").cast("string")) % 8 == 0
+    both = orders.select(
+        cents.alias("c"), gate.alias("in_sample")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("c").cast("long").alias("true_cents"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+        (F.sum(F.when(F.col("in_sample"), F.col("c")).otherwise(0)) * 8)
+        .cast("long")
+        .alias("ht_cents"),
+    )
+    return both.select(
+        "n_rows",
+        "n_sampled",
+        "true_cents",
+        "ht_cents",
+        F.expr("(1000000 * (ht_cents - true_cents)) div true_cents")
+        .cast("long")
+        .alias("rel_err_micro"),
+    )
+
+
+HT_SAMPLED_TOTAL_ORDERS_SQL = f"""
+WITH t AS (
+  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS c,
+         {_SQL_HASH60.format(c='o_orderkey::VARCHAR')} % 8 = 0 AS in_sample
+  FROM orders
+)
+SELECT count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN in_sample THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       sum(c)::BIGINT AS true_cents,
+       (sum(CASE WHEN in_sample THEN c ELSE 0 END) * 8)::BIGINT AS ht_cents,
+       ((1000000 * ((sum(CASE WHEN in_sample THEN c ELSE 0 END) * 8)
+                    - sum(c))) // sum(c))::BIGINT AS rel_err_micro
+FROM t
+"""
+
+QUERIES["ht_sampled_total_orders"] = (
+    ht_sampled_total_orders,
+    HT_SAMPLED_TOTAL_ORDERS_SQL,
+)
+
+
+def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the time-series
+    aggregate where a value holds UNTIL the next observation, so a
+    reading that stood for 6 hours weighs 360× one that stood for a
+    minute; the plain AVG every naive dashboard computes instead is
+    sampling-rate-biased). Each event's weight is its µs-duration to the
+    user's next event (lead over one user-keyed window; the last
+    observation carries no interval and drops — stated, not hidden).
+    The weighted sum runs in DECIMAL(38,6) — exact and order-free, so
+    partial/final shuffle aggregation matches the serial oracle
+    bit-for-bit (the gapfill_locf discipline). Users with < 2 events
+    have no intervals and are absent by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    tus = F.unix_micros(F.col("ts"))
+    rows = ev.select(
+        "user_id",
+        F.col("value"),
+        (F.lead(tus).over(w) - tus).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dur_us").cast("long").alias("total_us"),
+            F.sum(
+                (F.col("value") * F.col("dur_us")).cast("decimal(38,6)")
+            ).alias("_wsum"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_us",
+            F.round(
+                (F.col("_wsum") / F.col("total_us")).cast("double"), 6
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TWAP_USER_VALUES_SQL = """
+WITH rows_ AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_intervals,
+       sum(dur_us)::BIGINT AS total_us,
+       round((sum((value * dur_us)::DECIMAL(38,6)) / sum(dur_us))::DOUBLE, 6)
+           AS twap
+FROM rows_
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["twap_user_values"] = (twap_user_values, TWAP_USER_VALUES_SQL)
+
+
+def funnel_time_to_convert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles for the view→click→purchase funnel:
+    among users whose greedy chain completes inside the 7-day window,
+    the p50/p90/max seconds from the anchor view to the purchase — the
+    latency half of the funnel story (conversion RATE says how many;
+    this says how long the window actually needs, feeding directly back
+    into the windowFunnel deadline choice). Reuses funnel_steps'
+    chained min-agg machinery; percentiles are exact with the proven
+    percentile ≡ quantile_cont parity, over |converting users| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("et"),
+        F.col("ts").alias("t"),
+    ).filter(F.col("event_type").isin(list(_FUNNEL_STEPS)))
+    reached = (
+        ev.filter(F.col("et") == _FUNNEL_STEPS[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t0"))
+        .withColumn("deadline", F.col("t0") + F.expr("INTERVAL 7 days"))
+    )
+    prev = "t0"
+    for i, step in enumerate(_FUNNEL_STEPS[1:], start=1):
+        nxt = (
+            ev.filter(F.col("et") == step)
+            .join(
+                reached.select("u", F.col(prev).alias("_prev"), "t0", "deadline"),
+                "u",
+            )
+            .filter((F.col("t") > F.col("_prev")) & (F.col("t") <= F.col("deadline")))
+            .groupBy("u", "t0", "deadline")
+            .agg(F.min("t").alias(f"t{i}"))
+        )
+        reached = nxt
+        prev = f"t{i}"
+    last = f"t{len(_FUNNEL_STEPS) - 1}"
+    durs = reached.select(
+        ((F.unix_micros(F.col(last)) - F.unix_micros(F.col("t0"))) / 1e6).alias(
+            "secs"
+        )
+    )
+    return durs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("secs", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("secs", F.lit(0.9)), 4).alias("p90_s"),
+        F.round(F.max("secs"), 4).alias("max_s"),
+    )
+
+
+FUNNEL_TIME_TO_CONVERT_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, event_type AS et, ts AS t FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s0 AS (SELECT u, min(t) AS t0 FROM ev WHERE et = 'view' GROUP BY u),
+r0 AS (SELECT u, t0, t0 + INTERVAL 7 DAY AS deadline FROM s0),
+s1 AS (
+  SELECT e.u, r0.t0, r0.deadline, min(e.t) AS t1
+  FROM ev e JOIN r0 ON e.u = r0.u
+  WHERE e.et = 'click' AND e.t > r0.t0 AND e.t <= r0.deadline GROUP BY 1, 2, 3
+),
+s2 AS (
+  SELECT e.u, s1.t0, min(e.t) AS t2
+  FROM ev e JOIN s1 ON e.u = s1.u
+  WHERE e.et = 'purchase' AND e.t > s1.t1 AND e.t <= s1.deadline GROUP BY 1, 2
+),
+durs AS (
+  SELECT (epoch_us(t2) - epoch_us(t0)) / 1e6 AS secs FROM s2
+)
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(secs, 0.5), 4) AS p50_s,
+       round(quantile_cont(secs, 0.9), 4) AS p90_s,
+       round(max(secs), 4) AS max_s
+FROM durs
+"""
+
+QUERIES["funnel_time_to_convert_events"] = (
+    funnel_time_to_convert_events,
+    FUNNEL_TIME_TO_CONVERT_SQL,
+)

@@ -102,6 +102,9 @@ _PRIORITY = [
     "knn_ivf_kmeans_topk",
     "semantic_drift_labels",
     "markov_next_event_accuracy",
+    "ht_sampled_total_orders",
+    "twap_user_values",
+    "funnel_time_to_convert_events",
 ]
 
 
