@@ -6912,3 +6912,189 @@ QUERIES["funnel_time_to_convert_events"] = (
     funnel_time_to_convert_events,
     FUNNEL_TIME_TO_CONVERT_SQL,
 )
+
+
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness profile — the data-profiling pass every
+    catalog/contract tool runs before anything else: per column, row
+    count, null count, null share (micros) and exact distinct count, in
+    ONE scan (all aggregates in a single agg; the per-column distincts
+    expand to Spark's multi-distinct plan, the shape
+    multi_distinct_events already pins). Values never round-trip through
+    strings, so no cross-engine float formatting is involved — the
+    profile is counts only, typed columns stay typed."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = orders.columns
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_null_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"_nd_{c}"))
+    one = orders.agg(*aggs)
+    stack = ", ".join(f"'{c}', _null_{c}, _nd_{c}" for c in cols)
+    return (
+        one.select(
+            "_n",
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (column_name, n_null, n_distinct)"
+            ),
+        )
+        .select(
+            "column_name",
+            F.col("_n").alias("n_rows"),
+            "n_null",
+            "n_distinct",
+            F.expr("(1000000 * n_null) div _n").cast("long").alias(
+                "null_share_micro"
+            ),
+        )
+        .orderBy("column_name")
+    )
+
+
+def _column_profile_oracle() -> str:
+    import duckdb  # noqa: F401 — columns fixed by TESTDATA.md schema
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    parts = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows, "
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, "
+        f"count(DISTINCT {c})::BIGINT AS n_distinct FROM orders"
+        for c in cols
+    )
+    return f"""
+WITH per AS ({parts})
+SELECT column_name, n_rows, n_null, n_distinct,
+       ((1000000 * n_null) // n_rows)::BIGINT AS null_share_micro
+FROM per ORDER BY column_name
+"""
+
+
+COLUMN_PROFILE_ORDERS_SQL = _column_profile_oracle()
+
+QUERIES["column_profile_orders"] = (column_profile_orders, COLUMN_PROFILE_ORDERS_SQL)
+
+
+def session_cooccurrence_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence LIFT within behavioral sessions — a
+    composition that uses sessionization as a building block: sessions
+    from the same 30-minute-gap assignment as sessionize_events, distinct
+    (session, type) incidence, pair counts, and
+    lift = P(a,b) / (P(a)·P(b)) = n_ab·n_sessions / (n_a·n_b) in exact
+    integer micros (DECIMAL(38,0) numerator — the int64-headroom
+    discipline). Types that co-sessionize above independence reveal
+    coupled behaviors the per-event transition matrix can't see (it only
+    looks one step ahead). One user-keyed window + session-keyed aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    tus = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = tus - F.lag(tus).over(w)
+    sess = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                W.partitionBy("user_id")
+                .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .select("user_id", "sid", "event_type")
+        .distinct()
+    )
+    n_sessions = sess.select("user_id", "sid").distinct().count()
+    singles = sess.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a, b = sess.alias("a"), sess.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.expr(
+                f"(CAST(1000000 AS DECIMAL(38,0)) * n_ab * {n_sessions})"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SESSION_COOCCURRENCE_LIFT_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT DISTINCT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS sid,
+         event_type
+  FROM flagged
+), ns AS (SELECT count(*)::BIGINT AS n_sessions
+          FROM (SELECT DISTINCT user_id, sid FROM sess)),
+singles AS (
+  SELECT event_type, count(*)::BIGINT AS n_t FROM sess GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_ab
+  FROM sess a JOIN sess b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       ((1000000::HUGEINT * p.n_ab * ns.n_sessions)
+        // (sa.n_t::HUGEINT * sb.n_t))::BIGINT AS lift_micro
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN ns
+ORDER BY p.type_a, p.type_b
+"""
+
+QUERIES["session_cooccurrence_lift_events"] = (
+    session_cooccurrence_lift_events,
+    SESSION_COOCCURRENCE_LIFT_SQL,
+)

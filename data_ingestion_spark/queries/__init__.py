@@ -105,6 +105,8 @@ _PRIORITY = [
     "ht_sampled_total_orders",
     "twap_user_values",
     "funnel_time_to_convert_events",
+    "column_profile_orders",
+    "session_cooccurrence_lift_events",
 ]
 
 
