@@ -231,3 +231,56 @@ def run_neardup_fallback_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (sharded weighted Misra-Gries)
+# ---------------------------------------------------------------------------
+def heavy_hitters_batch(state_root: str, n_shards: int = 8, k: int = 16):
+    """foreachBatch tier of heavy_hitters_stream: per micro-batch, one
+    distributed (shard, token) count agg, then each shard's weighted-MG
+    table (the SAME _mg_merge logic as the tws tier) is updated and
+    committed through the versioned state table. Honest limitation vs
+    the tws tier, stated: the per-batch (shard, token) counts are
+    collected to the driver for the merge — fine at per-batch
+    distinct-token scale, whereas the tws tier keeps the merge
+    executor-side per shard; the MG guarantee and lower-bound contract
+    are identical because the merge math is shared."""
+    from ..functions import tokens
+    from .heavy_hitters_stream import _mg_merge
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("token"))
+            .withColumn(
+                "shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)).cast("long")
+            )
+            .groupBy("shard", "token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        state = _state_or_empty(
+            spark, state_root, "shard long, token string, count_lb long"
+        )
+        tables: dict = {}
+        for r in state.collect():
+            tables.setdefault(int(r["shard"]), {})[r["token"]] = int(r["count_lb"])
+        for r in counts:
+            _mg_merge(
+                tables.setdefault(int(r["shard"]), {}),
+                str(r["token"]),
+                int(r["n"]),
+                k,
+            )
+        rows = [
+            (shard, tok, cnt)
+            for shard, tab in tables.items()
+            for tok, cnt in tab.items()
+        ]
+        tableformat.commit_version(
+            spark.createDataFrame(rows, "shard long, token string, count_lb long"),
+            state_root,
+        )
+
+    return process

@@ -1218,3 +1218,141 @@ def test_neardup_fallback_state_persists_across_streams(spark, tmp_path):
         q.awaitTermination()
     out = {r["doc_id"]: r["kept"] for r in spark.read.parquet(out_root).collect()}
     assert out == {1: True, 2: False, 3: True}
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (sharded weighted Misra-Gries on TWS)
+# ---------------------------------------------------------------------------
+def test_mg_merge_guarantee_and_lower_bounds():
+    """Pure-logic check of the weighted MG table: counts are lower bounds
+    of the exact frequencies and any token with freq > total/(k+1)
+    survives — on random weighted streams."""
+    import random
+
+    from data_ingestion_spark.streaming.heavy_hitters_stream import _mg_merge
+
+    rnd = random.Random(88)
+    for trial in range(5):
+        k = rnd.choice((4, 8, 16))
+        stream = [
+            (f"t{rnd.randrange(40)}", rnd.randrange(1, 6)) for _ in range(300)
+        ]
+        counters: dict = {}
+        exact: dict = {}
+        for tok, wgt in stream:
+            _mg_merge(counters, tok, wgt, k)
+            exact[tok] = exact.get(tok, 0) + wgt
+        total = sum(exact.values())
+        assert len(counters) <= k
+        for tok, c in counters.items():
+            assert c <= exact[tok], (trial, tok)
+        for tok, f in exact.items():
+            if f > total / (k + 1):
+                assert tok in counters, (trial, tok, f, total)
+
+
+def test_heavy_hitters_stream_cross_batch(spark, tmp_path):
+    """E2E: documents streamed one file per micro-batch; each shard's
+    FINAL table (max emit_seq) must lower-bound the exact token counts
+    and contain every token whose global frequency clears the per-shard
+    MG support bound. State must survive across micro-batches (two
+    source files ⇒ two batches). Runs the tws tier when protobuf is
+    installed, else the foreachBatch versioned-state fallback — same
+    merge math, same contract."""
+    import pyspark.sql.functions as F
+
+    from data_ingestion_spark.functions import tokens
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "hh_src")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    n_shards, k = 8, 16
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    exact = {
+        r["token"]: (r["shard"], r["freq"])
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .withColumn("shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)).cast("long"))
+        .groupBy("token", "shard")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    shard_totals: dict = {}
+    for tok, (shard, freq) in exact.items():
+        shard_totals[shard] = shard_totals.get(shard, 0) + freq
+
+    def check(final):
+        for (shard, tok), lb in final.items():
+            assert lb <= exact[tok][1], (shard, tok)
+        hit = 0
+        for tok, (shard, freq) in exact.items():
+            if freq > shard_totals[shard] / (k + 1):
+                assert (shard, tok) in final, (tok, freq)
+                hit += 1
+        assert hit > 0  # the fixture actually exercises the guarantee
+
+    if not HAS_TWS:
+        from data_ingestion_spark.operators import tableformat
+        from data_ingestion_spark.streaming.foreach_batch_state import (
+            heavy_hitters_batch,
+        )
+
+        state_root = str(tmp_path / "hh_state")
+        q = (
+            stream.writeStream.foreachBatch(
+                heavy_hitters_batch(state_root, n_shards=n_shards, k=k)
+            )
+            .option("checkpointLocation", str(tmp_path / "hh_fb_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert tableformat.read_manifest(state_root)["current"] >= 1  # ≥2 batches
+        final = {
+            (r["shard"], r["token"]): r["count_lb"]
+            for r in tableformat.read_version(spark, state_root).collect()
+        }
+        check(final)
+        return
+
+    from data_ingestion_spark.streaming.heavy_hitters_stream import (
+        heavy_hitters_stream,
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = heavy_hitters_stream(stream, n_shards=n_shards, k=k)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("t_hh")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("t_hh").collect()
+        assert rows
+        max_seq = {}
+        for r in rows:
+            max_seq[r["shard"]] = max(max_seq.get(r["shard"], 0), r["emit_seq"])
+        assert max(max_seq.values()) >= 2  # state crossed micro-batches
+        final = {
+            (r["shard"], r["token"]): r["count_lb"]
+            for r in rows
+            if r["emit_seq"] == max_seq[r["shard"]]
+        }
+        check(final)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
