@@ -3014,3 +3014,123 @@ FROM ranked WHERE rank <= 10
 """
 
 QUERIES["knn_ivf_kmeans_topk"] = (knn_ivf_kmeans_topk, KNN_IVF_KMEANS_TOPK_SQL)
+
+
+def minhash_band_precision_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-volume efficiency of the (8 tables, r=2) minhash banding
+    — the PRECISION side of the disclosure pair (minhash_band_recall_docs
+    measures what the banding finds; this measures what it WASTES):
+    distinct band-collision candidate pairs, pairs surviving the exact
+    Jaccard ≥ 0.3 verify, and their ratio in exact micros. Low precision
+    means the verify stage — the only per-candidate cost — burns compute
+    on junk collisions; it is the number that justifies band_r tuning
+    (r=1 floods this by ~100× on repetitive corpora, per the
+    minhash_near_dup docstring). The banding replays fully in SQL."""
+    from ..functions import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def prehash(s):
+        return md5_hash60(s) % _MINHASH_P
+
+    def portable(h, i):
+        a, b = _minhash_ab(i)
+        return h * F.lit(a) % _MINHASH_P + F.lit(b)
+
+    base, exploded = dedup._minhash_bands(
+        docs, "doc_id", "text", k=3, num_hash_tables=8, seed=42,
+        hash_fn=portable, band_r=2, materialize=True, prehash_fn=prehash,
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=False)  # feeds the count AND the verify
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.round(jac, 4) >= 0.3)
+    )
+    return (
+        cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(
+            verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+        )
+        .select(
+            "n_candidates",
+            "n_verified",
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN 1000000"
+                " ELSE (1000000 * n_verified) div n_candidates END"
+            )
+            .cast("long")
+            .alias("precision_micro"),
+        )
+    )
+
+
+def _minhash_precision_oracle(num_hash_tables: int = 8, band_r: int = 2) -> str:
+    h = _SQL_HASH60.format(c="s")
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"(({h} % {_MINHASH_P}) * {_minhash_ab(i)[0]} % {_MINHASH_P}"
+        f" + {_minhash_ab(i)[1]}))) AS mh{i}"
+        for i in range(num_hash_tables)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT id, {bi} AS band, {key} AS key FROM sigs".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"mh{bi * band_r + j}::VARCHAR" for j in range(band_r)
+            ),
+        )
+        for bi in range(num_hash_tables // band_r)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents)
+  WHERE len(toks) >= 3
+), sigs AS (
+  SELECT id, {mh} FROM base
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), verified AS (
+  SELECT cand.id_a FROM cand
+  JOIN base sa ON sa.id = cand.id_a
+  JOIN base sb ON sb.id = cand.id_b
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+        >= 0.3
+)
+SELECT (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM verified)::BIGINT AS n_verified,
+       (CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 1000000
+             ELSE ((SELECT count(*) FROM verified) * 1000000)
+                  // (SELECT count(*) FROM cand) END)::BIGINT
+           AS precision_micro
+"""
+
+
+MINHASH_BAND_PRECISION_DOCS_SQL = _minhash_precision_oracle()
+
+QUERIES["minhash_band_precision_docs"] = (
+    minhash_band_precision_docs,
+    MINHASH_BAND_PRECISION_DOCS_SQL,
+)

@@ -107,6 +107,7 @@ _PRIORITY = [
     "funnel_time_to_convert_events",
     "column_profile_orders",
     "session_cooccurrence_lift_events",
+    "minhash_band_precision_docs",
 ]
 
 
