@@ -7098,3 +7098,98 @@ QUERIES["session_cooccurrence_lift_events"] = (
     session_cooccurrence_lift_events,
     SESSION_COOCCURRENCE_LIFT_SQL,
 )
+
+
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic behavioral-scoring pass, built scale-safe: per customer,
+    days-since-last-order (vs the corpus max date, so the reference point
+    is deterministic), order count, and exact total cents; each dimension
+    scored 1-5 against its exact QUINTILE BOUNDARIES (percentile ≡
+    quantile_cont parity) by comparison — NOT ntile, whose global window
+    would single-partition-sort every customer at 100 TB (the
+    range_partition_plan_orders pattern instead: boundary agg + bucket by
+    comparison). Recency scores INVERT (recent = high). Output: one row
+    per occupied segment with its customer count — the activation
+    dashboard's input table."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref")).collect()[0]["ref"]
+    per = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(ref), F.max("o_orderdate")).cast("long").alias("rec_days"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    probs = [0.2, 0.4, 0.6, 0.8]
+    bounds = per.agg(
+        F.percentile("rec_days", F.array(*[F.lit(p) for p in probs])).alias("rb"),
+        F.percentile("freq", F.array(*[F.lit(p) for p in probs])).alias("fb"),
+        F.percentile("cents", F.array(*[F.lit(p) for p in probs])).alias("mb"),
+    )
+
+    def score(col, barr):
+        return sum(
+            (F.col(col) > F.element_at(barr, i + 1)).cast("int") for i in range(4)
+        ) + F.lit(1)
+
+    scored = per.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        (F.lit(6) - score("rec_days", F.col("rb"))).alias("r_score"),  # invert
+        score("freq", F.col("fb")).alias("f_score"),
+        score("cents", F.col("mb")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .select(
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+            .cast("int")
+            .alias("segment"),
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+        )
+        .orderBy("segment")
+    )
+
+
+RFM_SEGMENTS_CUSTOMERS_SQL = """
+WITH ref AS (SELECT max(o_orderdate) AS r FROM orders),
+per AS (
+  SELECT o_custkey,
+         datediff('day', max(o_orderdate), (SELECT r FROM ref))::BIGINT
+             AS rec_days,
+         count(*)::BIGINT AS freq,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY o_custkey
+), b AS (
+  SELECT quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+         quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+         quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+  FROM per
+), scored AS (
+  SELECT o_custkey,
+         6 - (((rec_days > b.rb[1])::INT + (rec_days > b.rb[2])::INT
+             + (rec_days > b.rb[3])::INT + (rec_days > b.rb[4])::INT) + 1)
+             AS r_score,
+         ((freq > b.fb[1])::INT + (freq > b.fb[2])::INT
+        + (freq > b.fb[3])::INT + (freq > b.fb[4])::INT) + 1 AS f_score,
+         ((cents > b.mb[1])::INT + (cents > b.mb[2])::INT
+        + (cents > b.mb[3])::INT + (cents > b.mb[4])::INT) + 1 AS m_score
+  FROM per CROSS JOIN b
+)
+SELECT (r_score * 100 + f_score * 10 + m_score)::INT AS segment,
+       r_score::INT AS r_score, f_score::INT AS f_score,
+       m_score::INT AS m_score,
+       count(*)::BIGINT AS n_customers
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY segment
+"""
+
+QUERIES["rfm_segments_customers"] = (
+    rfm_segments_customers,
+    RFM_SEGMENTS_CUSTOMERS_SQL,
+)

@@ -108,6 +108,7 @@ _PRIORITY = [
     "column_profile_orders",
     "session_cooccurrence_lift_events",
     "minhash_band_precision_docs",
+    "rfm_segments_customers",
 ]
 
 
