@@ -232,6 +232,10 @@ def run_canary(spark) -> float:
 
 
 def main() -> None:
+    # Mute the WindowExec "No Partition Defined" logger for BENCH runs only
+    # (the documented metadata-scale windows flood the log ~110 lines/run);
+    # everywhere else the warning stays live — see session.get_spark.
+    os.environ.setdefault("SPARK_GRAFT_MUTE_WINDOWEXEC", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -4378,8 +4378,11 @@ QUERIES["funnel_windowed_events"] = (funnel_windowed_events, FUNNEL_EVENTS_SQL)
 
 
 def funnel_windowfunnel_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT ClickHouse-windowFunnel funnel (temporal.window_funnel_exact,
-    r8) side by side with the greedy single-anchor restriction
+    """EXACT ClickHouse ``windowFunnel('strict_increase')`` funnel
+    (temporal.window_funnel_exact, r8; strictly-increasing chains — the
+    default mode would also chain equal-timestamp events, see the
+    operator docstring) side by side with the greedy single-anchor
+    restriction
     (temporal.funnel_steps): the anchor slides across EVERY 'view', so a
     user converts iff ANY view starts a view→click→purchase chain inside
     the 7-day window. n_users_exact ≥ n_users_greedy by construction

@@ -178,7 +178,18 @@ def read_version(spark, root: str, version: int | None = None) -> DataFrame:
     hashpartitioning(bucket_col) output partitioning. Deletion-vector
     versions resolve recursively: base-version data anti-joined with the
     committed key mask — the mask is metadata-scale, so the anti-join is
-    a broadcast at any table size."""
+    a broadcast at any table size.
+
+    Catalog durability (r9, was an r8 ADVICE finding): get_spark uses the
+    default in-memory catalog (no Hive metastore), so a bucketed version's
+    catalog entry dies with the session while its data files and manifest
+    persist — a restart then made ``spark.table`` raise table-not-found,
+    silently breaking the time-travel/crash-recovery contract that plain
+    and DV versions honor. The manifest carries everything needed to
+    rebuild the entry (bucket_col, n_buckets, dir), so on catalog miss we
+    re-register the EXTERNAL bucketed table from manifest metadata (schema
+    read from the parquet footers) and retry — restoring both the read and
+    its exchange-free bucketing, with no fallback-to-plain-scan surprise."""
     manifest = read_manifest(root)
     v = manifest["current"] if version is None else version
     entries = {e["v"]: e for e in manifest["versions"]}
@@ -192,6 +203,15 @@ def read_version(spark, root: str, version: int | None = None) -> DataFrame:
         mask = spark.read.parquet(os.path.join(root, entry["dir"]))
         return base.join(mask, entry["dv_key"], "left_anti")
     if "table" in entry:
+        if not spark.catalog.tableExists(entry["table"]):
+            path = os.path.join(root, entry["dir"])
+            schema_ddl = spark.read.parquet(path).schema.toDDL()
+            spark.sql(
+                f"CREATE TABLE {entry['table']} ({schema_ddl}) USING parquet "
+                f"CLUSTERED BY ({entry['bucket_col']}) "
+                f"INTO {entry['n_buckets']} BUCKETS "
+                f"LOCATION '{path}'"
+            )
         return spark.table(entry["table"])
     return spark.read.parquet(os.path.join(root, entry["dir"]))
 
@@ -211,7 +231,16 @@ def vacuum(root: str, keep_last: int, spark=None) -> list[int]:
     the only data files the current version can read (r8 fix, pinned in
     tests/test_tableformat.py). Bucketed versions registered a catalog
     table at commit; pass ``spark`` to drop the catalog entries of
-    removed versions (the data dirs are removed either way)."""
+    removed versions (the data dirs are removed either way).
+
+    Group awareness (r9, was an r8 ADVICE finding): a table that is a
+    MEMBER of a commit_atomic group (its parent directory holds a
+    ``_txn.json`` naming it) must also keep the version the last committed
+    transaction pins — after a crash between a member commit and the group
+    flip, the pinned version can be OLDER than the member's own pointer,
+    and exactly that torn window is what read_atomic exists to survive.
+    The pinned version is unioned into the needed set (transitively over
+    dv_base chains, like any other root)."""
     import shutil
 
     if keep_last < 1:
@@ -220,6 +249,14 @@ def vacuum(root: str, keep_last: int, spark=None) -> list[int]:
     by_v = {e["v"]: e for e in manifest["versions"]}
     needed: set = set()
     stack = [e["v"] for e in manifest["versions"][-keep_last:]]
+    group_txn = _txn_path(os.path.dirname(os.path.abspath(root.rstrip("/"))))
+    if os.path.exists(group_txn):
+        with open(group_txn) as f:
+            doc = json.load(f)
+        member = os.path.basename(os.path.abspath(root.rstrip("/")))
+        pinned = doc.get("tables", {}).get(member)
+        if pinned is not None and pinned in by_v:
+            stack.append(pinned)
     while stack:
         v = stack.pop()
         if v in needed:

@@ -411,13 +411,20 @@ def window_funnel_exact(
     steps: Sequence[str],
     window: str = "7 days",
 ) -> DataFrame:
-    """EXACT ClickHouse ``windowFunnel`` semantics: the anchor slides
-    across EVERY step-0 event — a user reaches step *i* iff ANY of their
-    step-0 events starts a strictly-increasing chain of the first *i*
-    step types finishing within ``window`` of that anchor. This is the
-    full-fidelity sibling of ``funnel_steps`` (which deliberately anchors
-    once, at the earliest step-0 event; ``test_greedy_anchor_is_first_view``
-    pins a case where the two disagree).
+    """EXACT ClickHouse ``windowFunnel('strict_increase')`` semantics:
+    the anchor slides across EVERY step-0 event — a user reaches step *i*
+    iff ANY of their step-0 events starts a strictly-increasing chain of
+    the first *i* step types finishing within ``window`` of that anchor.
+    Mode fidelity, stated precisely (r9, was an r8 ADVICE finding): the
+    ``t > prev`` predicate is ClickHouse's opt-in ``strict_increase``
+    mode; DEFAULT windowFunnel also chains equal-timestamp events
+    (``t >= prev`` across distinct events). Swap the inequality to ``>=``
+    for default-mode parity — kept strict here because equal-timestamp
+    chains make greedy min-matching tie-ambiguous across engines. This is
+    the full-fidelity sibling of ``funnel_steps`` (which deliberately
+    anchors once, at the earliest step-0 event;
+    ``test_greedy_anchor_is_first_view`` pins a case where the two
+    disagree).
 
     Correctness: for a FIXED anchor, greedy min-matching is optimal (the
     exchange argument — taking the earliest valid next event can only

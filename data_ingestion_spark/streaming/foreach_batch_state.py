@@ -245,12 +245,33 @@ def heavy_hitters_batch(state_root: str, n_shards: int = 8, k: int = 16):
     collected to the driver for the merge — fine at per-batch
     distinct-token scale, whereas the tws tier keeps the merge
     executor-side per shard; the MG guarantee and lower-bound contract
-    are identical because the merge math is shared."""
+    are identical because the merge math is shared.
+
+    Replay idempotency (r9, was an r8 ADVICE finding): foreachBatch
+    redelivers a micro-batch after a failure between sink commit and
+    checkpoint advance, and a count MERGE is not idempotent — re-merging
+    double-counts tokens and breaks the count_lb ≤ exact-frequency
+    lower-bound contract. The highest applied batch_id rides INSIDE the
+    committed snapshot as a sentinel row (shard = -1, token =
+    '_applied_batch_id', count_lb = batch_id), so state and high-water
+    mark flip in the same atomic commit; process() no-ops on any
+    batch_id ≤ the recorded one. Readers use read_heavy_hitters_state,
+    which strips the sentinel."""
     from ..functions import tokens
     from .heavy_hitters_stream import _mg_merge
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        state = _state_or_empty(
+            spark, state_root, "shard long, token string, count_lb long"
+        )
+        state_rows = state.collect()
+        applied = max(
+            (int(r["count_lb"]) for r in state_rows if int(r["shard"]) == -1),
+            default=-1,
+        )
+        if batch_id <= applied:
+            return  # micro-batch replay: already folded into this state
         counts = (
             batch_df.select(F.explode(tokens(F.col("text"))).alias("token"))
             .withColumn(
@@ -260,11 +281,10 @@ def heavy_hitters_batch(state_root: str, n_shards: int = 8, k: int = 16):
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        state = _state_or_empty(
-            spark, state_root, "shard long, token string, count_lb long"
-        )
         tables: dict = {}
-        for r in state.collect():
+        for r in state_rows:
+            if int(r["shard"]) == -1:
+                continue
             tables.setdefault(int(r["shard"]), {})[r["token"]] = int(r["count_lb"])
         for r in counts:
             _mg_merge(
@@ -278,9 +298,16 @@ def heavy_hitters_batch(state_root: str, n_shards: int = 8, k: int = 16):
             for shard, tab in tables.items()
             for tok, cnt in tab.items()
         ]
+        rows.append((-1, "_applied_batch_id", int(batch_id)))
         tableformat.commit_version(
             spark.createDataFrame(rows, "shard long, token string, count_lb long"),
             state_root,
         )
 
     return process
+
+
+def read_heavy_hitters_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """The committed heavy-hitters state WITHOUT the idempotency sentinel
+    (shard = -1) — the read path every consumer should use."""
+    return tableformat.read_version(spark, state_root).filter(F.col("shard") >= 0)

@@ -1313,11 +1313,24 @@ def test_heavy_hitters_stream_cross_batch(spark, tmp_path):
         )
         q.awaitTermination()
         assert tableformat.read_manifest(state_root)["current"] >= 1  # ≥2 batches
-        final = {
-            (r["shard"], r["token"]): r["count_lb"]
-            for r in tableformat.read_version(spark, state_root).collect()
-        }
+        from data_ingestion_spark.streaming.foreach_batch_state import (
+            read_heavy_hitters_state,
+        )
+
+        def snapshot():
+            return {
+                (r["shard"], r["token"]): r["count_lb"]
+                for r in read_heavy_hitters_state(spark, state_root).collect()
+            }
+
+        final = snapshot()
         check(final)
+        # replay idempotency (r9): redelivering an already-applied
+        # micro-batch must be a no-op — the state snapshot is unchanged
+        # and the lower-bound contract survives.
+        replay = heavy_hitters_batch(state_root, n_shards=n_shards, k=k)
+        replay(docs.filter("doc_id % 2 = 1"), 1)  # batch_id 1 already applied
+        assert snapshot() == final
         return
 
     from data_ingestion_spark.streaming.heavy_hitters_stream import (

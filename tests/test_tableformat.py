@@ -462,3 +462,57 @@ def test_bucketed_catalog_names_unique_per_root(spark, tmp_path):
     ta = tf.read_manifest(ra)["versions"][0]["table"]
     tb = tf.read_manifest(rb)["versions"][0]["table"]
     assert ta != tb
+
+
+def test_bucketed_read_survives_catalog_loss(spark, tmp_path):
+    """r9 (was an r8 ADVICE finding): the in-memory catalog dies with the
+    session while a bucketed version's data files and manifest persist.
+    read_version must re-register the table from manifest metadata on
+    catalog miss — same rows AND the bucketing restored (exchange-free
+    self-join on the bucket column)."""
+    root = str(tmp_path / "bktloss")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    tf.commit_version_bucketed(df, root, "k", 4)
+    entry = tf.read_manifest(root)["versions"][0]
+    # simulate a session restart: the catalog entry evaporates
+    spark.sql(f"DROP TABLE IF EXISTS {entry['table']}")
+    assert not spark.catalog.tableExists(entry["table"])
+    got = tf.read_version(spark, root)
+    assert got.count() == 60
+    assert spark.catalog.tableExists(entry["table"])  # re-registered
+    # bucketing is real again: a self-join on the bucket column plans
+    # zero shuffle exchanges (broadcast disabled so the SMJ path — the
+    # one bucketing serves at scale — is what gets planned)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = tf.read_version(spark, root).alias("a").join(
+            tf.read_version(spark, root).alias("b"), "k"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    # and the re-registered entry keeps working for time travel reads
+    assert tf.read_version(spark, root, 0).count() == 60
+
+
+def test_vacuum_keeps_txn_pinned_version(spark, tmp_path):
+    """r9 (was an r8 ADVICE finding): vacuuming a commit_atomic member
+    must keep the version the group _txn.json pins, even when that
+    version falls outside keep_last — exactly the torn-crash window
+    read_atomic exists to survive."""
+    root = str(tmp_path / "grpvac")
+    tf.commit_atomic(root, {"docs": ("plain", spark.range(10).toDF("k"))})
+    # crash window: two member commits land, the group pointer never flips
+    tf.commit_version(spark.range(20).toDF("k"), root + "/docs")
+    tf.commit_version(spark.range(30).toDF("k"), root + "/docs")
+    removed = tf.vacuum(root + "/docs", keep_last=1, spark=spark)
+    # v0 is pinned by _txn.json → NOT removed; v1 is neither recent nor
+    # pinned → removed
+    assert removed == [1]
+    assert tf.read_atomic(spark, root, "docs").count() == 10  # survives
+    assert tf.read_version(spark, root + "/docs").count() == 30
