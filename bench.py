@@ -53,6 +53,13 @@ EXCLUDED = {
         "deliberately quadratic brute-force recall anchor that validates the"
         " ANN tiers; excluded by design (SCALING.md), not a production path"
     ),
+    "dedup_embedding_pairs_stress": (
+        "r9: the old threshold-0.4 narrow-band geometry (16 x 3-bit bands,"
+        " 4x-tier growth 5.5 - the candidate stream is the quadratic);"
+        " kept value-checked as a stress anchor beside"
+        " dedup_embedding_recall, while dedup_embedding_pairs benches the"
+        " realistic wide-band c>=0.9 regime (SCALING.md)"
+    ),
     "ingest_csv_docs": "fixture-file parser: input is a KB-scale temp file independent of sf; timing measures tmpfile IO, not engine throughput",
     "ingest_json_docs": "fixture-file parser (see ingest_csv_docs)",
     "ingest_txt_docs": "fixture-file parser (see ingest_csv_docs)",

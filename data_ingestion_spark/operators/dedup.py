@@ -102,13 +102,28 @@ def frequency_ordered_prefix(
 ) -> DataFrame:
     """The shared AllPairs prefix machinery (Bayardo WWW'07 prefixes under
     the Vernica et al. SIGMOD'10 global-frequency-ascending order): emits
-    the (id, *group_cols, n, s) prefix stream where each set keeps its
+    the (id, *group_cols, n, p, s) prefix stream where each set keeps its
     |X| − ⌈t·|X|⌉ + 1 RAREST shingles — any pair with overlap ≥ t·|X|
-    must share one. Consumed by jaccard_pairs (prefix×prefix with the
-    length filter) and the containment tier (prefix×full inverted index;
-    the superset side has no prefix bound). The frequency table keeps
+    must share one. ``p`` (r9) is the element's 1-BASED POSITION in the
+    full frequency-ordered set — the PPJoin positional filter's input
+    (Xiao, Wang, Lin & Yu, WWW'08): all common elements of a pair sit at
+    positions ≥ the matched element's, so 1 + min(|A|−p_a, |B|−p_b) upper
+    bounds the overlap reachable from that match, and any match whose
+    bound misses the overlap threshold can be dropped BEFORE the
+    candidate distinct — losslessly, because the pair's first common
+    element (in this order) always generates a bound ≥ the true overlap.
+    Consumed by jaccard_pairs (prefix×prefix with length + positional
+    filters) and the containment tier (prefix×full inverted index; the
+    superset side has no prefix bound). The frequency table keeps
     only df ≥ 2 (df-1 shingles need no entry) and is NOT hint-forced —
-    AQE broadcasts it when small."""
+    AQE broadcasts it when small.
+
+    Rounding safety (r9): every verify gate in the family is
+    ``round(jac, 4) ≥ t`` (mirroring the DuckDB oracle), so a pair with
+    true Jaccard in [t − 5e-5, t) still PASSES via rounding. The prefix
+    length therefore uses t_eff = t − 5e-5 — a prefix one element longer
+    in rare edge cases, never a dropped rounding-marginal pair."""
+    t_eff = max(float(threshold) - 5e-5, 0.0)
     freq = (
         base.select(F.explode(set_col).alias("s"))
         .groupBy("s")
@@ -134,19 +149,20 @@ def frequency_ordered_prefix(
             "id",
             *gcols,
             "n",
-            F.explode(
+            F.posexplode(
                 F.slice(
                     F.transform(F.col("ordered"), lambda e: e["s"]),
                     F.lit(1),
                     F.greatest(
                         F.col("n")
-                        - F.ceil(F.col("n") * F.lit(float(threshold))).cast("int")
+                        - F.ceil(F.col("n") * F.lit(t_eff)).cast("int")
                         + F.lit(1),
                         F.lit(1),
                     ),
                 )
-            ).alias("s"),
+            ).alias("p0", "s"),
         )
+        .select("id", *gcols, "n", (F.col("p0") + 1).alias("p"), "s")
     )
 
 
@@ -221,15 +237,35 @@ def jaccard_pairs(
         ).localCheckpoint(eager=False)
     pref = frequency_ordered_prefix(base, threshold)
     pa, pb = pref.alias("pa"), pref.alias("pb")
+    # Lossless candidate filters, all under the ROUNDING-SAFE effective
+    # threshold (the verify gate is round(jac,4) ≥ t, so a pair at
+    # t − 5e-5 still passes — filters must not drop it):
+    #   length:     t·|A| ≤ |B| ≤ |A|/t
+    #   positional: PPJoin (Xiao et al., WWW'08) — overlap reachable from
+    #     a match at 1-based positions (p_a, p_b) is ≤ 1 + min(|A|−p_a,
+    #     |B|−p_b); Jaccard ≥ t ⟺ overlap·(1+t) ≥ t·(|A|+|B|), so a match
+    #     whose bound·(1+t) < t·(|A|+|B|) cannot witness a true pair. The
+    #     pair's FIRST common element (frequency order) lies inside both
+    #     prefixes and has every common element at later positions, so
+    #     its match always survives — dropping the others only thins the
+    #     pre-distinct candidate stream (measured: the dominant cost of
+    #     the exact-dedup family).
+    t_eff = max(float(threshold) - 5e-5, 0.0)
+    ubound = F.lit(1) + F.least(
+        F.col("pa.n") - F.col("pa.p"), F.col("pb.n") - F.col("pb.p")
+    )
     cand = (
         pa.join(
             pb,
             (F.col("pa.block") == F.col("pb.block"))
             & (F.col("pa.s") == F.col("pb.s"))
             & (F.col("pa.id") < F.col("pb.id"))
-            # length filter: t·|A| ≤ |B| ≤ |A|/t (lossless)
-            & (F.col("pb.n") * F.lit(float(threshold)) <= F.col("pa.n"))
-            & (F.col("pa.n") * F.lit(float(threshold)) <= F.col("pb.n")),
+            & (F.col("pb.n") * F.lit(t_eff) <= F.col("pa.n"))
+            & (F.col("pa.n") * F.lit(t_eff) <= F.col("pb.n"))
+            & (
+                ubound.cast("double") * F.lit(1.0 + t_eff)
+                >= (F.col("pa.n") + F.col("pb.n")) * F.lit(t_eff) - F.lit(1e-6)
+            ),
         )
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
         .distinct()
@@ -239,8 +275,11 @@ def jaccard_pairs(
         cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "sa"), "id_a")
         .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "sb"), "id_b")
     )
+    # |A ∪ B| = |A| + |B| − |A ∩ B| exactly (sset is distinct by
+    # construction) — r9: skips materializing array_union's hashed
+    # concat per candidate, the single hottest expression of the family.
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
         verify.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
@@ -377,8 +416,10 @@ def minhash_near_dup(
     )
     sa = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # |A ∪ B| = |A| + |B| − |A ∩ B| (shingles distinct by construction)
+    # — the r9 union-free verify, value-identical to array_union
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
         cand.join(sa, "id_a")
@@ -437,8 +478,10 @@ def minhash_incremental_pairs(
     )
     sa = cbase.select(F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_a"))
     sb = bbase.select(F.col("id").alias("batch_id"), F.col("shingles").alias("sh_b"))
+    # |A ∪ B| = |A| + |B| − |A ∩ B| (shingles distinct by construction)
+    # — the r9 union-free verify, value-identical to array_union
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
         cand.join(sa, "corpus_id")

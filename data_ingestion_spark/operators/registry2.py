@@ -5894,7 +5894,10 @@ def tokenizer_fertility_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplier that decides context-window budgets. One narrow projection
     + one |langs|-key agg; the token count is the same whitespace
     tokenizer the corpus stats use (token_count_docs), so the two QC
-    surfaces can be compared directly."""
+    surfaces can be compared directly. int64 headroom (r9 self-review
+    fix): a 100 TB corpus holds ~1e14 chars, so 1e6·chars_total overflows
+    2^63 once one language exceeds ~9.2e12 chars — both micro numerators
+    run in DECIMAL(38,0)/HUGEINT, the assoc_rules_lineitem discipline."""
     from ..functions import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5912,10 +5915,16 @@ def tokenizer_fertility_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "tokens_total",
         "chars_total",
-        F.expr("(1000000 * chars_total) div tokens_total")
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * chars_total)"
+            " div CAST(tokens_total AS DECIMAL(38,0))"
+        )
         .cast("long")
         .alias("chars_per_token_micro"),
-        F.expr("(1000000 * tokens_total) div n_docs")
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * tokens_total)"
+            " div CAST(n_docs AS DECIMAL(38,0))"
+        )
         .cast("long")
         .alias("tokens_per_doc_micro"),
     ).orderBy("lang")
@@ -5931,9 +5940,10 @@ WITH per AS (
 SELECT lang, count(*)::BIGINT AS n_docs,
        sum(toks)::BIGINT AS tokens_total,
        sum(chars)::BIGINT AS chars_total,
-       ((1000000 * sum(chars)) // sum(toks))::BIGINT
+       ((1000000::HUGEINT * sum(chars)) // sum(toks)::HUGEINT)::BIGINT
            AS chars_per_token_micro,
-       ((1000000 * sum(toks)) // count(*))::BIGINT AS tokens_per_doc_micro
+       ((1000000::HUGEINT * sum(toks)) // count(*)::HUGEINT)::BIGINT
+           AS tokens_per_doc_micro
 FROM per
 GROUP BY lang
 ORDER BY lang
@@ -6413,7 +6423,11 @@ def watermark_lateness_profile_events(spark: SparkSession, sf_dir: str) -> DataF
     share and exact lateness percentiles in seconds (p50/p95/max over
     integer µs, percentile ≡ quantile_cont parity) — p95 is the number
     you feed withWatermark(); picking it blind is how streams silently
-    drop their tail."""
+    drop their tail. Scale tier (r9 self-review): the exact global
+    percentile buffers the lateness column in ONE aggregation group — at
+    100 TB swap in approx_percentile (or profile a hash sample); this
+    exact form is the correctness anchor, same tiering as
+    percentile_lineitem / range_partition_plan_orders."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
@@ -6722,7 +6736,10 @@ def ht_sampled_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated total-price CENTS against the exact total, with the signed
     relative error in micros surfaced — an estimator whose error you
     don't publish is a guess. Exact integer cents (the repo's float-sum
-    idiom) keep both engines' sums order-free."""
+    idiom) keep both engines' sums order-free. int64 headroom (r9
+    self-review fix): the rel-err numerator 1e6·(ht−true) overflows 2^63
+    once the absolute estimation error exceeds ~9.2e12 cents — plausible
+    for a corpus-scale total — so it runs in DECIMAL(38,0)/HUGEINT."""
     orders = load_table(spark, sf_dir, "orders")
     from ..functions import md5_hash60
 
@@ -6745,7 +6762,10 @@ def ht_sampled_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sampled",
         "true_cents",
         "ht_cents",
-        F.expr("(1000000 * (ht_cents - true_cents)) div true_cents")
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * (ht_cents - true_cents))"
+            " div CAST(true_cents AS DECIMAL(38,0))"
+        )
         .cast("long")
         .alias("rel_err_micro"),
     )
@@ -6761,8 +6781,8 @@ SELECT count(*)::BIGINT AS n_rows,
        sum(CASE WHEN in_sample THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
        sum(c)::BIGINT AS true_cents,
        (sum(CASE WHEN in_sample THEN c ELSE 0 END) * 8)::BIGINT AS ht_cents,
-       ((1000000 * ((sum(CASE WHEN in_sample THEN c ELSE 0 END) * 8)
-                    - sum(c))) // sum(c))::BIGINT AS rel_err_micro
+       ((1000000::HUGEINT * ((sum(CASE WHEN in_sample THEN c ELSE 0 END) * 8)
+                    - sum(c))) // sum(c)::HUGEINT)::BIGINT AS rel_err_micro
 FROM t
 """
 
@@ -6844,7 +6864,11 @@ def funnel_time_to_convert_events(spark: SparkSession, sf_dir: str) -> DataFrame
     this says how long the window actually needs, feeding directly back
     into the windowFunnel deadline choice). Reuses funnel_steps'
     chained min-agg machinery; percentiles are exact with the proven
-    percentile ≡ quantile_cont parity, over |converting users| rows."""
+    percentile ≡ quantile_cont parity, over |converting users| rows.
+    Scale tier (r9 self-review): |converting users| can reach ~1e9 on a
+    100 TB event stream and the exact percentile buffers them in one
+    aggregation group — swap in approx_percentile there; this exact form
+    is the correctness anchor (percentile_lineitem tiering)."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("u"),
         F.col("event_type").alias("et"),

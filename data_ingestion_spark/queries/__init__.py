@@ -16,79 +16,40 @@ verified by tools/check_oracle.py regardless of position.
 
 from __future__ import annotations
 
-#: First-50 curation for the driver's correctness window. Round-8 rotation:
-#: CORRECTNESS_r07 went 50/50 green, so every r7-window query has a fresh
-#: driver row. The ONLY remaining staleness is the 39 queries whose latest
-#: driver-green row is r1/r2 (verified locally every round by
-#: tools/check_oracle.py under the strict dtype gate, but not
-#: driver-checked since the testdata generator last changed). Round-8
-#: slots therefore go to
+#: First-50 curation for the driver's correctness window. Round-9 rotation:
+#: CORRECTNESS_r08 went 50/50 green (the 11 r8-new + all 39 r1/r2-era
+#: stale queries), so the staleness picture entering r9 is: 20 r8-late
+#: queries that have NEVER been driver-checked (they landed after the r8
+#: window ran — the r8 verdict's task #1), and 36 queries whose latest
+#: driver row is r3. Round-9 slots go to
 #: (a) queries NEW or materially CHANGED this round (prepended as they
-#:     land — a changed query must re-earn its driver row), then
-#: (b) ALL 39 r1/r2-era queries (alphabetical; same age) — this clears
-#:     the staleness queue completely: afterward no registered query's
-#:     latest driver-green row is older than two rounds.
-#: 39 + |a| <= 50 is maintained by keeping this round's new/changed set
-#: at <= 11 names. Everything stays registered and locally verified by
-#: tools/check_oracle.py regardless of position.
+#:     land — a changed query must re-earn its driver row): the re-regimed
+#:     dedup_embedding_pairs + its new stress anchor, the new stored-index
+#:     ANN probe, and the six exact-dedup-family queries whose shared
+#:     machinery gained PPJoin positional filtering + the union-free
+#:     verify (lossless — property-pinned in
+#:     tests/test_random_cross_checks_r9.py — but changed plans must
+#:     re-earn), then
+#: (b) ALL 20 never-driver-checked r8-late queries, then
+#: (c) the r3-era staleness queue, alphabetical, to fill 50. The 15
+#:     r3-era names that don't fit are listed below the cutoff and lead
+#:     the ROUND-10 window. Everything stays registered and locally
+#:     verified by tools/check_oracle.py at 3 SFs regardless of position.
 _PRIORITY = [
-    # (a) new or changed in round 8 — must (re-)earn a driver-green row
-    # (prepended as they land)
-    "dedup_embedding_pairs",  # r8 fold-lean verify (bit-identical, replanned)
-    "knn_lsh_pairs",  # same rewrite
-    "dedup_nightly_pipeline_docs",  # r8 bucketed stored index
-    "minhash_band_recall_docs",  # r8 fused shingle pipeline
-    "rtbf_delete_dv_docs",  # NEW r8: deletion-vector RTBF tier
-    "skew_autogate_join_events",  # NEW r8: auto-gated skew salting
-    "funnel_windowfunnel_exact_events",  # NEW r8: exact sliding-anchor windowFunnel
-    "ndcg_ivf_retrieval_qc",  # NEW r8: retrieval rank-quality QC
-    "dp_noisy_counts_docs",  # NEW r8: DP geometric-mechanism release
-    "dedup_containment_pairs_docs",  # NEW r8: asymmetric containment dedup
-    "diversity_index_sources",  # NEW r8: per-source diversity indices
-    # (b) the full r1/r2-era staleness queue (39) — clears it in one window
-    "cap_per_source_docs",
-    "chunk_docs",
-    "decontaminate_docs",
-    "dup_ngram_fraction_docs",
-    "embedding_centroids_by_label",
-    "fingerprint_docs",
-    "ingest_metrics_by_source",
-    "json_extract_events",
-    "lang_id_docs",
-    "multimodal_metadata_docs",
-    "ndv_hll_events",
-    "ngram_topk_corpus",
-    "normalize_text_docs",
-    "pack_sequences_docs",
-    "percentile_approx_lineitem",
-    "pii_scrub_docs",
-    "quality_filter_docs",
-    "quantize_embeddings",
-    "regexp_extract_docs",
-    "repetition_stats_docs",
-    "sample_docs_hash",
-    "scalar_functions_part",
-    "semi_join_active_customers",
-    "setop_customer_supplier_nations",
-    "skew_salted_agg_events",
-    "sort_limit_top_orders",
-    "split_docs_hash",
-    "sql_correlated_subquery",
-    "stats_moments_lineitem",
-    "string_agg_segment",
-    "text_quality_docs",
-    "tfidf_docs",
-    "token_count_docs",
-    "unpivot_part_measures",
-    "window_range_frame_events",
-    "window_running_revenue",
-    "window_topk_orders",
-    "winnow_fingerprint_docs",
-    "word_count_docs",
-    # ---- driver window cutoff (first 50 above; (a)+(b) <= 50) ----
-    # r8-late additions below the cutoff — locally 3-SF-verified; they
-    # lead the ROUND-9 window (new queries can only earn a driver row
-    # in-window, and this round's 50 slots are spoken for):
+    # (a) new or materially changed in round 9 (12)
+    "dedup_embedding_pairs",  # r9 re-regime: planted twins, wide bands, c>=0.9
+    "dedup_embedding_pairs_stress",  # NEW r9: old 0.4 geometry, bench-excluded
+    "knn_ivf_stored_probe",  # NEW r9: committed bucketed IVF index, pruned probe
+    "dedup_jaccard_pairs_docs",  # r9 PPJoin positional filter + union-free verify
+    "dedup_containment_pairs_docs",  # r9 asymmetric positional filter
+    "minhash_band_recall_docs",  # consumes the changed jaccard machinery
+    "dedup_clusters_twostar_docs",  # same
+    "dedup_keep_best_docs",  # same
+    "dedup_clusters_docs",  # same
+    "dedup_minhash_docs",  # r9 union-free verify (value-identical)
+    "dedup_incremental_docs",  # same
+    "dedup_nightly_pipeline_docs",  # same
+    # (b) the 20 r8-late queries, never driver-checked (r8 verdict task #1)
     "sessionize_events",
     "benford_digits_orders",
     "tokenizer_fertility_langs",
@@ -109,6 +70,47 @@ _PRIORITY = [
     "session_cooccurrence_lift_events",
     "minhash_band_precision_docs",
     "rfm_segments_customers",
+    # (c) r3-era staleness queue, alphabetical (18 of 36 fit)
+    "anomaly_zscore_events",
+    "batch_by_length_docs",
+    "bloom_prune_join_events",
+    "bpe_merge_candidates_corpus",
+    "classifier_score_docs",
+    "corpus_datasheet_docs",
+    "corpus_stats_by_lang",
+    "covariance_embeddings",
+    "curriculum_bins_docs",
+    "dedup_embedding_recall",
+    "dedup_simhash_docs",
+    "dedup_substring_docs",
+    "dq_checks_star_schema",
+    "funnel_conversion_events",
+    "fuzzy_match_parts",
+    "inverted_index_terms",
+    "knn_ivf_exact_topk",
+    "llm_data_pipeline_docs",
+    # ---- driver window cutoff (first 50 above) ----
+    # The 18 remaining r3-era names — they lead the ROUND-10 window
+    # together with any r9-late additions (new queries can only earn a
+    # driver row in-window, and this round's 50 slots are spoken for):
+    "map_functions_events",
+    "mix_corpus_docs",
+    "pagerank_supplier_graph",
+    "paragraph_dedup_docs",
+    "regression_stats_lineitem",
+    "retention_cohorts_events",
+    "scd2_customers",
+    "semantic_dedup_embeddings",
+    "setop_multiset_priorities",
+    "skew_salted_join_events",
+    "snapshot_diff_customers",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode",
+    "tpch_q16_parts_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q6_forecast_revenue",
+    "variant_props_events",
+    "zorder_layout_events",
 ]
 
 

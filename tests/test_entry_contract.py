@@ -21,36 +21,52 @@ def test_registry_consistency():
     # round 6: zorder_prune_demo_events gained an oracle — the registry has
     # zero rows-only queries left
     assert set(q) == set(o)
-    assert len(q) >= 194
-    # driver verifies the first 50 in insertion order: round-8 rotation
-    # clears the whole r1/r2-era staleness queue (39 names) in one window,
-    # and no query that already earned a driver-green row in the fully
-    # green r6/r7 windows may burn a slot
+    assert len(q) >= 242
+    # driver verifies the first 50 in insertion order: round-9 rotation
+    # puts (a) this round's new/changed queries first (they must re-earn
+    # driver rows), (b) the 20 r8-late queries the driver has NEVER
+    # checked, then (c) 21 of the 36 r3-era stale names; no query with a
+    # fresh r6-r8 driver-green row may burn a slot
     names = list(q)
     window = set(names[:50])
-    stale_r1r2 = (
-        "cap_per_source_docs", "chunk_docs", "decontaminate_docs",
-        "dup_ngram_fraction_docs", "embedding_centroids_by_label",
-        "fingerprint_docs", "ingest_metrics_by_source", "json_extract_events",
-        "lang_id_docs", "multimodal_metadata_docs", "ndv_hll_events",
-        "ngram_topk_corpus", "normalize_text_docs", "pack_sequences_docs",
-        "percentile_approx_lineitem", "pii_scrub_docs", "quality_filter_docs",
-        "quantize_embeddings", "regexp_extract_docs", "repetition_stats_docs",
-        "sample_docs_hash", "scalar_functions_part",
-        "semi_join_active_customers", "setop_customer_supplier_nations",
-        "skew_salted_agg_events", "sort_limit_top_orders", "split_docs_hash",
-        "sql_correlated_subquery", "stats_moments_lineitem",
-        "string_agg_segment", "text_quality_docs", "tfidf_docs",
-        "token_count_docs", "unpivot_part_measures",
-        "window_range_frame_events", "window_running_revenue",
-        "window_topk_orders", "winnow_fingerprint_docs", "word_count_docs",
+    changed_r9 = (
+        "dedup_embedding_pairs", "dedup_embedding_pairs_stress",
+        "knn_ivf_stored_probe", "dedup_jaccard_pairs_docs",
+        "dedup_containment_pairs_docs", "minhash_band_recall_docs",
+        "dedup_clusters_twostar_docs", "dedup_keep_best_docs",
+        "dedup_clusters_docs", "dedup_minhash_docs",
+        "dedup_incremental_docs", "dedup_nightly_pipeline_docs",
     )
-    for must in stale_r1r2:
+    never_checked_r8_late = (
+        "sessionize_events", "benford_digits_orders",
+        "tokenizer_fertility_langs", "range_partition_plan_orders",
+        "rrf_fusion_topk_docs", "item_cf_similarity_suppliers",
+        "attribution_last_touch_events", "k_anonymity_docs",
+        "watermark_lateness_profile_events", "cusum_changepoint_events",
+        "knn_ivf_kmeans_topk", "semantic_drift_labels",
+        "markov_next_event_accuracy", "ht_sampled_total_orders",
+        "twap_user_values", "funnel_time_to_convert_events",
+        "column_profile_orders", "session_cooccurrence_lift_events",
+        "minhash_band_precision_docs", "rfm_segments_customers",
+    )
+    stale_r3_fit = (
+        "anomaly_zscore_events", "batch_by_length_docs",
+        "bloom_prune_join_events", "bpe_merge_candidates_corpus",
+        "classifier_score_docs", "corpus_datasheet_docs",
+        "corpus_stats_by_lang", "covariance_embeddings",
+        "curriculum_bins_docs", "dedup_embedding_recall",
+        "dedup_simhash_docs", "dedup_substring_docs",
+        "dq_checks_star_schema", "funnel_conversion_events",
+        "fuzzy_match_parts", "inverted_index_terms", "knn_ivf_exact_topk",
+        "llm_data_pipeline_docs",
+    )
+    for must in changed_r9 + never_checked_r8_late + stale_r3_fit:
         assert must in window, must
-    for fresh_green in ("stats_prune_scan_orders", "kn_bigram_lm_corpus",
+    assert len(changed_r9 + never_checked_r8_late + stale_r3_fit) == 50
+    for fresh_green in ("cap_per_source_docs", "word_count_docs",
+                        "rtbf_delete_dv_docs", "skew_autogate_join_events",
                         "tpch_q9_product_profit", "ingest_csv_docs",
-                        "dedup_exact_docs", "theta_intersection_events",
-                        "funnel_windowed_events", "knn_cosine_topk",
+                        "dedup_exact_docs", "knn_cosine_topk",
                         "session_window_events"):
         assert fresh_green not in window, fresh_green
 

@@ -721,3 +721,19 @@ def test_skew_autogate_takes_salted_branch_on_hot_key(spark):
     assert "_salt" in plan, plan
     # Catalyst constant-folds sequence(0, 7) into the literal array
     assert "explode([0,1,2,3,4,5,6,7])" in plan, plan
+
+
+def test_ivf_stored_probe_prunes_buckets(spark):
+    """knn_ivf_stored_probe (r9): the probe side must scan ONLY the probed
+    lists of the STORED bucketed index — the IN filter on the bucket
+    column prunes whole buckets (SelectedBucketsCount < total), which at
+    100 TB is the difference between |probed lists| and |corpus| probe
+    cost. 2 queries x 2 probes cover 3 of the 4 lists at this fixture."""
+    plan = plan_of(spark, "knn_ivf_stored_probe")
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
+    # and the probed-list filter actually reached the stored-table scan
+    assert "vtab_lists_" in plan, "probe must read the committed snapshot"
