@@ -90,6 +90,15 @@ _PRIORITY = [
     "knn_ivf_exact_topk",
     "llm_data_pipeline_docs",
     # ---- driver window cutoff (first 50 above) ----
+    # r9-late additions below the cutoff — locally 3-SF-verified; they
+    # lead the ROUND-10 window together with the 18 remaining r3-era
+    # names (new queries can only earn a driver row in-window, and this
+    # round's 50 slots are spoken for):
+    "compaction_plan_docs",
+    "l_diversity_docs",
+    "seasonality_dow_events",
+    "simhash_multiprobe_pairs_docs",
+    "pq_ivf_stored_probe",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):
@@ -129,6 +138,12 @@ def merged_queries() -> dict:
         from ..operators import registry2 as ops_registry2
 
         sources.append(ops_registry2)
+    except ImportError:
+        pass
+    try:
+        from ..operators import registry3 as ops_registry3
+
+        sources.append(ops_registry3)
     except ImportError:
         pass
     pool: dict = {}

@@ -737,3 +737,16 @@ def test_ivf_stored_probe_prunes_buckets(spark):
     assert int(m.group(1)) < int(m.group(2)), m.group(0)
     # and the probed-list filter actually reached the stored-table scan
     assert "vtab_lists_" in plan, "probe must read the committed snapshot"
+
+
+def test_pq_ivf_stored_probe_prunes_buckets(spark):
+    """pq_ivf_stored_probe (r9): the ADC probe must scan only the probed
+    lists' buckets of the COMMITTED code table — same contract as
+    knn_ivf_stored_probe, now for the IVF-PQ composition."""
+    plan = plan_of(spark, "pq_ivf_stored_probe")
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
+    assert "vtab_codes_" in plan, "probe must read the committed code table"

@@ -167,3 +167,39 @@ def test_planted_twins_are_high_cosine_and_isolated(spark):
         assert r["ib"] == r["ia"] + _TWIN_ID_OFFSET, (r["ia"], r["ib"], r["c"])
     n_planted = allv.filter(F.col("vec_id") >= _TWIN_ID_OFFSET).count()
     assert len(pairs) == n_planted  # no twin fell below the threshold
+
+
+def test_simhash_multiprobe_recall_theorem(spark):
+    """Multi-probe SimHash (r9): on random signatures, the probe-expanded
+    band join + popcount verify must return EXACTLY the brute-force
+    hamming ≤ 7 pair set (the 2·bands−1 pigeonhole theorem), including
+    adversarial pairs whose 4 bands each differ in exactly 1 bit (never
+    an exact band match — only probing finds them)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import dedup
+
+    rnd = random.Random(93)
+    sigs = [(i, rnd.getrandbits(60)) for i in range(220)]
+    # adversarial plants: hamming 4 spread 1-per-band, and hamming 8
+    # spread 2-per-band (must be EXCLUDED: > 7)
+    base = rnd.getrandbits(60)
+    sigs.append((500, base))
+    sigs.append((501, base ^ ((1 << 0) | (1 << 15) | (1 << 30) | (1 << 45))))
+    sigs.append((502, base ^ (0b11 | (0b11 << 15) | (0b11 << 30) | (0b11 << 45))))
+    df = spark.createDataFrame(sigs, "id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_multiprobe_pairs(
+            df, max_hamming=7, band_bits=15
+        ).collect()
+    }
+    expect = {}
+    for (ia, sa), (ib, sb) in combinations(sigs, 2):
+        h = (sa ^ sb).bit_count()
+        if h <= 7:
+            key = (ia, ib) if ia < ib else (ib, ia)
+            expect[key] = h
+    assert got == expect, set(got) ^ set(expect)
+    assert (500, 501) in got and got[(500, 501)] == 4  # probe-only pair
+    assert (500, 502) not in got  # hamming 8 correctly excluded
