@@ -2599,13 +2599,20 @@ WITH c AS (
   SELECT sum(n)::BIGINT AS big_n,
          sum(floor(sqrt(n::DOUBLE))::BIGINT)::BIGINT AS denom
   FROM c
-), r AS (
+), r0 AS (
   SELECT c.lang, c.n,
          least(10000,
                (((SELECT big_n FROM tot) * 4 // 10)
                 * floor(sqrt(c.n::DOUBLE))::BIGINT * 10000)
-               // ((SELECT denom FROM tot) * c.n))::BIGINT AS rate_bp
+               // ((SELECT denom FROM tot) * c.n))::BIGINT AS rate_bp0
   FROM c
+), r AS (
+  -- downward monotone envelope over ascending n (temperature_sample_rates):
+  -- ties in n share one raw rate, so the frame order within ties is moot
+  SELECT lang, n,
+         min(rate_bp0) OVER (ORDER BY n ASC
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS rate_bp
+  FROM r0
 )
 SELECT d.lang, count(*)::BIGINT AS n_docs,
        max(r.rate_bp)::BIGINT AS keep_rate_bp,

@@ -392,3 +392,864 @@ def _pq_ivf_stored_oracle() -> str:
 
 
 QUERIES["pq_ivf_stored_probe"] = (pq_ivf_stored_probe, _pq_ivf_stored_oracle())
+
+
+# --------------------------------------------------------------------------
+# t-closeness (ordered EMD) — completes the k-anon / l-div / t-close triad
+# --------------------------------------------------------------------------
+def t_closeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE'07) — the release check the
+    k-anonymity (registry2.k_anonymity_docs) and l-diversity
+    (l_diversity_docs) audits still miss: a class can be k-anonymous AND
+    l-diverse while its sensitive-value DISTRIBUTION (e.g. 90% of one
+    bucket) still leaks. For the ordered sensitive attribute (the same
+    n_chars-div-200 bucket l_diversity uses, QI = (lang, source)) the
+    Earth Mover's Distance has the closed form
+    EMD = sum_b |cum(P_b) - cum(Q_b)| / (B - 1), P = class distribution,
+    Q = global. Exact integer form: the cumulative difference is scaled
+    by n·N (|cum_c·N − cum_g·n|, DECIMAL(38,0)/HUGEINT — at 1e12 rows the
+    product reaches ~1e24, past int64), and the final t is emitted in
+    micros via one decimal div. Plan shape: one (QI, bucket) count agg +
+    one bucket agg over the corpus; the class×bucket grid, cumsums and
+    EMD all run on |QI classes|·|buckets| metadata rows (grid side
+    broadcast)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select("lang", "source", F.expr("n_chars div 200").alias("s"))
+    cls = per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    glob = per.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("g"))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.countDistinct("s").cast("long").alias("n_bkt"),
+    )
+    cb = per.groupBy("lang", "source", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cb, ["lang", "source", "s"], "left")
+        .select(
+            "lang",
+            "source",
+            "n",
+            "s",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w = (
+        W.partitionBy("lang", "source")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cums = grid.select(
+        "lang",
+        "source",
+        "n",
+        F.sum("c").over(w).cast("decimal(38,0)").alias("cum_c"),
+        F.sum("g").over(w).cast("decimal(38,0)").alias("cum_g"),
+    ).crossJoin(F.broadcast(tot))
+    agg = cums.groupBy("lang", "source").agg(
+        F.max("n").alias("n"),
+        F.max("n_tot").alias("n_tot"),
+        F.max("n_bkt").alias("n_bkt"),
+        F.sum(
+            F.abs(
+                F.col("cum_c") * F.col("n_tot") - F.col("cum_g") * F.col("n")
+            )
+        ).alias("sd"),
+    )
+    return (
+        agg.select(
+            "lang",
+            "source",
+            F.col("n").alias("n_rows"),
+            F.expr(
+                "CAST((sd * 1000000) div (CAST(n AS DECIMAL(38,0)) * n_tot"
+                " * greatest(n_bkt - 1, 1)) AS LONG)"
+            ).alias("t_micro"),
+        )
+        .withColumn("tclose_02", F.col("t_micro") <= 200000)
+        .orderBy("lang", "source")
+    )
+
+
+T_CLOSENESS_DOCS_SQL = """
+WITH per AS (
+  SELECT lang, source, n_chars // 200 AS s FROM documents
+), cls AS (
+  SELECT lang, source, count(*)::BIGINT AS n FROM per GROUP BY 1, 2
+), gl AS (
+  SELECT s, count(*)::BIGINT AS g FROM per GROUP BY 1
+), tot AS (
+  SELECT count(*)::BIGINT AS N, count(DISTINCT s)::BIGINT AS B FROM per
+), grid AS (
+  SELECT cls.lang, cls.source, cls.n, gl.s, gl.g,
+         coalesce(cb.c, 0)::BIGINT AS c
+  FROM cls CROSS JOIN gl
+  LEFT JOIN (SELECT lang, source, s, count(*)::BIGINT AS c
+             FROM per GROUP BY 1, 2, 3) cb
+    ON cb.lang = cls.lang AND cb.source = cls.source AND cb.s = gl.s
+), cums AS (
+  SELECT lang, source, n,
+         sum(c) OVER (PARTITION BY lang, source ORDER BY s
+                      ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum_c,
+         sum(g) OVER (PARTITION BY lang, source ORDER BY s
+                      ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum_g
+  FROM grid
+), agg AS (
+  SELECT lang, source, max(n) AS n,
+         sum(abs(cum_c * (SELECT N FROM tot) - cum_g * n))::HUGEINT AS sd
+  FROM cums GROUP BY 1, 2
+)
+SELECT lang, source, n::BIGINT AS n_rows,
+       ((sd * 1000000) // (n::HUGEINT * (SELECT N FROM tot)
+        * greatest((SELECT B FROM tot) - 1, 1)))::BIGINT AS t_micro,
+       ((sd * 1000000) // (n::HUGEINT * (SELECT N FROM tot)
+        * greatest((SELECT B FROM tot) - 1, 1)))::BIGINT <= 200000
+         AS tclose_02
+FROM agg
+ORDER BY lang, source
+"""
+
+QUERIES["t_closeness_docs"] = (t_closeness_docs, T_CLOSENESS_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Effective sample size of importance weights (DSIR companion diagnostic)
+# --------------------------------------------------------------------------
+def ess_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of importance weights per source (Kong 1992:
+    ESS = (Σw)²/Σw²) — the diagnostic that tells you whether a weighted
+    resample (registry2.dsir_importance_docs, weighted_sample_docs)
+    actually carries n-worth of information or has collapsed onto a few
+    heavy documents. Weights here are n_chars (length-proportional, the
+    token-budget proposal every corpus sampler starts from). Emitted
+    exactly: ess_rows = (Σw)² div Σw² and the retained fraction
+    1e6·(Σw)² div (n·Σw²) in micros — squares run in DECIMAL(38,0)/
+    HUGEINT (the 1e6-scaled square clears 2^63 once Σw > ~3e6; bound
+    holds to Σw ≈ 1.8e16 per source, ~180× the chars a 100 TB corpus
+    puts in one source). One map-side-combined agg per source; no joins,
+    no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_w"),
+        F.sum(
+            F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+        ).alias("sum_w2"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_w",
+        F.expr(
+            "CAST((CAST(sum_w AS DECIMAL(38,0)) * sum_w) div sum_w2 AS LONG)"
+        ).alias("ess_rows"),
+        F.expr(
+            "CAST((CAST(sum_w AS DECIMAL(38,0)) * sum_w * 1000000)"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * sum_w2) AS LONG)"
+        ).alias("ess_frac_micro"),
+    ).orderBy("source")
+
+
+ESS_IMPORTANCE_DOCS_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_w,
+       ((sum(n_chars)::HUGEINT * sum(n_chars)::HUGEINT)
+        // sum(n_chars::HUGEINT * n_chars))::BIGINT AS ess_rows,
+       ((sum(n_chars)::HUGEINT * sum(n_chars)::HUGEINT * 1000000)
+        // (count(*)::HUGEINT * sum(n_chars::HUGEINT * n_chars)))::BIGINT
+         AS ess_frac_micro
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["ess_importance_docs"] = (ess_importance_docs, ESS_IMPORTANCE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Dedup impact report — what dedup DID to corpus composition
+# --------------------------------------------------------------------------
+def dedup_impact_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-shift report for exact dedup: per source, docs/chars
+    before vs after first-writer-wins (min doc_id per content
+    fingerprint), the dup rate, and the source's share of global chars
+    before and after — the table a data lead reads before signing off a
+    dedup run, because dedup changes the MIX (boilerplate-heavy sources
+    shrink) and mixture weights were tuned on the old one. Winners are
+    attributed to the winning row's source. Fingerprint-only shuffle
+    (16-byte md5 substring), one agg per side, totals broadcast; the
+    1e6-scaled char shares run in DECIMAL(38,0)/HUGEINT (1e6·chars
+    clears 2^63 past ~9e12 chars — one 10 TB source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", "n_chars", F.md5(F.col("text")).alias("fp")
+    )
+    winners = (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(fp.select("doc_id", "source", "n_chars"), "doc_id")
+    )
+    before = fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    after = winners.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+    tot = before.agg(
+        F.sum("chars").cast("long").alias("tc")
+    ).crossJoin(after.agg(F.sum("chars_kept").cast("long").alias("tk")))
+    return (
+        before.join(after, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_kept"
+            ),
+            "chars",
+            F.coalesce(F.col("chars_kept"), F.lit(0)).cast("long").alias(
+                "chars_kept"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "chars",
+            "chars_kept",
+            F.expr("(1000000 * (n_docs - n_kept)) div n_docs")
+            .cast("long")
+            .alias("dup_rate_micro"),
+            F.expr(
+                "CAST((CAST(chars AS DECIMAL(38,0)) * 1000000) div tc"
+                " AS LONG)"
+            ).alias("share_before_micro"),
+            F.expr(
+                "CAST((CAST(chars_kept AS DECIMAL(38,0)) * 1000000) div tk"
+                " AS LONG)"
+            ).alias("share_after_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_IMPACT_REPORT_DOCS_SQL = """
+WITH fp AS (
+  SELECT doc_id, source, n_chars, md5(text) AS fp FROM documents
+), winners AS (
+  SELECT f.source, f.n_chars
+  FROM (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp) w
+  JOIN fp f ON f.doc_id = w.doc_id
+), before AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+  FROM fp GROUP BY source
+), after AS (
+  SELECT source, count(*)::BIGINT AS n_kept,
+         sum(n_chars)::BIGINT AS chars_kept
+  FROM winners GROUP BY source
+), tot AS (
+  SELECT (SELECT sum(chars) FROM before)::BIGINT AS tc,
+         (SELECT sum(chars_kept) FROM after)::BIGINT AS tk
+)
+SELECT b.source, b.n_docs, coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       b.chars, coalesce(a.chars_kept, 0)::BIGINT AS chars_kept,
+       ((1000000 * (b.n_docs - coalesce(a.n_kept, 0))) // b.n_docs)::BIGINT
+         AS dup_rate_micro,
+       ((b.chars::HUGEINT * 1000000) // tot.tc)::BIGINT
+         AS share_before_micro,
+       ((coalesce(a.chars_kept, 0)::HUGEINT * 1000000) // tot.tk)::BIGINT
+         AS share_after_micro
+FROM before b LEFT JOIN after a USING (source) CROSS JOIN tot
+ORDER BY b.source
+"""
+
+QUERIES["dedup_impact_report_docs"] = (
+    dedup_impact_report_docs,
+    DEDUP_IMPACT_REPORT_DOCS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style one-round mixture reweighting (linearized MW update)
+# --------------------------------------------------------------------------
+def doremi_reweight_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One linearized round of DoReMi domain reweighting (Xie et al.,
+    NeurIPS'23): domains whose proxy excess loss is positive get their
+    mixture weight multiplied up, then weights renormalize. The reference
+    algorithm's multiplier is exp(η·excess); here it is linearized to
+    (1 + min(excess, 1)) so the whole update is EXACT integer algebra —
+    excess loss is proxied by mean chars-per-doc above the global mean
+    (in micros, capped at 1e6; a stand-in for the per-domain LM excess
+    log-loss a real run feeds in, which arrives as exactly this shape:
+    one scalar per domain). Emitted per source: the baseline doc-count
+    share, the capped excess, and the renormalized post-update share,
+    all in micros. Two corpus aggs (per-source + global) and a
+    |sources|-row metadata tail; m_d = n·(1e6+excess) ≤ 2e6·n stays in
+    int64 to n ≈ 4.6e12 docs, the renormalizing 1e6·m_d div Σm runs in
+    DECIMAL(38,0)/HUGEINT."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("N"),
+        F.sum("chars").cast("long").alias("C"),
+    )
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("(1000000 * n_docs) div N").cast("long").alias("share_micro"),
+        F.expr(
+            "CAST(least(greatest((CAST(chars AS DECIMAL(38,0)) * 1000000)"
+            " div n_docs"
+            " - (CAST(C AS DECIMAL(38,0)) * 1000000) div N, 0),"
+            " 1000000) AS LONG)"
+        ).alias("excess_micro"),
+    )
+    m = scored.withColumn(
+        "m_d",
+        (F.col("n_docs") * (F.lit(1000000) + F.col("excess_micro"))).cast(
+            "long"
+        ),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        m.withColumn(
+            "sum_m", F.sum(F.col("m_d").cast("decimal(38,0)")).over(wall)
+        )
+        .select(
+            "source",
+            "n_docs",
+            "share_micro",
+            "excess_micro",
+            F.expr(
+                "CAST((CAST(m_d AS DECIMAL(38,0)) * 1000000) div sum_m"
+                " AS LONG)"
+            ).alias("new_share_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+DOREMI_REWEIGHT_SOURCES_SQL = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_docs)::BIGINT AS N, sum(chars)::BIGINT AS C FROM per
+), scored AS (
+  SELECT source, n_docs,
+         ((1000000 * n_docs) // (SELECT N FROM tot))::BIGINT AS share_micro,
+         least(greatest((chars::HUGEINT * 1000000) // n_docs
+               - ((SELECT C FROM tot)::HUGEINT * 1000000)
+                 // (SELECT N FROM tot), 0), 1000000)::BIGINT
+           AS excess_micro
+  FROM per
+), m AS (
+  SELECT *, (n_docs * (1000000 + excess_micro))::BIGINT AS m_d FROM scored
+)
+SELECT source, n_docs, share_micro, excess_micro,
+       ((m_d::HUGEINT * 1000000) // (SELECT sum(m_d) FROM m))::BIGINT
+         AS new_share_micro
+FROM m
+ORDER BY source
+"""
+
+QUERIES["doremi_reweight_sources"] = (
+    doremi_reweight_sources,
+    DOREMI_REWEIGHT_SOURCES_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Train/test split leakage audit (n-gram contamination ACROSS splits)
+# --------------------------------------------------------------------------
+def split_leakage_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: test-split documents sharing any word 3-gram
+    with the TRAIN split — decontaminate_docs' check turned inward
+    (benchmark contamination guards external eval sets; near-duplicate
+    pairs straddling a random split leak train signal into held-out
+    metrics just as surely, Lee et al. 2021 §6). Splits are the
+    deterministic md5 split split_docs_hash assigns (h%100: <80 train,
+    ≥90 test), so the audit composes with the registered splitter.
+    Unlike decontamination, BOTH sides are corpus-sized — the candidate
+    join is a big-big hash join on 60-bit gram HASHES (8-byte keys, the
+    repo's fingerprint-shuffle rule), never gram text; per-doc distinct
+    grams keep the join input minimal. Output per source: test docs,
+    leaked docs, leak rate in micros (production k≈8–13; the short
+    synthetic fixtures use k=3)."""
+    from ..functions import md5_hash60, tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (md5_hash60(F.col("doc_id").cast("string")) % 100).alias("b"),
+    )
+    grams = sp.select(
+        "doc_id",
+        "b",
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "b",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("toks"), 3))
+        ).alias("gram"),
+    ).select("doc_id", "b", md5_hash60(F.col("gram")).alias("gram_h"))
+    train_g = grams.filter(F.col("b") < 80).select("gram_h").distinct()
+    leaked = (
+        grams.filter(F.col("b") >= 90)
+        .join(train_g, "gram_h")
+        .select("doc_id")
+        .distinct()
+    )
+    test_docs = sp.filter(F.col("b") >= 90).select("doc_id", "source")
+    per = test_docs.join(
+        leaked.withColumn("leak", F.lit(1)), "doc_id", "left"
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.coalesce(F.col("leak"), F.lit(0))).cast("long").alias(
+            "n_leaked"
+        ),
+    )
+    return per.select(
+        "source",
+        "n_test",
+        "n_leaked",
+        F.expr("(1000000 * n_leaked) div n_test").cast("long").alias(
+            "leak_micro"
+        ),
+    ).orderBy("source")
+
+
+SPLIT_LEAKAGE_NGRAM_DOCS_SQL = """
+WITH sp AS (
+  SELECT doc_id, source, text,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) AS b
+  FROM documents
+), toks AS (
+  SELECT doc_id, b,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM sp
+), grams AS (
+  SELECT doc_id, b,
+         ('0x' || substr(md5(unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 0)),
+            i -> array_to_string(list_slice(t, i, i + 2), ' '))))), 1, 15)
+         )::BIGINT AS gram_h
+  FROM toks
+), train_g AS (
+  SELECT DISTINCT gram_h FROM grams WHERE b < 80
+), leaked AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN train_g USING (gram_h)
+  WHERE g.b >= 90
+)
+SELECT s.source, count(*)::BIGINT AS n_test,
+       count(l.doc_id)::BIGINT AS n_leaked,
+       ((1000000 * count(l.doc_id)) // count(*))::BIGINT AS leak_micro
+FROM sp s LEFT JOIN leaked l ON l.doc_id = s.doc_id
+WHERE s.b >= 90
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+QUERIES["split_leakage_ngram_docs"] = (
+    split_leakage_ngram_docs,
+    SPLIT_LEAKAGE_NGRAM_DOCS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization of per-source scores (cross-source calibration)
+# --------------------------------------------------------------------------
+def quantile_normalize_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document score across sources —
+    the calibration step before mixing heterogeneous quality signals
+    (each source's classifier drifts; rank-mapping every source onto the
+    GLOBAL score distribution makes 'top 10% of source A' mean the same
+    thing as 'top 10% of source B', the genomics-standard quantile-norm
+    applied to corpus curation). score = n_chars as the deterministic
+    stand-in. Per doc: within-source rank r of n (deterministic ties by
+    doc_id), mapped global position floor(r·N/n) clamped to ≥1, and the
+    global score at that position. The global position index comes from
+    sampling.assign_contiguous_ids (distributed bucket prefix-sums),
+    NEVER a single-partition global row_number; r·N runs in
+    DECIMAL(38,0)/HUGEINT (past int64 at ~1e12 rows). The within-source
+    rank window is source-keyed (the per-key sort every rank-based
+    normalizer pays); the position join is an equi-join on the mapped
+    index."""
+    from pyspark.sql import Window as W
+
+    from . import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("doc_id", "source", F.col("n_chars").alias("score"))
+    wsrc = W.partitionBy("source").orderBy("score", "doc_id")
+    ranked = s.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(wsrc).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).cast("long").alias(
+            "n"
+        ),
+    )
+    glob = sampling.assign_contiguous_ids(
+        s, ["score", "doc_id"], id_col="gidx0", n_buckets=32
+    ).select(
+        (F.col("gidx0") + 1).alias("gidx"), F.col("score").alias("gscore")
+    )
+    n_total = s.count()
+    mapped = ranked.select(
+        "doc_id",
+        "source",
+        "score",
+        F.expr(
+            f"greatest(CAST(1 AS LONG), CAST((CAST(r AS DECIMAL(38,0))"
+            f" * {int(n_total)}) div n AS LONG))"
+        ).alias("gidx"),
+    )
+    return (
+        mapped.join(glob, "gidx")
+        .select("doc_id", "source", "score", F.col("gscore").alias("norm_score"))
+        .orderBy("doc_id")
+    )
+
+
+QUANTILE_NORMALIZE_SCORES_DOCS_SQL = """
+WITH s AS (
+  SELECT doc_id, source, n_chars AS score FROM documents
+), ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score, doc_id) AS r,
+         count(*) OVER (PARTITION BY source)::BIGINT AS n
+  FROM s
+), g AS (
+  SELECT score AS gscore,
+         row_number() OVER (ORDER BY score, doc_id)::BIGINT AS gidx
+  FROM s
+), tot AS (SELECT count(*)::BIGINT AS n_total FROM s)
+SELECT r.doc_id, r.source, r.score, g.gscore AS norm_score
+FROM ranked r
+JOIN g ON g.gidx = greatest(1, (r.r::HUGEINT * (SELECT n_total FROM tot))
+                               // r.n)
+ORDER BY r.doc_id
+"""
+
+QUERIES["quantile_normalize_scores_docs"] = (
+    quantile_normalize_scores_docs,
+    QUANTILE_NORMALIZE_SCORES_DOCS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training pair construction)
+# --------------------------------------------------------------------------
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most-similar vectors with a DIFFERENT label — the
+    near-misses that actually move an embedding model (random negatives
+    are trivially separable; hard ones define the decision boundary,
+    the in-batch-negatives upgrade every retrieval-model pipeline runs).
+    Exact brute-force cosine over the label-filtered candidates for the
+    5 lowest-id queries (knn_cosine_topk's correctness-anchor regime);
+    at 100 TB the same label-predicate drops onto the stored IVF probe
+    (pq_ivf_stored_probe) — candidates are list-pruned FIRST, the label
+    filter prunes after, the top-k window is per-query. Rank ties on the
+    rounded cosine break by neighbor id (engine-total order)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector_functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("cv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "q_label", "neighbor_id", "n_label", "cosine", "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+HARD_NEGATIVES_EMBEDDINGS_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id,
+         c.label AS n_label,
+         round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]),
+               6) AS cosine
+  FROM q JOIN embeddings c ON c.label <> q.q_label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, q_label, neighbor_id, n_label, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+QUERIES["hard_negatives_embeddings"] = (
+    hard_negatives_embeddings,
+    HARD_NEGATIVES_EMBEDDINGS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation per source (monotone-association QC)
+# --------------------------------------------------------------------------
+def spearman_len_tokens_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length (n_chars) and
+    token count, per source — the monotone-association QC that catches a
+    broken tokenizer or a source whose 'length' is markup, where Pearson
+    (regression_stats_lineitem's family) is fooled by outliers. Exact
+    tie-handling via DOUBLED average ranks (2·minrank + ties − 1 stays
+    integer), then Pearson over the integer rank pairs with all five
+    sums in DECIMAL(38,0)/HUGEINT; the only float op is the final
+    num/sqrt(denx·deny), IEEE-correctly-rounded in both engines and
+    frozen at 6 dp. Decimal headroom: n·Σ(rx·ry) ≤ 4n⁴ caps a group at
+    ~1.3e9 rows — past that, switch to the block-averaged-rank tier
+    (same shape over rank buckets). Two source-keyed rank windows + one
+    agg; constant-column groups emit NULL rho (denominator zero)."""
+    from pyspark.sql import Window as W
+
+    from ..functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokens(F.col("text"))).cast("long").alias("y"),
+    )
+    rx = (
+        2 * F.rank().over(W.partitionBy("source").orderBy("x"))
+        + F.count(F.lit(1)).over(W.partitionBy("source", "x"))
+        - 1
+    ).cast("long")
+    ry = (
+        2 * F.rank().over(W.partitionBy("source").orderBy("y"))
+        + F.count(F.lit(1)).over(W.partitionBy("source", "y"))
+        - 1
+    ).cast("long")
+    ranked = base.select("source", rx.alias("rx"), ry.alias("ry"))
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("rx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ry").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry")).alias("syy"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CASE WHEN (n_docs * sxx - sx * sx) > 0"
+            " AND (n_docs * syy - sy * sy) > 0 THEN"
+            " round(CAST(n_docs * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n_docs * syy - sy * sy AS DOUBLE)), 6)"
+            " ELSE NULL END"
+        ).alias("rho_spearman"),
+    ).orderBy("source")
+
+
+SPEARMAN_LEN_TOKENS_SOURCES_SQL = """
+WITH base AS (
+  SELECT source, n_chars::BIGINT AS x,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> ''))::BIGINT AS y
+  FROM documents
+), ranked AS (
+  SELECT source,
+         (2 * rank() OVER (PARTITION BY source ORDER BY x)
+          + count(*) OVER (PARTITION BY source, x) - 1)::BIGINT AS rx,
+         (2 * rank() OVER (PARTITION BY source ORDER BY y)
+          + count(*) OVER (PARTITION BY source, y) - 1)::BIGINT AS ry
+  FROM base
+), agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+         sum(rx::HUGEINT * ry) AS sxy,
+         sum(rx::HUGEINT * rx) AS sxx,
+         sum(ry::HUGEINT * ry) AS syy
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs,
+       CASE WHEN (n_docs * sxx - sx * sx) > 0
+             AND (n_docs * syy - sy * sy) > 0 THEN
+         round((n_docs * sxy - sx * sy)::DOUBLE
+               / sqrt((n_docs * sxx - sx * sx)::DOUBLE
+                      * (n_docs * syy - sy * sy)::DOUBLE), 6)
+       ELSE NULL END AS rho_spearman
+FROM agg
+ORDER BY source
+"""
+
+QUERIES["spearman_len_tokens_sources"] = (
+    spearman_len_tokens_sources,
+    SPEARMAN_LEN_TOKENS_SOURCES_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette over the k-means clustering (cluster-quality QC)
+# --------------------------------------------------------------------------
+def silhouette_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per k-means cluster — the cluster-quality QC
+    for the trained IVF lists (knn_ivf_kmeans_topk consumes exactly
+    these centroids): s = (b−a)/max(a,b) with a = squared L2 distance to
+    the own (nearest) centroid and b = to the second-nearest. The full
+    silhouette is Θ(n²) pairwise; the simplified form (Hruschka et al.
+    2004) replaces mean-to-cluster distances with distances-to-centroids
+    — O(n·k), the ONLY silhouette that exists at corpus scale, and the
+    standard proxy (sklearn's sampled silhouette serves the same need).
+    d² expands to |x|² − 2·x·c + |c|² with each dot a sequential
+    left-fold (similarity._sql_dot ≡ DuckDB list_inner_product — the
+    kmeans parity contract); per-point s freezes to integer micros
+    (round-half-up) BEFORE aggregation, so cluster means are order-free
+    integer sums. Points equal to their centroid (a=b=0) score 0. One
+    narrow map against 4 broadcast-literal centroids + one agg; the
+    oracle replays training AND scoring in SQL."""
+    from . import similarity
+    from .similarity import _sql_dot, _sql_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroid_list(
+        emb, vec_col="embedding", k=4, n_iter=2, id_col="vec_id"
+    )
+    xx = (
+        "aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    structs = ", ".join(
+        f"struct({g} AS grp, ({xx}) - 2.0D * ({_sql_dot('embedding', c)})"
+        f" + ({_sql_dot(_sql_double_array(c), c)}) AS d2)"
+        for g, c in enumerate(cents)
+    )
+    from pyspark.sql import Window as W
+
+    d = emb.select(
+        "vec_id", F.expr(f"explode(array({structs}))").alias("gd")
+    ).select("vec_id", "gd.grp", "gd.d2")
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("grp").asc())
+    ranked = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    ab = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("grp"))).alias("grp"),
+        F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("a2"),
+        F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("b2"),
+    )
+    s = ab.select(
+        "grp",
+        F.expr(
+            "CASE WHEN greatest(a2, b2) > 0.0D THEN"
+            " CAST(floor((b2 - a2) / greatest(a2, b2) * 1000000 + 0.5)"
+            " AS LONG) ELSE CAST(0 AS LONG) END"
+        ).alias("s_micro"),
+    )
+    return (
+        s.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.expr("CAST(sum(s_micro) div count(1) AS LONG)").alias(
+                "mean_s_micro"
+            ),
+            F.min("s_micro").cast("long").alias("min_s_micro"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _silhouette_oracle() -> str:
+    from .registry import KMEANS_CENTROIDS_EMBEDDINGS_SQL
+
+    return f"""
+WITH cents AS (
+  SELECT grp, list(centroid_val ORDER BY dim) AS cv
+  FROM ({KMEANS_CENTROIDS_EMBEDDINGS_SQL}) km GROUP BY grp
+), pts AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x
+  FROM embeddings
+), d AS (
+  SELECT p.vec_id, c.grp,
+         list_inner_product(p.x, p.x) - 2.0 * list_inner_product(p.x, c.cv)
+           + list_inner_product(c.cv, c.cv) AS d2
+  FROM pts p CROSS JOIN cents c
+), ranked AS (
+  SELECT vec_id, grp, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, grp ASC) AS rn
+  FROM d
+), ab AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN grp END) AS grp,
+         max(CASE WHEN rn = 1 THEN d2 END) AS a2,
+         max(CASE WHEN rn = 2 THEN d2 END) AS b2
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+), s AS (
+  SELECT grp,
+         CASE WHEN greatest(a2, b2) > 0 THEN
+           floor((b2 - a2) / greatest(a2, b2) * 1000000 + 0.5)::BIGINT
+         ELSE 0 END AS s_micro
+  FROM ab
+)
+SELECT CAST(grp AS INTEGER) AS grp, count(*)::BIGINT AS n_points,
+       (sum(s_micro) // count(*))::BIGINT AS mean_s_micro,
+       min(s_micro)::BIGINT AS min_s_micro
+FROM s GROUP BY grp ORDER BY grp
+"""
+
+
+QUERIES["silhouette_kmeans_embeddings"] = (
+    silhouette_kmeans_embeddings,
+    _silhouette_oracle(),
+)

@@ -258,6 +258,20 @@ def temperature_sample_rates(
             rates[g] = 0
             continue
         rates[g] = min(modulus, (int(target_total) * isq[g] * modulus) // (denom * int(n)))
+    # Monotone envelope (running min over groups in ascending-n order):
+    # isqrt(n)/n is NOT monotone in n (isqrt(3)/3 = 1/3 < 2/4 =
+    # isqrt(4)/4), so a LARGER group could draw a higher rate than a
+    # smaller one — violating the α<1 upweighting contract. Repairing
+    # DOWNWARD (clamp each group to the min rate of all smaller-or-equal
+    # groups) can only lower rates, so the expected-take budget bound is
+    # preserved; repairing upward would not be (the floored denominator
+    # makes true rates overshoot the budget). Replayed in SQL as
+    # min(rate) OVER (ORDER BY n ASC).
+    best = modulus
+    for g in sorted(counts, key=lambda k: (int(counts[k]), str(k))):
+        if counts[g] > 0:
+            best = min(best, rates[g])
+            rates[g] = best
     return rates
 
 

@@ -750,3 +750,34 @@ def test_pq_ivf_stored_probe_prunes_buckets(spark):
     assert m, plan
     assert int(m.group(1)) < int(m.group(2)), m.group(0)
     assert "vtab_codes_" in plan, "probe must read the committed code table"
+
+
+def test_round9_batch2_plan_shapes(spark):
+    """The round-9 batch-2 operators keep their docstring shapes: no
+    Python stages anywhere, no corpus-side cartesian joins (the scalar/
+    metadata crossJoins — totals rows, the class×bucket EMD grid, the
+    broadcast query side of hard negatives — are the documented
+    metadata-scale exceptions), and the leakage join is a hash join on
+    gram hashes."""
+    for name in [
+        "t_closeness_docs",
+        "ess_importance_docs",
+        "dedup_impact_report_docs",
+        "doremi_reweight_sources",
+        "split_leakage_ngram_docs",
+        "quantile_normalize_scores_docs",
+        "hard_negatives_embeddings",
+        "spearman_len_tokens_sources",
+        "silhouette_kmeans_embeddings",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # the big-big leakage join must be a shuffled hash join on gram_h,
+    # never sort-merge-with-python or nested loop
+    leak = plan_of(spark, "split_leakage_ngram_docs")
+    assert "BroadcastNestedLoopJoin" not in leak
+    # hard negatives: query side broadcasts; exactly the knn_cosine shape
+    hneg = plan_of(spark, "hard_negatives_embeddings")
+    assert "BroadcastExchange" in hneg
