@@ -2680,21 +2680,23 @@ def histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket count/min/max. At 100 TB the cuts come from
     approx_percentile; the publishing shape is identical."""
     li = load_table(spark, sf_dir, "lineitem")
+    # scalar-subquery crossJoin (not collect()): the cut array rides the
+    # same job instead of an extra driver round-trip
     cuts = li.agg(
         F.percentile(
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
         ).alias("c")
-    ).collect()[0]["c"]
-    c1, c2, c3 = (float(c) for c in cuts)
+    )
     v = F.col("l_extendedprice")
     bucket = (
-        F.when(v <= F.lit(c1), F.lit(1))
-        .when(v <= F.lit(c2), F.lit(2))
-        .when(v <= F.lit(c3), F.lit(3))
+        F.when(v <= F.element_at("c", 1), F.lit(1))
+        .when(v <= F.element_at("c", 2), F.lit(2))
+        .when(v <= F.element_at("c", 3), F.lit(3))
         .otherwise(F.lit(4))
     )
     return (
-        li.groupBy(bucket.cast("long").alias("bucket"))
+        li.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.cast("long").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.min(v), 4).alias("min_price"),
@@ -5342,7 +5344,11 @@ def assoc_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.select(
         F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
     ).distinct()
-    n_baskets = baskets.select("bid").distinct().count()
+    # scalar-subquery crossJoin (not .count()): the basket total rides the
+    # same job instead of costing an extra driver round-trip
+    nb = baskets.agg(
+        F.countDistinct("bid").cast("long").alias("n_baskets")
+    )
     supp = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     freq = supp.filter(F.col("n_item") >= _ASSOC_MIN_ITEM)
     fb = baskets.join(F.broadcast(freq), "item")
@@ -5368,11 +5374,12 @@ def assoc_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(freq.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))),
             "item_b",
         )
+        .crossJoin(F.broadcast(nb))
         .select(
             "item_a",
             "item_b",
             F.col("n_ab").cast("long").alias("n_ab"),
-            F.expr(f"(1000000 * n_ab) div {n_baskets}").cast("long").alias(
+            F.expr("(1000000 * n_ab) div n_baskets").cast("long").alias(
                 "support_micro"
             ),
             F.expr("(1000000 * n_ab) div n_a").cast("long").alias(
@@ -5386,7 +5393,7 @@ def assoc_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             # numerators are bounded by 1e6·n_baskets < 2^63 up to ~9e12
             # baskets.
             F.expr(
-                f"(CAST(1000000 AS DECIMAL(38,0)) * n_ab * {n_baskets})"
+                "(CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_baskets)"
                 " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
             )
             .cast("long")
@@ -7147,13 +7154,29 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per occupied segment with its customer count — the activation
     dashboard's input table."""
     orders = load_table(spark, sf_dir, "orders")
-    ref = orders.agg(F.max("o_orderdate").alias("ref")).collect()[0]["ref"]
-    per = orders.groupBy("o_custkey").agg(
-        F.datediff(F.lit(ref), F.max("o_orderdate")).cast("long").alias("rec_days"),
-        F.count(F.lit(1)).cast("long").alias("freq"),
-        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
-        .cast("long")
-        .alias("cents"),
+    # scalar-subquery crossJoin (not collect()): the corpus-max reference
+    # date rides the same job instead of an extra driver round-trip
+    ref = orders.agg(F.max("o_orderdate").alias("ref"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ref"), F.col("last_order"))
+            .cast("long")
+            .alias("rec_days"),
+            "freq",
+            "cents",
+        )
     )
     probs = [0.2, 0.4, 0.6, 0.8]
     bounds = per.agg(

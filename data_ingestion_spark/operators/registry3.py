@@ -1253,3 +1253,568 @@ QUERIES["silhouette_kmeans_embeddings"] = (
     silhouette_kmeans_embeddings,
     _silhouette_oracle(),
 )
+
+
+# --------------------------------------------------------------------------
+# Residual IVF-PQ (FAISS by_residual=True — the production encoding)
+# --------------------------------------------------------------------------
+def _pq_training_ctes_over(
+    table: str, vec: str, m: int, k: int, d_sub: int
+) -> str:
+    """registry2._pq_training_ctes generalized over (table, vec column) so
+    the same two-Lloyd-round PQ training replays over the RESIDUAL table
+    (whose vectors are already DOUBLE lists). Structure kept line-for-line
+    parallel to the original so the two stay auditable together."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {d_sub}), j -> "
+        f"(e.{vec}[b.m * {d_sub} + j]::DOUBLE - b.cv[j])"
+        f" * (e.{vec}[b.m * {d_sub} + j]::DOUBLE - b.cv[j])))"
+    )
+    rounds = []
+    for i in (1, 2):
+        prev = f"b{i-1}"
+        rounds.append(f"""a{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist ASC, d.code ASC) AS rk
+    FROM (SELECT e.vec_id, b.m, b.code,
+                 {dist.replace('b.cv', 'b.cv').replace('b2l', prev + 'l')} AS dist
+          FROM {table} e, {prev}l b) d
+  ) WHERE rk = 1
+), n{i} AS (
+  SELECT a.m, a.code, t.j - 1 AS dim,
+         round(avg(e.{vec}[a.m * {d_sub} + t.j]::DOUBLE), 6) AS c
+  FROM a{i} a JOIN {table} e USING (vec_id),
+       generate_series(1, {d_sub}) t(j)
+  GROUP BY 1, 2, 3
+), b{i} AS (
+  SELECT p.m, p.code, p.dim, coalesce(n{i}.c, p.c) AS c
+  FROM {prev} p LEFT JOIN n{i}
+    ON n{i}.m = p.m AND n{i}.code = p.code AND n{i}.dim = p.dim
+), b{i}l AS (
+  SELECT m, code, list(c ORDER BY dim) AS cv FROM b{i} GROUP BY m, code
+)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, {vec} AS sv
+  FROM (SELECT vec_id, {vec} FROM {table} ORDER BY vec_id LIMIT {k})
+), b0 AS (
+  SELECT s.m, seeds.code, t.j - 1 AS dim,
+         seeds.sv[s.m * {d_sub} + t.j]::DOUBLE AS c
+  FROM seeds, (SELECT range::INT AS m FROM range(0, {m})) s,
+       generate_series(1, {d_sub}) t(j)
+), b0l AS (
+  SELECT m, code, list(c ORDER BY dim) AS cv FROM b0 GROUP BY m, code
+),
+{rounds_sql},
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist ASC, d.code ASC) AS rk
+    FROM (SELECT e.vec_id, b.m, b.code,
+                 {dist.replace(prev + 'l', 'b2l')} AS dist
+          FROM {table} e, b2l b) d
+  ) WHERE rk = 1
+)"""
+
+
+def pq_ivf_residual_topk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual IVF-PQ (Jégou et al. 2011 §III-C; FAISS by_residual=True —
+    the PRODUCTION encoding the repo's earlier IVF-PQ tier documents as
+    absent): vectors are PQ-encoded as x − c_list (the residual after
+    coarse quantization), which concentrates the codebook's capacity on
+    the within-list variance — the reason every serious IVF-PQ deployment
+    re-encodes residuals. Search follows: a query probing list L builds
+    its ADC lookup table from q − c_L (one LUT PER probed list, n_q·
+    n_probe·m·k rows — still broadcastable metadata), and since every
+    candidate in list L was encoded against the same c_L, the ADC sum
+    approximates ‖x − q‖² directly. Same geometry as
+    pq_ivf_topk_embeddings (4 lists, probe 2, m=4, k=8, 2 Lloyd rounds,
+    top-5 for the 3 lowest-id queries) so the two rankings are directly
+    comparable. The oracle replays coarse assignment, residual
+    construction, PQ training over residuals, encoding, per-list LUTs,
+    and the probe — end to end in SQL."""
+    from pyspark.sql import Window as W
+
+    from . import similarity
+    from .similarity import _sql_double_array, _sql_l2sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_lists, n_probe, m, k, topk, n_q = 4, 2, 4, 8, 5, 3
+    dim = 64
+    d_sub = dim // m
+    cents = similarity.ivf_centroids_from_sample(emb, n_lists)
+    assigned = similarity.ivf_assign(
+        emb.select("vec_id", "embedding"), cents, vec_col="embedding",
+        n_probe=1,
+    ).select("vec_id", "list_id")
+    case_cv = (
+        "CASE list_id "
+        + " ".join(
+            f"WHEN {i} THEN {_sql_double_array(c)}"
+            for i, c in enumerate(cents)
+        )
+        + " END"
+    )
+    res = (
+        emb.select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+        .select(
+            "vec_id",
+            "list_id",
+            F.expr(
+                f"zip_with(embedding, {case_cv},"
+                " (x, y) -> CAST(x AS DOUBLE) - y)"
+            ).alias("rv"),
+        )
+    )
+    res = res.localCheckpoint(eager=True)  # train + encode reuse it
+    books = similarity.pq_train(res, "vec_id", "rv", m=m, k=k, n_iter=2)
+    codes = similarity.pq_encode(res, "vec_id", "rv", books).join(
+        res.select("vec_id", "list_id"), "vec_id"
+    )
+    code_struct = ", ".join(
+        f"struct({s} AS m, code_{s} AS code)" for s in range(m)
+    )
+    flat = codes.select(
+        "vec_id",
+        "list_id",
+        F.expr(f"explode(array({code_struct}))").alias("mc"),
+    ).select("vec_id", "list_id", "mc.m", "mc.code")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(n_q)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    probes = similarity.ivf_assign(
+        queries, cents, vec_col="embedding", n_probe=n_probe
+    ).select(
+        "qid",
+        "list_id",
+        F.expr(
+            f"zip_with(embedding, {case_cv},"
+            " (x, y) -> CAST(x AS DOUBLE) - y)"
+        ).alias("qrv"),
+    )
+    lut_struct = ", ".join(
+        f"struct({s} AS m, {c} AS code, CAST(floor("
+        f"{_sql_l2sq('qrv', s * d_sub, books[s][c])} * 1e6 + 0.5D)"
+        f" AS BIGINT) AS d_micro)"
+        for s in range(m)
+        for c in range(k)
+    )
+    lut = probes.select(
+        "qid", "list_id", F.expr(f"explode(array({lut_struct}))").alias("e")
+    ).select("qid", "list_id", "e.m", "e.code", "e.d_micro")
+    cand = flat.join(
+        F.broadcast(probes.select("qid", "list_id")), "list_id"
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["qid", "list_id", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d_micro").cast("long").alias("adc_micro"))
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("adc_micro").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("qid", "vec_id", "adc_micro", F.col("rk").cast("int").alias("rk"))
+        .orderBy("qid", "rk")
+    )
+
+
+def _pq_ivf_residual_oracle(
+    m: int = 4, k: int = 8, d_sub: int = 16, n_q: int = 3,
+    n_lists: int = 4, n_probe: int = 2, topk: int = 5,
+) -> str:
+    dim = m * d_sub
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT {n_lists})
+), asg AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC,
+                      c.cid ASC) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+), res AS (
+  SELECT e.vec_id, a.list_id,
+         list_transform(generate_series(1, {dim}),
+           i -> e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE) AS rv
+  FROM embeddings e JOIN asg a USING (vec_id)
+  JOIN cents c ON c.cid = a.list_id
+), {_pq_training_ctes_over('res', 'rv', m, k, d_sub)}, q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings ORDER BY vec_id
+  LIMIT {n_q}
+), probe AS (
+  SELECT qid, cid AS list_id, qrv FROM (
+    SELECT q.qid, c.cid,
+           list_transform(generate_series(1, {dim}),
+             i -> q.embedding[i]::DOUBLE - c.cv[i]::DOUBLE) AS qrv,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_inner_product(q.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC,
+                      c.cid ASC) AS rk
+    FROM q, cents c
+  ) WHERE rk <= {n_probe}
+), lut AS (
+  SELECT p.qid, p.list_id, b.m, b.code,
+         floor(list_sum(list_transform(generate_series(1, {d_sub}), j ->
+           (p.qrv[b.m * {d_sub} + j] - b.cv[j])
+           * (p.qrv[b.m * {d_sub} + j] - b.cv[j]))) * 1e6 + 0.5)::BIGINT
+           AS d_micro
+  FROM probe p, b2l b
+), sc AS (
+  SELECT p.qid, f.vec_id, sum(l.d_micro)::BIGINT AS adc_micro
+  FROM enc f
+  JOIN asg a ON a.vec_id = f.vec_id
+  JOIN probe p ON p.list_id = a.list_id
+  JOIN lut l ON l.qid = p.qid AND l.list_id = a.list_id
+            AND l.m = f.m AND l.code = f.code
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, adc_micro, rk FROM (
+  SELECT qid, vec_id, adc_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_micro ASC, vec_id ASC)::INT AS rk
+  FROM sc
+) WHERE rk <= {topk} ORDER BY qid, rk
+"""
+
+
+QUERIES["pq_ivf_residual_topk_embeddings"] = (
+    pq_ivf_residual_topk_embeddings,
+    _pq_ivf_residual_oracle(),
+)
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (bipartite half-round LPA)
+# --------------------------------------------------------------------------
+def label_propagation_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via label propagation (Raghavan et al. 2007)
+    over the customer↔supplier trade graph — the COMMUNITY member of the
+    graph family (PageRank = importance, connected components =
+    reachability, triangles = cohesion; LPA finds densely-trading
+    groups). Synchronous LPA oscillates on bipartite graphs, so this is
+    the bipartite-correct semi-synchronous form: alternate sides each
+    half-round (suppliers adopt the mode label of their customer
+    neighbors, then customers adopt from suppliers, then suppliers once
+    more), mode ties broken by the smaller label — every update is
+    deterministic, so the DuckDB oracle replays all three half-rounds.
+    Per half-round: one edges⋈labels hash join + one (node, label) count
+    agg + one per-node argmax window — label ids are 8-byte ints
+    throughout (the pagerank node-encoding discipline). Output: the
+    top-20 communities by member count (TakeOrdered, fully tie-broken)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # strong-tie filter: only high-quantity trades define community edges
+    # (thresholding edge weight before LPA is standard practice — on the
+    # unthresholded dense bipartite graph every label collapses into one
+    # giant community and the detector is vacuous)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45
+    ).select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    # directed edges dst <- src mode; suppliers odd, customers even.
+    # Edges are checkpointed ONCE (the pagerank lineage-truncation
+    # discipline: without it every later half-round re-executes the
+    # orders⋈lineitem join through the growing lineage), and each
+    # half-round checkpoints its label table so round i+1's plan starts
+    # from materialized labels, not the full chain.
+    pairs = pairs.localCheckpoint(eager=True)
+    to_s = pairs.select(F.col("s").alias("node"), F.col("c").alias("nbr"))
+    to_c = pairs.select(F.col("c").alias("node"), F.col("s").alias("nbr"))
+    nodes = to_s.select("node").union(to_c.select("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+
+    def half_round(labels: DataFrame, edges: DataFrame) -> DataFrame:
+        cnt = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("lab").alias("nlab")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "nlab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("nlab").asc()
+        )
+        upd = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nlab").alias("new_lab"))
+        )
+        # one left join + coalesce, not anti-join + union (half the
+        # shuffles per round); non-targets keep their label
+        return labels.join(upd, "node", "left").select(
+            "node",
+            F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab"),
+        ).localCheckpoint(eager=True)
+
+    labels = half_round(labels, to_s)  # suppliers adopt customer labels
+    labels = half_round(labels, to_c)  # customers adopt supplier labels
+    labels = half_round(labels, to_s)  # suppliers re-adopt
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(20)
+    )
+
+
+LABEL_PROPAGATION_TRADE_GRAPH_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity > 45
+), to_s AS (SELECT s AS node, c AS nbr FROM pairs),
+to_c AS (SELECT c AS node, s AS nbr FROM pairs),
+nodes AS (SELECT node FROM to_s UNION SELECT node FROM to_c),
+l0 AS (SELECT node, node AS lab FROM nodes),
+u1 AS (
+  SELECT node, nlab AS lab FROM (
+    SELECT e.node, x.lab AS nlab,
+           row_number() OVER (PARTITION BY e.node
+             ORDER BY count(*) DESC, x.lab ASC) AS rn
+    FROM to_s e JOIN l0 x ON x.node = e.nbr
+    GROUP BY e.node, x.lab
+  ) WHERE rn = 1
+), l1 AS (
+  SELECT node, lab FROM l0 WHERE node NOT IN (SELECT node FROM u1)
+  UNION ALL SELECT node, lab FROM u1
+), u2 AS (
+  SELECT node, nlab AS lab FROM (
+    SELECT e.node, x.lab AS nlab,
+           row_number() OVER (PARTITION BY e.node
+             ORDER BY count(*) DESC, x.lab ASC) AS rn
+    FROM to_c e JOIN l1 x ON x.node = e.nbr
+    GROUP BY e.node, x.lab
+  ) WHERE rn = 1
+), l2 AS (
+  SELECT node, lab FROM l1 WHERE node NOT IN (SELECT node FROM u2)
+  UNION ALL SELECT node, lab FROM u2
+), u3 AS (
+  SELECT node, nlab AS lab FROM (
+    SELECT e.node, x.lab AS nlab,
+           row_number() OVER (PARTITION BY e.node
+             ORDER BY count(*) DESC, x.lab ASC) AS rn
+    FROM to_s e JOIN l2 x ON x.node = e.nbr
+    GROUP BY e.node, x.lab
+  ) WHERE rn = 1
+), l3 AS (
+  SELECT node, lab FROM l2 WHERE node NOT IN (SELECT node FROM u3)
+  UNION ALL SELECT node, lab FROM u3
+)
+SELECT lab AS community, count(*)::BIGINT AS n_members
+FROM l3 GROUP BY lab
+ORDER BY n_members DESC, community ASC
+LIMIT 20
+"""
+
+QUERIES["label_propagation_trade_graph"] = (
+    label_propagation_trade_graph,
+    LABEL_PROPAGATION_TRADE_GRAPH_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile summaries (federated/distributed quantile estimate)
+# --------------------------------------------------------------------------
+def quantile_merge_summaries_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-partition quantile summaries — the distributed
+    primitive behind GK/KLL/t-digest: each source builds a rank-sampled
+    summary (every ⌈n/32⌉-th order statistic, exact represented-weight =
+    gap to the previous sample), the summaries MERGE by weighted
+    cumulative rank, and global quartiles are read off the merged table.
+    Per-source error is bounded by the sampling step (≤ n_s/32 rows);
+    the operator MEASURES the realized global rank error against the
+    exact order statistic — the error column IS the contract, the same
+    discipline as the minhash recall/precision QC pair. Output per
+    quartile: target rank, estimated vs exact value, rank error in rows
+    and micros of N. All integer (values, ranks, weights); the only
+    corpus-scale stages are one source-keyed rank window (the summary
+    build — what each executor would ship) and one distinct-value count
+    agg (the truth side)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select("source", F.col("n_chars").cast("long").alias("v"),
+                       "doc_id")
+    wsrc = W.partitionBy("source").orderBy("v", "doc_id")
+    ranked = vals.select(
+        "source",
+        "v",
+        F.row_number().over(wsrc).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_s"),
+    )
+    step = F.greatest(F.expr("n_s div 32"), F.lit(1))
+    summ = ranked.filter(
+        (F.col("r") % step == 0) | (F.col("r") == F.col("n_s"))
+    ).select(
+        "source",
+        "v",
+        "r",
+        (
+            F.col("r")
+            - F.coalesce(
+                F.lag("r").over(
+                    W.partitionBy("source").orderBy("r")
+                ),
+                F.lit(0),
+            )
+        ).cast("long").alias("wt"),
+    )
+    tot = vals.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wmerge = W.orderBy("v", "source", "r").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    merged = summ.select(
+        "v", "source", "r", F.sum("wt").over(wmerge).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    # truth side: distinct values with exact cumulative counts
+    truth = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "v",
+            F.sum("c").over(
+                W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("cum_true"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    out = []
+    for p_micro in (250000, 500000, 750000):
+        target = F.expr(f"CAST(ceil(n_total * {p_micro} / 1000000.0) AS LONG)")
+        est = merged.filter(F.col("cum") >= target).agg(
+            F.min("v").alias("est_v")
+        )
+        exact = truth.filter(F.col("cum_true") >= target).agg(
+            F.min("v").alias("exact_v")
+        )
+        err = (
+            est.crossJoin(exact)
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(
+                F.broadcast(
+                    truth.groupBy().pivot("v", []).count()
+                    if False
+                    else tot.select(F.col("n_total").alias("nt2"))
+                )
+            )
+        )
+        out.append((p_micro, est, exact))
+    # assemble one row per quartile: rank error = distance from the target
+    # rank to the est value's true rank interval [cnt_lt+1, cnt_le]
+    rows = None
+    for p_micro, est, exact in out:
+        lt = vals.crossJoin(F.broadcast(est)).agg(
+            F.sum((F.col("v") < F.col("est_v")).cast("long")).alias("cnt_lt"),
+            F.sum((F.col("v") <= F.col("est_v")).cast("long")).alias("cnt_le"),
+        )
+        one = (
+            est.crossJoin(exact)
+            .crossJoin(F.broadcast(lt))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(p_micro).cast("long").alias("p_micro"),
+                F.expr(
+                    f"CAST(ceil(n_total * {p_micro} / 1000000.0) AS LONG)"
+                ).alias("target_rank"),
+                F.col("est_v").cast("long").alias("est_value"),
+                F.col("exact_v").cast("long").alias("exact_value"),
+                F.expr(
+                    f"CAST(greatest(cnt_lt + 1 -"
+                    f" CAST(ceil(n_total * {p_micro} / 1000000.0) AS LONG),"
+                    f" CAST(ceil(n_total * {p_micro} / 1000000.0) AS LONG)"
+                    f" - cnt_le, 0) AS LONG)"
+                ).alias("err_rows"),
+                F.expr(
+                    f"CAST((1000000 * greatest(cnt_lt + 1 -"
+                    f" CAST(ceil(n_total * {p_micro} / 1000000.0) AS LONG),"
+                    f" CAST(ceil(n_total * {p_micro} / 1000000.0) AS LONG)"
+                    f" - cnt_le, 0)) div n_total AS LONG)"
+                ).alias("err_micro"),
+            )
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows.orderBy("p_micro")
+
+
+QUANTILE_MERGE_SUMMARIES_DOCS_SQL = """
+WITH vals AS (
+  SELECT source, n_chars::BIGINT AS v, doc_id FROM documents
+), ranked AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n_s
+  FROM vals
+), summ AS (
+  SELECT source, v, r,
+         (r - coalesce(lag(r) OVER (PARTITION BY source ORDER BY r), 0))
+           ::BIGINT AS wt
+  FROM ranked
+  WHERE r % greatest(n_s // 32, 1) = 0 OR r = n_s
+), tot AS (SELECT count(*)::BIGINT AS n_total FROM vals),
+merged AS (
+  SELECT v, sum(wt) OVER (ORDER BY v, source, r
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM summ
+), truth AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_true
+  FROM (SELECT v, count(*)::BIGINT AS c FROM vals GROUP BY v)
+), targets AS (
+  SELECT p_micro,
+         ceil((SELECT n_total FROM tot) * p_micro / 1000000.0)::BIGINT
+           AS target_rank
+  FROM (VALUES (250000), (500000), (750000)) t(p_micro)
+), est AS (
+  SELECT t.p_micro, t.target_rank,
+         (SELECT min(v) FROM merged m WHERE m.cum >= t.target_rank)
+           AS est_value,
+         (SELECT min(v) FROM truth x WHERE x.cum_true >= t.target_rank)
+           AS exact_value
+  FROM targets t
+), errs AS (
+  SELECT e.*,
+         (SELECT sum((v < e.est_value)::BIGINT) FROM vals) AS cnt_lt,
+         (SELECT sum((v <= e.est_value)::BIGINT) FROM vals) AS cnt_le
+  FROM est e
+)
+SELECT p_micro::BIGINT AS p_micro, target_rank,
+       est_value::BIGINT AS est_value, exact_value::BIGINT AS exact_value,
+       greatest(cnt_lt + 1 - target_rank, target_rank - cnt_le, 0)::BIGINT
+         AS err_rows,
+       ((1000000 * greatest(cnt_lt + 1 - target_rank,
+                            target_rank - cnt_le, 0))
+        // (SELECT n_total FROM tot))::BIGINT AS err_micro
+FROM errs
+ORDER BY p_micro
+"""
+
+QUERIES["quantile_merge_summaries_docs"] = (
+    quantile_merge_summaries_docs,
+    QUANTILE_MERGE_SUMMARIES_DOCS_SQL,
+)

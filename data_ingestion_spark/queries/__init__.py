@@ -99,6 +99,18 @@ _PRIORITY = [
     "seasonality_dow_events",
     "simhash_multiprobe_pairs_docs",
     "pq_ivf_stored_probe",
+    "t_closeness_docs",
+    "ess_importance_docs",
+    "dedup_impact_report_docs",
+    "doremi_reweight_sources",
+    "split_leakage_ngram_docs",
+    "quantile_normalize_scores_docs",
+    "hard_negatives_embeddings",
+    "spearman_len_tokens_sources",
+    "silhouette_kmeans_embeddings",
+    "pq_ivf_residual_topk_embeddings",
+    "label_propagation_trade_graph",
+    "quantile_merge_summaries_docs",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

@@ -781,3 +781,22 @@ def test_round9_batch2_plan_shapes(spark):
     # hard negatives: query side broadcasts; exactly the knn_cosine shape
     hneg = plan_of(spark, "hard_negatives_embeddings")
     assert "BroadcastExchange" in hneg
+
+
+def test_round9_batch3_plan_shapes(spark):
+    """Residual IVF-PQ, LPA, and the quantile-summary merge keep their
+    docstring shapes: no Python stages, no corpus-side cartesian (the
+    LUT/probe broadcasts and scalar-totals crossJoins are the documented
+    metadata-scale exceptions), and LPA's half-round joins are hash
+    joins."""
+    for name in [
+        "pq_ivf_residual_topk_embeddings",
+        "label_propagation_trade_graph",
+        "quantile_merge_summaries_docs",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    lpa = plan_of(spark, "label_propagation_trade_graph")
+    assert "TakeOrderedAndProject" in lpa  # top-20 communities, no global sort
