@@ -1818,3 +1818,364 @@ QUERIES["quantile_merge_summaries_docs"] = (
     quantile_merge_summaries_docs,
     QUANTILE_MERGE_SUMMARIES_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal calibration + coverage audit (distribution-free QC)
+# --------------------------------------------------------------------------
+def conformal_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the quality classifier (Vovk et al.;
+    Angelopoulos & Bates 2023 tutorial form): on a held-out calibration
+    split (doc_id % 5 == 0) take the k-th smallest nonconformity score
+    with the finite-sample rank k = ⌈(n_cal+1)(1−α)⌉, α = 0.1 — the
+    distribution-free threshold that guarantees ≥ 90% coverage in
+    expectation under exchangeability, NO model assumptions. The audit
+    then MEASURES realized coverage on the remaining docs. Nonconformity
+    = 1e6 − score_micro (inference.classifier_scores' integer logistic),
+    so the order statistic is an exact integer rank — threshold via the
+    distinct-value cumulative trick, never a global sort of the corpus
+    (cum table is |distinct scores| rows). k > n_cal (degenerate tiny
+    calibration) ⇒ +∞ threshold ⇒ everything covered, handled by the
+    same coalesce in both engines."""
+    from . import inference
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = inference.classifier_scores(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        (F.lit(1000000) - F.col("score_micro")).cast("long").alias("nc"),
+    )
+    cal = scored.filter(F.col("doc_id") % 5 == 0)
+    ev = scored.filter(F.col("doc_id") % 5 != 0)
+    n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    from pyspark.sql import Window as W
+
+    cum = (
+        cal.groupBy("nc")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "nc",
+            F.sum("c")
+            .over(W.orderBy("nc").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("cum"),
+        )
+        .crossJoin(F.broadcast(n_cal))
+        .withColumn("k", F.expr("((n_cal + 1) * 9 + 9) div 10"))
+    )
+    thr = cum.filter(F.col("cum") >= F.col("k")).agg(
+        F.min("nc").alias("thr_nc")
+    )
+    out = (
+        ev.crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                (
+                    F.col("nc") <= F.coalesce(F.col("thr_nc"), F.lit(1000001))
+                ).cast("long")
+            ).cast("long").alias("n_covered"),
+            F.max(F.coalesce(F.col("thr_nc"), F.lit(1000001)))
+            .cast("long")
+            .alias("threshold_nc"),
+        )
+        .crossJoin(F.broadcast(n_cal))
+    )
+    return out.select(
+        "n_cal",
+        F.expr("((n_cal + 1) * 9 + 9) div 10").cast("long").alias("k_rank"),
+        "threshold_nc",
+        "n_eval",
+        "n_covered",
+        F.expr("(1000000 * n_covered) div n_eval").cast("long").alias(
+            "coverage_micro"
+        ),
+    )
+
+
+_NC_SQL = (
+    "(1000000 - floor(1.0 / (1.0 + exp(-(0.9::DOUBLE"
+    " * ln(1.0 + len(list_filter(string_split_regex(lower(text), '\\s+'),"
+    " x -> x <> ''))::DOUBLE) + -3.0::DOUBLE))) * 1e6 + 0.5)::BIGINT)"
+)
+
+CONFORMAL_COVERAGE_DOCS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, {_NC_SQL} AS nc FROM documents
+), cal AS (SELECT nc FROM scored WHERE doc_id % 5 = 0),
+ev AS (SELECT nc FROM scored WHERE doc_id % 5 <> 0),
+ncal AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+cum AS (
+  SELECT nc, sum(c) OVER (ORDER BY nc ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT nc, count(*)::BIGINT AS c FROM cal GROUP BY nc)
+), thr AS (
+  SELECT min(nc) AS thr_nc FROM cum
+  WHERE cum >= (SELECT ((n_cal + 1) * 9 + 9) // 10 FROM ncal)
+)
+SELECT (SELECT n_cal FROM ncal) AS n_cal,
+       (SELECT ((n_cal + 1) * 9 + 9) // 10 FROM ncal)::BIGINT AS k_rank,
+       coalesce((SELECT thr_nc FROM thr), 1000001)::BIGINT AS threshold_nc,
+       count(*)::BIGINT AS n_eval,
+       sum((nc <= coalesce((SELECT thr_nc FROM thr), 1000001))::BIGINT)
+         ::BIGINT AS n_covered,
+       ((1000000 * sum((nc <= coalesce((SELECT thr_nc FROM thr), 1000001))
+                       ::BIGINT)) // count(*))::BIGINT AS coverage_micro
+FROM ev
+"""
+
+QUERIES["conformal_coverage_docs"] = (
+    conformal_coverage_docs,
+    CONFORMAL_COVERAGE_DOCS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap: error bars on corpus statistics
+# --------------------------------------------------------------------------
+_POIS_CUM = (367879, 735758, 919698, 981011, 996340)  # P(X<=k), k=0..4, 1e-6
+
+
+def _pois_w_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {c} THEN {i}" for i, c in enumerate(_POIS_CUM)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+def bootstrap_se_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al., Google 2012 —
+    'Estimating Uncertainty for Massive Data Streams'): error bars on a
+    per-source corpus statistic (mean n_chars) from B = 32 replicas
+    whose weights w ~ Poisson(1) come from an inverse-CDF lookup on the
+    md5 hash of (doc_id, replica) — no RNG state, identical on any
+    cluster layout, replayable in SQL (CDF at 1e-6 granularity, the
+    documented approximation). Each replica's mean is an exact integer
+    micro (Σw·v scaled, div Σw); the bootstrap variance over replica
+    means is exact integer algebra (B·Σm² − (Σm)² over B(B−1), DECIMAL),
+    and the SE is its IEEE-exact integer sqrt. The B× row expansion is
+    the documented cost knob — at 100 TB keep B small or switch to the
+    one-pass moment form; the statistical shape is unchanged. Replicas
+    with Σw = 0 are dropped (n_replicas reports the survivors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("v"),
+        "doc_id",
+        F.expr("explode(sequence(0, 31))").alias("b"),
+    ).select(
+        "source",
+        "v",
+        "b",
+        F.expr(
+            _pois_w_sql(
+                "(conv(substring(md5(concat(CAST(doc_id AS STRING), '-',"
+                " CAST(b AS STRING))), 1, 15), 16, 10) % 1000000)"
+            )
+        ).cast("long").alias("w"),
+    )
+    means = (
+        rep.groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).cast("long").alias("swv"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "source",
+            # DECIMAL: 1e6·Σw·v clears 2^63 once a replica's weighted char
+            # mass passes ~9e12 (one 10 TB source)
+            F.expr(
+                "CAST((CAST(swv AS DECIMAL(38,0)) * 1000000) div sw AS LONG)"
+            ).alias("m"),
+        )
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST((CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000)"
+            " div count(1) AS LONG)"
+        ).alias("mean_micro"),
+    )
+    boot = means.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.sum(F.col("m").cast("decimal(38,0)")).alias("sm"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m")).alias("sm2"),
+    )
+    return (
+        base.join(boot, "source")
+        .select(
+            "source",
+            "n_docs",
+            "mean_micro",
+            "n_replicas",
+            F.expr(
+                "CAST((n_replicas * sm2 - sm * sm)"
+                " div (CAST(n_replicas AS DECIMAL(38,0))"
+                " * greatest(n_replicas - 1, 1)) AS LONG)"
+            ).alias("var_boot_micro2"),
+            F.expr(
+                "CAST(floor(sqrt(CAST((n_replicas * sm2 - sm * sm)"
+                " div (CAST(n_replicas AS DECIMAL(38,0))"
+                " * greatest(n_replicas - 1, 1)) AS DOUBLE)) + 0.5D) AS LONG)"
+            ).alias("se_boot_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+BOOTSTRAP_SE_SOURCES_SQL = f"""
+WITH rep AS (
+  SELECT d.source, d.n_chars::BIGINT AS v, d.doc_id, t.b,
+         {_pois_w_sql("(('0x' || substr(md5(d.doc_id::VARCHAR || '-' || t.b::VARCHAR), 1, 15))::BIGINT % 1000000)")}
+           ::BIGINT AS w
+  FROM documents d, (SELECT range::BIGINT AS b FROM range(0, 32)) t
+), means AS (
+  SELECT source, ((sum(w * v)::HUGEINT * 1000000) // sum(w))::BIGINT AS m
+  FROM rep GROUP BY source, b HAVING sum(w) > 0
+), base AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         ((sum(n_chars)::HUGEINT * 1000000) // count(*))::BIGINT AS mean_micro
+  FROM documents GROUP BY source
+), boot AS (
+  SELECT source, count(*)::BIGINT AS n_replicas,
+         sum(m::HUGEINT) AS sm, sum(m::HUGEINT * m) AS sm2
+  FROM means GROUP BY source
+)
+SELECT b.source, b.n_docs, b.mean_micro, t.n_replicas,
+       ((t.n_replicas * t.sm2 - t.sm * t.sm)
+        // (t.n_replicas::HUGEINT * greatest(t.n_replicas - 1, 1)))::BIGINT
+         AS var_boot_micro2,
+       floor(sqrt(((t.n_replicas * t.sm2 - t.sm * t.sm)
+        // (t.n_replicas::HUGEINT * greatest(t.n_replicas - 1, 1)))::DOUBLE)
+        + 0.5)::BIGINT AS se_boot_micro
+FROM base b JOIN boot t USING (source)
+ORDER BY b.source
+"""
+
+QUERIES["bootstrap_se_sources"] = (
+    bootstrap_se_sources,
+    BOOTSTRAP_SE_SOURCES_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Golden-record entity resolution (blocked match -> clusters -> survivorship)
+# --------------------------------------------------------------------------
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution to a GOLDEN RECORD — the composition
+    every MDM/customer-360 pipeline runs: (1) blocked fuzzy match
+    (fuzzy_match_parts' dedupe-first discipline: distinct names pair
+    within 16-char-prefix blocks, banded Levenshtein ≤ 2), (2) match
+    pairs close transitively into entity clusters
+    (dedup.connected_components min-label propagation — RAISES on
+    non-convergence), (3) survivorship picks each cluster's canonical
+    row by the documented rule (max account balance, ties to the lowest
+    custkey) with the balance frozen to exact cents. Node ids are
+    min-custkey-per-name (8-byte ints, deterministic), so the whole
+    chain — including the iterative CC — replays in the oracle's
+    recursive CTE. Only genuinely merged clusters (≥ 2 distinct names)
+    are emitted; singletons pass through unmerged by definition."""
+    from . import dedup
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    names = cust.groupBy("c_name").agg(
+        F.min("c_custkey").cast("long").alias("node")
+    )
+    a = names.select(
+        F.col("c_name").alias("name_a"),
+        F.col("node").alias("node_a"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    b = names.select(
+        F.col("c_name").alias("name_b"),
+        F.col("node").alias("node_b"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    edges = (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b", 2) >= 0)
+        .select("node_a", "node_b")
+    )
+    comp = dedup.connected_components(edges, "node_a", "node_b")
+    rows = (
+        cust.join(names, "c_name")
+        .join(comp.withColumnRenamed("id", "node"), "node")
+        .select(
+            F.col("comp").alias("component"),
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("component").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("c_name").cast("long").alias("n_names"),
+            F.max(F.when(F.col("rn") == 1, F.col("c_custkey")))
+            .cast("long")
+            .alias("canon_custkey"),
+            F.max(
+                F.when(
+                    F.col("rn") == 1,
+                    F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)),
+                )
+            )
+            .cast("long")
+            .alias("canon_acctbal_cents"),
+        )
+        .filter(F.col("n_names") >= 2)
+        .orderBy("component")
+    )
+
+
+GOLDEN_RECORD_CUSTOMERS_SQL = """
+WITH RECURSIVE names AS (
+  SELECT c_name, min(c_custkey)::BIGINT AS node FROM customer GROUP BY c_name
+), blocked AS (
+  SELECT c_name, node, substr(c_name, 1, 16) AS blk FROM names
+), pairs AS (
+  SELECT a.node AS node_a, b.node AS node_b
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.c_name < b.c_name
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+), edges AS (
+  SELECT node_a AS a, node_b AS b FROM pairs
+  UNION
+  SELECT node_b AS a, node_a AS b FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+), comp AS (
+  SELECT id AS node, min(r) AS component FROM reach GROUP BY id
+), rows_ AS (
+  SELECT cm.component, c.c_custkey, c.c_name, c.c_acctbal,
+         row_number() OVER (PARTITION BY cm.component
+                            ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+  FROM customer c
+  JOIN names n ON n.c_name = c.c_name
+  JOIN comp cm ON cm.node = n.node
+)
+SELECT component, count(*)::BIGINT AS n_rows,
+       count(DISTINCT c_name)::BIGINT AS n_names,
+       max(CASE WHEN rn = 1 THEN c_custkey END)::BIGINT AS canon_custkey,
+       max(CASE WHEN rn = 1 THEN floor(c_acctbal * 100 + 0.5) END)::BIGINT
+         AS canon_acctbal_cents
+FROM rows_
+GROUP BY component
+HAVING count(DISTINCT c_name) >= 2
+ORDER BY component
+"""
+
+QUERIES["golden_record_customers"] = (
+    golden_record_customers,
+    GOLDEN_RECORD_CUSTOMERS_SQL,
+)

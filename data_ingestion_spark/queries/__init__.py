@@ -111,6 +111,9 @@ _PRIORITY = [
     "pq_ivf_residual_topk_embeddings",
     "label_propagation_trade_graph",
     "quantile_merge_summaries_docs",
+    "conformal_coverage_docs",
+    "bootstrap_se_sources",
+    "golden_record_customers",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

@@ -800,3 +800,21 @@ def test_round9_batch3_plan_shapes(spark):
         assert "ArrowEvalPython" not in plan, name
     lpa = plan_of(spark, "label_propagation_trade_graph")
     assert "TakeOrderedAndProject" in lpa  # top-20 communities, no global sort
+
+
+def test_round9_batch4_plan_shapes(spark):
+    """Conformal, bootstrap, and golden-record keep their shapes: no
+    Python stages, no corpus cartesian (scalar-totals crossJoins are the
+    documented exception); the bootstrap's replica expansion is a narrow
+    explode, not a join."""
+    for name in [
+        "conformal_coverage_docs",
+        "bootstrap_se_sources",
+        "golden_record_customers",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    boot = plan_of(spark, "bootstrap_se_sources")
+    assert "Generate" in boot  # explode(sequence(0,31)) = narrow replica map
