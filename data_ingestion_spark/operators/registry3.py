@@ -2179,3 +2179,115 @@ QUERIES["golden_record_customers"] = (
     golden_record_customers,
     GOLDEN_RECORD_CUSTOMERS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling (training-pair construction)
+# --------------------------------------------------------------------------
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    pairs (the word2vec/BPR recipe): for every customer, 4 part ids they
+    have NEVER ordered, drawn reproducibly. The scale trick: candidates
+    are GENERATED arithmetically per user (item_j = md5(user:j) mod
+    n_items for j = 0..7, exploiting the contiguous item-key space),
+    so the plan is a narrow 8× explode + one anti-join against the
+    positives — NEVER a users×items cross join (the naive form is
+    quadratic before its filter). Hash candidates make the sample
+    identical on any cluster layout / rerun — the reproducible-mix rule
+    every training pipeline needs; over-sampling 8 to keep 4 bounds the
+    collision-with-positives loss (positives per user ≪ n_items).
+    Duplicate candidate draws collapse keep-lowest-j; output thinned to
+    every 7th customer for the driver compare."""
+    from pyspark.sql import Window as W
+
+    from ..functions import md5_hash60
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o_full = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    positives = (
+        li.join(o_full, li.l_orderkey == o_full.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    n_parts = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    users = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    cand = (
+        users.crossJoin(F.broadcast(n_parts))
+        .select(
+            "custkey",
+            "n_items",
+            F.expr("explode(sequence(0, 7))").alias("j"),
+        )
+        .select(
+            "custkey",
+            "j",
+            (
+                md5_hash60(
+                    F.concat(
+                        F.col("custkey").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("n_items")
+            ).cast("long").alias("item"),
+        )
+    )
+    neg = cand.join(positives, ["custkey", "item"], "left_anti")
+    # collapse duplicate draws (same item at two j's) keep-lowest-j
+    wdup = W.partitionBy("custkey", "item").orderBy("j")
+    wrank = W.partitionBy("custkey").orderBy("j")
+    return (
+        neg.withColumn("dup", F.row_number().over(wdup))
+        .filter(F.col("dup") == 1)
+        .withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") <= 4)
+        .filter(F.col("custkey") % 7 == 0)
+        .select("custkey", F.col("item").alias("neg_partkey"), "j")
+        .orderBy("custkey", "j")
+    )
+
+
+NEGATIVE_SAMPLING_PAIRS_SQL = """
+WITH positives AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), np AS (SELECT count(*)::BIGINT AS n_items FROM part),
+users AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+cand AS (
+  SELECT u.custkey, t.j,
+         ((('0x' || substr(md5(u.custkey::VARCHAR || ':' || t.j::VARCHAR),
+            1, 15))::BIGINT) % (SELECT n_items FROM np))::BIGINT AS item
+  FROM users u, (SELECT range::BIGINT AS j FROM range(0, 8)) t
+), neg AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN positives p ON p.custkey = c.custkey AND p.item = c.item
+  WHERE p.custkey IS NULL
+), dedup AS (
+  SELECT custkey, item, j,
+         row_number() OVER (PARTITION BY custkey, item ORDER BY j) AS dup
+  FROM neg
+), ranked AS (
+  SELECT custkey, item, j,
+         row_number() OVER (PARTITION BY custkey ORDER BY j) AS rk
+  FROM dedup WHERE dup = 1
+)
+SELECT custkey, item AS neg_partkey, j
+FROM ranked WHERE rk <= 4 AND custkey % 7 = 0
+ORDER BY custkey, j
+"""
+
+QUERIES["negative_sampling_pairs"] = (
+    negative_sampling_pairs,
+    NEGATIVE_SAMPLING_PAIRS_SQL,
+)

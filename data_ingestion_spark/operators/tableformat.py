@@ -55,6 +55,14 @@ def _write_manifest_atomic(root: str, manifest: dict) -> None:
     os.rename(tmp, _manifest_path(root))  # the atomic pointer flip
 
 
+def _next_version(manifest: dict) -> int:
+    """Next GLOBAL version number: max over all committed versions + 1.
+    ``current + 1`` breaks once branches exist — a branch commit past the
+    main head would collide with main's next number."""
+    vs = [e["v"] for e in manifest["versions"]]
+    return (max(vs) + 1) if vs else 0
+
+
 def commit_version(df: DataFrame, root: str) -> int:
     """Write ``df`` as the next immutable snapshot and flip the pointer.
     Returns the new version number. The snapshot directory is fully
@@ -65,11 +73,15 @@ def commit_version(df: DataFrame, root: str) -> int:
         manifest = read_manifest(root)
     else:
         manifest = {"current": -1, "versions": []}
-    v = manifest["current"] + 1
+    v = _next_version(manifest)
     vdir = f"v{v}"
     df.write.mode("overwrite").parquet(os.path.join(root, vdir))
-    manifest["versions"].append({"v": v, "dir": vdir})
+    manifest["versions"].append(
+        {"v": v, "dir": vdir, "parent": manifest["current"]}
+    )
     manifest["current"] = v
+    if "branches" in manifest:
+        manifest["branches"]["main"] = v
     _write_manifest_atomic(root, manifest)
     return v
 
@@ -100,7 +112,7 @@ def commit_version_bucketed(
         manifest = read_manifest(root)
     else:
         manifest = {"current": -1, "versions": []}
-    v = manifest["current"] + 1
+    v = _next_version(manifest)
     vdir = f"v{v}"
     # catalog names must be identifiers AND unique per table root: the
     # basename alone collides (every nightly-pipeline run has an 'index'
@@ -158,15 +170,18 @@ def commit_deletion_vector(keys_df: DataFrame, root: str, key_col: str) -> int:
     base_v = manifest["current"]
     if base_v < 0:
         raise ValueError("deletion vector needs an existing base version")
-    v = base_v + 1
+    v = _next_version(manifest)
     vdir = f"v{v}"
     keys_df.select(key_col).write.mode("overwrite").parquet(
         os.path.join(root, vdir)
     )
     manifest["versions"].append(
-        {"v": v, "dir": vdir, "dv_base": base_v, "dv_key": key_col}
+        {"v": v, "dir": vdir, "dv_base": base_v, "dv_key": key_col,
+         "parent": base_v}
     )
     manifest["current"] = v
+    if "branches" in manifest:
+        manifest["branches"]["main"] = v
     _write_manifest_atomic(root, manifest)
     return v
 
@@ -249,6 +264,10 @@ def vacuum(root: str, keep_last: int, spark=None) -> list[int]:
     by_v = {e["v"]: e for e in manifest["versions"]}
     needed: set = set()
     stack = [e["v"] for e in manifest["versions"][-keep_last:]]
+    # branch heads are roots too: a branch whose head falls outside the
+    # last keep_last must survive vacuum (same pinning rule as dv_base
+    # chains and the commit_atomic group pointer)
+    stack.extend(manifest.get("branches", {}).values())
     group_txn = _txn_path(os.path.dirname(os.path.abspath(root.rstrip("/"))))
     if os.path.exists(group_txn):
         with open(group_txn) as f:
@@ -508,3 +527,112 @@ def read_atomic(spark, root: str, name: str) -> DataFrame:
     if name not in doc["tables"]:
         raise KeyError(f"table {name!r} not in transaction group {sorted(doc['tables'])}")
     return read_version(spark, os.path.join(root, name), doc["tables"][name])
+
+
+# ---------------------------------------------------------------------------
+# Branches: zero-copy named pointers + fast-forward merge (Nessie/Iceberg
+# branch semantics on the same manifest)
+# ---------------------------------------------------------------------------
+def create_branch(root: str, name: str, from_version: int | None = None) -> int:
+    """Create branch ``name`` pointing at ``from_version`` (default: the
+    current main head). Zero-copy: a branch is ONE manifest pointer — no
+    data moves, exactly the Nessie/Iceberg-branch design. ``main`` is
+    implicit (it IS the ``current`` pointer) and cannot be re-created.
+    Returns the branch head version."""
+    if name == "main":
+        raise ValueError("main is implicit; it always exists")
+    manifest = read_manifest(root)
+    by_v = {e["v"] for e in manifest["versions"]}
+    head = manifest["current"] if from_version is None else from_version
+    if head not in by_v:
+        raise ValueError(f"version {head} not in table")
+    branches = manifest.setdefault("branches", {"main": manifest["current"]})
+    if name in branches:
+        raise ValueError(f"branch {name!r} already exists")
+    branches[name] = head
+    _write_manifest_atomic(root, manifest)
+    return head
+
+
+def commit_to_branch(df: DataFrame, root: str, branch: str) -> int:
+    """Commit a snapshot advancing ONLY ``branch`` — main and every other
+    branch keep serving their heads untouched (writer isolation: the
+    audit/backfill/experiment pattern, validate on a branch then merge).
+    Version numbers are global across branches (_next_version), the
+    entry records its parent for the ancestry walk, and the same
+    crash discipline holds: data lands fully before the pointer flips."""
+    manifest = read_manifest(root)
+    branches = manifest.setdefault("branches", {"main": manifest["current"]})
+    if branch == "main":
+        return commit_version(df, root)
+    if branch not in branches:
+        raise ValueError(f"unknown branch {branch!r}")
+    v = _next_version(manifest)
+    vdir = f"v{v}"
+    df.write.mode("overwrite").parquet(os.path.join(root, vdir))
+    manifest["versions"].append(
+        {"v": v, "dir": vdir, "parent": branches[branch], "branch": branch}
+    )
+    branches[branch] = v
+    _write_manifest_atomic(root, manifest)
+    return v
+
+
+def read_branch(spark, root: str, name: str) -> DataFrame:
+    """Read a branch head (``main`` = the current pointer)."""
+    manifest = read_manifest(root)
+    if name == "main":
+        return read_version(spark, root, manifest["current"])
+    branches = manifest.get("branches", {})
+    if name not in branches:
+        raise ValueError(f"unknown branch {name!r}")
+    return read_version(spark, root, branches[name])
+
+
+def _is_ancestor(manifest: dict, anc: int, v: int) -> bool:
+    """Walk parent pointers from ``v`` down; entries from pre-branch
+    manifests (no explicit parent) chain to the previous version number."""
+    by_v = {e["v"]: e for e in manifest["versions"]}
+    seen = set()
+    cur: int | None = v
+    while cur is not None and cur not in seen:
+        if cur == anc:
+            return True
+        seen.add(cur)
+        e = by_v.get(cur)
+        if e is None:
+            return False
+        cur = e.get("parent", cur - 1 if cur > 0 else None)
+    return False
+
+
+def merge_branch(root: str, source: str, target: str = "main") -> int:
+    """Fast-forward merge: if the target head is an ancestor of the source
+    head, flip the target pointer to the source head — one atomic
+    manifest write, zero data movement (the only merge a snapshot-pointer
+    format can do without a rebase). Diverged branches raise
+    ``non-fast-forward``; resolve by committing a reconciled snapshot to
+    the target (MERGE/upsert lives in merge_upsert_customers) — silent
+    last-writer-wins is exactly the corruption this layer exists to
+    prevent. Returns the new target head."""
+    manifest = read_manifest(root)
+    branches = manifest.setdefault("branches", {"main": manifest["current"]})
+    heads = dict(branches)
+    heads["main"] = manifest["current"]
+    if source not in heads or target not in heads:
+        raise ValueError(f"unknown branch in merge {source!r} -> {target!r}")
+    src_head, tgt_head = heads[source], heads[target]
+    if src_head == tgt_head:
+        return tgt_head
+    if not _is_ancestor(manifest, tgt_head, src_head):
+        raise ValueError(
+            f"non-fast-forward: {target!r} (v{tgt_head}) has diverged from "
+            f"{source!r} (v{src_head}); commit a reconciled snapshot instead"
+        )
+    if target == "main":
+        manifest["current"] = src_head
+        branches["main"] = src_head
+    else:
+        branches[target] = src_head
+    _write_manifest_atomic(root, manifest)
+    return src_head

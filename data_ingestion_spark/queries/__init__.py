@@ -114,6 +114,7 @@ _PRIORITY = [
     "conformal_coverage_docs",
     "bootstrap_se_sources",
     "golden_record_customers",
+    "negative_sampling_pairs",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

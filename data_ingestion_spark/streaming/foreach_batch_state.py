@@ -311,3 +311,87 @@ def read_heavy_hitters_state(spark: SparkSession, state_root: str) -> DataFrame:
     """The committed heavy-hitters state WITHOUT the idempotency sentinel
     (shard = -1) — the read path every consumer should use."""
     return tableformat.read_version(spark, state_root).filter(F.col("shard") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Per-key quota / rate-limit admission (r9)
+# ---------------------------------------------------------------------------
+def rate_limit_batch(
+    state_root: str, out_root: str, cap: int = 3, window_us: int = 3_600_000_000
+):
+    """foreachBatch admission control: at most ``cap`` events per
+    (user_id, event-time window) are ADMITTED; the rest are emitted
+    flagged ``admitted = false`` — the ingest-side quota guard (API rate
+    caps, per-user sampling ceilings, abuse throttles) in front of the
+    pipeline, so downstream never sees an unbounded hot key. Within a
+    batch the admission order is deterministic — (ts, event_id) — and
+    across batches the per-(user, window) admitted count is the keyed
+    state, committed through the versioned table with the same
+    batch-id-sentinel idempotency as heavy_hitters_batch: a replayed
+    micro-batch neither double-admits nor double-emits. Everything is
+    executor-side (one window rank + one state join per batch); state is
+    O(active user·window keys) and old windows age out with vacuum.
+
+    Returns the process closure; read admitted/rejected rows from
+    ``out_root`` versions and the quota table via read_version."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _state_or_empty(
+            spark, state_root, "user_id long, win_start long, admitted long"
+        )
+        applied = (
+            state.filter(F.col("user_id") == -1)
+            .agg(F.max("admitted").alias("m"))
+            .collect()[0]["m"]
+        )
+        if applied is not None and batch_id <= int(applied):
+            return  # micro-batch replay: output + state already committed
+        from pyspark.sql import Window as W
+
+        ev = batch_df.select(
+            "event_id",
+            "user_id",
+            "ts",
+            (
+                (F.unix_micros(F.col("ts")) / F.lit(window_us)).cast("long")
+                * F.lit(window_us)
+            ).alias("win_start"),
+        )
+        w = W.partitionBy("user_id", "win_start").orderBy("ts", "event_id")
+        ranked = ev.withColumn("rnk", F.row_number().over(w))
+        prior = state.filter(F.col("user_id") >= 0).select(
+            "user_id", "win_start", F.col("admitted").alias("prior")
+        )
+        scored = ranked.join(prior, ["user_id", "win_start"], "left").select(
+            "event_id",
+            "user_id",
+            "ts",
+            "win_start",
+            (
+                F.coalesce(F.col("prior"), F.lit(0)) + F.col("rnk")
+                <= F.lit(cap)
+            ).alias("admitted"),
+        )
+        out = scored.select("event_id", "user_id", "win_start", "admitted")
+        tableformat.commit_version(out, out_root)
+        new_counts = (
+            scored.groupBy("user_id", "win_start")
+            .agg(F.sum(F.col("admitted").cast("long")).alias("d"))
+            .join(prior, ["user_id", "win_start"], "full_outer")
+            .select(
+                "user_id",
+                "win_start",
+                (
+                    F.coalesce(F.col("prior"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).cast("long").alias("admitted"),
+            )
+        )
+        sentinel = spark.createDataFrame(
+            [(-1, 0, int(batch_id))],
+            "user_id long, win_start long, admitted long",
+        )
+        tableformat.commit_version(new_counts.unionByName(sentinel), state_root)
+
+    return process

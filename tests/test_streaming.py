@@ -1369,3 +1369,101 @@ def test_heavy_hitters_stream_cross_batch(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# ---------------------------------------------------------------------------
+# Per-key quota / rate-limit admission (foreachBatch tier, r9)
+# ---------------------------------------------------------------------------
+def test_rate_limit_admission_across_batches(spark, tmp_path):
+    """cap=3 per (user, hour window): batch 1 admits the first 3 of user
+    7's 5 in-window events (deterministic (ts, event_id) order); batch 2's
+    2 more events in the SAME window are rejected, while an event in the
+    NEXT window is admitted. State and output commit per batch."""
+    import json
+
+    from data_ingestion_spark.operators import tableformat as tf
+    from data_ingestion_spark.streaming.foreach_batch_state import (
+        rate_limit_batch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for eid, uid, ts in rows:
+                f.write(json.dumps(
+                    {"event_id": eid, "user_id": uid, "ts": ts}) + "\n")
+
+    write_batch("b1.jsonl", [
+        (1, 7, "2026-01-01 10:00:01"),
+        (2, 7, "2026-01-01 10:00:02"),
+        (3, 7, "2026-01-01 10:00:03"),
+        (4, 7, "2026-01-01 10:00:04"),
+        (5, 7, "2026-01-01 10:00:05"),
+        (6, 9, "2026-01-01 10:00:01"),
+    ])
+    state_root = str(tmp_path / "state")
+    out_root = str(tmp_path / "out")
+    proc = rate_limit_batch(state_root, out_root, cap=3)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .json(str(src))
+            .writeStream.foreachBatch(proc)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    out1 = {
+        r["event_id"]: r["admitted"]
+        for r in tf.read_version(spark, out_root).collect()
+    }
+    assert out1 == {1: True, 2: True, 3: True, 4: False, 5: False, 6: True}
+
+    write_batch("b2.jsonl", [
+        (7, 7, "2026-01-01 10:30:00"),   # same window -> over quota
+        (8, 7, "2026-01-01 11:00:00"),   # next window -> fresh quota
+    ])
+    run_once()
+    out2 = {
+        r["event_id"]: r["admitted"]
+        for r in tf.read_version(spark, out_root).collect()
+    }
+    assert out2 == {7: False, 8: True}
+
+
+def test_rate_limit_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering an already-applied batch_id must not change state or
+    commit a new output version (the foreachBatch replay contract)."""
+    from data_ingestion_spark.operators import tableformat as tf
+    from data_ingestion_spark.streaming.foreach_batch_state import (
+        rate_limit_batch,
+    )
+
+    state_root = str(tmp_path / "state")
+    out_root = str(tmp_path / "out")
+    proc = rate_limit_batch(state_root, out_root, cap=2)
+    from pyspark.sql import functions as SF
+
+    batch = spark.createDataFrame(
+        [(1, 5, "2026-01-01 09:00:00"), (2, 5, "2026-01-01 09:00:01"),
+         (3, 5, "2026-01-01 09:00:02")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", SF.to_timestamp("ts"))
+    proc(batch, 0)
+    state_v = tf.read_manifest(state_root)["current"]
+    out_v = tf.read_manifest(out_root)["current"]
+    admitted = sorted(
+        r["event_id"]
+        for r in tf.read_version(spark, out_root).collect()
+        if r["admitted"]
+    )
+    assert admitted == [1, 2]
+    proc(batch, 0)  # replay
+    assert tf.read_manifest(state_root)["current"] == state_v
+    assert tf.read_manifest(out_root)["current"] == out_v

@@ -516,3 +516,91 @@ def test_vacuum_keeps_txn_pinned_version(spark, tmp_path):
     assert removed == [1]
     assert tf.read_atomic(spark, root, "docs").count() == 10  # survives
     assert tf.read_version(spark, root + "/docs").count() == 30
+
+
+# ---------------------------------------------------------------------------
+# Branches + fast-forward merge (r9)
+# ---------------------------------------------------------------------------
+def test_branch_isolated_writes_and_ff_merge(spark, tmp_path):
+    """A branch commit is invisible to main; a fast-forward merge flips
+    main to the branch head atomically; version numbering stays global
+    (no collision when main commits after a branch commit)."""
+    from data_ingestion_spark.operators import tableformat as tf
+
+    root = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    v0 = tf.commit_version(df0, root)
+    tf.create_branch(root, "audit")
+    v1 = tf.commit_to_branch(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                              "id long, s string"),
+        root, "audit",
+    )
+    # main still serves v0
+    assert tf.read_version(spark, root).count() == 2
+    assert tf.read_branch(spark, root, "audit").count() == 3
+    # ff merge advances main with zero data movement
+    head = tf.merge_branch(root, "audit", "main")
+    assert head == v1
+    assert tf.read_version(spark, root).count() == 3
+    # post-merge commit on main continues the global numbering
+    v2 = tf.commit_version(df0, root)
+    assert v2 == v1 + 1
+    assert v0 == 0
+
+
+def test_branch_non_ff_merge_rejected(spark, tmp_path):
+    from data_ingestion_spark.operators import tableformat as tf
+    import pytest
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    tf.commit_version(df, root)
+    tf.create_branch(root, "exp")
+    tf.commit_to_branch(spark.createDataFrame([(2,)], "id long"), root, "exp")
+    tf.commit_version(spark.createDataFrame([(3,)], "id long"), root)  # main diverges
+    with pytest.raises(ValueError, match="non-fast-forward"):
+        tf.merge_branch(root, "exp", "main")
+    # and the reverse direction IS a fast-forward... no: exp lacks main's
+    # commit too (both advanced) -> also rejected
+    with pytest.raises(ValueError, match="non-fast-forward"):
+        tf.merge_branch(root, "main", "exp")
+
+
+def test_vacuum_keeps_branch_heads(spark, tmp_path):
+    """A branch head outside the last keep_last versions must survive
+    vacuum (same pinning rule as dv_base chains)."""
+    from data_ingestion_spark.operators import tableformat as tf
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    tf.commit_version(df, root)              # v0
+    tf.create_branch(root, "old")            # old -> v0
+    for i in range(4):                       # v1..v4 on main
+        tf.commit_version(
+            spark.createDataFrame([(10 + i,)], "id long"), root
+        )
+    removed = tf.vacuum(root, keep_last=2)
+    assert 0 not in removed                  # pinned by branch head
+    assert tf.read_branch(spark, root, "old").count() == 1
+    # everything not pinned and not in the last 2 is gone
+    assert set(removed) == {1, 2}
+
+
+def test_branch_errors(spark, tmp_path):
+    from data_ingestion_spark.operators import tableformat as tf
+    import pytest
+
+    root = str(tmp_path / "t")
+    tf.commit_version(spark.createDataFrame([(1,)], "id long"), root)
+    with pytest.raises(ValueError, match="main is implicit"):
+        tf.create_branch(root, "main")
+    tf.create_branch(root, "b1")
+    with pytest.raises(ValueError, match="already exists"):
+        tf.create_branch(root, "b1")
+    with pytest.raises(ValueError, match="unknown branch"):
+        tf.commit_to_branch(
+            spark.createDataFrame([(1,)], "id long"), root, "nope"
+        )
+    with pytest.raises(ValueError, match="unknown branch"):
+        tf.read_branch(spark, root, "nope")
