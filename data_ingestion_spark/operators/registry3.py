@@ -2291,3 +2291,302 @@ QUERIES["negative_sampling_pairs"] = (
     negative_sampling_pairs,
     NEGATIVE_SAMPLING_PAIRS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Late-interaction retrieval: ColBERT-style MaxSim over token vectors
+# --------------------------------------------------------------------------
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT, Khattab & Zaharia SIGIR'20):
+    score(q, d) = Σ over query tokens of max over doc tokens of the
+    token-level dot — the MaxSim kernel that beats single-vector cosine
+    on ranking quality because each query token matches its own best
+    span. Token vectors here are the 4 disjoint 16-dim subspaces of the
+    fixture's 64-dim embedding (the deterministic stand-in the multimodal
+    codec tiers also use — a real deployment feeds per-token encoder
+    output through the SAME plan). The 2 lowest-id vectors are queries;
+    their 4 token vectors ride as broadcast literals, so scoring is ONE
+    narrow map over the corpus (16 literal dots + 4 maxes + 1 sum per
+    row, no join at all) followed by the per-query top-5 window — the
+    same shape single-vector knn uses, and at 100 TB the stored-IVF
+    probe prunes candidates first, MaxSim re-scores the shortlist
+    (ColBERT's own two-stage serving design). Scores freeze to micros
+    per (q-token, d-token) max before the sum — order-free and
+    engine-exact."""
+    from pyspark.sql import Window as W
+
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_q, m, d_sub, topk = 2, 4, 16, 5
+    qrows = (
+        emb.orderBy("vec_id").limit(n_q).select("vec_id", "embedding").collect()
+    )
+    score_exprs = []
+    for qid, qv in [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]:
+        per_qtok = []
+        for s in range(m):
+            qt = qv[s * d_sub : (s + 1) * d_sub]
+            dots = ", ".join(
+                # doc token t = slice(embedding, t*16+1, 16); dot vs the
+                # literal query token via the shared left-fold kernel
+                f"aggregate(zip_with(slice(embedding, {t * d_sub + 1}, {d_sub}),"
+                f" {similarity._sql_double_array(qt)},"
+                f" (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+                for t in range(m)
+            )
+            per_qtok.append(
+                f"CAST(floor(greatest({dots}) * 1e6 + 0.5D) AS BIGINT)"
+            )
+        score_exprs.append(
+            f"struct(CAST({qid} AS BIGINT) AS qid,"
+            f" CAST({' + '.join(per_qtok)} AS BIGINT) AS maxsim_micro)"
+        )
+    scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr(f"explode(array({', '.join(score_exprs)}))").alias("sc"),
+    ).select("doc_id", "sc.qid", "sc.maxsim_micro")
+    w = W.partitionBy("qid").orderBy(
+        F.col("maxsim_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.filter(F.col("doc_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "doc_id", "maxsim_micro", F.col("rank").cast("int").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+COLBERT_MAXSIM_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 2
+), pairs AS (
+  SELECT q.qid, d.vec_id AS doc_id, s.st AS s_tok,
+         max(list_inner_product(
+           list_transform(generate_series(1, 16),
+                          i -> q.qv[s.st * 16 + i]::DOUBLE),
+           list_transform(generate_series(1, 16),
+                          i -> d.embedding[t.dt * 16 + i]::DOUBLE))) AS best
+  FROM q, embeddings d,
+       (SELECT range::INT AS st FROM range(0, 4)) s,
+       (SELECT range::INT AS dt FROM range(0, 4)) t
+  WHERE d.vec_id <> q.qid
+  GROUP BY q.qid, d.vec_id, s.st
+), scored AS (
+  SELECT qid, doc_id,
+         sum(floor(best * 1e6 + 0.5)::BIGINT)::BIGINT AS maxsim_micro
+  FROM pairs GROUP BY qid, doc_id
+), ranked AS (
+  SELECT qid, doc_id, maxsim_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY maxsim_micro DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, maxsim_micro, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+QUERIES["colbert_maxsim_topk"] = (colbert_maxsim_topk, COLBERT_MAXSIM_TOPK_SQL)
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-rank (maximal marginal relevance over a shortlist)
+# --------------------------------------------------------------------------
+def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    SIGIR'98) — the diversification pass RAG retrieval runs so the k
+    passages aren't k paraphrases: greedily pick argmax λ·rel(c) −
+    (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7, three steps unrolled over
+    the exact-cosine top-8 shortlist of each of the 2 lowest-id queries.
+    Greedy MMR is inherently sequential, but the sequence runs over the
+    SHORTLIST (≤ 8 rows/query — driver-free, window-based), not the
+    corpus: the corpus-scale stage is the same single narrow scan knn
+    uses, candidate×candidate similarity is ≤ 64 metadata rows per
+    query, and the three selection steps are three deterministic argmax
+    windows the oracle replays verbatim. Integer algebra throughout:
+    rel/sim freeze to micros, the MMR score is 7·rel − 3·maxsim in
+    tenths-of-micro units (exact; may go negative), ties break on
+    doc_id."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector_functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    rel = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                cosine_similarity(F.col("qv"), F.col("embedding")) * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("rel_micro"),
+        )
+    )
+    wq = W.partitionBy("qid").orderBy(
+        F.col("rel_micro").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        rel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 8)
+        .select("qid", "doc_id", "rel_micro")
+    )
+    ce = cand.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    a = ce.select("qid", F.col("doc_id").alias("da"), F.col("embedding").alias("ea"), F.col("rel_micro").alias("rel_a"))
+    b = ce.select("qid", F.col("doc_id").alias("db"), F.col("embedding").alias("eb"))
+    sims = (
+        a.join(b, "qid")
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            "qid",
+            "da",
+            "db",
+            F.floor(
+                cosine_similarity(F.col("ea"), F.col("eb")) * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("sim_micro"),
+        )
+    )
+    w1 = W.partitionBy("qid").orderBy(
+        F.col("rel_micro").desc(), F.col("doc_id").asc()
+    )
+    s1 = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("doc_id").alias("s1"), F.col("rel_micro").alias("rel1"))
+    )
+    # step 2: score = 7*rel - 3*sim(c, s1)
+    st2 = (
+        cand.join(s1, "qid")
+        .filter(F.col("doc_id") != F.col("s1"))
+        .join(
+            sims.select("qid", F.col("da").alias("doc_id"), F.col("db").alias("s1"), "sim_micro"),
+            ["qid", "doc_id", "s1"],
+        )
+        .select(
+            "qid",
+            "doc_id",
+            "rel_micro",
+            (7 * F.col("rel_micro") - 3 * F.col("sim_micro")).alias("score"),
+        )
+    )
+    w2 = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    s2 = (
+        st2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("doc_id").alias("s2"), F.col("score").alias("score2"), F.col("rel_micro").alias("rel2"))
+    )
+    # step 3: score = 7*rel - 3*greatest(sim(c,s1), sim(c,s2))
+    st3 = (
+        cand.join(s1, "qid")
+        .join(s2, "qid")
+        .filter((F.col("doc_id") != F.col("s1")) & (F.col("doc_id") != F.col("s2")))
+        .join(
+            sims.select("qid", F.col("da").alias("doc_id"), F.col("db").alias("s1"), F.col("sim_micro").alias("sim1")),
+            ["qid", "doc_id", "s1"],
+        )
+        .join(
+            sims.select("qid", F.col("da").alias("doc_id"), F.col("db").alias("s2"), F.col("sim_micro").alias("sim2")),
+            ["qid", "doc_id", "s2"],
+        )
+        .select(
+            "qid",
+            "doc_id",
+            "rel_micro",
+            (7 * F.col("rel_micro") - 3 * F.greatest("sim1", "sim2")).alias("score"),
+        )
+    )
+    w3 = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    s3 = (
+        st3.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("doc_id").alias("s3"), F.col("score").alias("score3"), F.col("rel_micro").alias("rel3"))
+    )
+    out1 = s1.select(
+        "qid", F.lit(1).cast("int").alias("mmr_rank"),
+        F.col("s1").alias("doc_id"), F.col("rel1").alias("rel_micro"),
+        (7 * F.col("rel1")).cast("long").alias("mmr_score"),
+    )
+    out2 = s2.select(
+        "qid", F.lit(2).cast("int").alias("mmr_rank"),
+        F.col("s2").alias("doc_id"), F.col("rel2").alias("rel_micro"),
+        F.col("score2").cast("long").alias("mmr_score"),
+    )
+    out3 = s3.select(
+        "qid", F.lit(3).cast("int").alias("mmr_rank"),
+        F.col("s3").alias("doc_id"), F.col("rel3").alias("rel_micro"),
+        F.col("score3").cast("long").alias("mmr_score"),
+    )
+    return out1.unionByName(out2).unionByName(out3).orderBy("qid", "mmr_rank")
+
+
+MMR_DIVERSIFY_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 2
+), rel AS (
+  SELECT q.qid, d.vec_id AS doc_id,
+         floor(list_cosine_similarity(q.qv::DOUBLE[], d.embedding::DOUBLE[])
+               * 1000000 + 0.5)::BIGINT AS rel_micro
+  FROM q JOIN embeddings d ON d.vec_id <> q.qid
+), cand AS (
+  SELECT qid, doc_id, rel_micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY rel_micro DESC, doc_id ASC) AS rn FROM rel
+  ) WHERE rn <= 8
+), sims AS (
+  SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+         floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[])
+               * 1000000 + 0.5)::BIGINT AS sim_micro
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+  JOIN embeddings ea ON ea.vec_id = a.doc_id
+  JOIN embeddings eb ON eb.vec_id = b.doc_id
+), s1 AS (
+  SELECT qid, doc_id AS s1, rel_micro AS rel1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY rel_micro DESC, doc_id ASC) AS rn FROM cand
+  ) WHERE rn = 1
+), st2 AS (
+  SELECT c.qid, c.doc_id, c.rel_micro,
+         7 * c.rel_micro - 3 * s.sim_micro AS score
+  FROM cand c JOIN s1 USING (qid)
+  JOIN sims s ON s.qid = c.qid AND s.da = c.doc_id AND s.db = s1.s1
+  WHERE c.doc_id <> s1.s1
+), s2 AS (
+  SELECT qid, doc_id AS s2, score AS score2, rel_micro AS rel2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id ASC) AS rn FROM st2
+  ) WHERE rn = 1
+), st3 AS (
+  SELECT c.qid, c.doc_id, c.rel_micro,
+         7 * c.rel_micro - 3 * greatest(x.sim_micro, y.sim_micro) AS score
+  FROM cand c JOIN s1 USING (qid) JOIN s2 USING (qid)
+  JOIN sims x ON x.qid = c.qid AND x.da = c.doc_id AND x.db = s1.s1
+  JOIN sims y ON y.qid = c.qid AND y.da = c.doc_id AND y.db = s2.s2
+  WHERE c.doc_id <> s1.s1 AND c.doc_id <> s2.s2
+), s3 AS (
+  SELECT qid, doc_id AS s3, score AS score3, rel_micro AS rel3 FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id ASC) AS rn FROM st3
+  ) WHERE rn = 1
+)
+SELECT qid, 1 AS mmr_rank, s1 AS doc_id, rel1 AS rel_micro,
+       (7 * rel1)::BIGINT AS mmr_score FROM s1
+UNION ALL
+SELECT qid, 2, s2, rel2, score2::BIGINT FROM s2
+UNION ALL
+SELECT qid, 3, s3, rel3, score3::BIGINT FROM s3
+ORDER BY qid, mmr_rank
+"""
+
+QUERIES["mmr_diversify_topk"] = (mmr_diversify_topk, MMR_DIVERSIFY_TOPK_SQL)

@@ -115,6 +115,8 @@ _PRIORITY = [
     "bootstrap_se_sources",
     "golden_record_customers",
     "negative_sampling_pairs",
+    "colbert_maxsim_topk",
+    "mmr_diversify_topk",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

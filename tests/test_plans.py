@@ -818,3 +818,17 @@ def test_round9_batch4_plan_shapes(spark):
         assert "ArrowEvalPython" not in plan, name
     boot = plan_of(spark, "bootstrap_se_sources")
     assert "Generate" in boot  # explode(sequence(0,31)) = narrow replica map
+
+
+def test_round9_batch5_plan_shapes(spark):
+    """MaxSim is one narrow map (literal query tokens, zero joins before
+    the top-k window); MMR's corpus stage is the same broadcast scan knn
+    uses — all selection steps run on the ≤8-row shortlist."""
+    for name in ["colbert_maxsim_topk", "mmr_diversify_topk"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    maxsim = plan_of(spark, "colbert_maxsim_topk")
+    # no join at all on the scoring path: queries ride as literals
+    assert "Join" not in maxsim.split("TakeOrdered")[0].split("Window")[0]
