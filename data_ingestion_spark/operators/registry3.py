@@ -2590,3 +2590,186 @@ ORDER BY qid, mmr_rank
 """
 
 QUERIES["mmr_diversify_topk"] = (mmr_diversify_topk, MMR_DIVERSIFY_TOPK_SQL)
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view (delta-join algebra)
+# --------------------------------------------------------------------------
+def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view — the delta
+    algebra (Blakeley et al. SIGMOD'86) incremental_agg_orders' aggregate
+    IVM doesn't cover: for V = orders ⋈ customer, a fact-side delta
+    contributes ΔA ⋈ B and a dim-side update contributes A ⋈ ΔB — the
+    view is repaired touching ONLY delta rows and updated-key rows,
+    never rescanning the full fact (the property that makes a 100 TB
+    materialized view maintainable). Simulated change set: orders with
+    orderkey % 97 == 0 arrive as the fact delta; customers with
+    custkey % 53 == 0 get acctbal-affecting updates (mktsegment →
+    'MOVED'). Maintenance: (1) evict view rows on updated dim keys and
+    re-derive them from base-fact ⋈ updated-dim (key-restricted, so the
+    dim side broadcasts), (2) append delta-fact ⋈ new-dim. The emitted
+    per-segment signature (rows, exact cents) comes FROM the maintained
+    view; the oracle recomputes the target view from scratch — any error
+    in the delta algebra (double-applied keys, missed evictions, stale
+    dim rows) breaks the value match."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o_base = orders.filter(F.col("o_orderkey") % 97 != 0)
+    o_delta = orders.filter(F.col("o_orderkey") % 97 == 0)
+    upd_keys = F.col("c_custkey") % 53 == 0
+    cust_new = cust.select(
+        "c_custkey",
+        F.when(upd_keys, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ).alias("c_mktsegment"),
+    )
+    cust_upd = cust_new.filter(upd_keys)  # ΔB: the updated dim rows only
+    v0 = o_base.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+    # (1) dim-side repair: evict updated keys, re-derive A ⋈ ΔB
+    evicted = v0.join(
+        F.broadcast(cust_upd.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    )
+    repaired = o_base.join(
+        F.broadcast(cust_upd), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+    # (2) fact-side delta: ΔA ⋈ B_new
+    appended = o_delta.join(
+        cust_new, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+    v = evicted.unionByName(repaired).unionByName(appended)
+    return (
+        v.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IVM_JOIN_ORDERS_CUSTOMER_SQL = """
+WITH cust_new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 53 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+), target AS (
+  SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+  FROM orders o JOIN cust_new c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+       sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+FROM target
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["ivm_join_orders_customer"] = (
+    ivm_join_orders_customer,
+    IVM_JOIN_ORDERS_CUSTOMER_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# A/B assignment + sample-ratio-mismatch (SRM) audit
+# --------------------------------------------------------------------------
+def ab_srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B bucketing + the SRM audit every experimentation
+    platform runs BEFORE reading a metric (Fabijan et al., KDD'19
+    'Diagnosing Sample Ratio Mismatch'): users hash to arms via md5
+    (layout-independent, re-runnable), and the one-degree chi-square
+    statistic for a 50/50 design — (n_A − n_B)²/(n_A + n_B) — is emitted
+    in exact micros with the α=0.05 verdict (critical value 3.841459).
+    A failed SRM means the assignment or logging pipe is broken and the
+    metric read is void — which is why the check rides with the metric
+    (per-arm user counts, event counts, exact mean event value). One
+    users agg + one per-arm agg; the squared numerator runs in
+    DECIMAL(38,0)/HUGEINT (n² passes 2^63 at ~3e9 users per arm
+    imbalance)."""
+    from ..functions import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value"
+    )
+    arm = (md5_hash60(F.col("user_id").cast("string")) % 2).alias("arm")
+    per_arm = (
+        ev.select(arm, "user_id", "value")
+        .groupBy("arm")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("sum_cents"),
+        )
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("na"),
+        F.col("n_events").alias("ea"),
+        F.col("sum_cents").alias("sa"),
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("nb"),
+        F.col("n_events").alias("eb"),
+        F.col("sum_cents").alias("sb"),
+    )
+    return a.crossJoin(b).select(
+        F.col("na").alias("n_users_a"),
+        F.col("nb").alias("n_users_b"),
+        F.expr(
+            "CAST((CAST(na - nb AS DECIMAL(38,0)) * (na - nb) * 1000000)"
+            " div (na + nb) AS LONG)"
+        ).alias("srm_chi2_micro"),
+        F.expr(
+            "CAST((CAST(na - nb AS DECIMAL(38,0)) * (na - nb) * 1000000)"
+            " div (na + nb) AS LONG) < 3841459"
+        ).alias("srm_pass"),
+        F.col("ea").alias("n_events_a"),
+        F.col("eb").alias("n_events_b"),
+        # DECIMAL: 1e6·sum_cents clears 2^63 past ~9e12 cents per arm
+        F.expr(
+            "CAST((CAST(sa AS DECIMAL(38,0)) * 1000000) div ea AS LONG)"
+        ).alias("mean_cents_micro_a"),
+        F.expr(
+            "CAST((CAST(sb AS DECIMAL(38,0)) * 1000000) div eb AS LONG)"
+        ).alias("mean_cents_micro_b"),
+    )
+
+
+AB_SRM_CHECK_EVENTS_SQL = """
+WITH assigned AS (
+  SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2) AS arm,
+         user_id, value
+  FROM events
+), per_arm AS (
+  SELECT arm, count(DISTINCT user_id)::BIGINT AS n_users,
+         count(*)::BIGINT AS n_events,
+         sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+  FROM assigned GROUP BY arm
+), a AS (SELECT * FROM per_arm WHERE arm = 0),
+b AS (SELECT * FROM per_arm WHERE arm = 1)
+SELECT a.n_users AS n_users_a, b.n_users AS n_users_b,
+       (((a.n_users - b.n_users)::HUGEINT * (a.n_users - b.n_users)
+         * 1000000) // (a.n_users + b.n_users))::BIGINT AS srm_chi2_micro,
+       (((a.n_users - b.n_users)::HUGEINT * (a.n_users - b.n_users)
+         * 1000000) // (a.n_users + b.n_users))::BIGINT < 3841459
+         AS srm_pass,
+       a.n_events AS n_events_a, b.n_events AS n_events_b,
+       ((a.sum_cents::HUGEINT * 1000000) // a.n_events)::BIGINT
+         AS mean_cents_micro_a,
+       ((b.sum_cents::HUGEINT * 1000000) // b.n_events)::BIGINT
+         AS mean_cents_micro_b
+FROM a, b
+"""
+
+QUERIES["ab_srm_check_events"] = (ab_srm_check_events, AB_SRM_CHECK_EVENTS_SQL)

@@ -117,6 +117,8 @@ _PRIORITY = [
     "negative_sampling_pairs",
     "colbert_maxsim_topk",
     "mmr_diversify_topk",
+    "ivm_join_orders_customer",
+    "ab_srm_check_events",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

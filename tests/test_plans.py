@@ -832,3 +832,16 @@ def test_round9_batch5_plan_shapes(spark):
     maxsim = plan_of(spark, "colbert_maxsim_topk")
     # no join at all on the scoring path: queries ride as literals
     assert "Join" not in maxsim.split("TakeOrdered")[0].split("Window")[0]
+
+
+def test_round9_batch6_plan_shapes(spark):
+    """IVM: the dim-repair path broadcasts the key-restricted updated dim
+    (never reshuffling the fact for a dim update); SRM: two aggs + a 1x1
+    scalar crossJoin."""
+    for name in ["ivm_join_orders_customer", "ab_srm_check_events"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    ivm = plan_of(spark, "ivm_join_orders_customer")
+    assert "BroadcastHashJoin" in ivm  # repaired path: A broadcast-joins dB
