@@ -2773,3 +2773,268 @@ FROM a, b
 """
 
 QUERIES["ab_srm_check_events"] = (ab_srm_check_events, AB_SRM_CHECK_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (the workhorse causal read on event data)
+# --------------------------------------------------------------------------
+def diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger 1994 design)
+    over the event stream: treated = deterministic md5 user bucket,
+    post-period = the window's second half (ts ≥ 2024-01-16), metric =
+    mean event value in exact cent-micros. DiD = (T_post − T_pre) −
+    (C_post − C_pre) cancels both the group baseline and the common time
+    trend — the first causal read run on any rollout that can't be a
+    clean A/B. All four cell means are exact integer divisions (DECIMAL
+    numerators), DiD is their exact integer combination, and the four
+    cell sizes ride along so the reader can judge power. One (group,
+    period) agg over the corpus; everything after is 4 metadata rows."""
+    from ..functions import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cells = (
+        ev.select(
+            (md5_hash60(F.col("user_id").cast("string")) % 2).alias(
+                "treated"
+            ),
+            (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+            .cast("int")
+            .alias("post"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        .select(
+            "treated",
+            "post",
+            "n",
+            F.expr(
+                "CAST((CAST(s AS DECIMAL(38,0)) * 1000000) div n AS LONG)"
+            ).alias("m"),
+        )
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    return cells.agg(
+        cell(1, 0, "n").cast("long").alias("n_treat_pre"),
+        cell(1, 1, "n").cast("long").alias("n_treat_post"),
+        cell(0, 0, "n").cast("long").alias("n_ctrl_pre"),
+        cell(0, 1, "n").cast("long").alias("n_ctrl_post"),
+        cell(1, 0, "m").cast("long").alias("mean_treat_pre"),
+        cell(1, 1, "m").cast("long").alias("mean_treat_post"),
+        cell(0, 0, "m").cast("long").alias("mean_ctrl_pre"),
+        cell(0, 1, "m").cast("long").alias("mean_ctrl_post"),
+    ).select(
+        "*",
+        (
+            (F.col("mean_treat_post") - F.col("mean_treat_pre"))
+            - (F.col("mean_ctrl_post") - F.col("mean_ctrl_pre"))
+        ).cast("long").alias("did_micro"),
+    )
+
+
+DIFF_IN_DIFF_EVENTS_SQL = """
+WITH cells AS (
+  SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2)
+           AS treated,
+         (ts >= TIMESTAMP '2024-01-16')::INT AS post,
+         count(*)::BIGINT AS n,
+         ((sum(floor(value * 100 + 0.5)::BIGINT)::HUGEINT * 1000000)
+          // count(*))::BIGINT AS m
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  max(CASE WHEN treated = 1 AND post = 0 THEN n END)::BIGINT AS n_treat_pre,
+  max(CASE WHEN treated = 1 AND post = 1 THEN n END)::BIGINT AS n_treat_post,
+  max(CASE WHEN treated = 0 AND post = 0 THEN n END)::BIGINT AS n_ctrl_pre,
+  max(CASE WHEN treated = 0 AND post = 1 THEN n END)::BIGINT AS n_ctrl_post,
+  max(CASE WHEN treated = 1 AND post = 0 THEN m END)::BIGINT
+    AS mean_treat_pre,
+  max(CASE WHEN treated = 1 AND post = 1 THEN m END)::BIGINT
+    AS mean_treat_post,
+  max(CASE WHEN treated = 0 AND post = 0 THEN m END)::BIGINT
+    AS mean_ctrl_pre,
+  max(CASE WHEN treated = 0 AND post = 1 THEN m END)::BIGINT
+    AS mean_ctrl_post,
+  ((max(CASE WHEN treated = 1 AND post = 1 THEN m END)
+    - max(CASE WHEN treated = 1 AND post = 0 THEN m END))
+   - (max(CASE WHEN treated = 0 AND post = 1 THEN m END)
+      - max(CASE WHEN treated = 0 AND post = 0 THEN m END)))::BIGINT
+    AS did_micro
+FROM cells
+"""
+
+QUERIES["diff_in_diff_events"] = (diff_in_diff_events, DIFF_IN_DIFF_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Discrete-time churn hazard table (survival analysis, exact form)
+# --------------------------------------------------------------------------
+def churn_hazard_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival / churn hazard table: for each lifetime
+    offset k (days between a user's first and last event), the risk set
+    (users whose observed lifetime ≥ k), the churn events (= k exactly),
+    and the hazard h(k) = churned/at-risk in exact micros — the
+    life-table form (Kaplan-Meier's discrete sibling) that stays pure
+    integer algebra; the cumulative survival curve is the downstream
+    product consumers derive at |days| metadata scale. One per-user agg
+    (first/last day via integer epoch-days) + one |offsets| table with a
+    suffix-sum window for the risk sets."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    life = ev.groupBy("user_id").agg(
+        (F.max(day) - F.min(day)).cast("long").alias("k")
+    )
+    per_k = life.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_churned")
+    )
+    w = W.orderBy(F.col("k").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        per_k.select(
+            "k",
+            "n_churned",
+            F.sum("n_churned").over(w).cast("long").alias("n_at_risk"),
+        )
+        .select(
+            "k",
+            "n_at_risk",
+            "n_churned",
+            F.expr("(1000000 * n_churned) div n_at_risk").cast("long").alias(
+                "hazard_micro"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+CHURN_HAZARD_EVENTS_SQL = """
+WITH life AS (
+  SELECT user_id,
+         (max(datediff('day', DATE '1970-01-01', ts::DATE))
+          - min(datediff('day', DATE '1970-01-01', ts::DATE)))::BIGINT AS k
+  FROM events GROUP BY user_id
+), per_k AS (
+  SELECT k, count(*)::BIGINT AS n_churned FROM life GROUP BY k
+)
+SELECT k,
+       sum(n_churned) OVER (ORDER BY k DESC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS n_at_risk,
+       n_churned,
+       ((1000000 * n_churned)
+        // sum(n_churned) OVER (ORDER BY k DESC
+                                ROWS UNBOUNDED PRECEDING))::BIGINT
+         AS hazard_micro
+FROM per_k
+ORDER BY k
+"""
+
+QUERIES["churn_hazard_events"] = (churn_hazard_events, CHURN_HAZARD_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# A/B conversion significance (2x2 chi-square, exact interleaved integers)
+# --------------------------------------------------------------------------
+def ab_conversion_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion test for the md5 A/B assignment
+    (ab_srm_check_events' arms): converted = user emitted ≥ 1 purchase;
+    the 2×2 chi-square N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) in micros.
+    Integer discipline: the naive numerator N·(ad−bc)²·1e6 reaches N⁵ —
+    past DECIMAL(38,0) at ~2.7e6 users — so the division interleaves:
+    t1 = (ad−bc)²·1e6 div (row_a·row_b) (≤ N²·1e6), then chi2 = t1·N div
+    (col_conv·col_non). Both engines evaluate the SAME expression order,
+    so the (sub-micro) truncation introduced by interleaving is
+    bit-identical — the documented trade for corpus-scale headroom.
+    Output: per-arm users/conversions, exact rates, chi2, α=0.05
+    verdict."""
+    from ..functions import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arms = per_user.select(
+        (md5_hash60(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "conv",
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("c").alias("ca")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("c").alias("cb")
+    )
+    return a.crossJoin(b).select(
+        F.col("na").alias("n_users_a"),
+        F.col("ca").alias("n_conv_a"),
+        F.col("nb").alias("n_users_b"),
+        F.col("cb").alias("n_conv_b"),
+        F.expr("(1000000 * ca) div na").cast("long").alias("rate_a_micro"),
+        F.expr("(1000000 * cb) div nb").cast("long").alias("rate_b_micro"),
+        # degenerate margins (all users converted, or none) carry zero
+        # signal: chi2 is 0 by definition, and the guard avoids the /0
+        F.expr(
+            "CASE WHEN (ca + cb) = 0 OR (na + nb - ca - cb) = 0 THEN"
+            " CAST(0 AS LONG) ELSE"
+            " CAST(((CAST(ca AS DECIMAL(38,0)) * (nb - cb)"
+            " - CAST(cb AS DECIMAL(38,0)) * (na - ca))"
+            " * (CAST(ca AS DECIMAL(38,0)) * (nb - cb)"
+            " - CAST(cb AS DECIMAL(38,0)) * (na - ca)) * 1000000)"
+            " div (CAST(na AS DECIMAL(38,0)) * nb)"
+            " * (na + nb) div (CAST(ca + cb AS DECIMAL(38,0))"
+            " * (na + nb - ca - cb)) AS LONG) END"
+        ).alias("chi2_micro"),
+    ).select(
+        "*",
+        (F.col("chi2_micro") < 3841459).alias("independent_at_05"),
+    )
+
+
+AB_CONVERSION_TEST_EVENTS_SQL = """
+WITH per_user AS (
+  SELECT user_id, max((event_type = 'purchase')::INT) AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2) AS arm,
+         count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+  FROM per_user GROUP BY 1
+), a AS (SELECT n AS na, c AS ca FROM arms WHERE arm = 0),
+b AS (SELECT n AS nb, c AS cb FROM arms WHERE arm = 1)
+SELECT na AS n_users_a, ca AS n_conv_a, nb AS n_users_b, cb AS n_conv_b,
+       ((1000000 * ca) // na)::BIGINT AS rate_a_micro,
+       ((1000000 * cb) // nb)::BIGINT AS rate_b_micro,
+       (CASE WHEN (ca + cb) = 0 OR (na + nb - ca - cb) = 0 THEN 0 ELSE
+        (((ca::HUGEINT * (nb - cb) - cb::HUGEINT * (na - ca))
+          * (ca::HUGEINT * (nb - cb) - cb::HUGEINT * (na - ca)) * 1000000)
+         // (na::HUGEINT * nb)
+         * (na + nb) // ((ca + cb)::HUGEINT * (na + nb - ca - cb)))
+        END)::BIGINT AS chi2_micro,
+       (CASE WHEN (ca + cb) = 0 OR (na + nb - ca - cb) = 0 THEN 0 ELSE
+        (((ca::HUGEINT * (nb - cb) - cb::HUGEINT * (na - ca))
+          * (ca::HUGEINT * (nb - cb) - cb::HUGEINT * (na - ca)) * 1000000)
+         // (na::HUGEINT * nb)
+         * (na + nb) // ((ca + cb)::HUGEINT * (na + nb - ca - cb)))
+        END)::BIGINT < 3841459 AS independent_at_05
+FROM a, b
+"""
+
+QUERIES["ab_conversion_test_events"] = (
+    ab_conversion_test_events,
+    AB_CONVERSION_TEST_EVENTS_SQL,
+)

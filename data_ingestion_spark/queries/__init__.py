@@ -119,6 +119,9 @@ _PRIORITY = [
     "mmr_diversify_topk",
     "ivm_join_orders_customer",
     "ab_srm_check_events",
+    "diff_in_diff_events",
+    "churn_hazard_events",
+    "ab_conversion_test_events",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

@@ -845,3 +845,18 @@ def test_round9_batch6_plan_shapes(spark):
         assert "ArrowEvalPython" not in plan, name
     ivm = plan_of(spark, "ivm_join_orders_customer")
     assert "BroadcastHashJoin" in ivm  # repaired path: A broadcast-joins dB
+
+
+def test_round9_batch7_plan_shapes(spark):
+    """DiD / churn hazard / conversion test: one corpus agg each plus
+    metadata tails; no Python stages, no corpus cartesian (the 1x1
+    arm-pair crossJoins are the documented scalar exception)."""
+    for name in [
+        "diff_in_diff_events",
+        "churn_hazard_events",
+        "ab_conversion_test_events",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
