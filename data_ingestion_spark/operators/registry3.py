@@ -3038,3 +3038,249 @@ QUERIES["ab_conversion_test_events"] = (
     ab_conversion_test_events,
     AB_CONVERSION_TEST_EVENTS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Selinger-lite join-order advisor (sampled-cardinality driven)
+# --------------------------------------------------------------------------
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join-order choice, Selinger's System-R recipe at its
+    smallest useful size: for the {lineitem, orders, customer} chain the
+    two graph-respecting left-deep orders differ only in the FIRST
+    intermediate — (L⋈O) vs (O⋈C) — so the advisor estimates both via
+    the repo's correlated key-sampled estimator (stats.join_size_sampled,
+    1/8 md5 gate — deterministic, hence oracle-replayable bit-for-bit)
+    and picks the smaller. That is exactly what a CBO does with column
+    stats at plan time, made explicit as a query: the emitted row IS the
+    plan decision with its evidence (both estimates + sampled key
+    counts). Two sampled aggs over ~1/8 of each key space; no full join
+    ever runs."""
+    from . import stats
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    )
+    ords = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "orderkey"
+    )
+    ords2 = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    e_lo = stats.join_size_sampled(li, ords, ["orderkey"], mod=8).select(
+        F.col("est_join_rows_sampled").alias("est_lo"),
+        F.col("n_sampled_keys").alias("keys_lo"),
+    )
+    e_oc = stats.join_size_sampled(ords2, cust, ["custkey"], mod=8).select(
+        F.col("est_join_rows_sampled").alias("est_oc"),
+        F.col("n_sampled_keys").alias("keys_oc"),
+    )
+    return e_lo.crossJoin(e_oc).select(
+        "est_lo",
+        "keys_lo",
+        "est_oc",
+        "keys_oc",
+        F.expr(
+            "CASE WHEN est_oc <= est_lo THEN '(orders JOIN customer) JOIN"
+            " lineitem' ELSE '(lineitem JOIN orders) JOIN customer' END"
+        ).alias("chosen_order"),
+    )
+
+
+_ADV_GATE = "(('0x' || substr(md5({k}::VARCHAR), 1, 15))::BIGINT % 8) = 0"
+
+JOIN_ORDER_ADVISOR_SQL = f"""
+WITH lo_a AS (
+  SELECT l_orderkey AS k, count(*)::BIGINT AS c FROM lineitem
+  WHERE {_ADV_GATE.format(k='l_orderkey')} GROUP BY 1
+), lo_b AS (
+  SELECT o_orderkey AS k, count(*)::BIGINT AS c FROM orders
+  WHERE {_ADV_GATE.format(k='o_orderkey')} GROUP BY 1
+), lo AS (
+  SELECT coalesce(8 * sum(a.c * b.c), 0)::BIGINT AS est_lo,
+         count(*)::BIGINT AS keys_lo
+  FROM lo_a a JOIN lo_b b USING (k)
+), oc_a AS (
+  SELECT o_custkey AS k, count(*)::BIGINT AS c FROM orders
+  WHERE {_ADV_GATE.format(k='o_custkey')} GROUP BY 1
+), oc_b AS (
+  SELECT c_custkey AS k, count(*)::BIGINT AS c FROM customer
+  WHERE {_ADV_GATE.format(k='c_custkey')} GROUP BY 1
+), oc AS (
+  SELECT coalesce(8 * sum(a.c * b.c), 0)::BIGINT AS est_oc,
+         count(*)::BIGINT AS keys_oc
+  FROM oc_a a JOIN oc_b b USING (k)
+)
+SELECT est_lo, keys_lo, est_oc, keys_oc,
+       CASE WHEN est_oc <= est_lo THEN '(orders JOIN customer) JOIN lineitem'
+            ELSE '(lineitem JOIN orders) JOIN customer' END AS chosen_order
+FROM lo, oc
+"""
+
+QUERIES["join_order_advisor"] = (join_order_advisor, JOIN_ORDER_ADVISOR_SQL)
+
+
+# --------------------------------------------------------------------------
+# OOD scoring: diagonal Mahalanobis over the embedding distribution
+# --------------------------------------------------------------------------
+def ood_mahalanobis_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution scoring for the embedding corpus: diagonal
+    Mahalanobis distance d² = Σ_i (x_i − μ_i)²/σ²_i against per-dimension
+    moments — the OOD filter run before training on scraped embeddings
+    (full Mahalanobis needs Σ⁻¹, a driver-side d×d inverse no SQL oracle
+    can replay; the diagonal form keeps the whole computation
+    engine-replayable and is the standard large-d fallback). Moments
+    freeze at 6 dp (the kmeans centroid bridge for distributed-vs-
+    sequential float sums); the per-point fold is sequential in both
+    engines and freezes to micros before the top-20 ranking. One moments
+    agg + one narrow map + TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mom = emb.select(
+        F.expr(
+            "explode(transform(sequence(0, 63), i ->"
+            " struct(i AS dim, CAST(embedding[i] AS DOUBLE) AS x)))"
+        ).alias("e")
+    ).select("e.dim", "e.x").groupBy("dim").agg(
+        F.round(F.avg("x"), 6).alias("m"),
+        F.round(F.avg(F.col("x") * F.col("x")), 6).alias("ex2"),
+    ).orderBy("dim").collect()
+    ms = [float(r["m"]) for r in mom]
+    vs = [max(float(r["ex2"]) - float(r["m"]) * float(r["m"]), 1e-12)
+          for r in mom]
+    terms = " + ".join(
+        f"(CAST(embedding[{i}] AS DOUBLE) - {ms[i]!r}D)"
+        f" * (CAST(embedding[{i}] AS DOUBLE) - {ms[i]!r}D) / {vs[i]!r}D"
+        for i in range(64)
+    )
+    scored = emb.select(
+        "vec_id",
+        F.expr(f"CAST(floor(({terms}) * 1e6 + 0.5D) AS BIGINT)").alias(
+            "d2_micro"
+        ),
+    )
+    w = W.orderBy(F.col("d2_micro").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("vec_id", "d2_micro", F.col("rk").cast("int").alias("rk"))
+        .orderBy("rk")
+    )
+
+
+OOD_MAHALANOBIS_EMBEDDINGS_SQL = """
+WITH mom AS (
+  SELECT i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS m,
+         round(avg(embedding[i]::DOUBLE * embedding[i]::DOUBLE), 6) AS ex2
+  FROM embeddings, generate_series(1, 64) s(i)
+  GROUP BY 1
+), stats_l AS (
+  SELECT list(m ORDER BY dim) AS ml,
+         list(greatest(ex2 - m * m, 1e-12) ORDER BY dim) AS vl
+  FROM mom
+), scored AS (
+  SELECT e.vec_id,
+         floor(list_sum(list_transform(generate_series(1, 64), i ->
+           (e.embedding[i]::DOUBLE - s.ml[i])
+           * (e.embedding[i]::DOUBLE - s.ml[i]) / s.vl[i])) * 1e6 + 0.5
+         )::BIGINT AS d2_micro
+  FROM embeddings e, stats_l s
+)
+SELECT vec_id, d2_micro, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT vec_id, d2_micro,
+         row_number() OVER (ORDER BY d2_micro DESC, vec_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 20 ORDER BY rk
+"""
+
+QUERIES["ood_mahalanobis_embeddings"] = (
+    ood_mahalanobis_embeddings,
+    OOD_MAHALANOBIS_EMBEDDINGS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Time-decayed leaderboard with integer halving (exact decay, no exp())
+# --------------------------------------------------------------------------
+def decayed_leaderboard_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed leaderboard per event type with a
+    half-life of 7 days — computed EXACTLY as integer halving
+    (cents >> weeks_of_age) instead of the usual exp(-λ·age) float path:
+    power-of-two decay is the engine-proof discretization (both engines
+    shift bits identically; no libm anywhere), and a 7-day half-life in
+    whole weeks is what the continuous form rounds to anyway. Age is
+    measured from the corpus max day (scalar crossJoin, one job).
+    Per type: raw cents, decayed cents, and the decay retention in
+    micros. One (type) agg over the shifted values; shift amounts cap
+    at 62 to stay defined."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    base = ev.select(
+        "event_type",
+        day.alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+    mx = base.agg(F.max("d").alias("max_d"))
+    scored = base.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "cents",
+        F.expr(
+            "shiftright(cents, CAST(least((max_d - d) div 7, 62) AS INT))"
+        ).cast("long").alias("dec_cents"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.sum("dec_cents").cast("long").alias("decayed_cents"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "raw_cents",
+            "decayed_cents",
+            F.expr(
+                "CAST((CAST(decayed_cents AS DECIMAL(38,0)) * 1000000)"
+                " div raw_cents AS LONG)"
+            ).alias("retention_micro"),
+        )
+        .orderBy(F.col("decayed_cents").desc(), F.col("event_type").asc())
+    )
+
+
+DECAYED_LEADERBOARD_EVENTS_SQL = """
+WITH base AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+         floor(value * 100 + 0.5)::BIGINT AS cents
+  FROM events
+), mx AS (SELECT max(d) AS max_d FROM base),
+scored AS (
+  SELECT event_type, cents,
+         (cents >> least((mx.max_d - d) // 7, 62)::INT)::BIGINT AS dec_cents
+  FROM base, mx
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS raw_cents,
+       sum(dec_cents)::BIGINT AS decayed_cents,
+       ((sum(dec_cents)::HUGEINT * 1000000) // sum(cents))::BIGINT
+         AS retention_micro
+FROM scored
+GROUP BY event_type
+ORDER BY decayed_cents DESC, event_type ASC
+"""
+
+QUERIES["decayed_leaderboard_events"] = (
+    decayed_leaderboard_events,
+    DECAYED_LEADERBOARD_EVENTS_SQL,
+)

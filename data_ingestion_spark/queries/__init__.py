@@ -122,6 +122,9 @@ _PRIORITY = [
     "diff_in_diff_events",
     "churn_hazard_events",
     "ab_conversion_test_events",
+    "join_order_advisor",
+    "ood_mahalanobis_embeddings",
+    "decayed_leaderboard_events",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

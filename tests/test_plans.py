@@ -860,3 +860,20 @@ def test_round9_batch7_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_round9_batch8_plan_shapes(spark):
+    """Advisor/OOD/leaderboard: no Python stages, no corpus cartesian;
+    the OOD scoring is a single narrow map (moments ride as literals)
+    feeding TakeOrdered, and the advisor never runs a full join."""
+    for name in [
+        "join_order_advisor",
+        "ood_mahalanobis_embeddings",
+        "decayed_leaderboard_events",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    ood = plan_of(spark, "ood_mahalanobis_embeddings")
+    assert "TakeOrderedAndProject" in ood
