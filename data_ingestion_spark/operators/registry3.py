@@ -3284,3 +3284,284 @@ QUERIES["decayed_leaderboard_events"] = (
     decayed_leaderboard_events,
     DECAYED_LEADERBOARD_EVENTS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# AMS sketch: second frequency moment (self-join size) with measured error
+# --------------------------------------------------------------------------
+def ams_f2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F₂ sketch (Alon-Matias-Szegedy, STOC'96 — the result that
+    started streaming sketches): estimate the second frequency moment of
+    user_id — which IS the self-join size join_cardinality computes
+    exactly — from 16 counters Z_j = Σ s_j(x), one per deterministic
+    ±1 hash (bit j of the 60-bit md5), est_j = Z_j². The estimator is
+    unbiased per counter; the registered row emits the LOWER MEDIAN of
+    the 16 (integer-exact, no .5 averaging — documented choice) next to
+    the exact F₂ and the realized relative error — the sketch family's
+    measured-error discipline (HLL/CMS/theta rows). One narrow map + a
+    16-counter agg; the exact side is one count agg + Σc². Sums run in
+    DECIMAL(38,0)/HUGEINT (Z² and Σc² reach n²)."""
+    from pyspark.sql import Window as W
+
+    from ..functions import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    h = md5_hash60(F.col("user_id").cast("string"))
+    signs = ev.select(
+        *[
+            (1 - 2 * F.shiftright(h, j).bitwiseAND(F.lit(1)))
+            .cast("long")
+            .alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    z = signs.agg(
+        *[F.sum(f"s{j}").cast("decimal(38,0)").alias(f"z{j}") for j in range(16)]
+    )
+    ests = z.select(
+        F.expr(
+            "explode(array("
+            + ", ".join(f"CAST(z{j} * z{j} AS DECIMAL(38,0))" for j in range(16))
+            + "))"
+        ).alias("est")
+    )
+    wmed = W.orderBy(F.col("est").asc())
+    med = (
+        ests.withColumn("rn", F.row_number().over(wmed))
+        .filter(F.col("rn") == 8)
+        .select(F.col("est").cast("long").alias("f2_est"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("long")
+            .alias("f2_exact")
+        )
+    )
+    return med.crossJoin(exact).select(
+        "f2_exact",
+        "f2_est",
+        F.expr(
+            "CAST((CAST(abs(f2_est - f2_exact) AS DECIMAL(38,0)) * 1000000)"
+            " div f2_exact AS LONG)"
+        ).alias("rel_err_micro"),
+        F.lit(16).cast("long").alias("n_counters"),
+    )
+
+
+AMS_F2_EVENTS_SQL = """
+WITH h AS (
+  SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS hv
+  FROM events
+), z AS (
+  SELECT j, sum(1 - 2 * ((hv >> j::INT) & 1))::HUGEINT AS zj
+  FROM h, (SELECT range::INT AS j FROM range(0, 16)) t
+  GROUP BY j
+), ests AS (
+  SELECT (zj * zj)::HUGEINT AS est FROM z
+), med AS (
+  SELECT est::BIGINT AS f2_est FROM (
+    SELECT est, row_number() OVER (ORDER BY est ASC) AS rn FROM ests
+  ) WHERE rn = 8
+), exact AS (
+  SELECT sum(c::HUGEINT * c)::BIGINT AS f2_exact
+  FROM (SELECT count(*)::BIGINT AS c FROM events GROUP BY user_id)
+)
+SELECT f2_exact, f2_est,
+       ((abs(f2_est - f2_exact)::HUGEINT * 1000000) // f2_exact)::BIGINT
+         AS rel_err_micro,
+       16::BIGINT AS n_counters
+FROM med, exact
+"""
+
+QUERIES["ams_f2_events"] = (ams_f2_events, AMS_F2_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction over the strong-tie trade graph
+# --------------------------------------------------------------------------
+def adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) between supplier
+    pairs: AA(s₁, s₂) = Σ over common customers c of 1/ln(deg(c)) —
+    common neighbors weighted inversely by how promiscuous they are (a
+    customer buying from everyone predicts nothing). Runs on the same
+    strong-tie (quantity > 45) graph as label propagation; each term
+    freezes to micros BEFORE the pair sum (the char_entropy per-term
+    discipline that makes ln engine-safe), degree-1 customers cannot be
+    common neighbors so ln(1) never divides. Plan: one degree agg + the
+    per-customer self-join of the edge list (fan-out Σdeg² — bounded by
+    the strong-tie filter; the classic triangle/wedge shape) + top-20
+    TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45
+    ).select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    weighted = edges.join(deg, "c").filter(F.col("d") >= 2).select(
+        "c",
+        "s",
+        F.expr("CAST(floor(1000000.0D / ln(CAST(d AS DOUBLE)) + 0.5D) AS BIGINT)").alias(
+            "w"
+        ),
+    )
+    a = weighted.select("c", F.col("s").alias("s1"), F.col("w").alias("w1"))
+    b = weighted.select("c", F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum("w1").cast("long").alias("aa_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("aa_micro").desc(), F.col("s1").asc(), F.col("s2").asc()
+    ).limit(20)
+
+
+ADAMIC_ADAR_SUPPLIERS_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity > 45
+), deg AS (
+  SELECT c, count(*)::BIGINT AS d FROM edges GROUP BY c
+), weighted AS (
+  SELECT e.c, e.s,
+         floor(1000000.0 / ln(d::DOUBLE) + 0.5)::BIGINT AS w
+  FROM edges e JOIN deg USING (c) WHERE d >= 2
+)
+SELECT a.s1, a.s2, a.aa_micro, a.n_common FROM (
+  SELECT x.s AS s1, y.s AS s2, sum(x.w)::BIGINT AS aa_micro,
+         count(*)::BIGINT AS n_common
+  FROM weighted x JOIN weighted y ON x.c = y.c AND x.s < y.s
+  GROUP BY x.s, y.s
+) a
+ORDER BY a.aa_micro DESC, a.s1 ASC, a.s2 ASC
+LIMIT 20
+"""
+
+QUERIES["adamic_adar_suppliers"] = (
+    adamic_adar_suppliers,
+    ADAMIC_ADAR_SUPPLIERS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Column-encoding advisor (lakehouse layout ops)
+# --------------------------------------------------------------------------
+def encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor — the ANALYZE step behind parquet/ORC
+    writer tuning: per column, the NDV ratio (dictionary-page viability)
+    and the average run length under the table's key order (RLE
+    viability, runs counted per orderkey partition — keyed windows, no
+    global sort), then the writer recommendation by the standard rules
+    (DICT when NDV ≤ 64, else RLE when mean run ≥ 2, else PLAIN). Emitted
+    as a value-checked table so the advice itself is auditable. One pass
+    per advised column (explode-free: each is a keyed lag window + two
+    aggs on the same scan)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").cast("string").alias("c_returnflag"),
+        F.col("l_linestatus").cast("string").alias("c_linestatus"),
+        F.col("l_shipdate").cast("date").cast("string").alias("c_shipdate"),
+        F.col("l_quantity").cast("long").cast("string").alias("c_quantity"),
+    )
+    out = None
+    for col in ("c_returnflag", "c_linestatus", "c_shipdate", "c_quantity"):
+        # the synthetic lineitem has duplicate (orderkey, linenumber)
+        # pairs — the value itself joins the ordering so runs are total
+        w = W.partitionBy("l_orderkey").orderBy("l_linenumber", col)
+        runs = li.select(
+            "l_orderkey",
+            F.when(
+                F.lag(col).over(w).isNull()
+                | (F.lag(col).over(w) != F.col(col)),
+                1,
+            ).otherwise(0).alias("new_run"),
+            F.col(col).alias("v"),
+        )
+        agg = runs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("v").cast("long").alias("ndv"),
+            F.sum("new_run").cast("long").alias("n_runs"),
+        ).select(
+            F.lit(col[2:]).alias("column"),
+            "n_rows",
+            "ndv",
+            F.expr(
+                "CAST((CAST(ndv AS DECIMAL(38,0)) * 1000000) div n_rows"
+                " AS LONG)"
+            ).alias("ndv_ratio_micro"),
+            "n_runs",
+            F.expr(
+                "CAST((CAST(n_rows AS DECIMAL(38,0)) * 1000000) div n_runs"
+                " AS LONG)"
+            ).alias("avg_run_micro"),
+            F.expr(
+                "CASE WHEN ndv <= 64 THEN 'DICT'"
+                " WHEN (CAST(n_rows AS DECIMAL(38,0)) * 1000000) div n_runs"
+                " >= 2000000 THEN 'RLE' ELSE 'PLAIN' END"
+            ).alias("recommendation"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("column")
+
+
+ENCODING_ADVISOR_LINEITEM_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         l_returnflag::VARCHAR AS c_returnflag,
+         l_linestatus::VARCHAR AS c_linestatus,
+         l_shipdate::DATE::VARCHAR AS c_shipdate,
+         l_quantity::BIGINT::VARCHAR AS c_quantity
+  FROM lineitem
+), unp AS (
+  SELECT l_orderkey, l_linenumber, 'returnflag' AS col, c_returnflag AS v
+  FROM base
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'linestatus', c_linestatus FROM base
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'shipdate', c_shipdate FROM base
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'quantity', c_quantity FROM base
+), runs AS (
+  SELECT col, v,
+         CASE WHEN lag(v) OVER (PARTITION BY col, l_orderkey
+                                ORDER BY l_linenumber, v) IS DISTINCT FROM v
+              THEN 1 ELSE 0 END AS new_run
+  FROM unp
+), agg AS (
+  SELECT col AS "column", count(*)::BIGINT AS n_rows,
+         count(DISTINCT v)::BIGINT AS ndv,
+         sum(new_run)::BIGINT AS n_runs
+  FROM runs GROUP BY col
+)
+SELECT "column", n_rows, ndv,
+       ((ndv::HUGEINT * 1000000) // n_rows)::BIGINT AS ndv_ratio_micro,
+       n_runs,
+       ((n_rows::HUGEINT * 1000000) // n_runs)::BIGINT AS avg_run_micro,
+       CASE WHEN ndv <= 64 THEN 'DICT'
+            WHEN (n_rows::HUGEINT * 1000000) // n_runs >= 2000000 THEN 'RLE'
+            ELSE 'PLAIN' END AS recommendation
+FROM agg
+ORDER BY "column"
+"""
+
+QUERIES["encoding_advisor_lineitem"] = (
+    encoding_advisor_lineitem,
+    ENCODING_ADVISOR_LINEITEM_SQL,
+)

@@ -877,3 +877,20 @@ def test_round9_batch8_plan_shapes(spark):
         assert "ArrowEvalPython" not in plan, name
     ood = plan_of(spark, "ood_mahalanobis_embeddings")
     assert "TakeOrderedAndProject" in ood
+
+
+def test_round9_batch9_plan_shapes(spark):
+    """AMS: one narrow sign map + one agg; Adamic-Adar: the wedge
+    self-join shape triangles use (hash join, never cartesian);
+    encoding advisor: keyed lag windows, no global sort."""
+    for name in [
+        "ams_f2_events",
+        "adamic_adar_suppliers",
+        "encoding_advisor_lineitem",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    aa = plan_of(spark, "adamic_adar_suppliers")
+    assert "TakeOrderedAndProject" in aa
