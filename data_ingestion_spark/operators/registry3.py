@@ -3162,11 +3162,16 @@ def ood_mahalanobis_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2_micro"
         ),
     )
+    # top-20 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps), NEVER an unpartitioned row_number over the corpus; the rank
+    # window then runs on the 20 surviving rows (metadata scale)
+    top = scored.orderBy(
+        F.col("d2_micro").desc(), F.col("vec_id").asc()
+    ).limit(20)
     w = W.orderBy(F.col("d2_micro").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("vec_id", "d2_micro", F.col("rk").cast("int").alias("rk"))
+        top.withColumn("rk", F.row_number().over(w).cast("int"))
+        .select("vec_id", "d2_micro", "rk")
         .orderBy("rk")
     )
 
