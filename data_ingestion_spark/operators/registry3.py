@@ -1656,7 +1656,10 @@ def quantile_merge_summaries_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     and micros of N. All integer (values, ranks, weights); the only
     corpus-scale stages are one source-keyed rank window (the summary
     build — what each executor would ship) and one distinct-value count
-    agg (the truth side)."""
+    agg (the truth side). Scale note: the truth-side cumulative window
+    runs over DISTINCT values — bounded by the value domain (doc
+    lengths), not row count; for genuinely unbounded domains bucket the
+    values first (the histogram_lineitem cuts tier)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
