@@ -3573,3 +3573,118 @@ QUERIES["encoding_advisor_lineitem"] = (
     encoding_advisor_lineitem,
     ENCODING_ADVISOR_LINEITEM_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Plagiarism pairs via winnowing-fingerprint overlap (MOSS report)
+# --------------------------------------------------------------------------
+def plagiarism_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS report (Schleimer/Wilkerson/Aiken 2003 §4) built on the
+    registered winnowing fingerprints: document pairs sharing ≥ 3
+    selected fingerprints, scored by containment — shared / min(|fp_a|,
+    |fp_b|) in micros, the asymmetric measure that catches a short doc
+    lifted into a long one (Jaccard dilutes it). Fingerprints appearing
+    in > 10 documents are dropped FIRST (MOSS's too-common filter — a
+    boilerplate gram would otherwise fan the self-join quadratically;
+    this is the same hot-key guard the LSH tiers use). Shape: inverted-
+    index self-join on fixed-width hash strings, pair agg, two size
+    rejoins, top-50 TakeOrdered. Winnowing guarantees any shared
+    substring of length ≥ k+w−1 = 8 yields a shared fingerprint, so
+    recall over literal lifts is structural, not probabilistic."""
+    from . import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    common = (
+        fp.groupBy("winnow_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 10)
+        .select("winnow_hash")
+    )
+    # materialize once: the self-join + sizes would otherwise re-run the
+    # whole fingerprint pipeline per reference (the simhash precedent)
+    fpf = fp.join(common, "winnow_hash", "left_anti").localCheckpoint(
+        eager=True
+    )
+    sizes = fpf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    a = fpf.select(F.col("doc_id").alias("id_a"), "winnow_hash")
+    b = fpf.select(F.col("doc_id").alias("id_b"), "winnow_hash")
+    pairs = (
+        a.join(b, "winnow_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.expr("(1000000 * shared) div least(na, nb)")
+            .cast("long")
+            .alias("containment_micro"),
+        )
+        .orderBy(
+            F.col("containment_micro").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(50)
+    )
+
+
+PLAGIARISM_PAIRS_DOCS_SQL = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(text) - 5 + 2),
+           i -> substr(md5(substr(text, i, 5)), 1, 15)
+         ) AS hs
+  FROM documents
+  WHERE len(text) >= 5 + 4 - 1
+), fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(hs) - 4 + 2),
+             i -> list_min(hs[i:i+3])
+         ))) AS winnow_hash
+  FROM hs
+), common AS (
+  SELECT winnow_hash FROM fp GROUP BY winnow_hash HAVING count(*) > 10
+), fpf AS (
+  SELECT f.* FROM fp f LEFT JOIN common c USING (winnow_hash)
+  WHERE c.winnow_hash IS NULL
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_fp FROM fpf GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+  FROM fpf a JOIN fpf b
+    ON a.winnow_hash = b.winnow_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT p.id_a, p.id_b, p.shared,
+       ((1000000 * p.shared) // least(sa.n_fp, sb.n_fp))::BIGINT
+         AS containment_micro
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+ORDER BY containment_micro DESC, p.id_a ASC, p.id_b ASC
+LIMIT 50
+"""
+
+QUERIES["plagiarism_pairs_docs"] = (
+    plagiarism_pairs_docs,
+    PLAGIARISM_PAIRS_DOCS_SQL,
+)

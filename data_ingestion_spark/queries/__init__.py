@@ -128,6 +128,7 @@ _PRIORITY = [
     "ams_f2_events",
     "adamic_adar_suppliers",
     "encoding_advisor_lineitem",
+    "plagiarism_pairs_docs",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

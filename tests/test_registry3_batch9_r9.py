@@ -121,3 +121,30 @@ def test_encoding_advisor_matches_python(spark):
     # the advisor must actually discriminate on this fixture
     recs = {r["recommendation"] for r in got.values()}
     assert "DICT" in recs and len(recs) >= 2
+
+
+def test_plagiarism_pairs_planted(spark, tmp_path):
+    """A lifted passage must surface with high containment; boilerplate
+    shared by > 10 docs must be filtered and create no pairs."""
+    from data_ingestion_spark.operators.registry3 import plagiarism_pairs_docs
+
+    lifted = "the quick brown fox jumps over the lazy dog tonight"
+    boiler = "standard legal disclaimer text appears everywhere verbatim"
+    rows = []
+    rows.append((1, f"original work alpha {lifted} end of document one",
+                 "en", "s", 60))
+    rows.append((2, f"plagiarist copy {lifted} plus unrelated padding words",
+                 "en", "s", 60))
+    # 12 docs sharing ONLY boilerplate (df > 10 -> all its fps dropped)
+    for i in range(3, 15):
+        rows.append((i, f"unique body {i} {boiler} trailing {i}",
+                     "en", "s", 60))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = [(r["id_a"], r["id_b"], r["containment_micro"])
+           for r in plagiarism_pairs_docs(spark, str(tmp_path)).collect()]
+    assert any(a == 1 and b == 2 and c > 300000 for a, b, c in got), got
+    boiler_ids = set(range(3, 15))
+    assert not any(a in boiler_ids and b in boiler_ids for a, b, _ in got)
