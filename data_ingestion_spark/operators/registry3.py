@@ -2256,7 +2256,11 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wrank))
         .filter(F.col("rk") <= 4)
         .filter(F.col("custkey") % 7 == 0)
-        .select("custkey", F.col("item").alias("neg_partkey"), "j")
+        .select(
+            "custkey",
+            F.col("item").alias("neg_partkey"),
+            F.col("j").cast("long").alias("j"),
+        )
         .orderBy("custkey", "j")
     )
 
