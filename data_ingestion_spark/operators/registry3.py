@@ -3692,3 +3692,295 @@ QUERIES["plagiarism_pairs_docs"] = (
     plagiarism_pairs_docs,
     PLAGIARISM_PAIRS_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between the single-vector and late-interaction rankers
+# --------------------------------------------------------------------------
+_RBO_P = 0.9
+_RBO_W = [(1 - _RBO_P) * _RBO_P ** (d - 1) / d for d in range(1, 11)]
+
+
+def rbo_rankings_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS'10) between the two
+    registered retrieval rankings — exact cosine vs ColBERT MaxSim
+    top-10 per query: RBO@10 = Σ_d (1−p)p^{d−1}·|A_d ∩ B_d|/d, p = 0.9
+    (top-weighted, the ranking-comparison measure Kendall/Spearman get
+    wrong for truncated lists). Per-depth overlap counts only need docs
+    in BOTH top-10s (overlap@d = #{max(r₁,r₂) ≤ d}); each depth term
+    freezes to micros against its exact literal weight before the
+    order-free sum. The corpus-scale stages are the two rankers
+    themselves (knn's broadcast scan + MaxSim's narrow map); the RBO
+    combination runs on ≤ 10 joined rows per query. This is the
+    meta-QC that tells you whether the cheap ranker can serve as the
+    expensive one's first stage."""
+    from pyspark.sql import Window as W
+
+    from . import similarity
+    from .similarity import _sql_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_q, m, d_sub = 2, 4, 16
+    # ranking 1: exact cosine top-10
+    q = emb.filter(F.col("vec_id") < n_q)
+    r1 = similarity.cosine_topk(emb, q, k=10).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("r1"),
+    )
+    # ranking 2: MaxSim top-10 (colbert_maxsim_topk's kernel at k=10)
+    qrows = (
+        emb.orderBy("vec_id").limit(n_q).select("vec_id", "embedding").collect()
+    )
+    score_exprs = []
+    for qid, qv in [
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows
+    ]:
+        per_qtok = []
+        for s in range(m):
+            qt = qv[s * d_sub : (s + 1) * d_sub]
+            dots = ", ".join(
+                f"aggregate(zip_with(slice(embedding, {t * d_sub + 1},"
+                f" {d_sub}), {_sql_double_array(qt)},"
+                f" (x, y) -> CAST(x AS DOUBLE) * y), 0.0D,"
+                f" (acc, v) -> acc + v)"
+                for t in range(m)
+            )
+            per_qtok.append(
+                f"CAST(floor(greatest({dots}) * 1e6 + 0.5D) AS BIGINT)"
+            )
+        score_exprs.append(
+            f"struct(CAST({qid} AS BIGINT) AS qid,"
+            f" CAST({' + '.join(per_qtok)} AS BIGINT) AS ms)"
+        )
+    ms = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr(f"explode(array({', '.join(score_exprs)}))").alias("sc"),
+    ).select("doc_id", "sc.qid", "sc.ms").filter(
+        F.col("doc_id") != F.col("qid")
+    )
+    w2 = W.partitionBy("qid").orderBy(F.col("ms").desc(), F.col("doc_id").asc())
+    r2 = (
+        ms.withColumn("r2", F.row_number().over(w2).cast("long"))
+        .filter(F.col("r2") <= 10)
+        .select("qid", "doc_id", "r2")
+    )
+    joined = r1.join(r2, ["qid", "doc_id"]).select(
+        "qid", F.greatest("r1", "r2").alias("mx")
+    )
+    terms = " + ".join(
+        f"CAST(floor({_RBO_W[d - 1]!r}D * ov{d} * 1e6 + 0.5D) AS BIGINT)"
+        for d in range(1, 11)
+    )
+    per_q = joined.groupBy("qid").agg(
+        *[
+            F.sum((F.col("mx") <= d).cast("long")).alias(f"ov{d}")
+            for d in range(1, 11)
+        ]
+    )
+    return per_q.select(
+        "qid",
+        F.col("ov10").cast("long").alias("overlap_at_10"),
+        F.expr(f"CAST({terms} AS BIGINT)").alias("rbo_micro"),
+    ).orderBy("qid")
+
+
+def _rbo_oracle() -> str:
+    terms = " + ".join(
+        f"floor({_RBO_W[d - 1]!r} * sum((mx <= {d})::BIGINT) * 1e6 + 0.5)"
+        f"::BIGINT"
+        for d in range(1, 11)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 2
+), r1 AS (
+  SELECT qid, neighbor_id AS doc_id, rank::BIGINT AS r1 FROM (
+    SELECT q.qid, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[],
+                      c.embedding::DOUBLE[]), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM q JOIN embeddings c ON c.vec_id <> q.qid
+  ) WHERE rank <= 10
+), pairs AS (
+  SELECT q.qid, d.vec_id AS doc_id, s.st AS s_tok,
+         max(list_inner_product(
+           list_transform(generate_series(1, 16),
+                          i -> q.qv[s.st * 16 + i]::DOUBLE),
+           list_transform(generate_series(1, 16),
+                          i -> d.embedding[t.dt * 16 + i]::DOUBLE))) AS best
+  FROM q, embeddings d,
+       (SELECT range::INT AS st FROM range(0, 4)) s,
+       (SELECT range::INT AS dt FROM range(0, 4)) t
+  WHERE d.vec_id <> q.qid
+  GROUP BY q.qid, d.vec_id, s.st
+), msc AS (
+  SELECT qid, doc_id,
+         sum(floor(best * 1e6 + 0.5)::BIGINT)::BIGINT AS ms
+  FROM pairs GROUP BY qid, doc_id
+), r2 AS (
+  SELECT qid, doc_id, rank::BIGINT AS r2 FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY ms DESC, doc_id ASC) AS rank
+    FROM msc
+  ) WHERE rank <= 10
+), joined AS (
+  SELECT r1.qid, greatest(r1.r1, r2.r2) AS mx
+  FROM r1 JOIN r2 ON r1.qid = r2.qid AND r1.doc_id = r2.doc_id
+)
+SELECT qid, sum((mx <= 10)::BIGINT)::BIGINT AS overlap_at_10,
+       ({terms})::BIGINT AS rbo_micro
+FROM joined
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+QUERIES["rbo_rankings_embeddings"] = (rbo_rankings_embeddings, _rbo_oracle())
+
+
+# --------------------------------------------------------------------------
+# K-fold assignment + stratification-balance audit
+# --------------------------------------------------------------------------
+def kfold_balance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment (deterministic md5, the
+    split_docs_hash discipline) WITH the balance audit that must ride
+    along: per fold, the document count and the worst per-language
+    deviation from proportionality — 1e6·|5·n_fold,lang − n_lang| /
+    n_lang in micros (the scaled form keeps the ranking exact, the cusum
+    trick). A fold whose class mix drifts biases every CV estimate
+    computed on it — which is why fold assignment without this audit is
+    a bug, not a feature. Two count aggs; the deviation table is
+    |folds|·|langs| metadata rows."""
+    from ..functions import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        (md5_hash60(F.col("doc_id").cast("string")) % 5).alias("fold"),
+        "lang",
+    )
+    per = f.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    lang_tot = f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lang")
+    )
+    dev = per.join(F.broadcast(lang_tot), "lang").select(
+        "fold",
+        "lang",
+        F.expr(
+            "(1000000 * abs(5 * n - n_lang)) div n_lang"
+        ).cast("long").alias("dev_micro"),
+        "n",
+    )
+    return (
+        dev.groupBy("fold")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.max("dev_micro").cast("long").alias("max_lang_dev_micro"),
+        )
+        .orderBy("fold")
+    )
+
+
+KFOLD_BALANCE_DOCS_SQL = """
+WITH f AS (
+  SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 5)
+           AS fold, lang
+  FROM documents
+), per AS (
+  SELECT fold, lang, count(*)::BIGINT AS n FROM f GROUP BY 1, 2
+), lang_tot AS (
+  SELECT lang, count(*)::BIGINT AS n_lang FROM f GROUP BY 1
+)
+SELECT fold, sum(n)::BIGINT AS n_docs,
+       max((1000000 * abs(5 * n - n_lang)) // n_lang)::BIGINT
+         AS max_lang_dev_micro
+FROM per JOIN lang_tot USING (lang)
+GROUP BY fold
+ORDER BY fold
+"""
+
+QUERIES["kfold_balance_docs"] = (kfold_balance_docs, KFOLD_BALANCE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F statistic across sources (exact integer algebra)
+# --------------------------------------------------------------------------
+def anova_f_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA over document length by source — does mean length
+    differ across sources more than within-source noise explains?
+    Entirely exact integers: per source the term T_s²·1e6/n_s freezes to
+    an exact floor (each is an exact rational of exact integer sums, so
+    order never matters), SSB = Σterm − T²·1e6/N, SSW = Σx²·1e6 − Σterm,
+    and F = (SSB·(N−k)·1e6)/(SSW·(k−1)) in micros via DECIMAL(38,0)/
+    HUGEINT — no distributed float sum anywhere, unlike the textbook
+    mean-centered form. One moments agg per source (map-side combined) +
+    a |sources|-row tail; emitted with df₁, df₂ and the worst-case
+    critical-value verdict at α=0.05 for df₁ ≤ 20, F > 1.93 (the reader's
+    threshold; exact p-values live client-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("n_chars").cast("long").alias("t_s"),
+        F.sum(
+            F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+        ).alias("ssq_s"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_s").cast("long").alias("n_tot"),
+        F.sum("t_s").cast("decimal(38,0)").alias("t_tot"),
+        F.sum("ssq_s").alias("ssq"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(t_s AS DECIMAL(38,0)) * t_s * 1000000)"
+                " div n_s AS DECIMAL(38,0))"
+            )
+        ).alias("sum_terms"),
+    )
+    return agg.select(
+        "k",
+        "n_tot",
+        F.expr(
+            "CAST(sum_terms - (t_tot * t_tot * 1000000) div n_tot AS LONG)"
+        ).alias("ssb_micro"),
+        F.expr("CAST(ssq * 1000000 - sum_terms AS LONG)").alias("ssw_micro"),
+        F.expr(
+            "CAST(((sum_terms - (t_tot * t_tot * 1000000) div n_tot)"
+            " * (n_tot - k) * 1000000)"
+            " div ((ssq * 1000000 - sum_terms) * (k - 1)) AS LONG)"
+        ).alias("f_micro"),
+    ).select(
+        "*",
+        (F.col("f_micro") > 1930000).alias("significant_at_05"),
+    )
+
+
+ANOVA_F_SOURCES_SQL = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_s, sum(n_chars)::BIGINT AS t_s,
+         sum(n_chars::HUGEINT * n_chars)::HUGEINT AS ssq_s
+  FROM documents GROUP BY source
+), agg AS (
+  SELECT count(*)::BIGINT AS k, sum(n_s)::BIGINT AS n_tot,
+         sum(t_s)::HUGEINT AS t_tot, sum(ssq_s)::HUGEINT AS ssq,
+         sum((t_s::HUGEINT * t_s * 1000000) // n_s)::HUGEINT AS sum_terms
+  FROM per
+)
+SELECT k, n_tot,
+       (sum_terms - (t_tot * t_tot * 1000000) // n_tot)::BIGINT AS ssb_micro,
+       (ssq * 1000000 - sum_terms)::BIGINT AS ssw_micro,
+       (((sum_terms - (t_tot * t_tot * 1000000) // n_tot)
+         * (n_tot - k) * 1000000)
+        // ((ssq * 1000000 - sum_terms) * (k - 1)))::BIGINT AS f_micro,
+       (((sum_terms - (t_tot * t_tot * 1000000) // n_tot)
+         * (n_tot - k) * 1000000)
+        // ((ssq * 1000000 - sum_terms) * (k - 1)))::BIGINT > 1930000
+         AS significant_at_05
+FROM agg
+"""
+
+QUERIES["anova_f_sources"] = (anova_f_sources, ANOVA_F_SOURCES_SQL)

@@ -129,6 +129,9 @@ _PRIORITY = [
     "adamic_adar_suppliers",
     "encoding_advisor_lineitem",
     "plagiarism_pairs_docs",
+    "rbo_rankings_embeddings",
+    "kfold_balance_docs",
+    "anova_f_sources",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

@@ -894,3 +894,19 @@ def test_round9_batch9_plan_shapes(spark):
         assert "ArrowEvalPython" not in plan, name
     aa = plan_of(spark, "adamic_adar_suppliers")
     assert "TakeOrderedAndProject" in aa
+
+
+def test_round9_batch10_plan_shapes(spark):
+    """RBO / k-fold balance / ANOVA: no Python stages, no corpus
+    cartesian; the ANOVA is pure map-side-combined aggregation."""
+    for name in [
+        "rbo_rankings_embeddings",
+        "kfold_balance_docs",
+        "anova_f_sources",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    anova = plan_of(spark, "anova_f_sources")
+    assert "partial" in anova.lower()  # map-side combine before the shuffle

@@ -1,0 +1,125 @@
+"""Cross-checks for the round-9 batch-10 operators: rank-biased overlap,
+k-fold balance audit, one-way ANOVA F — pure-Python replays plus the
+RBO boundary identities."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+_RBO_W = [(0.1) * 0.9 ** (d - 1) / d for d in range(1, 11)]
+
+
+def test_rbo_identical_rankings_bound():
+    """RBO@10 of two IDENTICAL top-10 rankings equals Σ w_d·d — the
+    truncated-RBO upper bound the micro output must hit exactly."""
+    full = sum(math.floor(_RBO_W[d - 1] * d * 1e6 + 0.5) for d in range(1, 11))
+    # identical rankings: overlap@d = d at every depth
+    assert 0 < full < 1_000_000  # truncated RBO_min < 1 by construction
+
+
+def test_rbo_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import (
+        rbo_rankings_embeddings,
+    )
+
+    got = {r["qid"]: r for r in rbo_rankings_embeddings(spark, SF).collect()}
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.itertuples()}
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    for qid in (0, 1):
+        qv = vecs[qid]
+        nq = math.sqrt(dot(qv, qv))
+        r1 = sorted(
+            (
+                (-round(dot(qv, v) / (nq * math.sqrt(dot(v, v))), 6), d)
+                for d, v in vecs.items()
+                if d != qid
+            )
+        )[:10]
+        rank1 = {d: i + 1 for i, (_, d) in enumerate(r1)}
+        ms = []
+        for d, v in vecs.items():
+            if d == qid:
+                continue
+            tot = 0
+            for s in range(4):
+                qt = qv[s * 16:(s + 1) * 16]
+                best = max(dot(qt, v[t * 16:(t + 1) * 16]) for t in range(4))
+                tot += math.floor(best * 1e6 + 0.5)
+            ms.append((-tot, d))
+        ms.sort()
+        rank2 = {d: i + 1 for i, (_, d) in enumerate(ms[:10])}
+        both = set(rank1) & set(rank2)
+        mx = {d: max(rank1[d], rank2[d]) for d in both}
+        rbo = sum(
+            math.floor(
+                _RBO_W[dd - 1] * sum(1 for v in mx.values() if v <= dd)
+                * 1e6 + 0.5
+            )
+            for dd in range(1, 11)
+        )
+        assert got[qid]["overlap_at_10"] == len(both)
+        assert got[qid]["rbo_micro"] == rbo
+
+
+def test_kfold_balance_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import kfold_balance_docs
+
+    got = {r["fold"]: r for r in kfold_balance_docs(spark, SF).collect()}
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    pdf["fold"] = pdf["doc_id"].map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 5
+    )
+    lang_tot = pdf.groupby("lang").size().to_dict()
+    for fold, grp in pdf.groupby("fold"):
+        per = grp.groupby("lang").size().to_dict()
+        devs = [
+            (1000000 * abs(5 * n - lang_tot[lg])) // lang_tot[lg]
+            for lg, n in per.items()
+        ]
+        r = got[fold]
+        assert r["n_docs"] == len(grp)
+        assert r["max_lang_dev_micro"] == max(devs)
+    assert sum(r["n_docs"] for r in got.values()) == len(pdf)
+
+
+def test_anova_f_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import anova_f_sources
+
+    r = anova_f_sources(spark, SF).collect()[0]
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    terms = 0
+    ssq = 0
+    t_tot = 0
+    n_tot = 0
+    k = 0
+    for _, grp in pdf.groupby("source"):
+        vals = [int(v) for v in grp["n_chars"]]
+        t_s, n_s = sum(vals), len(vals)
+        terms += (t_s * t_s * 1000000) // n_s
+        ssq += sum(v * v for v in vals)
+        t_tot += t_s
+        n_tot += n_s
+        k += 1
+    ssb = terms - (t_tot * t_tot * 1000000) // n_tot
+    ssw = ssq * 1000000 - terms
+    f = (ssb * (n_tot - k) * 1000000) // (ssw * (k - 1))
+    assert (r["k"], r["n_tot"]) == (k, n_tot)
+    assert r["ssb_micro"] == ssb
+    assert r["ssw_micro"] == ssw
+    assert r["f_micro"] == f
+    # variance decomposition sanity: SSB + SSW = total SS (scaled)
+    mean_term = (t_tot * t_tot * 1000000) // n_tot
+    assert ssb + ssw == ssq * 1000000 - mean_term
