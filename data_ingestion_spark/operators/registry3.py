@@ -3984,3 +3984,88 @@ FROM agg
 """
 
 QUERIES["anova_f_sources"] = (anova_f_sources, ANOVA_F_SOURCES_SQL)
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast error (MASE) per event type
+# --------------------------------------------------------------------------
+def forecast_mase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality baseline for the volume monitors: the
+    seasonal-naive forecast (tomorrow = same weekday last week) scored
+    by MASE (Hyndman & Koehler 2006) — MAE of the week-lag forecast over
+    MAE of the 1-day naive, the scale-free measure that makes error
+    comparable across event types of wildly different volume. MASE < 1
+    means weekly seasonality genuinely predicts (seasonality_dow_events'
+    profile is worth using); ≥ 1 means it doesn't. Exact integers
+    throughout: absolute errors sum as longs, the final ratio is one
+    DECIMAL(38,0)/HUGEINT division of cross-multiplied sums, lag terms
+    join on (type, day−lag) so missing days drop out instead of faking
+    zeros. One (type, day) count agg + two metadata-scale self-joins on
+    the daily table."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = ev.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lag7 = daily.select(
+        "event_type", (F.col("d") + 7).alias("d"), F.col("c").alias("c7")
+    )
+    lag1 = daily.select(
+        "event_type", (F.col("d") + 1).alias("d"), F.col("c").alias("c1")
+    )
+    e7 = daily.join(lag7, ["event_type", "d"]).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n7"),
+        F.sum(F.abs(F.col("c") - F.col("c7"))).cast("long").alias("sae7"),
+    )
+    e1 = daily.join(lag1, ["event_type", "d"]).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum(F.abs(F.col("c") - F.col("c1"))).cast("long").alias("sae1"),
+    )
+    return (
+        e7.join(e1, "event_type")
+        .select(
+            "event_type",
+            "n7",
+            "sae7",
+            "n1",
+            "sae1",
+            F.expr(
+                "CASE WHEN sae1 = 0 THEN NULL ELSE"
+                " CAST((CAST(sae7 AS DECIMAL(38,0)) * n1 * 1000000)"
+                " div (CAST(sae1 AS DECIMAL(38,0)) * n7) AS LONG) END"
+            ).alias("mase_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FORECAST_MASE_EVENTS_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), e7 AS (
+  SELECT a.event_type, count(*)::BIGINT AS n7,
+         sum(abs(a.c - b.c))::BIGINT AS sae7
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d - 7
+  GROUP BY 1
+), e1 AS (
+  SELECT a.event_type, count(*)::BIGINT AS n1,
+         sum(abs(a.c - b.c))::BIGINT AS sae1
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d - 1
+  GROUP BY 1
+)
+SELECT e7.event_type, n7, sae7, n1, sae1,
+       CASE WHEN sae1 = 0 THEN NULL ELSE
+         ((sae7::HUGEINT * n1 * 1000000)
+          // (sae1::HUGEINT * n7))::BIGINT END AS mase_micro
+FROM e7 JOIN e1 USING (event_type)
+ORDER BY e7.event_type
+"""
+
+QUERIES["forecast_mase_events"] = (forecast_mase_events, FORECAST_MASE_EVENTS_SQL)

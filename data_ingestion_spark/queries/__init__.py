@@ -132,6 +132,7 @@ _PRIORITY = [
     "rbo_rankings_embeddings",
     "kfold_balance_docs",
     "anova_f_sources",
+    "forecast_mase_events",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

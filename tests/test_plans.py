@@ -910,3 +910,10 @@ def test_round9_batch10_plan_shapes(spark):
         assert "ArrowEvalPython" not in plan, name
     anova = plan_of(spark, "anova_f_sources")
     assert "partial" in anova.lower()  # map-side combine before the shuffle
+
+
+def test_forecast_mase_plan_shape(spark):
+    plan = plan_of(spark, "forecast_mase_events")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

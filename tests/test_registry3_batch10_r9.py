@@ -123,3 +123,31 @@ def test_anova_f_matches_python(spark):
     # variance decomposition sanity: SSB + SSW = total SS (scaled)
     mean_term = (t_tot * t_tot * 1000000) // n_tot
     assert ssb + ssw == ssq * 1000000 - mean_term
+
+
+def test_forecast_mase_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import forecast_mase_events
+
+    got = {r["event_type"]: r for r in forecast_mase_events(
+        spark, SF
+    ).collect()}
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf["d"] = (pdf["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    for et, grp in pdf.groupby("event_type"):
+        daily = grp.groupby("d").size().to_dict()
+        sae7 = n7 = sae1 = n1 = 0
+        for d, c in daily.items():
+            if d - 7 in daily:
+                sae7 += abs(c - daily[d - 7])
+                n7 += 1
+            if d - 1 in daily:
+                sae1 += abs(c - daily[d - 1])
+                n1 += 1
+        r = got[et]
+        assert (r["n7"], r["sae7"], r["n1"], r["sae1"]) == (
+            n7, sae7, n1, sae1,
+        )
+        if sae1 == 0:
+            assert r["mase_micro"] is None
+        else:
+            assert r["mase_micro"] == (sae7 * n1 * 1000000) // (sae1 * n7)
