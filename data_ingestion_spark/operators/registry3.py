@@ -4069,3 +4069,203 @@ ORDER BY e7.event_type
 """
 
 QUERIES["forecast_mase_events"] = (forecast_mase_events, FORECAST_MASE_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out data valuation per source
+# --------------------------------------------------------------------------
+def loo_source_value_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out data valuation (the Shapley family's exactly-
+    computable member, Ghorbani & Zou ICML'19 framing): each source's
+    contribution to a corpus metric, measured as what the metric does
+    when the source is REMOVED — delta_s = mean_without_s − mean_with,
+    here over the quality proxy (chars/doc). Positive delta = the corpus
+    improves without it: the defensible first pass at 'which sources
+    earn their ingest cost'. Exact integers: mean_without = (T − T_s)·
+    1e6/(N − n_s) is one decimal division per source off the SAME
+    per-source moments agg — the whole valuation is one corpus pass +
+    a |sources|-row tail, against the naive re-aggregate-per-source
+    O(|sources|·corpus). Ordered by delta descending (cut candidates
+    first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("n_chars").cast("long").alias("t_s"),
+    )
+    tot = per.agg(
+        F.sum("n_s").cast("long").alias("n_tot"),
+        F.sum("t_s").cast("long").alias("t_tot"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.expr(
+                "CAST((CAST(t_tot AS DECIMAL(38,0)) * 1000000) div n_tot"
+                " AS LONG)"
+            ).alias("mean_with_micro"),
+            F.expr(
+                "CAST((CAST(t_tot - t_s AS DECIMAL(38,0)) * 1000000)"
+                " div (n_tot - n_s) AS LONG)"
+            ).alias("mean_without_micro"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "mean_with_micro",
+            "mean_without_micro",
+            (F.col("mean_without_micro") - F.col("mean_with_micro"))
+            .cast("long")
+            .alias("loo_delta_micro"),
+        )
+        .orderBy(F.col("loo_delta_micro").desc(), F.col("source").asc())
+    )
+
+
+LOO_SOURCE_VALUE_DOCS_SQL = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_s, sum(n_chars)::BIGINT AS t_s
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_s)::BIGINT AS n_tot, sum(t_s)::BIGINT AS t_tot FROM per
+)
+SELECT source, n_s AS n_docs,
+       ((t_tot::HUGEINT * 1000000) // n_tot)::BIGINT AS mean_with_micro,
+       (((t_tot - t_s)::HUGEINT * 1000000) // (n_tot - n_s))::BIGINT
+         AS mean_without_micro,
+       ((((t_tot - t_s)::HUGEINT * 1000000) // (n_tot - n_s))
+        - ((t_tot::HUGEINT * 1000000) // n_tot))::BIGINT
+         AS loo_delta_micro
+FROM per, tot
+ORDER BY loo_delta_micro DESC, source ASC
+"""
+
+QUERIES["loo_source_value_docs"] = (
+    loo_source_value_docs,
+    LOO_SOURCE_VALUE_DOCS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Pairwise 1-D Wasserstein divergence between source length distributions
+# --------------------------------------------------------------------------
+def wasserstein_pairs_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise earth-mover's distance between per-source length
+    distributions — the divergence MATRIX t_closeness's class-vs-global
+    audit doesn't give: which two sources are most unlike each other
+    (mixture design cares about pairwise redundancy, not just global
+    fit). Ordered 1-D EMD closed form over the shared n_chars-div-200
+    buckets: W1 = Σ_b |cumP_a − cumP_b| / (B−1), exact scaled integers
+    (cum_a·n_b − cum_b·n_a over n_a·n_b·(B−1), DECIMAL/HUGEINT). The
+    corpus collapses in ONE (source, bucket) count agg; the pairwise
+    matrix runs on |sources|²·|buckets| metadata rows (grid crossJoin,
+    broadcast). Top-10 most-divergent pairs, fully tie-broken."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select("source", F.expr("n_chars div 200").alias("b"))
+    counts = per.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    buckets = per.select("b").distinct()
+    nb = buckets.agg(F.count(F.lit(1)).cast("long").alias("n_bkt"))
+    grid = (
+        totals.crossJoin(F.broadcast(buckets))
+        .join(counts, ["source", "b"], "left")
+        .select(
+            "source",
+            "n",
+            "b",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wcum = (
+        W.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cums = grid.select(
+        "source", "n", "b", F.sum("c").over(wcum).cast("long").alias("cum")
+    )
+    a = cums.select(
+        F.col("source").alias("src_a"),
+        F.col("n").alias("n_a"),
+        "b",
+        F.col("cum").alias("cum_a"),
+    )
+    bb = cums.select(
+        F.col("source").alias("src_b"),
+        F.col("n").alias("n_b"),
+        "b",
+        F.col("cum").alias("cum_b"),
+    )
+    pairs = (
+        a.join(bb, "b")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(
+                F.abs(
+                    F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+                )
+            ).alias("sd"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(
+                "CAST((sd * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b"
+                " * greatest(n_bkt - 1, 1)) AS LONG)"
+            ).alias("w1_micro"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("w1_micro").desc(), F.col("src_a").asc(), F.col("src_b").asc()
+    ).limit(10)
+
+
+WASSERSTEIN_PAIRS_SOURCES_SQL = """
+WITH per AS (
+  SELECT source, n_chars // 200 AS b FROM documents
+), counts AS (
+  SELECT source, b, count(*)::BIGINT AS c FROM per GROUP BY 1, 2
+), totals AS (
+  SELECT source, count(*)::BIGINT AS n FROM per GROUP BY 1
+), buckets AS (SELECT DISTINCT b FROM per),
+nb AS (SELECT count(*)::BIGINT AS n_bkt FROM buckets),
+grid AS (
+  SELECT t.source, t.n, bk.b, coalesce(c.c, 0)::BIGINT AS c
+  FROM totals t CROSS JOIN buckets bk
+  LEFT JOIN counts c ON c.source = t.source AND c.b = bk.b
+), cums AS (
+  SELECT source, n, b,
+         sum(c) OVER (PARTITION BY source ORDER BY b
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM grid
+), pairs AS (
+  SELECT x.source AS src_a, y.source AS src_b,
+         max(x.n) AS n_a, max(y.n) AS n_b,
+         sum(abs(x.cum::HUGEINT * y.n - y.cum::HUGEINT * x.n))::HUGEINT AS sd
+  FROM cums x JOIN cums y ON x.b = y.b AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       ((sd * 1000000) // (n_a::HUGEINT * n_b
+        * greatest((SELECT n_bkt FROM nb) - 1, 1)))::BIGINT AS w1_micro
+FROM pairs
+ORDER BY w1_micro DESC, src_a ASC, src_b ASC
+LIMIT 10
+"""
+
+QUERIES["wasserstein_pairs_sources"] = (
+    wasserstein_pairs_sources,
+    WASSERSTEIN_PAIRS_SOURCES_SQL,
+)

@@ -917,3 +917,11 @@ def test_forecast_mase_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_round9_wave10_plan_shapes(spark):
+    for name in ["loo_source_value_docs", "wasserstein_pairs_sources"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

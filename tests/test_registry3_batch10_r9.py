@@ -151,3 +151,59 @@ def test_forecast_mase_matches_python(spark):
             assert r["mase_micro"] is None
         else:
             assert r["mase_micro"] == (sae7 * n1 * 1000000) // (sae1 * n7)
+
+
+def test_loo_source_value_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import loo_source_value_docs
+
+    got = {r["source"]: r for r in loo_source_value_docs(spark, SF).collect()}
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    n_tot = len(pdf)
+    t_tot = int(pdf["n_chars"].sum())
+    mean_with = (t_tot * 1000000) // n_tot
+    for source, grp in pdf.groupby("source"):
+        t_s, n_s = int(grp["n_chars"].sum()), len(grp)
+        without = ((t_tot - t_s) * 1000000) // (n_tot - n_s)
+        r = got[source]
+        assert r["mean_with_micro"] == mean_with
+        assert r["mean_without_micro"] == without
+        assert r["loo_delta_micro"] == without - mean_with
+    # conservation-ish: deltas cannot all share one sign (removals must
+    # move the mean both ways unless every source is identical)
+    signs = {r["loo_delta_micro"] > 0 for r in got.values()}
+    assert len(signs) == 2 or all(
+        r["loo_delta_micro"] == 0 for r in got.values()
+    )
+
+
+def test_wasserstein_pairs_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import (
+        wasserstein_pairs_sources,
+    )
+
+    got = [(r["src_a"], r["src_b"], r["w1_micro"])
+           for r in wasserstein_pairs_sources(spark, SF).collect()]
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    pdf["b"] = pdf["n_chars"] // 200
+    buckets = sorted(pdf["b"].unique())
+    by_src = {
+        s: grp.groupby("b").size().to_dict()
+        for s, grp in pdf.groupby("source")
+    }
+    n = {s: sum(d.values()) for s, d in by_src.items()}
+    pairs = []
+    srcs = sorted(by_src)
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            sa, sb = srcs[i], srcs[j]
+            ca = cb = sd = 0
+            for b in buckets:
+                ca += by_src[sa].get(b, 0)
+                cb += by_src[sb].get(b, 0)
+                sd += abs(ca * n[sb] - cb * n[sa])
+            w1 = (sd * 1000000) // (
+                n[sa] * n[sb] * max(len(buckets) - 1, 1)
+            )
+            pairs.append((sa, sb, w1))
+    pairs.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == pairs[:10]
