@@ -4269,3 +4269,126 @@ QUERIES["wasserstein_pairs_sources"] = (
     wasserstein_pairs_sources,
     WASSERSTEIN_PAIRS_SOURCES_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Exact-k stratified sample (deterministic hash order per stratum)
+# --------------------------------------------------------------------------
+def stratified_exact_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k per-stratum sampling: keep exactly min(k, n) documents per
+    language by deterministic md5 rank — the eval-set constructor where
+    rate-based sampling (sample_docs_hash, temperature gates) is wrong
+    because it over/under-shoots per stratum and k-per-class is the
+    contract (few-shot pools, per-language eval suites, labeling
+    budgets). The hash order makes the SAME k documents win on any
+    cluster layout or rerun; ties are impossible (60-bit hash, doc_id
+    tie-break anyway). One keyed rank window per stratum — the per-key
+    sort every exact-k sampler pays; k = 25 here. Emitted with the rank
+    so downstream can take nested prefixes (k' < k) without
+    resampling — the property rate gates can't give."""
+    from pyspark.sql import Window as W
+
+    from ..functions import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        md5_hash60(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= 25)
+        .orderBy("lang", "pick_rank")
+    )
+
+
+STRATIFIED_EXACT_K_DOCS_SQL = """
+SELECT doc_id, lang, source, pick_rank FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                    ASC, doc_id ASC
+         )::BIGINT AS pick_rank
+  FROM documents
+) WHERE pick_rank <= 25
+ORDER BY lang, pick_rank
+"""
+
+QUERIES["stratified_exact_k_docs"] = (
+    stratified_exact_k_docs,
+    STRATIFIED_EXACT_K_DOCS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Dedup review queue: the borderline band below the auto-dedup threshold
+# --------------------------------------------------------------------------
+def dedup_review_queue_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-in-the-loop dedup triage: the pairs in the BORDERLINE
+    Jaccard band [τ_lo, 0.3) — below the auto-dedup threshold
+    dedup_jaccard_pairs_docs acts on at 0.3, above the noise floor —
+    ordered worst-first. Every production dedup runs this two-threshold
+    policy (act above τ_hi, queue [τ_lo, τ_hi) for review, ignore
+    below); the queue is where threshold-tuning evidence comes from.
+    τ_lo = 0.02 here: the synthetic fixture is bimodal (planted twins ≥
+    0.96, background ≤ 0.05 — measured), so the production-style
+    0.2-ish floor would make the queue vacuously empty; on a real
+    corpus set τ_lo ≈ 0.7·τ_hi. Reuses the shared AllPairs/PPJoin
+    machinery at τ_lo; the emitted queue is the top-50 of the band,
+    worst-first, fully tie-broken."""
+    from . import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
+        k=3,
+        threshold=0.02,
+    )
+    return (
+        pairs.filter(F.col("jaccard") < 0.3)
+        .orderBy(
+            F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(50)
+    )
+
+
+DEDUP_REVIEW_QUEUE_DOCS_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars // 200 AS bucket,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ) AS shingles
+  FROM (SELECT doc_id, lang, n_chars,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), nonempty AS (
+  SELECT * FROM base WHERE len(shingles) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+         AS jaccard
+FROM nonempty a
+JOIN nonempty b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+      >= 0.02
+  AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+      < 0.3
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT 50
+"""
+
+QUERIES["dedup_review_queue_docs"] = (
+    dedup_review_queue_docs,
+    DEDUP_REVIEW_QUEUE_DOCS_SQL,
+)

@@ -1497,3 +1497,57 @@ def nb_classify(df: DataFrame, id_col: str, label_col: str, text_col: str) -> Da
             "score_micro",
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio in micros — the
+    model-free repetitiveness signal LLM-data pipelines run beside the
+    Gopher token heuristics (highly compressible ⇒ boilerplate/repeats;
+    near-incompressible ⇒ random noise; natural prose sits in a known
+    band — used as a quality gate by e.g. the RefinedWeb/Dolma recipes).
+
+    Arrow ``mapInPandas`` tier (the bpe_encode/classifier_scores
+    pattern): zlib is stdlib and DEFLATE at a fixed level is
+    deterministic for a given library version, so the column is
+    reproducible across runs of the same image; the ratio is emitted as
+    the integer 1e6·compressed/raw. Zero shuffles — a narrow
+    per-partition pass; no SQL oracle exists for DEFLATE, so this tier
+    is pytest-pinned (known-repetitive vs known-random fixtures) rather
+    than oracle-paired, like the codec tiers.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("raw_bytes", T.LongType()),
+            T.StructField("compressed_bytes", T.LongType()),
+            T.StructField("ratio_micro", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            ids, raws, comps, ratios = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                b = (t or "").encode("utf-8")
+                c = len(zlib.compress(b, level)) if b else 0
+                ids.append(int(i))
+                raws.append(len(b))
+                comps.append(c)
+                ratios.append((1000000 * c) // len(b) if b else 0)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "raw_bytes": raws,
+                    "compressed_bytes": comps,
+                    "ratio_micro": ratios,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)

@@ -135,6 +135,8 @@ _PRIORITY = [
     "forecast_mase_events",
     "loo_source_value_docs",
     "wasserstein_pairs_sources",
+    "stratified_exact_k_docs",
+    "dedup_review_queue_docs",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

@@ -925,3 +925,13 @@ def test_round9_wave10_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_round9_wave11_plan_shapes(spark):
+    """Exact-k sample: one keyed rank window; review queue: the shared
+    AllPairs machinery at the low threshold, no cartesian."""
+    for name in ["stratified_exact_k_docs", "dedup_review_queue_docs"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

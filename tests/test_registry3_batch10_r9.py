@@ -207,3 +207,39 @@ def test_wasserstein_pairs_matches_python(spark):
             pairs.append((sa, sb, w1))
     pairs.sort(key=lambda t: (-t[2], t[0], t[1]))
     assert got == pairs[:10]
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below random text; prose sits in
+    between; values replay zlib exactly."""
+    import zlib
+
+    from data_ingestion_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),                                   # repetitive
+        (2, "".join(  # genuinely aperiodic noise (seeded)
+            __import__("random").Random(0).choices(
+                [chr(33 + i) for i in range(90)], k=1000
+            )
+        )),
+        (3, "the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet field toward the river " * 4),
+        (4, ""),                                              # empty guard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in compression_ratio(
+        df, "doc_id", "text"
+    ).collect()}
+    for i, t in rows:
+        b = t.encode()
+        assert got[i]["raw_bytes"] == len(b)
+        if b:
+            c = len(zlib.compress(b, 6))
+            assert got[i]["compressed_bytes"] == c
+            assert got[i]["ratio_micro"] == (1000000 * c) // len(b)
+        else:
+            assert got[i]["ratio_micro"] == 0
+    assert got[1]["ratio_micro"] < 100000          # boilerplate band
+    assert got[2]["ratio_micro"] > 700000          # noise band
+    assert 100000 < got[3]["ratio_micro"] < 700000  # prose band
