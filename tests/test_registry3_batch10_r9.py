@@ -243,3 +243,66 @@ def test_compression_ratio_signal(spark):
     assert got[1]["ratio_micro"] < 100000          # boilerplate band
     assert got[2]["ratio_micro"] > 700000          # noise band
     assert 100000 < got[3]["ratio_micro"] < 700000  # prose band
+
+
+def test_assoc_triples_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import (
+        assoc_triples_lineitem,
+    )
+
+    got = [(r["a"], r["b"], r["c"], r["n_abc"], r["support_micro"])
+           for r in assoc_triples_lineitem(spark, SF).collect()]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    baskets: dict = {}
+    for bid, item in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(int(bid), set()).add(int(item))
+    nb = len(baskets)
+    floor = max(2, nb // 10000)
+    item_c: dict = {}
+    for s in baskets.values():
+        for i in s:
+            item_c[i] = item_c.get(i, 0) + 1
+    freq = {i for i, c in item_c.items() if c >= floor}
+    pair_c: dict = {}
+    for s in baskets.values():
+        ss = sorted(i for i in s if i in freq)
+        for x in range(len(ss)):
+            for y in range(x + 1, len(ss)):
+                pair_c[(ss[x], ss[y])] = pair_c.get((ss[x], ss[y]), 0) + 1
+    pairs = {p for p, c in pair_c.items() if c >= floor}
+    tri_c: dict = {}
+    for s in baskets.values():
+        ss = sorted(i for i in s if i in freq)
+        for x in range(len(ss)):
+            for y in range(x + 1, len(ss)):
+                if (ss[x], ss[y]) not in pairs:
+                    continue
+                for z in range(y + 1, len(ss)):
+                    t = (ss[x], ss[y], ss[z])
+                    if (ss[x], ss[z]) in pairs and (ss[y], ss[z]) in pairs:
+                        tri_c[t] = tri_c.get(t, 0) + 1
+    expect = sorted(
+        ((a, b, c, n, (1000000 * n) // nb)
+         for (a, b, c), n in tri_c.items() if n >= floor),
+        key=lambda t: (-t[3], t[0], t[1], t[2]),
+    )[:20]
+    assert got == expect
+
+
+def test_rolling_wau_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import rolling_wau_events
+
+    got = {r["d"]: r for r in rolling_wau_events(spark, SF).collect()}
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf["d"] = (pdf["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    active = {(int(u), int(d)) for u, d in zip(pdf["user_id"], pdf["d"])}
+    days = sorted({d for _, d in active})
+    for d in days:
+        dau = len({u for u, dd in active if dd == d})
+        wau = len({u for u, dd in active if d - 6 <= dd <= d})
+        r = got[d]
+        assert r["dau"] == dau
+        assert r["wau"] == wau
+        assert r["stickiness_micro"] == (1000000 * dau) // wau
+        assert dau <= wau  # sliding window dominates its last day
+    assert set(got) == set(days)
