@@ -4607,3 +4607,178 @@ ORDER BY w.d
 """
 
 QUERIES["rolling_wau_events"] = (rolling_wau_events, ROLLING_WAU_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact MAD (median absolute deviation) per event type
+# --------------------------------------------------------------------------
+def mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust scale
+    estimator (50% breakdown point) that completes the robust family
+    next to the IQR fences (robust_scale_events): MAD = median(|x −
+    median(x)|), both medians exact (the correctness-anchor tier; at
+    100 TB both become approx_percentile, the percentile_lineitem
+    disclosure). Values work in exact cents; the deviation median runs
+    over |x − med| cent integers so the interpolated midpoint is at
+    worst a .5 — frozen by the shared ×100 emission. Also emitted: the
+    3.5·MAD outlier count (the Iglewicz-Hoaglin cut), computed with
+    integer cross-multiplication (7·|dev| > 2·10·MAD avoids any float
+    threshold). Two grouped percentile buffers + one count agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_c")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_c",
+        F.abs(F.col("cents") - F.col("med_c")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med_c").alias("med_c"),
+        F.expr("percentile(adev, 0.5)").alias("mad_c"),
+    )
+    out = (
+        dev.select("event_type", "adev")
+        .join(F.broadcast(mad.select("event_type", "mad_c")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            # |dev| > 3.5/0.6745 * MAD  <=>  6745 * dev > 35000 * MAD
+            F.sum(
+                (
+                    F.lit(6745) * F.col("adev")
+                    > F.lit(35000) * F.col("mad_c")
+                ).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+    return (
+        out.join(mad, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            F.expr("CAST(floor(med_c * 100 + 0.5) AS BIGINT)").alias(
+                "median_centi_cents"
+            ),
+            F.expr("CAST(floor(mad_c * 100 + 0.5) AS BIGINT)").alias(
+                "mad_centi_cents"
+            ),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_EVENTS_SQL = """
+WITH ev AS (
+  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS cents FROM events
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med_c
+  FROM ev GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med_c, abs(e.cents - m.med_c) AS adev
+  FROM ev e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, max(med_c) AS med_c,
+         quantile_cont(adev, 0.5) AS mad_c
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, count(*)::BIGINT AS n_rows,
+       floor(max(m.med_c) * 100 + 0.5)::BIGINT AS median_centi_cents,
+       floor(max(m.mad_c) * 100 + 0.5)::BIGINT AS mad_centi_cents,
+       sum((6745 * d.adev > 35000 * m.mad_c)::BIGINT)::BIGINT AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+QUERIES["mad_events"] = (mad_events, MAD_EVENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Data-contract validation battery over documents
+# --------------------------------------------------------------------------
+def data_contract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation for the documents table — the typed
+    upgrade of dq_checks_star_schema's referential battery: per contract
+    rule one (rule, n_violations) row, all partial-aggregated, including
+    the CROSS-FIELD consistency rule (n_chars must equal length(text))
+    that catches the classic stale-derived-column bug no single-column
+    profiler sees. Rules: pk unique, pk non-null, lang in its declared
+    enum domain, n_chars in (0, 10^6], text non-null, n_chars ==
+    length(text). One scan, conditional-count aggregation; violations
+    never leave the executors except as per-rule scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = "('en','de','fr','es','it','pt','nl','pl','ru','ja','zh','ko','ar','hi','tr','sv','da','fi','no','cs')"
+    agg = docs.agg(
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).cast("long").alias(
+            "pk_dup"
+        ),
+        F.sum(F.col("doc_id").isNull().cast("long")).cast("long").alias(
+            "pk_null"
+        ),
+        F.sum(
+            (~F.expr(f"lang IN {langs}")).cast("long")
+        ).cast("long").alias("lang_enum"),
+        F.sum(
+            ((F.col("n_chars") <= 0) | (F.col("n_chars") > 1000000)).cast(
+                "long"
+            )
+        ).cast("long").alias("chars_range"),
+        F.sum(F.col("text").isNull().cast("long")).cast("long").alias(
+            "text_null"
+        ),
+        F.sum(
+            (F.col("n_chars") != F.length("text")).cast("long")
+        ).cast("long").alias("chars_consistent"),
+    )
+    rules = [
+        ("doc_id_unique", "pk_dup"),
+        ("doc_id_not_null", "pk_null"),
+        ("lang_in_enum", "lang_enum"),
+        ("n_chars_in_range", "chars_range"),
+        ("text_not_null", "text_null"),
+        ("n_chars_matches_text_length", "chars_consistent"),
+    ]
+    sel = ", ".join(
+        f"struct('{name}' AS rule, {col} AS n_violations)"
+        for name, col in rules
+    )
+    return (
+        agg.select(F.expr(f"explode(array({sel}))").alias("r"))
+        .select(
+            "r.rule",
+            F.col("r.n_violations").cast("long").alias("n_violations"),
+        )
+        .orderBy("rule")
+    )
+
+
+DATA_CONTRACT_DOCS_SQL = """
+WITH agg AS (
+  SELECT (count(*) - count(DISTINCT doc_id))::BIGINT AS pk_dup,
+         sum((doc_id IS NULL)::BIGINT)::BIGINT AS pk_null,
+         sum((lang NOT IN ('en','de','fr','es','it','pt','nl','pl','ru',
+              'ja','zh','ko','ar','hi','tr','sv','da','fi','no','cs'))
+             ::BIGINT)::BIGINT AS lang_enum,
+         sum((n_chars <= 0 OR n_chars > 1000000)::BIGINT)::BIGINT
+           AS chars_range,
+         sum((text IS NULL)::BIGINT)::BIGINT AS text_null,
+         sum((n_chars <> length(text))::BIGINT)::BIGINT AS chars_consistent
+  FROM documents
+)
+SELECT 'doc_id_unique' AS rule, pk_dup AS n_violations FROM agg
+UNION ALL SELECT 'doc_id_not_null', pk_null FROM agg
+UNION ALL SELECT 'lang_in_enum', lang_enum FROM agg
+UNION ALL SELECT 'n_chars_in_range', chars_range FROM agg
+UNION ALL SELECT 'text_not_null', text_null FROM agg
+UNION ALL SELECT 'n_chars_matches_text_length', chars_consistent FROM agg
+ORDER BY rule
+"""
+
+QUERIES["data_contract_docs"] = (data_contract_docs, DATA_CONTRACT_DOCS_SQL)

@@ -139,6 +139,8 @@ _PRIORITY = [
     "dedup_review_queue_docs",
     "assoc_triples_lineitem",
     "rolling_wau_events",
+    "mad_events",
+    "data_contract_docs",
     # The 18 remaining r3-era names — they lead the ROUND-10 window
     # together with any r9-late additions (new queries can only earn a
     # driver row in-window, and this round's 50 slots are spoken for):

@@ -943,3 +943,13 @@ def test_round9_wave12_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_round9_wave13_plan_shapes(spark):
+    for name in ["mad_events", "data_contract_docs"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    dc = plan_of(spark, "data_contract_docs")
+    assert "partial" in dc.lower()  # one conditional-count agg, combined

@@ -306,3 +306,59 @@ def test_rolling_wau_matches_python(spark):
         assert r["stickiness_micro"] == (1000000 * dau) // wau
         assert dau <= wau  # sliding window dominates its last day
     assert set(got) == set(days)
+
+
+def test_mad_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import mad_events
+
+    got = {r["event_type"]: r for r in mad_events(spark, SF).collect()}
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf["cents"] = pdf["value"].map(lambda v: math.floor(v * 100 + 0.5))
+
+    def median(vals):
+        v = sorted(vals)
+        n = len(v)
+        return (v[n // 2 - 1] + v[n // 2]) / 2 if n % 2 == 0 else float(
+            v[n // 2]
+        )
+
+    for et, grp in pdf.groupby("event_type"):
+        cents = [int(c) for c in grp["cents"]]
+        med = median(cents)
+        adev = [abs(c - med) for c in cents]
+        mad = median(adev)
+        outl = sum(1 for d in adev if 6745 * d > 35000 * mad)
+        r = got[et]
+        assert r["n_rows"] == len(cents)
+        assert r["median_centi_cents"] == math.floor(med * 100 + 0.5)
+        assert r["mad_centi_cents"] == math.floor(mad * 100 + 0.5)
+        assert r["n_outliers"] == outl
+
+
+def test_data_contract_clean_fixture_and_planted_violations(spark, tmp_path):
+    from data_ingestion_spark.operators.registry3 import data_contract_docs
+
+    clean = {r["rule"]: r["n_violations"]
+             for r in data_contract_docs(spark, SF).collect()}
+    assert set(clean) == {
+        "doc_id_unique", "doc_id_not_null", "lang_in_enum",
+        "n_chars_in_range", "text_not_null", "n_chars_matches_text_length",
+    }
+    assert all(v == 0 for v in clean.values()), clean
+    rows = [
+        (1, "hello", "en", "s", 5),
+        (1, "world", "en", "s", 5),      # dup pk
+        (2, "abc", "xx", "s", 3),        # bad lang enum
+        (3, "abcd", "en", "s", 99),      # stale derived n_chars
+        (4, "ok", "en", "s", 0),         # out-of-range n_chars (and stale)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    bad = {r["rule"]: r["n_violations"]
+           for r in data_contract_docs(spark, str(tmp_path)).collect()}
+    assert bad["doc_id_unique"] == 1
+    assert bad["lang_in_enum"] == 1
+    assert bad["n_chars_matches_text_length"] == 2
+    assert bad["n_chars_in_range"] == 1
