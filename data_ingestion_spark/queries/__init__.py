@@ -90,10 +90,12 @@ _PRIORITY = [
     "knn_ivf_exact_topk",
     "llm_data_pipeline_docs",
     # ---- driver window cutoff (first 50 above) ----
-    # r9-late additions below the cutoff — locally 3-SF-verified; they
-    # lead the ROUND-10 window together with the 18 remaining r3-era
-    # names (new queries can only earn a driver row in-window, and this
-    # round's 50 slots are spoken for):
+    # r9-late additions below the cutoff (42 operators across the r9
+    # build waves, in landing order) — each locally verified at 2-3 SFs
+    # by tools/check_oracle.py plus pure-Python replay tests; they lead
+    # the ROUND-10 window together with the 18 remaining r3-era names
+    # (new queries can only earn a driver row in-window, and this
+    # round's 50 slots were spoken for):
     "compaction_plan_docs",
     "l_diversity_docs",
     "seasonality_dow_events",
@@ -141,9 +143,9 @@ _PRIORITY = [
     "rolling_wau_events",
     "mad_events",
     "data_contract_docs",
-    # The 18 remaining r3-era names — they lead the ROUND-10 window
-    # together with any r9-late additions (new queries can only earn a
-    # driver row in-window, and this round's 50 slots are spoken for):
+    # The 18 remaining r3-era names — round-10 window candidates after
+    # the r9-late block above (more candidates than one 50-slot window
+    # holds; r10 should take the 30 oldest-unchecked first):
     "map_functions_events",
     "mix_corpus_docs",
     "pagerank_supplier_graph",
