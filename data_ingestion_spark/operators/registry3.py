@@ -4782,3 +4782,273 @@ ORDER BY rule
 """
 
 QUERIES["data_contract_docs"] = (data_contract_docs, DATA_CONTRACT_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Int8 serving recall QC (quantized ranking vs exact cosine)
+# --------------------------------------------------------------------------
+def int8_recall_qc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier QC for the int8 quantization the repo already ships
+    (quantize_embeddings): rank by the pure-INTEGER dot product of the
+    SQ8 codes and measure recall@10 against the exact cosine ranking —
+    the number that decides whether 4× cheaper vectors are allowed to
+    serve. The integer dot (≤ 64·127² per pair, no floats anywhere in
+    the ranking) is exactly what an int8 SIMD kernel computes; per-vector
+    absmax scales mean the quantized ranking is only cosine-like, which
+    is precisely the approximation being measured. 3 query vectors,
+    top-10 both sides, overlap and recall in exact micros — the
+    measured-error discipline of the sketch family applied to the
+    quantization tier."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector_functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    staged = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.greatest(
+                F.array_max(F.transform(xq, lambda v: F.abs(v))),
+                F.lit(1e-12),
+            )
+            / F.lit(127.0)
+        ).alias("_scale"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.transform(F.col("embedding"), lambda v: v.cast("double")),
+            lambda v: F.floor(v / F.col("_scale") + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    staged = staged.localCheckpoint(eager=True)
+    qside = staged.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("q").alias("qq"),
+    )
+    pairs = staged.crossJoin(F.broadcast(qside)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    int8dot = F.expr(
+        "aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        int8dot.alias("dot_i8"),
+        F.round(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias(
+            "cos"
+        ),
+    )
+    w8 = W.partitionBy("qid").orderBy(
+        F.col("dot_i8").desc(), F.col("doc_id").asc()
+    )
+    wex = W.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("doc_id").asc()
+    )
+    top8 = scored.withColumn("r8", F.row_number().over(w8)).filter(
+        F.col("r8") <= 10
+    ).select("qid", "doc_id")
+    topex = scored.withColumn("rx", F.row_number().over(wex)).filter(
+        F.col("rx") <= 10
+    ).select("qid", "doc_id")
+    return (
+        top8.join(topex, ["qid", "doc_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            "qid",
+            "n_overlap",
+            F.expr("(1000000 * n_overlap) div 10").cast("long").alias(
+                "recall_micro"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+INT8_RECALL_QC_EMBEDDINGS_SQL = """
+WITH staged AS (
+  SELECT vec_id, embedding,
+         list_transform(
+           list_transform(embedding, v -> v::DOUBLE),
+           v -> floor(v / (greatest(list_max(list_transform(embedding,
+                u -> abs(u::DOUBLE))), 1e-12) / 127.0) + 0.5)::BIGINT
+         ) AS q
+  FROM embeddings
+), qside AS (
+  SELECT vec_id AS qid, embedding AS qv, q AS qq FROM staged
+  WHERE vec_id < 3
+), scored AS (
+  SELECT s.vec_id AS doc_id, x.qid,
+         list_sum(list_transform(generate_series(1, 64),
+                  i -> s.q[i] * x.qq[i]))::BIGINT AS dot_i8,
+         round(list_cosine_similarity(x.qv::DOUBLE[],
+               s.embedding::DOUBLE[]), 6) AS cos
+  FROM staged s CROSS JOIN qside x
+  WHERE s.vec_id <> x.qid
+), top8 AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             ORDER BY dot_i8 DESC, doc_id ASC) AS r FROM scored
+  ) WHERE r <= 10
+), topex AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             ORDER BY cos DESC, doc_id ASC) AS r FROM scored
+  ) WHERE r <= 10
+)
+SELECT t.qid, count(*)::BIGINT AS n_overlap,
+       ((1000000 * count(*)) // 10)::BIGINT AS recall_micro
+FROM top8 t JOIN topex e ON t.qid = e.qid AND t.doc_id = e.doc_id
+GROUP BY t.qid
+ORDER BY t.qid
+"""
+
+QUERIES["int8_recall_qc_embeddings"] = (
+    int8_recall_qc_embeddings,
+    INT8_RECALL_QC_EMBEDDINGS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center coreset selection (data pruning for training)
+# --------------------------------------------------------------------------
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the geometric
+    backbone of coreset-based data pruning à la Sener-Savarese active
+    learning): start from the lowest-id vector, then 3 rounds of 'next
+    center = the point FARTHEST from every selected center' (squared-L2,
+    ties to the lower id). Greedy k-center is a 2-approximation of the
+    optimal cover — the selected 4 points are the corpus's own most
+    mutually-distant representatives, and the emitted coverage radius
+    after each pick (max over the corpus of min-distance-to-centers,
+    micros) is the quantity a pruning budget negotiates against. Each
+    round is one narrow literal-distance map + one TakeOrdered argmax
+    (one row to the driver per round — the kmeans centroid discipline);
+    the oracle unrolls all three rounds in SQL. d² expands via the
+    shared left-fold kernels."""
+    from . import similarity
+    from .similarity import _sql_dot, _sql_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xx = (
+        "aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+    def d2_expr(c: list) -> str:
+        return (
+            f"({xx}) - 2.0D * ({_sql_dot('embedding', c)})"
+            f" + ({_sql_dot(_sql_double_array(c), c)})"
+        )
+
+    first = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
+    centers = [(int(first["vec_id"]), [float(v) for v in first["embedding"]])]
+    out_rows = []
+    for rnd in range(4):
+        exprs = [d2_expr(c) for _, c in centers]
+        mind = exprs[0] if len(exprs) == 1 else f"least({', '.join(exprs)})"
+        scored = emb.select(
+            "vec_id", F.expr(mind).alias("min_d2")
+        )
+        far = (
+            scored.orderBy(F.col("min_d2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        radius_micro = int(
+            __import__("math").floor(float(far["min_d2"]) * 1e6 + 0.5)
+        )
+        out_rows.append((rnd, centers[-1][0], radius_micro))
+        if rnd < 3:
+            nxt = emb.filter(F.col("vec_id") == int(far["vec_id"])).select(
+                "vec_id", "embedding"
+            ).collect()[0]
+            centers.append(
+                (int(nxt["vec_id"]), [float(v) for v in nxt["embedding"]])
+            )
+    return spark.createDataFrame(
+        out_rows, "round int, center_id long, coverage_radius_micro long"
+    ).orderBy("round")
+
+
+KCENTER_CORESET_EMBEDDINGS_SQL = """
+WITH c0 AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+), xd AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x
+  FROM embeddings
+), d0 AS (
+  SELECT xd.vec_id,
+         list_inner_product(xd.x, xd.x)
+         - 2.0 * list_inner_product(xd.x,
+             list_transform((SELECT embedding FROM c0), v -> v::DOUBLE))
+         + list_inner_product(
+             list_transform((SELECT embedding FROM c0), v -> v::DOUBLE),
+             list_transform((SELECT embedding FROM c0), v -> v::DOUBLE))
+           AS md
+  FROM xd
+), s1 AS (
+  SELECT vec_id, md FROM d0 ORDER BY md DESC, vec_id ASC LIMIT 1
+), c1 AS (
+  SELECT list_transform(e.embedding, v -> v::DOUBLE) AS cv
+  FROM embeddings e JOIN s1 ON e.vec_id = s1.vec_id
+), d1 AS (
+  SELECT d0.vec_id,
+         least(d0.md,
+           list_inner_product(xd.x, xd.x)
+           - 2.0 * list_inner_product(xd.x, (SELECT cv FROM c1))
+           + list_inner_product((SELECT cv FROM c1), (SELECT cv FROM c1))
+         ) AS md
+  FROM d0 JOIN xd USING (vec_id)
+), s2 AS (
+  SELECT vec_id, md FROM d1 ORDER BY md DESC, vec_id ASC LIMIT 1
+), c2 AS (
+  SELECT list_transform(e.embedding, v -> v::DOUBLE) AS cv
+  FROM embeddings e JOIN s2 ON e.vec_id = s2.vec_id
+), d2_ AS (
+  SELECT d1.vec_id,
+         least(d1.md,
+           list_inner_product(xd.x, xd.x)
+           - 2.0 * list_inner_product(xd.x, (SELECT cv FROM c2))
+           + list_inner_product((SELECT cv FROM c2), (SELECT cv FROM c2))
+         ) AS md
+  FROM d1 JOIN xd USING (vec_id)
+), s3 AS (
+  SELECT vec_id, md FROM d2_ ORDER BY md DESC, vec_id ASC LIMIT 1
+), c3 AS (
+  SELECT list_transform(e.embedding, v -> v::DOUBLE) AS cv
+  FROM embeddings e JOIN s3 ON e.vec_id = s3.vec_id
+), d3 AS (
+  SELECT d2_.vec_id,
+         least(d2_.md,
+           list_inner_product(xd.x, xd.x)
+           - 2.0 * list_inner_product(xd.x, (SELECT cv FROM c3))
+           + list_inner_product((SELECT cv FROM c3), (SELECT cv FROM c3))
+         ) AS md
+  FROM d2_ JOIN xd USING (vec_id)
+)
+SELECT 0 AS round, (SELECT vec_id FROM c0)::BIGINT AS center_id,
+       (SELECT floor(max(md) * 1e6 + 0.5) FROM d0)::BIGINT
+         AS coverage_radius_micro
+UNION ALL
+SELECT 1, (SELECT vec_id FROM s1)::BIGINT,
+       (SELECT floor(max(md) * 1e6 + 0.5) FROM d1)::BIGINT
+UNION ALL
+SELECT 2, (SELECT vec_id FROM s2)::BIGINT,
+       (SELECT floor(max(md) * 1e6 + 0.5) FROM d2_)::BIGINT
+UNION ALL
+SELECT 3, (SELECT vec_id FROM s3)::BIGINT,
+       (SELECT floor(max(md) * 1e6 + 0.5) FROM d3)::BIGINT
+ORDER BY round
+"""
+
+QUERIES["kcenter_coreset_embeddings"] = (
+    kcenter_coreset_embeddings,
+    KCENTER_CORESET_EMBEDDINGS_SQL,
+)

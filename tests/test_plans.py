@@ -953,3 +953,11 @@ def test_round9_wave13_plan_shapes(spark):
         assert "ArrowEvalPython" not in plan, name
     dc = plan_of(spark, "data_contract_docs")
     assert "partial" in dc.lower()  # one conditional-count agg, combined
+
+
+def test_round9_wave14_plan_shapes(spark):
+    for name in ["int8_recall_qc_embeddings", "kcenter_coreset_embeddings"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

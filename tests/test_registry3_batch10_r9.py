@@ -362,3 +362,86 @@ def test_data_contract_clean_fixture_and_planted_violations(spark, tmp_path):
     assert bad["lang_in_enum"] == 1
     assert bad["n_chars_matches_text_length"] == 2
     assert bad["n_chars_in_range"] == 1
+
+
+def test_int8_recall_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import (
+        int8_recall_qc_embeddings,
+    )
+
+    got = {r["qid"]: r for r in int8_recall_qc_embeddings(
+        spark, SF
+    ).collect()}
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in pdf.itertuples()}
+
+    def quant(v):
+        scale = max(max(abs(x) for x in v), 1e-12) / 127.0
+        return [math.floor(x / scale + 0.5) for x in v]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    q = {d: quant(v) for d, v in vecs.items()}
+    for qid in (0, 1, 2):
+        cands = [d for d in vecs if d != qid]
+        top8 = sorted(
+            cands, key=lambda d: (-sum(a * b for a, b in zip(q[d], q[qid])), d)
+        )[:10]
+        nq = math.sqrt(dot(vecs[qid], vecs[qid]))
+        topex = sorted(
+            cands,
+            key=lambda d: (
+                -round(dot(vecs[qid], vecs[d])
+                       / (nq * math.sqrt(dot(vecs[d], vecs[d]))), 6),
+                d,
+            ),
+        )[:10]
+        ov = len(set(top8) & set(topex))
+        assert got[qid]["n_overlap"] == ov
+        assert got[qid]["recall_micro"] == (1000000 * ov) // 10
+        # int8 at 64 dims should not be catastrophic
+        assert ov >= 5
+
+
+def test_kcenter_matches_python(spark):
+    from data_ingestion_spark.operators.registry3 import (
+        kcenter_coreset_embeddings,
+    )
+
+    got = [(r["round"], r["center_id"], r["coverage_radius_micro"])
+           for r in kcenter_coreset_embeddings(spark, SF).collect()]
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in pdf.itertuples()}
+
+    def d2(a, b):
+        s = 0.0
+        xx = 0.0
+        xc = 0.0
+        cc = 0.0
+        for x, y in zip(a, b):
+            xx += x * x
+            xc += x * y
+            cc += y * y
+        return xx - 2.0 * xc + cc
+
+    centers = [min(vecs)]
+    expect = []
+    for rnd in range(4):
+        mind = {
+            v: min(d2(vecs[v], vecs[c]) for c in centers) for v in vecs
+        }
+        far = min(vecs, key=lambda v: (-mind[v], v))
+        radius = math.floor(max(mind.values()) * 1e6 + 0.5)
+        expect.append((rnd, centers[-1], radius))
+        if rnd < 3:
+            centers.append(far)
+    assert got == expect
+    # coverage radius is monotone nonincreasing as centers are added
+    radii = [r for _, _, r in got]
+    assert radii == sorted(radii, reverse=True)
