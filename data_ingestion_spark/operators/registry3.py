@@ -5052,3 +5052,130 @@ QUERIES["kcenter_coreset_embeddings"] = (
     kcenter_coreset_embeddings,
     KCENTER_CORESET_EMBEDDINGS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Cluster labeling: distinctive terms per k-means cluster
+# --------------------------------------------------------------------------
+def cluster_keywords_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling — the step that turns an unsupervised clustering
+    into something a human can act on: for each trained k-means cluster
+    (the same 2-round centroids the IVF lists consume; embeddings align
+    1:1 with documents by id in the synthetic fixture, the multimodal
+    metadata pattern), the top-3 DISTINCTIVE terms by cluster-TF ×
+    corpus-IDF. IDF = ln(N_docs/df) frozen to micros PER TERM before the
+    product (the char_entropy ln discipline); score = tf · idf_micro
+    stays integer, ranked per cluster with full tie-breaks. Stopword-
+    class terms die by IDF, not by list. One assignment map (broadcast
+    centroid literals) + one (cluster, term) count agg + one df agg; the
+    per-cluster top-3 is a keyed window over the term table."""
+    from pyspark.sql import Window as W
+
+    from . import similarity
+    from ..functions import tokens
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = similarity.kmeans_centroid_list(
+        emb, vec_col="embedding", k=4, n_iter=2, id_col="vec_id"
+    )
+    assigned = similarity.ivf_assign(
+        emb.select("vec_id", "embedding"), cents, vec_col="embedding",
+        n_probe=1, list_col="grp",
+    ).select("vec_id", "grp")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    df_t = toks.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    tf = (
+        toks.join(
+            assigned.select(F.col("vec_id").alias("doc_id"), "grp"), "doc_id"
+        )
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    scored = (
+        tf.join(df_t, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "grp",
+            "t",
+            "tf",
+            F.expr(
+                "CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+                " * 1e6 + 0.5D) AS BIGINT)"
+            ).alias("idf_micro"),
+        )
+        .select(
+            "grp",
+            "t",
+            (F.col("tf") * F.col("idf_micro")).cast("long").alias(
+                "score_micro"
+            ),
+        )
+    )
+    w = W.partitionBy("grp").orderBy(
+        F.col("score_micro").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("grp").cast("int").alias("grp"), "rk",
+                F.col("t").alias("term"), "score_micro")
+        .orderBy("grp", "rk")
+    )
+
+
+def _cluster_keywords_oracle() -> str:
+    from .registry import KMEANS_CENTROIDS_EMBEDDINGS_SQL
+
+    return f"""
+WITH cents AS (
+  SELECT grp, list(centroid_val ORDER BY dim) AS cv
+  FROM ({KMEANS_CENTROIDS_EMBEDDINGS_SQL}) km GROUP BY grp
+), assigned AS (
+  SELECT vec_id, grp FROM (
+    SELECT e.vec_id, c.grp,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC,
+                      c.grp ASC) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+), toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM documents
+), nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+df_t AS (
+  SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY t
+), tf AS (
+  SELECT a.grp, x.t, count(*)::BIGINT AS tf
+  FROM toks x JOIN assigned a ON a.vec_id = x.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT tf.grp, tf.t,
+         (tf.tf * floor(ln((SELECT n_docs FROM nd)::DOUBLE / df::DOUBLE)
+                        * 1e6 + 0.5)::BIGINT)::BIGINT AS score_micro
+  FROM tf JOIN df_t USING (t)
+)
+SELECT CAST(grp AS INTEGER) AS grp, CAST(rk AS INTEGER) AS rk, t AS term,
+       score_micro
+FROM (
+  SELECT grp, t, score_micro,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY score_micro DESC, t ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+ORDER BY grp, rk
+"""
+
+
+QUERIES["cluster_keywords_embeddings"] = (
+    cluster_keywords_embeddings,
+    _cluster_keywords_oracle(),
+)

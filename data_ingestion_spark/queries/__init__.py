@@ -145,6 +145,7 @@ _PRIORITY = [
     "data_contract_docs",
     "int8_recall_qc_embeddings",
     "kcenter_coreset_embeddings",
+    "cluster_keywords_embeddings",
     # The 18 remaining r3-era names — round-10 window candidates after
     # the r9-late block above (more candidates than one 50-slot window
     # holds; r10 should take the 30 oldest-unchecked first):

@@ -961,3 +961,10 @@ def test_round9_wave14_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_cluster_keywords_plan_shape(spark):
+    plan = plan_of(spark, "cluster_keywords_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

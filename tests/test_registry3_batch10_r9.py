@@ -445,3 +445,54 @@ def test_kcenter_matches_python(spark):
     # coverage radius is monotone nonincreasing as centers are added
     radii = [r for _, _, r in got]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_cluster_keywords_matches_python(spark):
+    from data_ingestion_spark.operators import similarity
+    from data_ingestion_spark.operators.registry3 import (
+        cluster_keywords_embeddings,
+    )
+    from data_ingestion_spark.session import load_table
+
+    got = [(r["grp"], r["rk"], r["term"], r["score_micro"])
+           for r in cluster_keywords_embeddings(spark, SF).collect()]
+    emb = load_table(spark, SF, "embeddings")
+    cents = similarity.kmeans_centroid_list(
+        emb, vec_col="embedding", k=4, n_iter=2, id_col="vec_id"
+    )
+    epdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    dpdf = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * y
+        return s
+
+    assign = {}
+    for r in epdf.itertuples():
+        scores = [(-dot(r.embedding, c), g) for g, c in enumerate(cents)]
+        scores.sort()
+        assign[int(r.vec_id)] = scores[0][1]
+    n_docs = len(dpdf)
+    df_t: dict = {}
+    doc_toks = {}
+    for r in dpdf.itertuples():
+        ts = set(t for t in r.text.lower().split() if t)
+        doc_toks[int(r.doc_id)] = ts
+        for t in ts:
+            df_t[t] = df_t.get(t, 0) + 1
+    tf: dict = {}
+    for d, ts in doc_toks.items():
+        g = assign[d]
+        for t in ts:
+            tf[(g, t)] = tf.get((g, t), 0) + 1
+    scored: dict = {}
+    for (g, t), c in tf.items():
+        idf = math.floor(math.log(n_docs / df_t[t]) * 1e6 + 0.5)
+        scored.setdefault(g, []).append((-(c * idf), t))
+    expect = []
+    for g in sorted(scored):
+        for rk, (negs, t) in enumerate(sorted(scored[g])[:3], 1):
+            expect.append((g, rk, t, -negs))
+    assert got == expect
