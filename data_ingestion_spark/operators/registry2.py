@@ -4907,17 +4907,16 @@ def source_overlap_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: fingerprints collapse to DISTINCT (hash, source) pairs
     before the self-join — the join's fan-out per hash is bounded by
     |sources|², never by corpus size — and the matrix is |sources|²/2
-    rows of metadata. The oracle replays the winnowing expression
-    (registry.py WINNOW_FINGERPRINT_DOCS_SQL's body) and the pair join."""
+    rows of metadata. r10: probes the COMMITTED fingerprint store
+    (text.winnow_fingerprint_store, built once per corpus) — source rode
+    along at build time, and the store's winnow_hash bucketing makes both
+    the distinct collapse and the self-join exchange-free on the stored
+    side. The oracle replays the winnowing expression (registry.py
+    WINNOW_FINGERPRINT_DOCS_SQL's body) and the pair join."""
     from . import text
 
-    docs = load_table(spark, sf_dir, "documents")
-    fps = text.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
-    fs = (
-        fps.join(docs.select("doc_id", "source"), "doc_id")
-        .select("winnow_hash", "source")
-        .distinct()
-    )
+    fps = text.winnow_fingerprint_probe(spark, sf_dir, k=5, w=4)
+    fs = fps.select("winnow_hash", "source").distinct()
     a, b = fs.alias("a"), fs.alias("b")
     return (
         a.join(

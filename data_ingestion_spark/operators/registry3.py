@@ -3580,6 +3580,69 @@ QUERIES["encoding_advisor_lineitem"] = (
 
 
 # --------------------------------------------------------------------------
+# Stored winnowing-fingerprint table: the build query (r10)
+# --------------------------------------------------------------------------
+def winnow_fingerprint_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD phase of the stored fingerprint table (r10, the r9
+    verdict's task #3): run the winnowing pipeline (k=5, w=4) once over
+    the corpus, commit (doc_id, source, winnow_hash) through
+    ``tableformat.commit_atomic`` bucketed by winnow_hash, and return a
+    per-source summary READ BACK FROM THE STORED SNAPSHOT — proving the
+    committed content, the same build/probe split as knn_ivf_stored_probe.
+    The three fingerprint consumers (winnow_fingerprint_docs,
+    source_overlap_matrix_docs, plagiarism_pairs_docs) probe this
+    snapshot instead of re-deriving ~90 fingerprints/doc each; at 100 TB
+    the corpus-scale fingerprint job runs nightly, the reports read
+    parquet. The oracle replays pipeline + summary in SQL — matching
+    values certify the stored rows, not a transient recompute."""
+    from . import text, tableformat
+
+    root = text.winnow_fingerprint_store(spark, sf_dir, k=5, w=4, force=True)
+    fp = tableformat.read_atomic(spark, root, "fp")
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.countDistinct("winnow_hash").cast("long").alias("n_distinct_fps"),
+        )
+        .orderBy("source")
+    )
+
+
+WINNOW_FINGERPRINT_BUILD_DOCS_SQL = """
+WITH hs AS (
+  SELECT doc_id, source,
+         list_transform(
+           range(1, len(text) - 5 + 2),
+           i -> substr(md5(substr(text, i, 5)), 1, 15)
+         ) AS hs
+  FROM documents
+  WHERE len(text) >= 5 + 4 - 1
+), fp AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             range(1, len(hs) - 4 + 2),
+             i -> list_min(hs[i:i+3])
+         ))) AS winnow_hash
+  FROM hs
+)
+SELECT source,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_fps,
+       count(DISTINCT winnow_hash)::BIGINT AS n_distinct_fps
+FROM fp
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["winnow_fingerprint_build_docs"] = (
+    winnow_fingerprint_build_docs,
+    WINNOW_FINGERPRINT_BUILD_DOCS_SQL,
+)
+
+
+# --------------------------------------------------------------------------
 # Plagiarism pairs via winnowing-fingerprint overlap (MOSS report)
 # --------------------------------------------------------------------------
 def plagiarism_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3594,22 +3657,27 @@ def plagiarism_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index self-join on fixed-width hash strings, pair agg, two size
     rejoins, top-50 TakeOrdered. Winnowing guarantees any shared
     substring of length ≥ k+w−1 = 8 yields a shared fingerprint, so
-    recall over literal lifts is structural, not probabilistic."""
+    recall over literal lifts is structural, not probabilistic.
+
+    r10: probes the COMMITTED fingerprint store (text.winnow_fingerprint
+    _store) — the corpus-scale shingle→winnow pipeline is paid once per
+    corpus, not once per report, and the store's winnow_hash bucketing
+    makes the too-common groupBy and the inverted-index self-join
+    exchange-free on the stored side. The former eager localCheckpoint is
+    gone: the committed parquet snapshot IS the materialization every
+    reference re-reads."""
     from . import text
 
-    docs = load_table(spark, sf_dir, "documents")
-    fp = text.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    fp = text.winnow_fingerprint_probe(spark, sf_dir, k=5, w=4).select(
+        "doc_id", "winnow_hash"
+    )
     common = (
         fp.groupBy("winnow_hash")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > 10)
         .select("winnow_hash")
     )
-    # materialize once: the self-join + sizes would otherwise re-run the
-    # whole fingerprint pipeline per reference (the simhash precedent)
-    fpf = fp.join(common, "winnow_hash", "left_anti").localCheckpoint(
-        eager=True
-    )
+    fpf = fp.join(common, "winnow_hash", "left_anti")
     sizes = fpf.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )

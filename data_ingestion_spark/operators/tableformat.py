@@ -145,9 +145,17 @@ def commit_version_bucketed(
             "table": table,
             "bucket_col": bucket_col,
             "n_buckets": n_buckets,
+            # parent is recorded like every other commit kind (r10, was an
+            # r9 ADVICE finding): without it _is_ancestor's legacy cur-1
+            # fallback could chain a bucketed main commit to another
+            # branch's commit and let merge_branch fast-forward over a
+            # diverged branch, silently discarding its snapshot.
+            "parent": manifest["current"],
         }
     )
     manifest["current"] = v
+    if "branches" in manifest:
+        manifest["branches"]["main"] = v
     _write_manifest_atomic(root, manifest)
     return v
 
@@ -213,6 +221,10 @@ def read_version(spark, root: str, version: int | None = None) -> DataFrame:
             f"version {v} not in table (have {sorted(entries)})"
         )
     entry = entries[v]
+    if entry.get("pruned"):
+        raise ValueError(
+            f"version {v} was vacuumed (ancestry tombstone only)"
+        )
     if "dv_base" in entry:
         base = read_version(spark, root, entry["dv_base"])
         mask = spark.read.parquet(os.path.join(root, entry["dir"]))
@@ -255,15 +267,28 @@ def vacuum(root: str, keep_last: int, spark=None) -> list[int]:
     flip, the pinned version can be OLDER than the member's own pointer,
     and exactly that torn window is what read_atomic exists to survive.
     The pinned version is unioned into the needed set (transitively over
-    dv_base chains, like any other root)."""
+    dv_base chains, like any other root).
+
+    Ancestry tombstones (r10, was an r9 ADVICE finding): a pruned version
+    leaves a ``{v, parent[, branch], pruned: true}`` stub in the manifest —
+    data directory, stats and catalog entry all removed, but the parent
+    pointer kept — so ``_is_ancestor`` can still walk from a branch head
+    back through vacuumed intermediate versions to the merge base.
+    Without the stubs, a routine vacuum between two branch heads made a
+    genuinely fast-forward ``merge_branch`` raise ``non-fast-forward``
+    (conservative, but wrong). Tombstones are a few bytes each, never
+    satisfy a read (``read_version`` raises ``vacuumed``), never count
+    toward ``keep_last``, and keep global version numbers from being
+    reused (``_next_version`` maxes over them too)."""
     import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     manifest = read_manifest(root)
     by_v = {e["v"]: e for e in manifest["versions"]}
+    live = [e for e in manifest["versions"] if not e.get("pruned")]
     needed: set = set()
-    stack = [e["v"] for e in manifest["versions"][-keep_last:]]
+    stack = [e["v"] for e in live[-keep_last:]]
     # branch heads are roots too: a branch whose head falls outside the
     # last keep_last must survive vacuum (same pinning rule as dv_base
     # chains and the commit_atomic group pointer)
@@ -283,11 +308,22 @@ def vacuum(root: str, keep_last: int, spark=None) -> list[int]:
         needed.add(v)
         if "dv_base" in by_v[v]:
             stack.append(by_v[v]["dv_base"])
-    keep = [e for e in manifest["versions"] if e["v"] in needed]
-    drop = [e for e in manifest["versions"] if e["v"] not in needed]
+    keep, drop, kept_entries = [], [], []
+    for e in manifest["versions"]:
+        if e["v"] in needed or e.get("pruned"):
+            keep.append(e)
+            kept_entries.append(e)
+        else:
+            drop.append(e)
+            stub = {"v": e["v"], "pruned": True}
+            if "parent" in e:
+                stub["parent"] = e["parent"]
+            if "branch" in e:
+                stub["branch"] = e["branch"]
+            keep.append(stub)
     manifest["versions"] = keep
     _write_manifest_atomic(root, manifest)
-    referenced = {e["dir"] for e in keep}
+    referenced = {e["dir"] for e in kept_entries if "dir" in e}
     removed = [e["v"] for e in drop]
     if spark is not None:
         for e in drop:
@@ -366,6 +402,8 @@ def collect_stats(root: str, version: int | None = None, columns=None) -> dict:
     full = {e["v"]: e for e in manifest["versions"]}
     if v not in full:
         raise ValueError(f"version {v} not in table (have {sorted(full)})")
+    if full[v].get("pruned"):
+        raise ValueError(f"version {v} was vacuumed")
     if "dv_base" in full[v]:
         # A deletion-vector version's directory holds the KEY MASK, not
         # data files — footer stats over it would silently describe the
@@ -375,7 +413,7 @@ def collect_stats(root: str, version: int | None = None, columns=None) -> dict:
             f"version {v} is a deletion-vector commit; collect stats on "
             "its base version or compact the mask into a full snapshot"
         )
-    entries = {e["v"]: e["dir"] for e in manifest["versions"]}
+    entries = {e["v"]: e["dir"] for e in manifest["versions"] if "dir" in e}
     vdir = os.path.join(root, entries[v])
     files = []
     for name in sorted(os.listdir(vdir)):
@@ -456,7 +494,7 @@ def scan_pruned(
 
     manifest = read_manifest(root)
     v = manifest["current"] if version is None else version
-    vdir = {e["v"]: e["dir"] for e in manifest["versions"]}[v]
+    vdir = {e["v"]: e["dir"] for e in manifest["versions"] if "dir" in e}[v]
     kept, _total = prune_files(root, col, lo, hi, v)
     if not kept:
         empty = read_version(spark, root, v).filter(F.lit(False))
@@ -542,7 +580,7 @@ def create_branch(root: str, name: str, from_version: int | None = None) -> int:
     if name == "main":
         raise ValueError("main is implicit; it always exists")
     manifest = read_manifest(root)
-    by_v = {e["v"] for e in manifest["versions"]}
+    by_v = {e["v"] for e in manifest["versions"] if not e.get("pruned")}
     head = manifest["current"] if from_version is None else from_version
     if head not in by_v:
         raise ValueError(f"version {head} not in table")
@@ -590,8 +628,15 @@ def read_branch(spark, root: str, name: str) -> DataFrame:
 
 
 def _is_ancestor(manifest: dict, anc: int, v: int) -> bool:
-    """Walk parent pointers from ``v`` down; entries from pre-branch
-    manifests (no explicit parent) chain to the previous version number."""
+    """Walk parent pointers from ``v`` down. Entries from pre-branch
+    manifests (no explicit parent) chain to the previous version number —
+    but ONLY when that previous version is a main-line commit (r10, was an
+    r9 ADVICE finding): under global version numbering the entry at
+    ``cur - 1`` can be another branch's commit, and chaining through it
+    would make a diverged main head look like a descendant of the branch,
+    letting merge_branch fast-forward over (and silently discard) the
+    branch's snapshot. Vacuumed versions stay walkable through their
+    ``{v, parent}`` tombstones (see vacuum)."""
     by_v = {e["v"]: e for e in manifest["versions"]}
     seen = set()
     cur: int | None = v
@@ -602,7 +647,15 @@ def _is_ancestor(manifest: dict, anc: int, v: int) -> bool:
         e = by_v.get(cur)
         if e is None:
             return False
-        cur = e.get("parent", cur - 1 if cur > 0 else None)
+        if "parent" in e:
+            cur = e["parent"]
+        else:
+            prev = by_v.get(cur - 1) if cur > 0 else None
+            cur = (
+                cur - 1
+                if prev is not None and "branch" not in prev
+                else None
+            )
     return False
 
 

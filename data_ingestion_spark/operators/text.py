@@ -209,7 +209,8 @@ def tfidf_top_terms(
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Winnowing fingerprints (the MOSS local-fingerprinting algorithm,
     Schleimer/Wilkerson/Aiken 2003): hash every character k-gram, keep the
@@ -237,6 +238,10 @@ def winnow_fingerprints(
       slices (w slices per ROW) instead of ``transform(sequence, i ->
       array_min(slice(hs, i, w)))`` which allocates a fresh array per
       WINDOW — same rewrite word_shingles uses.
+
+    ``carry_cols`` rides extra columns through unchanged (e.g. ``source``
+    for the stored fingerprint table) — cheaper than re-joining the
+    exploded output back to the corpus on ``id_col``.
     """
     c = text_col
     hashes = (
@@ -244,15 +249,83 @@ def winnow_fingerprints(
         f"i -> substring(md5(substring({c}, i, {k})), 1, 15))"
     )
     base = df.filter(F.length(c) >= k + w - 1).select(
-        F.col(id_col), F.expr(hashes).alias("hs")
+        F.col(id_col), *[F.col(x) for x in carry_cols], F.expr(hashes).alias("hs")
     )
     m = F.size("hs") - (w - 1)
     acc = F.slice("hs", 1, m)
     for j in range(1, w):
         acc = F.zip_with(acc, F.slice("hs", j + 1, m), lambda a, b: F.least(a, b))
     return base.select(
-        F.col(id_col), F.explode(F.array_distinct(acc)).alias("winnow_hash")
+        F.col(id_col),
+        *[F.col(x) for x in carry_cols],
+        F.explode(F.array_distinct(acc)).alias("winnow_hash"),
     )
+
+
+_WINNOW_STORE_CACHE: dict = {}
+
+
+def winnow_fingerprint_store(
+    spark, sf_dir: str, k: int = 5, w: int = 4, force: bool = False
+) -> str:
+    """Build-once stored winnowing-fingerprint table (r10, the r9
+    verdict's task #3 — the same stored-index pattern as
+    knn_ivf_stored_probe): the shingle→md5→window-min pipeline over the
+    corpus runs ONCE, and its output ``(doc_id, source, winnow_hash)`` is
+    committed through ``tableformat.commit_atomic`` BUCKETED by
+    ``winnow_hash``. Every fingerprint consumer (the registered
+    fingerprint dump, the cross-source overlap matrix, the MOSS
+    plagiarism report) then probes the committed snapshot instead of
+    re-deriving ~90 fingerprints/doc from raw text — at 100 TB that is
+    the difference between one corpus-scale fingerprint job per NIGHT
+    and one per REPORT.
+
+    Bucketing by ``winnow_hash`` makes the downstream shapes
+    exchange-free on the stored side: the too-common-hash groupBy, the
+    distinct (hash, source) collapse, and the inverted-index self-join
+    all cluster on the bucket column, so hashpartitioning(winnow_hash)
+    from the write is reused and no consumer re-shuffles the fingerprint
+    mass (plan-pinned in tests/test_plans.py).
+
+    Per-process memo keyed on (sf_dir, k, w): within one driver/bench
+    run the first consumer builds, the rest probe. Driver queries are
+    stateless across processes, so a fresh process rebuilds once —
+    correctness never depends on the cache. ``force=True`` (the build
+    query) always rebuilds, so the bench bills the corpus-scale build to
+    winnow_fingerprint_build_docs and never hides it behind the memo.
+    Returns the store root."""
+    import os
+    import tempfile
+
+    from . import tableformat
+
+    key = (os.path.abspath(sf_dir), k, w)
+    root = _WINNOW_STORE_CACHE.get(key)
+    if (
+        not force
+        and root is not None
+        and os.path.exists(tableformat._txn_path(root))
+    ):
+        return root
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(
+        docs, "doc_id", "text", k=k, w=w, carry_cols=("source",)
+    )
+    root = tempfile.mkdtemp(prefix="winnow_store_")
+    tableformat.commit_atomic(root, {"fp": ("bucketed", fp, "winnow_hash", 8)})
+    _WINNOW_STORE_CACHE[key] = root
+    return root
+
+
+def winnow_fingerprint_probe(spark, sf_dir: str, k: int = 5, w: int = 4):
+    """The committed fingerprint snapshot (build-if-absent, then stored
+    reads only): (doc_id, source, winnow_hash), bucketed by winnow_hash."""
+    from . import tableformat
+
+    root = winnow_fingerprint_store(spark, sf_dir, k=k, w=w)
+    return tableformat.read_atomic(spark, root, "fp")
 
 
 #: Union of all language-profile stopwords — the "contains common words"

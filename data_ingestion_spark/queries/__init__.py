@@ -16,86 +16,31 @@ verified by tools/check_oracle.py regardless of position.
 
 from __future__ import annotations
 
-#: First-50 curation for the driver's correctness window. Round-9 rotation:
-#: CORRECTNESS_r08 went 50/50 green (the 11 r8-new + all 39 r1/r2-era
-#: stale queries), so the staleness picture entering r9 is: 20 r8-late
-#: queries that have NEVER been driver-checked (they landed after the r8
-#: window ran — the r8 verdict's task #1), and 36 queries whose latest
-#: driver row is r3. Round-9 slots go to
-#: (a) queries NEW or materially CHANGED this round (prepended as they
-#:     land — a changed query must re-earn its driver row): the re-regimed
-#:     dedup_embedding_pairs + its new stress anchor, the new stored-index
-#:     ANN probe, and the six exact-dedup-family queries whose shared
-#:     machinery gained PPJoin positional filtering + the union-free
-#:     verify (lossless — property-pinned in
-#:     tests/test_random_cross_checks_r9.py — but changed plans must
-#:     re-earn), then
-#: (b) ALL 20 never-driver-checked r8-late queries, then
-#: (c) the r3-era staleness queue, alphabetical, to fill 50. The 15
-#:     r3-era names that don't fit are listed below the cutoff and lead
-#:     the ROUND-10 window. Everything stays registered and locally
-#:     verified by tools/check_oracle.py at 3 SFs regardless of position.
+#: First-50 curation for the driver's correctness window. Round-10 rotation
+#: (a CONSOLIDATION round per the r9 verdict): CORRECTNESS_r09 went 50/50
+#: green, so the staleness picture entering r10 is exactly the 50 r9-late
+#: queries (the full registry3 batch) that have NEVER been driver-checked —
+#: they landed after the r9 window ran. Round-10 gives them ALL 50 slots,
+#: verbatim, displacing nothing (r9 verdict task #1). New-query accretion is
+#: held near zero this round (task #2) so the never-checked tail stops
+#: growing.
+#:
+#: ROUND-11 window (pre-committed now, r9 verdict task #4): slots go to
+#: (a) queries materially CHANGED in r10 and not already in the r10 window —
+#:     `winnow_fingerprint_docs` and `source_overlap_matrix_docs`, whose
+#:     shingle->winnow pipeline now probes the stored fingerprint table
+#:     committed by `winnow_fingerprint_build_docs` (the two other changed
+#:     consumers, `plagiarism_pairs_docs` and `dedup_review_queue_docs`,
+#:     already sit in the r10 window and re-earn there), plus any r10-late
+#:     additions, then
+#: (b) the 18 r3-era names listed right below the cutoff (testdata has been
+#:     regenerated 6x since their last driver row), then
+#: (c) the oldest remaining rows (r5-era) to fill 50. After r11 no query's
+#:     latest driver row predates r5. Everything stays registered and
+#:     locally verified by tools/check_oracle.py at 3 SFs regardless of
+#:     position.
 _PRIORITY = [
-    # (a) new or materially changed in round 9 (12)
-    "dedup_embedding_pairs",  # r9 re-regime: planted twins, wide bands, c>=0.9
-    "dedup_embedding_pairs_stress",  # NEW r9: old 0.4 geometry, bench-excluded
-    "knn_ivf_stored_probe",  # NEW r9: committed bucketed IVF index, pruned probe
-    "dedup_jaccard_pairs_docs",  # r9 PPJoin positional filter + union-free verify
-    "dedup_containment_pairs_docs",  # r9 asymmetric positional filter
-    "minhash_band_recall_docs",  # consumes the changed jaccard machinery
-    "dedup_clusters_twostar_docs",  # same
-    "dedup_keep_best_docs",  # same
-    "dedup_clusters_docs",  # same
-    "dedup_minhash_docs",  # r9 union-free verify (value-identical)
-    "dedup_incremental_docs",  # same
-    "dedup_nightly_pipeline_docs",  # same
-    # (b) the 20 r8-late queries, never driver-checked (r8 verdict task #1)
-    "sessionize_events",
-    "benford_digits_orders",
-    "tokenizer_fertility_langs",
-    "range_partition_plan_orders",
-    "rrf_fusion_topk_docs",
-    "item_cf_similarity_suppliers",
-    "attribution_last_touch_events",
-    "k_anonymity_docs",
-    "watermark_lateness_profile_events",
-    "cusum_changepoint_events",
-    "knn_ivf_kmeans_topk",
-    "semantic_drift_labels",
-    "markov_next_event_accuracy",
-    "ht_sampled_total_orders",
-    "twap_user_values",
-    "funnel_time_to_convert_events",
-    "column_profile_orders",
-    "session_cooccurrence_lift_events",
-    "minhash_band_precision_docs",
-    "rfm_segments_customers",
-    # (c) r3-era staleness queue, alphabetical (18 of 36 fit)
-    "anomaly_zscore_events",
-    "batch_by_length_docs",
-    "bloom_prune_join_events",
-    "bpe_merge_candidates_corpus",
-    "classifier_score_docs",
-    "corpus_datasheet_docs",
-    "corpus_stats_by_lang",
-    "covariance_embeddings",
-    "curriculum_bins_docs",
-    "dedup_embedding_recall",
-    "dedup_simhash_docs",
-    "dedup_substring_docs",
-    "dq_checks_star_schema",
-    "funnel_conversion_events",
-    "fuzzy_match_parts",
-    "inverted_index_terms",
-    "knn_ivf_exact_topk",
-    "llm_data_pipeline_docs",
-    # ---- driver window cutoff (first 50 above) ----
-    # r9-late additions below the cutoff (42 operators across the r9
-    # build waves, in landing order) — each locally verified at 2-3 SFs
-    # by tools/check_oracle.py plus pure-Python replay tests; they lead
-    # the ROUND-10 window together with the 18 remaining r3-era names
-    # (new queries can only earn a driver row in-window, and this
-    # round's 50 slots were spoken for):
+    # round-10 driver window: the 50 never-driver-checked r9 queries (50)
     "compaction_plan_docs",
     "l_diversity_docs",
     "seasonality_dow_events",
@@ -146,9 +91,15 @@ _PRIORITY = [
     "int8_recall_qc_embeddings",
     "kcenter_coreset_embeddings",
     "cluster_keywords_embeddings",
-    # The 18 remaining r3-era names — round-10 window candidates after
-    # the r9-late block above (more candidates than one 50-slot window
-    # holds; r10 should take the 30 oldest-unchecked first):
+    # ---- driver window cutoff (first 50 above) ----
+    # ROUND-11 window head: (a) r10-changed/new queries not windowed in
+    # r10 — the stored-fingerprint build + its two re-plumbed consumers
+    # (plagiarism_pairs_docs and dedup_review_queue_docs, also changed in
+    # r10, re-earn inside the r10 window itself) —
+    "winnow_fingerprint_build_docs",
+    "winnow_fingerprint_docs",
+    "source_overlap_matrix_docs",
+    # then (b) the 18 r3-era names (oldest external signal in the repo):
     "map_functions_events",
     "mix_corpus_docs",
     "pagerank_supplier_graph",
@@ -167,6 +118,58 @@ _PRIORITY = [
     "tpch_q6_forecast_revenue",
     "variant_props_events",
     "zorder_layout_events",
+    # r9-window names, driver-green in CORRECTNESS_r09 (12 changed +
+    # 20 r8-late + 18 r3-era rotations):
+    "dedup_embedding_pairs",
+    "dedup_embedding_pairs_stress",
+    "knn_ivf_stored_probe",
+    "dedup_jaccard_pairs_docs",
+    "dedup_containment_pairs_docs",
+    "minhash_band_recall_docs",
+    "dedup_clusters_twostar_docs",
+    "dedup_keep_best_docs",
+    "dedup_clusters_docs",
+    "dedup_minhash_docs",
+    "dedup_incremental_docs",
+    "dedup_nightly_pipeline_docs",
+    "sessionize_events",
+    "benford_digits_orders",
+    "tokenizer_fertility_langs",
+    "range_partition_plan_orders",
+    "rrf_fusion_topk_docs",
+    "item_cf_similarity_suppliers",
+    "attribution_last_touch_events",
+    "k_anonymity_docs",
+    "watermark_lateness_profile_events",
+    "cusum_changepoint_events",
+    "knn_ivf_kmeans_topk",
+    "semantic_drift_labels",
+    "markov_next_event_accuracy",
+    "ht_sampled_total_orders",
+    "twap_user_values",
+    "funnel_time_to_convert_events",
+    "column_profile_orders",
+    "session_cooccurrence_lift_events",
+    "minhash_band_precision_docs",
+    "rfm_segments_customers",
+    "anomaly_zscore_events",
+    "batch_by_length_docs",
+    "bloom_prune_join_events",
+    "bpe_merge_candidates_corpus",
+    "classifier_score_docs",
+    "corpus_datasheet_docs",
+    "corpus_stats_by_lang",
+    "covariance_embeddings",
+    "curriculum_bins_docs",
+    "dedup_embedding_recall",
+    "dedup_simhash_docs",
+    "dedup_substring_docs",
+    "dq_checks_star_schema",
+    "funnel_conversion_events",
+    "fuzzy_match_parts",
+    "inverted_index_terms",
+    "knn_ivf_exact_topk",
+    "llm_data_pipeline_docs",
 ]
 
 

@@ -317,7 +317,7 @@ def read_heavy_hitters_state(spark: SparkSession, state_root: str) -> DataFrame:
 # Per-key quota / rate-limit admission (r9)
 # ---------------------------------------------------------------------------
 def rate_limit_batch(
-    state_root: str, out_root: str, cap: int = 3, window_us: int = 3_600_000_000
+    root: str, cap: int = 3, window_us: int = 3_600_000_000
 ):
     """foreachBatch admission control: at most ``cap`` events per
     (user_id, event-time window) are ADMITTED; the rest are emitted
@@ -326,37 +326,55 @@ def rate_limit_batch(
     pipeline, so downstream never sees an unbounded hot key. Within a
     batch the admission order is deterministic — (ts, event_id) — and
     across batches the per-(user, window) admitted count is the keyed
-    state, committed through the versioned table with the same
-    batch-id-sentinel idempotency as heavy_hitters_batch: a replayed
-    micro-batch neither double-admits nor double-emits. Everything is
-    executor-side (one window rank + one state join per batch); state is
-    O(active user·window keys) and old windows age out with vacuum.
+    state. Everything is executor-side (one window rank + one state join
+    per batch); state is O(active user·window keys) and old windows age
+    out with vacuum.
 
-    Returns the process closure; read admitted/rejected rows from
-    ``out_root`` versions and the quota table via read_version."""
+    Torn-window atomicity (r10, was an r9 ADVICE finding): output and
+    state commit as ONE ``tableformat.commit_atomic`` transaction —
+    members ``out`` and ``state`` under ``root``, one atomic _txn.json
+    flip. The replay sentinel AND the prior quota counts are read from
+    the txn-PINNED state (``read_atomic``), never a member's own current
+    pointer, so a crash between a member commit and the txn flip leaves
+    only unpinned orphan member versions: the replayed batch recomputes
+    from the last pinned state and commits fresh members, and consumers
+    reading through ``read_atomic`` (or the batch_id-stamped ``out``
+    versions) neither double-admit nor double-emit. The previous design
+    (two independent commit_version calls) could commit the same rows as
+    two output versions across a crash+replay.
+
+    Window ids use pure long arithmetic —
+    ``unix_micros - pmod(unix_micros, window_us)`` — i.e. true floor
+    bucketing, so pre-1970 timestamps land in their own window rather
+    than truncating toward zero into the next one (r9 ADVICE low).
+
+    Returns the process closure; read the consistent pair via
+    ``tableformat.read_atomic(spark, root, "out" | "state")``; feed
+    consumers of ``<root>/out`` versions dedupe on the ``batch_id``
+    column (replayed content is deterministic and byte-identical)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        state = _state_or_empty(
-            spark, state_root, "user_id long, win_start long, admitted long"
-        )
+        state_schema = "user_id long, win_start long, admitted long"
+        if os.path.exists(tableformat._txn_path(root)):
+            state = tableformat.read_atomic(spark, root, "state")
+        else:
+            state = spark.createDataFrame([], state_schema)
         applied = (
             state.filter(F.col("user_id") == -1)
             .agg(F.max("admitted").alias("m"))
             .collect()[0]["m"]
         )
         if applied is not None and batch_id <= int(applied):
-            return  # micro-batch replay: output + state already committed
+            return  # micro-batch replay: txn already pins this batch
         from pyspark.sql import Window as W
 
+        us = F.unix_micros(F.col("ts"))
         ev = batch_df.select(
             "event_id",
             "user_id",
             "ts",
-            (
-                (F.unix_micros(F.col("ts")) / F.lit(window_us)).cast("long")
-                * F.lit(window_us)
-            ).alias("win_start"),
+            (us - F.pmod(us, F.lit(window_us))).alias("win_start"),
         )
         w = W.partitionBy("user_id", "win_start").orderBy("ts", "event_id")
         ranked = ev.withColumn("rnk", F.row_number().over(w))
@@ -373,8 +391,13 @@ def rate_limit_batch(
                 <= F.lit(cap)
             ).alias("admitted"),
         )
-        out = scored.select("event_id", "user_id", "win_start", "admitted")
-        tableformat.commit_version(out, out_root)
+        out = scored.select(
+            "event_id",
+            "user_id",
+            "win_start",
+            "admitted",
+            F.lit(int(batch_id)).alias("batch_id"),
+        )
         new_counts = (
             scored.groupBy("user_id", "win_start")
             .agg(F.sum(F.col("admitted").cast("long")).alias("d"))
@@ -389,9 +412,14 @@ def rate_limit_batch(
             )
         )
         sentinel = spark.createDataFrame(
-            [(-1, 0, int(batch_id))],
-            "user_id long, win_start long, admitted long",
+            [(-1, 0, int(batch_id))], state_schema
         )
-        tableformat.commit_version(new_counts.unionByName(sentinel), state_root)
+        tableformat.commit_atomic(
+            root,
+            {
+                "out": ("plain", out),
+                "state": ("plain", new_counts.unionByName(sentinel)),
+            },
+        )
 
     return process

@@ -22,52 +22,52 @@ def test_registry_consistency():
     # zero rows-only queries left
     assert set(q) == set(o)
     assert len(q) >= 242
-    # driver verifies the first 50 in insertion order: round-9 rotation
-    # puts (a) this round's new/changed queries first (they must re-earn
-    # driver rows), (b) the 20 r8-late queries the driver has NEVER
-    # checked, then (c) 21 of the 36 r3-era stale names; no query with a
-    # fresh r6-r8 driver-green row may burn a slot
+    # driver verifies the first 50 in insertion order: round-10 rotation
+    # (the r9 verdict's consolidation task #1) gives ALL 50 slots, verbatim,
+    # to the 50 r9-late queries the driver has NEVER checked (the full
+    # registry3 batch — they landed after the r9 window ran); nothing
+    # displaces them, and no query with a fresh r6-r9 driver-green row may
+    # burn a slot
     names = list(q)
     window = set(names[:50])
-    changed_r9 = (
-        "dedup_embedding_pairs", "dedup_embedding_pairs_stress",
-        "knn_ivf_stored_probe", "dedup_jaccard_pairs_docs",
-        "dedup_containment_pairs_docs", "minhash_band_recall_docs",
-        "dedup_clusters_twostar_docs", "dedup_keep_best_docs",
-        "dedup_clusters_docs", "dedup_minhash_docs",
-        "dedup_incremental_docs", "dedup_nightly_pipeline_docs",
+    never_checked_r9_late = (
+        "compaction_plan_docs", "l_diversity_docs", "seasonality_dow_events",
+        "simhash_multiprobe_pairs_docs", "pq_ivf_stored_probe",
+        "t_closeness_docs", "ess_importance_docs", "dedup_impact_report_docs",
+        "doremi_reweight_sources", "split_leakage_ngram_docs",
+        "quantile_normalize_scores_docs", "hard_negatives_embeddings",
+        "spearman_len_tokens_sources", "silhouette_kmeans_embeddings",
+        "pq_ivf_residual_topk_embeddings", "label_propagation_trade_graph",
+        "quantile_merge_summaries_docs", "conformal_coverage_docs",
+        "bootstrap_se_sources", "golden_record_customers",
+        "negative_sampling_pairs", "colbert_maxsim_topk",
+        "mmr_diversify_topk", "ivm_join_orders_customer",
+        "ab_srm_check_events", "diff_in_diff_events", "churn_hazard_events",
+        "ab_conversion_test_events", "join_order_advisor",
+        "ood_mahalanobis_embeddings", "decayed_leaderboard_events",
+        "ams_f2_events", "adamic_adar_suppliers", "encoding_advisor_lineitem",
+        "plagiarism_pairs_docs", "rbo_rankings_embeddings",
+        "kfold_balance_docs", "anova_f_sources", "forecast_mase_events",
+        "loo_source_value_docs", "wasserstein_pairs_sources",
+        "stratified_exact_k_docs", "dedup_review_queue_docs",
+        "assoc_triples_lineitem", "rolling_wau_events", "mad_events",
+        "data_contract_docs", "int8_recall_qc_embeddings",
+        "kcenter_coreset_embeddings", "cluster_keywords_embeddings",
     )
-    never_checked_r8_late = (
-        "sessionize_events", "benford_digits_orders",
-        "tokenizer_fertility_langs", "range_partition_plan_orders",
-        "rrf_fusion_topk_docs", "item_cf_similarity_suppliers",
-        "attribution_last_touch_events", "k_anonymity_docs",
-        "watermark_lateness_profile_events", "cusum_changepoint_events",
-        "knn_ivf_kmeans_topk", "semantic_drift_labels",
-        "markov_next_event_accuracy", "ht_sampled_total_orders",
-        "twap_user_values", "funnel_time_to_convert_events",
-        "column_profile_orders", "session_cooccurrence_lift_events",
-        "minhash_band_precision_docs", "rfm_segments_customers",
-    )
-    stale_r3_fit = (
-        "anomaly_zscore_events", "batch_by_length_docs",
-        "bloom_prune_join_events", "bpe_merge_candidates_corpus",
-        "classifier_score_docs", "corpus_datasheet_docs",
-        "corpus_stats_by_lang", "covariance_embeddings",
-        "curriculum_bins_docs", "dedup_embedding_recall",
-        "dedup_simhash_docs", "dedup_substring_docs",
-        "dq_checks_star_schema", "funnel_conversion_events",
-        "fuzzy_match_parts", "inverted_index_terms", "knn_ivf_exact_topk",
-        "llm_data_pipeline_docs",
-    )
-    for must in changed_r9 + never_checked_r8_late + stale_r3_fit:
-        assert must in window, must
-    assert len(changed_r9 + never_checked_r8_late + stale_r3_fit) == 50
+    assert len(never_checked_r9_late) == 50
+    assert window == set(never_checked_r9_late)
+    # the r11 window head is pre-committed right after the cutoff: the
+    # r10-changed/new fingerprint queries, then the 18 r3-era names
+    assert names[50:53] == [
+        "winnow_fingerprint_build_docs", "winnow_fingerprint_docs",
+        "source_overlap_matrix_docs",
+    ]
     for fresh_green in ("cap_per_source_docs", "word_count_docs",
                         "rtbf_delete_dv_docs", "skew_autogate_join_events",
                         "tpch_q9_product_profit", "ingest_csv_docs",
                         "dedup_exact_docs", "knn_cosine_topk",
-                        "session_window_events"):
+                        "session_window_events", "dedup_embedding_pairs",
+                        "sessionize_events", "rfm_segments_customers"):
         assert fresh_green not in window, fresh_green
 
 

@@ -968,3 +968,81 @@ def test_cluster_keywords_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_winnow_consumers_probe_stored_fingerprints(spark):
+    """r10 (the r9 verdict's task #3): every winnowing-fingerprint
+    consumer must READ THE COMMITTED SNAPSHOT (vtab_fp_* bucketed
+    catalog table) — never re-derive the shingle→md5→window-min pipeline
+    from a raw documents scan. At 100 TB this is one corpus-scale
+    fingerprint job per night vs one per report."""
+    for name in (
+        "winnow_fingerprint_docs",
+        "source_overlap_matrix_docs",
+        "plagiarism_pairs_docs",
+    ):
+        plan = plan_of(spark, name)
+        assert "vtab_fp_" in plan, f"{name} must probe the stored table"
+        assert "documents.parquet" not in plan, (
+            f"{name} must not re-scan the corpus"
+        )
+        # the winnow derivation itself (k-gram md5 transform) is absent
+        assert "md5" not in plan, f"{name} recomputes fingerprints"
+    # and the build query proves the stored content (reads it back)
+    plan = plan_of(spark, "winnow_fingerprint_build_docs")
+    assert "vtab_fp_" in plan
+
+
+def test_unpartitioned_windows_whitelisted():
+    """r10 (the r8/r9 ADVICE suggestion made executable): no registered
+    query may contain a Window with an EMPTY partitionSpec — the
+    single-partition funnel — unless its input is documented
+    metadata-scale. plan_audit.py counts them per query (the unpartWin
+    column + summary line in PLANS.md); this test pins the flagged set
+    to the audited whitelist, so any NEW query that funnels a
+    corpus-sized relation through one task fails here until it is
+    consciously justified below."""
+    import os
+    import re
+
+    # each entry: the audited reason its window input is NOT corpus-sized
+    whitelist = {
+        "ams_f2_events": "16 sketch counters",
+        "auc_quality_classifier_docs": "distinct-score grid",
+        "churn_hazard_events": "|periods| hazard rows",
+        "conformal_coverage_docs": "distinct-score calibration grid",
+        "curriculum_bins_docs": (
+            "per-snapshot (id, score) table, 16 B/row; the documented "
+            "100 TB path is inference.curriculum_bins_by_cuts"
+        ),
+        "doremi_reweight_sources": "|sources| mixture rows",
+        "funnel_windowed_events": "|steps|-row stacked summary",
+        "neyman_allocation_events": "|strata| allocation rows",
+        "ood_mahalanobis_embeddings": "post-top-20 rank only",
+        "pareto_quality_docs": "|distinct n_chars| grid (bounded domain)",
+        "quantile_merge_summaries_docs": "merged |summaries| rows",
+        "rrf_fusion_topk_docs": "post-top-k shortlists",
+        "unimax_mixture_sources": "|sources| allocation rows",
+    }
+    plans = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans) as f:
+        txt = f.read()
+    m = re.search(
+        r"Unpartitioned-window queries \(must each be whitelisted as "
+        r"metadata-scale\): (.+)", txt
+    )
+    assert m, "PLANS.md lacks the unpartitioned-window summary line"
+    flagged = (
+        set()
+        if m.group(1).strip() == "none"
+        else {s.strip() for s in m.group(1).split(",")}
+    )
+    unexpected = flagged - set(whitelist)
+    assert not unexpected, (
+        f"unwhitelisted single-partition Window in: {sorted(unexpected)} — "
+        "partition it or document why its input is metadata-scale"
+    )
+    gone = set(whitelist) - flagged
+    assert not gone, (
+        f"stale whitelist rows (no longer flagged): {sorted(gone)}"
+    )

@@ -1403,9 +1403,8 @@ def test_rate_limit_admission_across_batches(spark, tmp_path):
         (5, 7, "2026-01-01 10:00:05"),
         (6, 9, "2026-01-01 10:00:01"),
     ])
-    state_root = str(tmp_path / "state")
-    out_root = str(tmp_path / "out")
-    proc = rate_limit_batch(state_root, out_root, cap=3)
+    root = str(tmp_path / "rl")
+    proc = rate_limit_batch(root, cap=3)
 
     def run_once():
         q = (
@@ -1421,7 +1420,7 @@ def test_rate_limit_admission_across_batches(spark, tmp_path):
     run_once()
     out1 = {
         r["event_id"]: r["admitted"]
-        for r in tf.read_version(spark, out_root).collect()
+        for r in tf.read_atomic(spark, root, "out").collect()
     }
     assert out1 == {1: True, 2: True, 3: True, 4: False, 5: False, 6: True}
 
@@ -1432,7 +1431,7 @@ def test_rate_limit_admission_across_batches(spark, tmp_path):
     run_once()
     out2 = {
         r["event_id"]: r["admitted"]
-        for r in tf.read_version(spark, out_root).collect()
+        for r in tf.read_atomic(spark, root, "out").collect()
     }
     assert out2 == {7: False, 8: True}
 
@@ -1445,9 +1444,8 @@ def test_rate_limit_replay_is_idempotent(spark, tmp_path):
         rate_limit_batch,
     )
 
-    state_root = str(tmp_path / "state")
-    out_root = str(tmp_path / "out")
-    proc = rate_limit_batch(state_root, out_root, cap=2)
+    root = str(tmp_path / "rl")
+    proc = rate_limit_batch(root, cap=2)
     from pyspark.sql import functions as SF
 
     batch = spark.createDataFrame(
@@ -1456,14 +1454,78 @@ def test_rate_limit_replay_is_idempotent(spark, tmp_path):
         "event_id long, user_id long, ts string",
     ).withColumn("ts", SF.to_timestamp("ts"))
     proc(batch, 0)
-    state_v = tf.read_manifest(state_root)["current"]
-    out_v = tf.read_manifest(out_root)["current"]
+    state_v = tf.read_manifest(root + "/state")["current"]
+    out_v = tf.read_manifest(root + "/out")["current"]
     admitted = sorted(
         r["event_id"]
-        for r in tf.read_version(spark, out_root).collect()
+        for r in tf.read_atomic(spark, root, "out").collect()
         if r["admitted"]
     )
     assert admitted == [1, 2]
     proc(batch, 0)  # replay
-    assert tf.read_manifest(state_root)["current"] == state_v
-    assert tf.read_manifest(out_root)["current"] == out_v
+    assert tf.read_manifest(root + "/state")["current"] == state_v
+    assert tf.read_manifest(root + "/out")["current"] == out_v
+
+
+def test_rate_limit_torn_commit_replay_is_consistent(spark, tmp_path):
+    """r10 (was an r9 ADVICE finding): a crash BETWEEN a member commit and
+    the group txn flip must not double-admit or double-emit on replay.
+    Simulated by committing orphan member versions directly (the torn
+    half) without flipping _txn.json: the replayed batch reads the PINNED
+    state, recomputes, and commits a fresh consistent pair; consumers via
+    read_atomic see each batch's output exactly once."""
+    from data_ingestion_spark.operators import tableformat as tf
+    from data_ingestion_spark.streaming.foreach_batch_state import (
+        rate_limit_batch,
+    )
+    from pyspark.sql import functions as SF
+
+    root = str(tmp_path / "rl")
+    proc = rate_limit_batch(root, cap=2)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string"
+        ).withColumn("ts", SF.to_timestamp("ts"))
+
+    b0 = mk([(1, 5, "2026-01-01 09:00:00"), (2, 5, "2026-01-01 09:00:01")])
+    proc(b0, 0)
+    # torn batch 1: members committed, txn NEVER flipped (the crash)
+    b1 = mk([(3, 5, "2026-01-01 09:00:02"), (4, 5, "2026-01-01 09:00:03")])
+    torn_out = b1.select(
+        "event_id", "user_id", SF.lit(0).alias("win_start"),
+        SF.lit(True).alias("admitted"), SF.lit(1).alias("batch_id"),
+    )
+    tf.commit_version(torn_out, root + "/out")
+    tf.commit_version(
+        spark.createDataFrame(
+            [(-1, 0, 1)], "user_id long, win_start long, admitted long"
+        ),
+        root + "/state",
+    )
+    # replay of batch 1: pinned txn still says batch 0 -> must re-run
+    proc(b1, 1)
+    out = tf.read_atomic(spark, root, "out").collect()
+    assert {r["event_id"]: r["admitted"] for r in out} == {3: False, 4: False}
+    assert all(r["batch_id"] == 1 for r in out)
+    # quota state is single-counted: user 5 admitted exactly 2 overall
+    st = {
+        (r["user_id"], r["win_start"]): r["admitted"]
+        for r in tf.read_atomic(spark, root, "state").collect()
+        if r["user_id"] >= 0
+    }
+    assert list(st.values()) == [2]
+    # the feed view dedupes torn content by batch_id: one logical batch 1
+    import itertools
+    all_out = []
+    man = tf.read_manifest(root + "/out")
+    for e in man["versions"]:
+        all_out.extend(tf.read_version(spark, root + "/out", e["v"]).collect())
+    by_batch = {
+        k: {r["event_id"] for r in g}
+        for k, g in itertools.groupby(
+            sorted(all_out, key=lambda r: r["batch_id"]),
+            key=lambda r: r["batch_id"],
+        )
+    }
+    assert by_batch[1] == {3, 4}

@@ -604,3 +604,86 @@ def test_branch_errors(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="unknown branch"):
         tf.read_branch(spark, root, "nope")
+
+
+def test_bucketed_main_commit_no_false_fast_forward(spark, tmp_path):
+    """r10 (was an r9 ADVICE finding): a bucketed commit on main must
+    record its parent. Without it, _is_ancestor's legacy cur-1 fallback
+    chained the bucketed main head to the BRANCH commit at v-1, so
+    merge_branch(main -> b) looked fast-forward and silently discarded
+    the branch's snapshot."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    tf.commit_version(df, root)                                   # v0 main
+    tf.create_branch(root, "b")                                   # b -> v0
+    tf.commit_to_branch(
+        spark.createDataFrame([(2, "b")], "id long, s string"), root, "b"
+    )                                                             # v1 on b
+    tf.commit_version_bucketed(
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        root, "id", 2,
+    )                                                             # v2 on main
+    m = tf.read_manifest(root)
+    assert m["versions"][-1]["parent"] == 0                       # not v1
+    assert m["branches"]["main"] == 2
+    # both directions have diverged -> both merges must refuse
+    with pytest.raises(ValueError, match="non-fast-forward"):
+        tf.merge_branch(root, "main", "b")
+    with pytest.raises(ValueError, match="non-fast-forward"):
+        tf.merge_branch(root, "b", "main")
+    # branch b's snapshot survives untouched
+    assert tf.read_branch(spark, root, "b").count() == 1
+    assert tf.read_branch(spark, root, "b").first()["id"] == 2
+
+
+def test_legacy_parentless_fallback_stops_at_branch_commit(spark, tmp_path):
+    """The pre-branch cur-1 fallback in _is_ancestor only chains through
+    MAIN-LINE predecessors: a legacy (parentless) entry whose v-1 is a
+    branch commit terminates the walk instead of crossing branches."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    tf.commit_version(df, root)                                   # v0
+    tf.create_branch(root, "b")
+    tf.commit_to_branch(spark.createDataFrame([(2,)], "id long"), root, "b")
+    tf.commit_version(spark.createDataFrame([(3,)], "id long"), root)  # v2
+    # simulate a legacy manifest: strip the explicit parent from v2
+    m = tf.read_manifest(root)
+    for e in m["versions"]:
+        if e["v"] == 2:
+            e.pop("parent")
+    tf._write_manifest_atomic(root, m)
+    m = tf.read_manifest(root)
+    assert not tf._is_ancestor(m, 1, 2)   # must NOT walk 2 -> 1 (branch b)
+    assert not tf._is_ancestor(m, 0, 2)   # walk stops at the branch commit
+
+
+def test_merge_fast_forward_survives_vacuum(spark, tmp_path):
+    """r10 (was an r9 ADVICE finding): vacuum leaves {v, parent} ancestry
+    tombstones, so a genuinely fast-forward merge still resolves after
+    intermediate versions between the two heads were vacuumed."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    tf.commit_version(df, root)                                   # v0
+    tf.create_branch(root, "old")                                 # old -> v0
+    for i in range(4):                                            # v1..v4
+        tf.commit_version(
+            spark.createDataFrame([(10 + i,)], "id long"), root
+        )
+    removed = tf.vacuum(root, keep_last=1)
+    assert set(removed) == {1, 2, 3}                              # v0 pinned
+    m = tf.read_manifest(root)
+    stubs = {e["v"]: e for e in m["versions"] if e.get("pruned")}
+    assert set(stubs) == {1, 2, 3}
+    assert all("dir" not in e for e in stubs.values())
+    # ancestry across the tombstones: old(v0) is an ancestor of main(v4)
+    head = tf.merge_branch(root, "main", "old")                   # ff old->v4
+    assert head == 4
+    assert tf.read_branch(spark, root, "old").first()["id"] == 13
+    # tombstoned versions never satisfy a read...
+    with pytest.raises(ValueError, match="vacuumed"):
+        tf.read_version(spark, root, 2)
+    # ...never count toward keep_last, and never get their numbers reused.
+    # (After the merge nothing pins v0 anymore, so this drops exactly it.)
+    assert tf.vacuum(root, keep_last=1) == [0]
+    v5 = tf.commit_version(spark.createDataFrame([(9,)], "id long"), root)
+    assert v5 == 5
