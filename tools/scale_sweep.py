@@ -101,17 +101,29 @@ def main() -> None:
         ("0.1", BASE),
         ("0.4", SCALE_DIR),
     ]
+    # reps >= 3 tames single-shot scatter on short queries (the r9
+    # dedup_minhash_docs growth row read 5.0 on one rep vs 4.3 before —
+    # noise, not a plan change); min-of-reps is the same estimator
+    # bench.py uses.
+    reps = int(os.environ.get("SPARK_GRAFT_SWEEP_REPS", "1"))
     for name in names:
         fn, _sql = registry[name]
         fn(spark, tiers[0][1]).toPandas()  # JIT/codegen warm-up
         timings = {}
         for sf, d in tiers:
-            t0 = time.perf_counter()
-            fn(spark, d).toPandas()
-            timings[sf] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(max(reps, 1)):
+                t0 = time.perf_counter()
+                fn(spark, d).toPandas()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[sf] = round(best, 3)
         growth = round(timings["0.4"] / max(timings["0.1"], 1e-9), 2)
         print(
-            json.dumps({"query": name, "timings": timings, "growth_01_to_04": growth})
+            json.dumps(
+                {"query": name, "timings": timings, "reps": reps,
+                 "growth_01_to_04": growth}
+            )
         )
 
 
