@@ -299,7 +299,11 @@ def winnow_fingerprint_store(
 
     from . import tableformat
 
-    key = (os.path.abspath(sf_dir), k, w)
+    # the documents mtime in the key means a corpus regenerated at the
+    # SAME path within one process can never serve a stale store
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    mtime = os.path.getmtime(doc_path) if os.path.exists(doc_path) else 0
+    key = (os.path.abspath(sf_dir), k, w, mtime)
     root = _WINNOW_STORE_CACHE.get(key)
     if (
         not force

@@ -2236,3 +2236,54 @@ def test_sessionize_events_matches_session_window(spark):
         ).collect()
     )
     assert mine == declarative and sum(mine.values()) > 0
+
+
+def test_winnow_store_probe_matches_direct_and_invalidates(spark, tmp_path):
+    """r10 stored fingerprint table: the committed snapshot's content is
+    EXACTLY winnow_fingerprints(docs) with source carried through, and a
+    corpus regenerated at the same path (new mtime) rebuilds the store
+    instead of serving stale rows."""
+    import os
+
+    from data_ingestion_spark.operators import text
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij klmno", "s1"), (2, "abcdefghij pqrst", "s2"),
+         (3, "zz", "s1")],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    probe = text.winnow_fingerprint_probe(spark, sf)
+    got = {
+        (r["doc_id"], r["source"], r["winnow_hash"]) for r in probe.collect()
+    }
+    direct = text.winnow_fingerprints(
+        docs, "doc_id", "text", k=5, w=4, carry_cols=("source",)
+    )
+    want = {
+        (r["doc_id"], r["source"], r["winnow_hash"]) for r in direct.collect()
+    }
+    assert got == want and got  # doc 3 too short -> absent, others present
+    assert not any(d == 3 for d, _, _ in got)
+    # same path + same mtime -> memoized root
+    r1 = text.winnow_fingerprint_store(spark, sf)
+    assert text.winnow_fingerprint_store(spark, sf) == r1
+    # regenerate the corpus at the same path -> new mtime -> fresh store
+    import shutil
+    import time as _time
+
+    shutil.rmtree(os.path.join(sf, "documents.parquet"))
+    docs2 = spark.createDataFrame(
+        [(9, "abcdefghij uvwxy", "s9")],
+        "doc_id long, text string, source string",
+    )
+    docs2.write.parquet(os.path.join(sf, "documents.parquet"))
+    os.utime(
+        os.path.join(sf, "documents.parquet"),
+        (_time.time() + 2, _time.time() + 2),
+    )
+    r2 = text.winnow_fingerprint_store(spark, sf)
+    assert r2 != r1
+    fresh = text.winnow_fingerprint_probe(spark, sf)
+    assert {r["doc_id"] for r in fresh.collect()} == {9}
