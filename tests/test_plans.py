@@ -1046,3 +1046,42 @@ def test_unpartitioned_windows_whitelisted():
     assert not gone, (
         f"stale whitelist rows (no longer flagged): {sorted(gone)}"
     )
+
+
+def test_unpartitioned_window_detector_shapes():
+    """The PLANS.md unpartWin column rests on string-parsing Window nodes;
+    pin the three shapes against canned plan lines so a Spark plan-format
+    drift (or a parser regression) fails loudly instead of silently
+    blessing single-partition windows."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from plan_audit import count_unpartitioned_windows
+
+    unpart = (
+        "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS r#2], [id#0L ASC NULLS FIRST]"
+    )
+    part_ordered = (
+        "+- Window [row_number() windowspecdefinition(g#1L, id#0L ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS r#4], [g#1L], "
+        "[id#0L ASC NULLS FIRST]"
+    )
+    part_unordered = (
+        "+- Window [sum(id#0L) windowspecdefinition(g#1L, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS s#7L], [g#1L]"
+    )
+    group_limit = "+- WindowGroupLimit [g#1L], [id#0L ASC NULLS FIRST], 5"
+    assert count_unpartitioned_windows(unpart) == 1
+    assert count_unpartitioned_windows(part_ordered) == 0
+    assert count_unpartitioned_windows(part_unordered) == 0
+    assert count_unpartitioned_windows(group_limit) == 0
+    assert count_unpartitioned_windows(
+        "\n".join([unpart, part_ordered, unpart])
+    ) == 2
