@@ -303,14 +303,15 @@ def winnow_fingerprint_store(
     # SAME path within one process can never serve a stale store
     doc_path = os.path.join(sf_dir, "documents.parquet")
     mtime = os.path.getmtime(doc_path) if os.path.exists(doc_path) else 0
-    key = (os.path.abspath(sf_dir), k, w, mtime)
-    root = _WINNOW_STORE_CACHE.get(key)
+    key = (os.path.abspath(sf_dir), k, w)
+    cached = _WINNOW_STORE_CACHE.get(key)
     if (
         not force
-        and root is not None
-        and os.path.exists(tableformat._txn_path(root))
+        and cached is not None
+        and cached[0] == mtime
+        and os.path.exists(tableformat._txn_path(cached[1]))
     ):
-        return root
+        return cached[1]
     from ..session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -319,8 +320,33 @@ def winnow_fingerprint_store(
     )
     root = tempfile.mkdtemp(prefix="winnow_store_")
     tableformat.commit_atomic(root, {"fp": ("bucketed", fp, "winnow_hash", 8)})
-    _WINNOW_STORE_CACHE[key] = root
+    # a superseded store (force rebuild / corpus regenerated) is garbage
+    # the moment the memo repoints: drop its catalog tables and tempdir
+    # so repeated bench reps / test runs don't fill /tmp with dead
+    # fingerprint snapshots (r10 review finding)
+    if cached is not None and cached[1] != root:
+        _drop_store(spark, cached[1])
+    _WINNOW_STORE_CACHE[key] = (mtime, root)
     return root
+
+
+def _drop_store(spark, root: str) -> None:
+    """Remove a superseded winnow store: catalog entries first (from the
+    member manifest), then the directory tree. Best-effort — a vanished
+    dir or foreign session must never fail the build that replaced it."""
+    import os
+    import shutil
+
+    from . import tableformat
+
+    try:
+        manifest = tableformat.read_manifest(os.path.join(root, "fp"))
+        for e in manifest.get("versions", []):
+            if "table" in e:
+                spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
+    except (OSError, ValueError, KeyError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
 
 
 def winnow_fingerprint_probe(spark, sf_dir: str, k: int = 5, w: int = 4):

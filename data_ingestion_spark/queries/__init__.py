@@ -29,10 +29,11 @@ from __future__ import annotations
 #: (a) queries materially CHANGED in r10 and not already in the r10 window —
 #:     `winnow_fingerprint_docs` and `source_overlap_matrix_docs`, whose
 #:     shingle->winnow pipeline now probes the stored fingerprint table
-#:     committed by `winnow_fingerprint_build_docs` (the two other changed
-#:     consumers, `plagiarism_pairs_docs` and `dedup_review_queue_docs`,
-#:     already sit in the r10 window and re-earn there), plus any r10-late
-#:     additions, then
+#:     committed by `winnow_fingerprint_build_docs` (the third changed
+#:     consumer, `plagiarism_pairs_docs`, already sits in the r10 window
+#:     and re-earns there; `dedup_review_queue_docs` is UNCHANGED — its
+#:     jaccard candidate stream has no store to share, see
+#:     SELFREVIEW_r10.md #8), plus any r10-late additions, then
 #: (b) the 18 r3-era names listed right below the cutoff (testdata has been
 #:     regenerated 6x since their last driver row), then
 #: (c) the oldest remaining rows (r5-era) to fill 50. After r11 no query's
@@ -94,8 +95,8 @@ _PRIORITY = [
     # ---- driver window cutoff (first 50 above) ----
     # ROUND-11 window head: (a) r10-changed/new queries not windowed in
     # r10 — the stored-fingerprint build + its two re-plumbed consumers
-    # (plagiarism_pairs_docs and dedup_review_queue_docs, also changed in
-    # r10, re-earn inside the r10 window itself) —
+    # (the third consumer, plagiarism_pairs_docs, changed too but sits in
+    # the r10 window and re-earns there) —
     "winnow_fingerprint_build_docs",
     "winnow_fingerprint_docs",
     "source_overlap_matrix_docs",

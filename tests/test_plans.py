@@ -986,8 +986,10 @@ def test_winnow_consumers_probe_stored_fingerprints(spark):
         assert "documents.parquet" not in plan, (
             f"{name} must not re-scan the corpus"
         )
-        # the winnow derivation itself (k-gram md5 transform) is absent
-        assert "md5" not in plan, f"{name} recomputes fingerprints"
+        # the winnow derivation itself (k-gram md5 transform) is absent;
+        # match the CALL marker "md5(" — parentheses can't occur in the
+        # random store path, so this can't collide with a tmpdir name
+        assert "md5(" not in plan, f"{name} recomputes fingerprints"
     # and the build query proves the stored content (reads it back)
     plan = plan_of(spark, "winnow_fingerprint_build_docs")
     assert "vtab_fp_" in plan
@@ -1085,3 +1087,29 @@ def test_unpartitioned_window_detector_shapes():
     assert count_unpartitioned_windows(
         "\n".join([unpart, part_ordered, unpart])
     ) == 2
+
+
+def test_plans_artifact_covers_registry():
+    """Companion gate to test_unpartitioned_windows_whitelisted (which
+    reads the committed PLANS.md): a query registered WITHOUT
+    regenerating PLANS.md fails HERE, so the unpartitioned-window (and
+    rowPy) audits can never silently lag the registry — the loophole a
+    plan-artifact gate otherwise has (r10 review finding)."""
+    import os
+    import re
+
+    plans = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans) as f:
+        rows = {
+            m.group(1)
+            for m in re.finditer(r"^\| ([a-z0-9_]+) \|", f.read(), re.M)
+        } - {"query"}  # the markdown header row
+    assert rows, "PLANS.md has no query rows"
+    registered = set(merged_queries())
+    missing = registered - rows
+    assert not missing, (
+        f"queries registered but absent from PLANS.md — re-run "
+        f"tools/plan_audit.py: {sorted(missing)}"
+    )
+    stale = rows - registered
+    assert not stale, f"PLANS.md rows for unregistered queries: {sorted(stale)}"
