@@ -36,10 +36,15 @@ from __future__ import annotations
 #:     SELFREVIEW_r10.md #8), plus any r10-late additions, then
 #: (b) the 18 r3-era names listed right below the cutoff (testdata has been
 #:     regenerated 6x since their last driver row), then
-#: (c) the oldest remaining rows (r5-era) to fill 50. After r11 no query's
-#:     latest driver row predates r5. Everything stays registered and
-#:     locally verified by tools/check_oracle.py at 3 SFs regardless of
-#:     position.
+#: (c) the 29 alphabetically-first r5-era rows (listed below; the exact
+#:     ledger — latest driver round per query, computed from the
+#:     committed CORRECTNESS_r*.json files at r10 close — reads r10×50,
+#:     r9×50, r8×46, r7×43, r6×50, r5×35, r3×18, never×1). The full
+#:     50-name r11 window is pre-enumerated below the cutoff IN ORDER:
+#:     rotating it to the front is the only edit r11 needs. After r11 no
+#:     query's latest driver row predates r5 (6 r5-era rows remain for
+#:     r12's head). Everything stays registered and locally verified by
+#:     tools/check_oracle.py at 3 SFs regardless of position.
 _PRIORITY = [
     # round-10 driver window: the 50 never-driver-checked r9 queries (50)
     "compaction_plan_docs",
@@ -119,6 +124,37 @@ _PRIORITY = [
     "tpch_q6_forecast_revenue",
     "variant_props_events",
     "zorder_layout_events",
+    # (c) the 29 alphabetically-first r5-era rows — r11 window tail
+    "agg_pricing_summary",
+    "anti_join_inactive_customers",
+    "backfill_partitions_events",
+    "bm25_topk_docs",
+    "bpe_encode_docs",
+    "bpe_train_merges_corpus",
+    "char_entropy_docs",
+    "compact_small_files_docs",
+    "corpus_build_pipeline_docs",
+    "dedup_audio_fingerprint_docs",
+    "dedup_image_phash_docs",
+    "event_transitions_events",
+    "heavy_hitters_docs",
+    "histogram_lineitem",
+    "incremental_agg_orders",
+    "ingest_html_docs",
+    "ingest_pdf_docs",
+    "join_cardinality_orders_customer",
+    "join_multi_region",
+    "join_revenue_by_segment",
+    "lm_perplexity_docs",
+    "nfc_normalize_docs",
+    "pca_project_embeddings",
+    "pca_top2_components_embeddings",
+    "pca_top_component_embeddings",
+    "pit_join_events",
+    "scan_filter_project",
+    "shard_balance_docs",
+    "stratified_split_docs",
+    # ---- r11 window end (the 50 names above the r9-window block) ----
     # r9-window names, driver-green in CORRECTNESS_r09 (12 changed +
     # 20 r8-late + 18 r3-era rotations):
     "dedup_embedding_pairs",
