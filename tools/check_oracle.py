@@ -7,6 +7,8 @@ tables, and compares row count, column names (sorted), and values
 floats). Exit code 1 on any mismatch.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --window   # the driver's
+       first-50 rotation view only
 """
 
 from __future__ import annotations
@@ -122,10 +124,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
 
     import __spark_entry__ as e
     from data_ingestion_spark.session import get_spark
+
+    # --window = exactly the driver's view: the first 50 registered
+    # queries in insertion order (the rotation gate). Rehearse it per
+    # round before the external run does.
+    if args == ["--window"]:
+        only = set(list(e.queries())[:50])
+    else:
+        only = set(args)
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
@@ -163,7 +173,8 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(errs))
         else:
             print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs)} queries, {failures} failures")
+    n_run = len(only & set(qs)) if only else len(qs)
+    print(f"\n{n_run} queries, {failures} failures")
     return 1 if failures else 0
 
 
