@@ -16,37 +16,146 @@ verified by tools/check_oracle.py regardless of position.
 
 from __future__ import annotations
 
-#: First-50 curation for the driver's correctness window. Round-10 rotation
-#: (a CONSOLIDATION round per the r9 verdict): CORRECTNESS_r09 went 50/50
-#: green, so the staleness picture entering r10 is exactly the 50 r9-late
-#: queries (the full registry3 batch) that have NEVER been driver-checked —
-#: they landed after the r9 window ran. Round-10 gives them ALL 50 slots,
-#: verbatim, displacing nothing (r9 verdict task #1). New-query accretion is
-#: held near zero this round (task #2) so the never-checked tail stops
-#: growing.
+#: First-50 curation for the driver's correctness window. Round-11 rotation
+#: (r10 verdict task #1): CORRECTNESS_r10 went 50/50 green, so the r10-window
+#: names rotate out and the 50 slots go — VERBATIM, exactly as pre-enumerated
+#: at r10 close — to (a) the 3 r10-changed/new stored-winnow queries, (b) the
+#: 18 r3-era names (oldest external signal; testdata regenerated 6x since),
+#: and (c) the 29 alphabetically-first r5-era rows. After this window lands,
+#: no query's latest driver row predates r5 (ledger entering r11, computed
+#: from committed CORRECTNESS_r*.json: r10×50, r9×50, r8×46, r7×43, r6×50,
+#: r5×35, r3×18, never×1).
 #:
-#: ROUND-11 window (pre-committed now, r9 verdict task #4): slots go to
-#: (a) queries materially CHANGED in r10 and not already in the r10 window —
-#:     `winnow_fingerprint_docs` and `source_overlap_matrix_docs`, whose
-#:     shingle->winnow pipeline now probes the stored fingerprint table
-#:     committed by `winnow_fingerprint_build_docs` (the third changed
-#:     consumer, `plagiarism_pairs_docs`, already sits in the r10 window
-#:     and re-earns there; `dedup_review_queue_docs` is UNCHANGED — its
-#:     jaccard candidate stream has no store to share, see
-#:     SELFREVIEW_r10.md #8), plus any r10-late additions, then
-#: (b) the 18 r3-era names listed right below the cutoff (testdata has been
-#:     regenerated 6x since their last driver row), then
-#: (c) the 29 alphabetically-first r5-era rows (listed below; the exact
-#:     ledger — latest driver round per query, computed from the
-#:     committed CORRECTNESS_r*.json files at r10 close — reads r10×50,
-#:     r9×50, r8×46, r7×43, r6×50, r5×35, r3×18, never×1). The full
-#:     50-name r11 window is pre-enumerated below the cutoff IN ORDER:
-#:     rotating it to the front is the only edit r11 needs. After r11 no
-#:     query's latest driver row predates r5 (6 r5-era rows remain for
-#:     r12's head). Everything stays registered and locally verified by
-#:     tools/check_oracle.py at 3 SFs regardless of position.
+#: ROUND-12 window (pre-committed now, r10 verdict task #3): slots go to
+#: (a) any r11-changed queries not already in the r11 window (the stored
+#:     shingle-base consumers — see operators/dedup.py), then
+#: (b) the ingest_* reference-fidelity parser family — the CORE reference
+#:     surface, last driver-checked in r6 and bench-excluded, so the
+#:     external oracle hasn't seen it through 4 testdata regenerations
+#:     (r10 verdict "What's wrong" #3) — then
+#: (c) the 6 remaining r5-era rows, then
+#: (d) alphabetically-first r6-era rows to fill 50. The full 50-name r12
+#:     window is pre-enumerated below the cutoff IN ORDER: rotating it to
+#:     the front is the only edit r12 needs. After r12 no query's latest
+#:     driver row predates r6. Everything stays registered and locally
+#:     verified by tools/check_oracle.py at 3 SFs regardless of position.
 _PRIORITY = [
-    # round-10 driver window: the 50 never-driver-checked r9 queries (50)
+    # ---- ROUND-11 driver window (the first 50) ----
+    # (a) r10-changed/new: the stored-fingerprint build + its two
+    # re-plumbed consumers (plagiarism_pairs_docs, the third changed
+    # consumer, re-earned in the r10 window; dedup_review_queue_docs was
+    # unchanged — SELFREVIEW_r10.md #8):
+    "winnow_fingerprint_build_docs",
+    "winnow_fingerprint_docs",
+    "source_overlap_matrix_docs",
+    # (b) the 18 r3-era names (oldest external signal in the repo):
+    "map_functions_events",
+    "mix_corpus_docs",
+    "pagerank_supplier_graph",
+    "paragraph_dedup_docs",
+    "regression_stats_lineitem",
+    "retention_cohorts_events",
+    "scd2_customers",
+    "semantic_dedup_embeddings",
+    "setop_multiset_priorities",
+    "skew_salted_join_events",
+    "snapshot_diff_customers",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode",
+    "tpch_q16_parts_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q6_forecast_revenue",
+    "variant_props_events",
+    "zorder_layout_events",
+    # (c) the 29 alphabetically-first r5-era rows:
+    "agg_pricing_summary",
+    "anti_join_inactive_customers",
+    "backfill_partitions_events",
+    "bm25_topk_docs",
+    "bpe_encode_docs",
+    "bpe_train_merges_corpus",
+    "char_entropy_docs",
+    "compact_small_files_docs",
+    "corpus_build_pipeline_docs",
+    "dedup_audio_fingerprint_docs",
+    "dedup_image_phash_docs",
+    "event_transitions_events",
+    "heavy_hitters_docs",
+    "histogram_lineitem",
+    "incremental_agg_orders",
+    "ingest_html_docs",
+    "ingest_pdf_docs",
+    "join_cardinality_orders_customer",
+    "join_multi_region",
+    "join_revenue_by_segment",
+    "lm_perplexity_docs",
+    "nfc_normalize_docs",
+    "pca_project_embeddings",
+    "pca_top2_components_embeddings",
+    "pca_top_component_embeddings",
+    "pit_join_events",
+    "scan_filter_project",
+    "shard_balance_docs",
+    "stratified_split_docs",
+    # ---- driver window cutoff (first 50 above) ----
+    # ROUND-12 window, pre-enumerated IN ORDER (rotate to front at r12):
+    # (b) the ingest_* reference-fidelity parser family (r6-era; html/pdf
+    # are r5-era and re-earn in the r11 window; ingest_metrics_by_source
+    # is r8-era and waits its turn):
+    "ingest_audit_log",
+    "ingest_avro_docs",
+    "ingest_csv_docs",
+    "ingest_excel_docs",
+    "ingest_json_docs",
+    "ingest_logfmt_docs",
+    "ingest_orc_docs",
+    "ingest_txt_docs",
+    "ingest_xml_docs",
+    # (c) the 6 remaining r5-era rows:
+    "table_changes_orders",
+    "temperature_sample_docs",
+    "time_travel_orders",
+    "triangle_count_suppliers",
+    "vocab_coverage_docs",
+    "winsorize_events",
+    # (d) alphabetically-first r6-era rows to fill 50:
+    "assign_ids_orders",
+    "chi2_lang_source_docs",
+    "dedup_exact_docs",
+    "dsir_importance_docs",
+    "ewma_user_values",
+    "hll_intersection_events",
+    "kn_bigram_lm_corpus",
+    "knn_two_stage_topk",
+    "ks_drift_docs",
+    "matryoshka_qc_embeddings",
+    "merge_upsert_customers",
+    "nb_lang_confusion_docs",
+    "pq_adc_topk_embeddings",
+    "pq_ivf_topk_embeddings",
+    "psi_drift_docs",
+    "s3_event_decode_docs",
+    "shuffle_ids_docs",
+    "stats_prune_scan_orders",
+    "tpch_q10_returned_items",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_volume",
+    "tpch_q22_idle_wealthy",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_exists_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "trajectory_events",
+    # ---- r12 window end (50 names above) ----
+    # r10 driver window names, all driver-green in CORRECTNESS_r10 (50):
     "compaction_plan_docs",
     "l_diversity_docs",
     "seasonality_dow_events",
@@ -97,64 +206,6 @@ _PRIORITY = [
     "int8_recall_qc_embeddings",
     "kcenter_coreset_embeddings",
     "cluster_keywords_embeddings",
-    # ---- driver window cutoff (first 50 above) ----
-    # ROUND-11 window head: (a) r10-changed/new queries not windowed in
-    # r10 — the stored-fingerprint build + its two re-plumbed consumers
-    # (the third consumer, plagiarism_pairs_docs, changed too but sits in
-    # the r10 window and re-earns there) —
-    "winnow_fingerprint_build_docs",
-    "winnow_fingerprint_docs",
-    "source_overlap_matrix_docs",
-    # then (b) the 18 r3-era names (oldest external signal in the repo):
-    "map_functions_events",
-    "mix_corpus_docs",
-    "pagerank_supplier_graph",
-    "paragraph_dedup_docs",
-    "regression_stats_lineitem",
-    "retention_cohorts_events",
-    "scd2_customers",
-    "semantic_dedup_embeddings",
-    "setop_multiset_priorities",
-    "skew_salted_join_events",
-    "snapshot_diff_customers",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode",
-    "tpch_q16_parts_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q6_forecast_revenue",
-    "variant_props_events",
-    "zorder_layout_events",
-    # (c) the 29 alphabetically-first r5-era rows — r11 window tail
-    "agg_pricing_summary",
-    "anti_join_inactive_customers",
-    "backfill_partitions_events",
-    "bm25_topk_docs",
-    "bpe_encode_docs",
-    "bpe_train_merges_corpus",
-    "char_entropy_docs",
-    "compact_small_files_docs",
-    "corpus_build_pipeline_docs",
-    "dedup_audio_fingerprint_docs",
-    "dedup_image_phash_docs",
-    "event_transitions_events",
-    "heavy_hitters_docs",
-    "histogram_lineitem",
-    "incremental_agg_orders",
-    "ingest_html_docs",
-    "ingest_pdf_docs",
-    "join_cardinality_orders_customer",
-    "join_multi_region",
-    "join_revenue_by_segment",
-    "lm_perplexity_docs",
-    "nfc_normalize_docs",
-    "pca_project_embeddings",
-    "pca_top2_components_embeddings",
-    "pca_top_component_embeddings",
-    "pit_join_events",
-    "scan_filter_project",
-    "shard_balance_docs",
-    "stratified_split_docs",
-    # ---- r11 window end (the 50 names above the r9-window block) ----
     # r9-window names, driver-green in CORRECTNESS_r09 (12 changed +
     # 20 r8-late + 18 r3-era rotations):
     "dedup_embedding_pairs",

@@ -22,45 +22,49 @@ def test_registry_consistency():
     # zero rows-only queries left
     assert set(q) == set(o)
     assert len(q) >= 242
-    # driver verifies the first 50 in insertion order: round-10 rotation
-    # (the r9 verdict's consolidation task #1) gives ALL 50 slots, verbatim,
-    # to the 50 r9-late queries the driver has NEVER checked (the full
-    # registry3 batch — they landed after the r9 window ran); nothing
-    # displaces them, and no query with a fresh r6-r9 driver-green row may
-    # burn a slot
+    # driver verifies the first 50 in insertion order: round-11 rotation
+    # (the r10 verdict's task #1) lands the pre-committed window VERBATIM —
+    # the 3 r10-changed/new stored-winnow queries, the 18 r3-era names, and
+    # the 29 alphabetically-first r5-era rows; no query with a fresh r6-r10
+    # driver-green row may burn a slot
     names = list(q)
     window = set(names[:50])
-    never_checked_r9_late = (
-        "compaction_plan_docs", "l_diversity_docs", "seasonality_dow_events",
-        "simhash_multiprobe_pairs_docs", "pq_ivf_stored_probe",
-        "t_closeness_docs", "ess_importance_docs", "dedup_impact_report_docs",
-        "doremi_reweight_sources", "split_leakage_ngram_docs",
-        "quantile_normalize_scores_docs", "hard_negatives_embeddings",
-        "spearman_len_tokens_sources", "silhouette_kmeans_embeddings",
-        "pq_ivf_residual_topk_embeddings", "label_propagation_trade_graph",
-        "quantile_merge_summaries_docs", "conformal_coverage_docs",
-        "bootstrap_se_sources", "golden_record_customers",
-        "negative_sampling_pairs", "colbert_maxsim_topk",
-        "mmr_diversify_topk", "ivm_join_orders_customer",
-        "ab_srm_check_events", "diff_in_diff_events", "churn_hazard_events",
-        "ab_conversion_test_events", "join_order_advisor",
-        "ood_mahalanobis_embeddings", "decayed_leaderboard_events",
-        "ams_f2_events", "adamic_adar_suppliers", "encoding_advisor_lineitem",
-        "plagiarism_pairs_docs", "rbo_rankings_embeddings",
-        "kfold_balance_docs", "anova_f_sources", "forecast_mase_events",
-        "loo_source_value_docs", "wasserstein_pairs_sources",
-        "stratified_exact_k_docs", "dedup_review_queue_docs",
-        "assoc_triples_lineitem", "rolling_wau_events", "mad_events",
-        "data_contract_docs", "int8_recall_qc_embeddings",
-        "kcenter_coreset_embeddings", "cluster_keywords_embeddings",
-    )
-    assert len(never_checked_r9_late) == 50
-    assert window == set(never_checked_r9_late)
-    # the r11 window head is pre-committed right after the cutoff: the
-    # r10-changed/new fingerprint queries, then the 18 r3-era names
-    assert names[50:53] == [
+    r11_precommitted = (
         "winnow_fingerprint_build_docs", "winnow_fingerprint_docs",
         "source_overlap_matrix_docs",
+        # 18 r3-era
+        "map_functions_events", "mix_corpus_docs", "pagerank_supplier_graph",
+        "paragraph_dedup_docs", "regression_stats_lineitem",
+        "retention_cohorts_events", "scd2_customers",
+        "semantic_dedup_embeddings", "setop_multiset_priorities",
+        "skew_salted_join_events", "snapshot_diff_customers",
+        "tpch_q11_important_stock", "tpch_q12_shipmode",
+        "tpch_q16_parts_supplier", "tpch_q21_waiting_supplier",
+        "tpch_q6_forecast_revenue", "variant_props_events",
+        "zorder_layout_events",
+        # 29 alphabetically-first r5-era
+        "agg_pricing_summary", "anti_join_inactive_customers",
+        "backfill_partitions_events", "bm25_topk_docs", "bpe_encode_docs",
+        "bpe_train_merges_corpus", "char_entropy_docs",
+        "compact_small_files_docs", "corpus_build_pipeline_docs",
+        "dedup_audio_fingerprint_docs", "dedup_image_phash_docs",
+        "event_transitions_events", "heavy_hitters_docs",
+        "histogram_lineitem", "incremental_agg_orders", "ingest_html_docs",
+        "ingest_pdf_docs", "join_cardinality_orders_customer",
+        "join_multi_region", "join_revenue_by_segment", "lm_perplexity_docs",
+        "nfc_normalize_docs", "pca_project_embeddings",
+        "pca_top2_components_embeddings", "pca_top_component_embeddings",
+        "pit_join_events", "scan_filter_project", "shard_balance_docs",
+        "stratified_split_docs",
+    )
+    assert len(r11_precommitted) == 50
+    assert window == set(r11_precommitted)
+    # the window must also land IN ORDER (the pre-commitment is verbatim)
+    assert names[:50] == list(r11_precommitted)
+    # the r12 window head is pre-committed right after the cutoff: the
+    # ingest_* reference-fidelity family (last driver row r6)
+    assert names[50:53] == [
+        "ingest_audit_log", "ingest_avro_docs", "ingest_csv_docs",
     ]
     for fresh_green in ("cap_per_source_docs", "word_count_docs",
                         "rtbf_delete_dv_docs", "skew_autogate_join_events",
