@@ -262,9 +262,6 @@ def winnow_fingerprints(
     )
 
 
-_WINNOW_STORE_CACHE: dict = {}
-
-
 def winnow_fingerprint_store(
     spark, sf_dir: str, k: int = 5, w: int = 4, force: bool = False
 ) -> str:
@@ -287,66 +284,38 @@ def winnow_fingerprint_store(
     from the write is reused and no consumer re-shuffles the fingerprint
     mass (plan-pinned in tests/test_plans.py).
 
-    Per-process memo keyed on (sf_dir, k, w): within one driver/bench
-    run the first consumer builds, the rest probe. Driver queries are
-    stateless across processes, so a fresh process rebuilds once —
-    correctness never depends on the cache. ``force=True`` (the build
-    query) always rebuilds, so the bench bills the corpus-scale build to
-    winnow_fingerprint_build_docs and never hides it behind the memo.
+    Root discipline (r11, was three r10 ADVICE findings): the root is the
+    DETERMINISTIC ``stores.store_root`` path — a pure function of
+    (sf_dir, k, w) + the documents mtime — so every process (each bench
+    rep, test run, driver invocation) reuses ONE committed snapshot
+    instead of rebuilding and leaking a fresh mkdtemp per process. A
+    regenerated corpus changes the mtime → a new root; the stale sibling
+    is swept after the new build commits. ``force=True`` (the build
+    query) always rebuilds — as a NEW VERSION in the same root, so a lazy
+    DataFrame an earlier probe returned still reads its pinned version —
+    and the bench bills the corpus-scale build to
+    winnow_fingerprint_build_docs instead of hiding it behind the reuse.
     Returns the store root."""
     import os
-    import tempfile
 
-    from . import tableformat
+    from . import stores, tableformat
 
-    # the documents mtime in the key means a corpus regenerated at the
-    # SAME path within one process can never serve a stale store
     doc_path = os.path.join(sf_dir, "documents.parquet")
     mtime = os.path.getmtime(doc_path) if os.path.exists(doc_path) else 0
-    key = (os.path.abspath(sf_dir), k, w)
-    cached = _WINNOW_STORE_CACHE.get(key)
-    if (
-        not force
-        and cached is not None
-        and cached[0] == mtime
-        and os.path.exists(tableformat._txn_path(cached[1]))
-    ):
-        return cached[1]
-    from ..session import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(
-        docs, "doc_id", "text", k=k, w=w, carry_cols=("source",)
+    root = stores.store_root(
+        "winnow", (os.path.abspath(sf_dir), k, w), mtime
     )
-    root = tempfile.mkdtemp(prefix="winnow_store_")
-    tableformat.commit_atomic(root, {"fp": ("bucketed", fp, "winnow_hash", 8)})
-    # a superseded store (force rebuild / corpus regenerated) is garbage
-    # the moment the memo repoints: drop its catalog tables and tempdir
-    # so repeated bench reps / test runs don't fill /tmp with dead
-    # fingerprint snapshots (r10 review finding)
-    if cached is not None and cached[1] != root:
-        _drop_store(spark, cached[1])
-    _WINNOW_STORE_CACHE[key] = (mtime, root)
-    return root
 
+    def _build(r):
+        from ..session import load_table
 
-def _drop_store(spark, root: str) -> None:
-    """Remove a superseded winnow store: catalog entries first (from the
-    member manifest), then the directory tree. Best-effort — a vanished
-    dir or foreign session must never fail the build that replaced it."""
-    import os
-    import shutil
+        docs = load_table(spark, sf_dir, "documents")
+        fp = winnow_fingerprints(
+            docs, "doc_id", "text", k=k, w=w, carry_cols=("source",)
+        )
+        tableformat.commit_atomic(r, {"fp": ("bucketed", fp, "winnow_hash", 8)})
 
-    from . import tableformat
-
-    try:
-        manifest = tableformat.read_manifest(os.path.join(root, "fp"))
-        for e in manifest.get("versions", []):
-            if "table" in e:
-                spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
-    except (OSError, ValueError, KeyError):
-        pass
-    shutil.rmtree(root, ignore_errors=True)
+    return stores.ensure_store(spark, root, _build, force=force)
 
 
 def winnow_fingerprint_probe(spark, sf_dir: str, k: int = 5, w: int = 4):

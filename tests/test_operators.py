@@ -2287,3 +2287,47 @@ def test_winnow_store_probe_matches_direct_and_invalidates(spark, tmp_path):
     assert r2 != r1
     fresh = text.winnow_fingerprint_probe(spark, sf)
     assert {r["doc_id"] for r in fresh.collect()} == {9}
+    # the superseded root (old mtime, same identity prefix) was swept:
+    # exactly one live sibling remains for this corpus+params identity
+    import glob as _glob
+
+    prefix = os.path.basename(r1).rsplit("_", 1)[0]
+    live = _glob.glob(os.path.join(os.path.dirname(r1), prefix + "_*"))
+    assert live == [r2]
+
+
+def test_store_root_is_deterministic_and_force_keeps_prior_version(
+    spark, tmp_path
+):
+    """r11 store discipline (three r10 ADVICE findings): (1) the root is a
+    pure function of corpus+params+mtime, so a 'fresh process' (here: a
+    cleared memo — there is none left to clear, the path IS the memo)
+    reuses the committed snapshot instead of rebuilding; (2) force=True
+    rebuilds as a NEW VERSION in the SAME root, so a lazy DataFrame taken
+    BEFORE the rebuild still collects its pinned version afterwards."""
+    import os
+
+    from data_ingestion_spark.operators import text
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij klmno", "s1")],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    r1 = text.winnow_fingerprint_store(spark, sf)
+    # determinism: same inputs -> same root (cross-process reuse path)
+    assert text.winnow_fingerprint_store(spark, sf) == r1
+    lazy_before = text.winnow_fingerprint_probe(spark, sf)  # NOT collected
+    r2 = text.winnow_fingerprint_store(spark, sf, force=True)
+    assert r2 == r1  # same root, new version inside
+    # the pre-rebuild lazy frame still reads its pinned (old) version
+    assert lazy_before.count() > 0
+    # and a fresh probe reads the new head with identical content
+    after = {
+        (r["doc_id"], r["winnow_hash"])
+        for r in text.winnow_fingerprint_probe(spark, sf).collect()
+    }
+    assert after == {
+        (r["doc_id"], r["winnow_hash"]) for r in lazy_before.collect()
+    }

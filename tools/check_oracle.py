@@ -123,8 +123,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    args = sys.argv[2:]
+    # flags are parsed BEFORE positionals (r10 ADVICE: `check_oracle.py
+    # --window` without an sf_dir used to bind sf_dir='--window' and
+    # silently run ALL queries against a nonexistent directory)
+    argv = sys.argv[1:]
+    window = "--window" in argv
+    argv = [a for a in argv if a != "--window"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    args = argv[1:]
+    if window and args:
+        print("--window and explicit query names are mutually exclusive")
+        return 2
+    if not os.path.isdir(sf_dir):
+        print(f"sf_dir {sf_dir!r} is not a directory")
+        return 2
 
     import __spark_entry__ as e
     from data_ingestion_spark.session import get_spark
@@ -132,7 +144,7 @@ def main() -> int:
     # --window = exactly the driver's view: the first 50 registered
     # queries in insertion order (the rotation gate). Rehearse it per
     # round before the external run does.
-    if args == ["--window"]:
+    if window:
         only = set(list(e.queries())[:50])
     else:
         only = set(args)
