@@ -58,8 +58,11 @@ def _write_manifest_atomic(root: str, manifest: dict) -> None:
 def _next_version(manifest: dict) -> int:
     """Next GLOBAL version number: max over all committed versions + 1.
     ``current + 1`` breaks once branches exist — a branch commit past the
-    main head would collide with main's next number."""
+    main head would collide with main's next number. ``vmax`` (r11) is
+    the high-water mark vacuum's tombstone FOLD leaves behind, so a
+    folded-away version's number is still never reused."""
     vs = [e["v"] for e in manifest["versions"]]
+    vs.append(manifest.get("vmax", -1))
     return (max(vs) + 1) if vs else 0
 
 
@@ -217,11 +220,16 @@ def read_version(spark, root: str, version: int | None = None) -> DataFrame:
     v = manifest["current"] if version is None else version
     entries = {e["v"]: e for e in manifest["versions"]}
     if v not in entries:
+        # version numbers are allocated densely, so a missing v at or
+        # below the fold high-water mark was vacuumed (r11: the fold
+        # drops tombstone stubs; vmax keeps the error informative)
+        if 0 <= v <= manifest.get("vmax", -1):
+            raise ValueError(f"version {v} was vacuumed")
         raise ValueError(
             f"version {v} not in table (have {sorted(entries)})"
         )
     entry = entries[v]
-    if entry.get("pruned"):
+    if entry.get("pruned"):  # pre-fold manifests (older writers)
         raise ValueError(
             f"version {v} was vacuumed (ancestry tombstone only)"
         )
@@ -321,7 +329,53 @@ def vacuum(root: str, keep_last: int, spark=None) -> list[int]:
             if "branch" in e:
                 stub["branch"] = e["branch"]
             keep.append(stub)
-    manifest["versions"] = keep
+    # Tombstone FOLD (r11, was SELFREVIEW_r10 #5's accepted debt): stubs
+    # exist only so _is_ancestor can walk from a live head back through
+    # vacuumed intermediates — pass-through nodes. Re-point every live
+    # entry's parent THROUGH the stub chains to its nearest live ancestor
+    # (walked on the full pre-fold map, so resolution is exact, including
+    # across branch commits the legacy cur-1 fallback must not chain
+    # through), then drop the stubs entirely. ``vmax`` records the
+    # high-water version number so folded numbers are never reused
+    # (_next_version) and reads of a folded version still say "vacuumed"
+    # (read_version: numbers are allocated densely, so any missing
+    # v ≤ vmax was vacuumed). The manifest is now O(live versions +
+    # branch heads) no matter how many create/vacuum cycles ran.
+    by_v_all = {e["v"]: e for e in keep}
+
+    def _step(e: dict):
+        # the SAME successor rule _is_ancestor walks with: explicit
+        # parent wins; a legacy entry (no parent field) chains to v-1
+        # only when that entry exists and is a main-line commit
+        if "parent" in e:
+            return e["parent"]
+        prev = by_v_all.get(e["v"] - 1) if e["v"] > 0 else None
+        return (
+            e["v"] - 1 if prev is not None and "branch" not in prev else -1
+        )
+
+    def _live_parent(e: dict) -> int:
+        cur = _step(e)
+        seen: set = set()
+        while cur not in seen:
+            seen.add(cur)
+            p = by_v_all.get(cur)
+            if p is None or not p.get("pruned"):
+                return cur  # live entry, or -1 / genuinely absent
+            cur = _step(p)
+        return -1
+    live = []
+    for e in keep:
+        if e.get("pruned"):
+            continue
+        lp = _live_parent(e)
+        if lp != e.get("parent"):
+            e = {**e, "parent": lp}
+        live.append(e)
+    manifest["vmax"] = max(
+        [manifest.get("vmax", -1)] + [e["v"] for e in keep]
+    )
+    manifest["versions"] = live
     _write_manifest_atomic(root, manifest)
     referenced = {e["dir"] for e in kept_entries if "dir" in e}
     removed = [e["v"] for e in drop]

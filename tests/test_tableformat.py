@@ -658,9 +658,12 @@ def test_legacy_parentless_fallback_stops_at_branch_commit(spark, tmp_path):
 
 
 def test_merge_fast_forward_survives_vacuum(spark, tmp_path):
-    """r10 (was an r9 ADVICE finding): vacuum leaves {v, parent} ancestry
-    tombstones, so a genuinely fast-forward merge still resolves after
-    intermediate versions between the two heads were vacuumed."""
+    """r10 (was an r9 ADVICE finding), hardened r11: vacuum used to leave
+    {v, parent} ancestry tombstones; the r11 FOLD re-points each live
+    entry's parent through the pruned chain to its nearest live ancestor
+    and drops the stubs — a genuinely fast-forward merge still resolves
+    after intermediate versions between the two heads were vacuumed, and
+    the manifest holds LIVE ENTRIES ONLY."""
     root = str(tmp_path / "t")
     df = spark.createDataFrame([(1,)], "id long")
     tf.commit_version(df, root)                                   # v0
@@ -672,14 +675,16 @@ def test_merge_fast_forward_survives_vacuum(spark, tmp_path):
     removed = tf.vacuum(root, keep_last=1)
     assert set(removed) == {1, 2, 3}                              # v0 pinned
     m = tf.read_manifest(root)
-    stubs = {e["v"]: e for e in m["versions"] if e.get("pruned")}
-    assert set(stubs) == {1, 2, 3}
-    assert all("dir" not in e for e in stubs.values())
-    # ancestry across the tombstones: old(v0) is an ancestor of main(v4)
+    # the fold leaves NO pruned stubs; v4's parent jumped the chain to v0
+    assert not any(e.get("pruned") for e in m["versions"])
+    assert {e["v"] for e in m["versions"]} == {0, 4}
+    assert {e["v"]: e.get("parent") for e in m["versions"]}[4] == 0
+    assert m["vmax"] == 4
+    # ancestry across the folded chain: old(v0) is an ancestor of main(v4)
     head = tf.merge_branch(root, "main", "old")                   # ff old->v4
     assert head == 4
     assert tf.read_branch(spark, root, "old").first()["id"] == 13
-    # tombstoned versions never satisfy a read...
+    # folded versions never satisfy a read...
     with pytest.raises(ValueError, match="vacuumed"):
         tf.read_version(spark, root, 2)
     # ...never count toward keep_last, and never get their numbers reused.
@@ -687,3 +692,33 @@ def test_merge_fast_forward_survives_vacuum(spark, tmp_path):
     assert tf.vacuum(root, keep_last=1) == [0]
     v5 = tf.commit_version(spark.createDataFrame([(9,)], "id long"), root)
     assert v5 == 5
+
+
+def test_vacuum_fold_bounds_manifest_growth(spark, tmp_path):
+    """r11 (the r10 verdict's task #7, closing SELFREVIEW_r10 #5's
+    accepted debt): a long create/vacuum cycle keeps the manifest
+    O(live versions + branch heads) — tombstones fold away instead of
+    accumulating one stub per vacuumed version forever."""
+    root = str(tmp_path / "t")
+    tf.commit_version(spark.createDataFrame([(0,)], "id long"), root)  # v0
+    tf.create_branch(root, "pin")                                  # pin -> v0
+    for i in range(1, 25):                                         # 24 cycles
+        tf.commit_version(
+            spark.createDataFrame([(i,)], "id long"), root
+        )
+        tf.vacuum(root, keep_last=1)
+        m = tf.read_manifest(root)
+        # bounded: the pinned branch head + at most keep_last live heads
+        assert len(m["versions"]) <= 2, (i, m["versions"])
+        assert not any(e.get("pruned") for e in m["versions"])
+    m = tf.read_manifest(root)
+    assert m["vmax"] == 24
+    # ancestry survived every fold: pin(v0) is an ancestor of main(v24)
+    assert tf.merge_branch(root, "main", "pin") == 24
+    # numbers keep advancing monotonically after 24 fold cycles
+    assert tf.commit_version(
+        spark.createDataFrame([(99,)], "id long"), root
+    ) == 25
+    # a mid-history folded version reads as vacuumed, not "unknown"
+    with pytest.raises(ValueError, match="vacuumed"):
+        tf.read_version(spark, root, 12)
