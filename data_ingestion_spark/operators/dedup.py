@@ -236,41 +236,60 @@ def jaccard_pairs(
             df, id_col, text_col, k=k, block_cols=block_cols, sort_sets=True
         ).localCheckpoint(eager=False)
     pref = frequency_ordered_prefix(base, threshold)
+    return _allpairs_jaccard_verify(
+        pref, base.select("id", "sset"), threshold, block_keys=("block",)
+    )
+
+
+def _allpairs_jaccard_verify(
+    pref: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    block_keys: tuple = ("block",),
+) -> DataFrame:
+    """The candidate-join + exact-verify core shared by the in-line
+    AllPairs path (jaccard_pairs) and the stored shingle-base path
+    (jaccard_pairs_stored). ``pref``: the (id, *block_keys, n, p, s)
+    prefix stream — frequency-ordered, 1-based positions; ``sets``:
+    (id, sset) with sset distinct.
+
+    Lossless candidate filters, all under the ROUNDING-SAFE effective
+    threshold (the verify gate is round(jac,4) ≥ t, so a pair at
+    t − 5e-5 still passes — filters must not drop it):
+      length:     t·|A| ≤ |B| ≤ |A|/t
+      positional: PPJoin (Xiao et al., WWW'08) — overlap reachable from
+        a match at 1-based positions (p_a, p_b) is ≤ 1 + min(|A|−p_a,
+        |B|−p_b); Jaccard ≥ t ⟺ overlap·(1+t) ≥ t·(|A|+|B|), so a match
+        whose bound·(1+t) < t·(|A|+|B|) cannot witness a true pair. The
+        pair's FIRST common element (frequency order) lies inside both
+        prefixes and has every common element at later positions, so
+        its match always survives — dropping the others only thins the
+        pre-distinct candidate stream (measured: the dominant cost of
+        the exact-dedup family).
+    """
     pa, pb = pref.alias("pa"), pref.alias("pb")
-    # Lossless candidate filters, all under the ROUNDING-SAFE effective
-    # threshold (the verify gate is round(jac,4) ≥ t, so a pair at
-    # t − 5e-5 still passes — filters must not drop it):
-    #   length:     t·|A| ≤ |B| ≤ |A|/t
-    #   positional: PPJoin (Xiao et al., WWW'08) — overlap reachable from
-    #     a match at 1-based positions (p_a, p_b) is ≤ 1 + min(|A|−p_a,
-    #     |B|−p_b); Jaccard ≥ t ⟺ overlap·(1+t) ≥ t·(|A|+|B|), so a match
-    #     whose bound·(1+t) < t·(|A|+|B|) cannot witness a true pair. The
-    #     pair's FIRST common element (frequency order) lies inside both
-    #     prefixes and has every common element at later positions, so
-    #     its match always survives — dropping the others only thins the
-    #     pre-distinct candidate stream (measured: the dominant cost of
-    #     the exact-dedup family).
     t_eff = max(float(threshold) - 5e-5, 0.0)
     ubound = F.lit(1) + F.least(
         F.col("pa.n") - F.col("pa.p"), F.col("pb.n") - F.col("pb.p")
     )
-    cand = (
-        pa.join(
-            pb,
-            (F.col("pa.block") == F.col("pb.block"))
-            & (F.col("pa.s") == F.col("pb.s"))
-            & (F.col("pa.id") < F.col("pb.id"))
-            & (F.col("pb.n") * F.lit(t_eff) <= F.col("pa.n"))
-            & (F.col("pa.n") * F.lit(t_eff) <= F.col("pb.n"))
-            & (
-                ubound.cast("double") * F.lit(1.0 + t_eff)
-                >= (F.col("pa.n") + F.col("pb.n")) * F.lit(t_eff) - F.lit(1e-6)
-            ),
+    block_eq = [F.col(f"pa.{c}") == F.col(f"pb.{c}") for c in block_keys]
+    cond = (
+        (F.col("pa.s") == F.col("pb.s"))
+        & (F.col("pa.id") < F.col("pb.id"))
+        & (F.col("pb.n") * F.lit(t_eff) <= F.col("pa.n"))
+        & (F.col("pa.n") * F.lit(t_eff) <= F.col("pb.n"))
+        & (
+            ubound.cast("double") * F.lit(1.0 + t_eff)
+            >= (F.col("pa.n") + F.col("pb.n")) * F.lit(t_eff) - F.lit(1e-6)
         )
+    )
+    for eq in block_eq:
+        cond = cond & eq
+    cand = (
+        pa.join(pb, cond)
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
         .distinct()
     )
-    sets = base.select("id", "sset")
     verify = (
         cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "sa"), "id_a")
         .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "sb"), "id_b")
@@ -284,6 +303,137 @@ def jaccard_pairs(
     return (
         verify.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Stored AllPairs shingle base (r11, the r10 verdict's task #4): the
+# tokenize→shingle→frequency-order derivation, committed once per corpus
+# --------------------------------------------------------------------------
+def shingle_base_store(spark, sf_dir: str, k: int = 3, force: bool = False) -> str:
+    """Build-once stored shingle base for the documents table — the same
+    build/probe amortization as the winnowing-fingerprint store
+    (text.winnow_fingerprint_store) applied to THE most recomputed
+    derivation in the repo: before r11, six exact-Jaccard consumers
+    (pairs, clusters, two-star, keep-best, review queue, containment)
+    plus the minhash recall QC each re-ran tokenize → 3-shingle →
+    global-df aggregation → per-set frequency reorder over the full
+    corpus (~29 s of the 281 s sf0.1 bench). At 100 TB that is a nightly
+    index job re-run per REPORT. Two member tables, committed as ONE
+    transaction (a torn pair — new positions, old sets — would break the
+    verify stage's exactness):
+
+    - ``base`` (id, lang, bucket, sset): the canonical distinct-sorted
+      shingle sets, BUCKETED BY id — the verify stage joins candidates
+      back to both sides' sets by id, so the stored side re-shuffles
+      nothing.
+    - ``fpos`` (id, lang, bucket, n, p, s): the FULL positional explode
+      in global-frequency-ascending order (frequency_ordered_prefix at
+      threshold 0.0 — slice length n, i.e. every element with its
+      1-based rank p), BUCKETED BY s — the candidate self-join key, so
+      both join sides read pre-partitioned. One stored order serves
+      EVERY threshold: a consumer at threshold t filters to
+      p ≤ max(n − ⌈n·t_eff⌉ + 1, 1), which is exactly the prefix
+      frequency_ordered_prefix(t) would emit (same global order, same
+      rounding-safe t_eff), and the prefix-filter losslessness proof
+      only needs one fixed global total order. The containment tier's
+      full inverted index is the UNFILTERED fpos — free.
+
+    Storing fpos (linear in corpus tokens — the classic inverted-index
+    shape) is NOT the candidate-stream store SELFREVIEW_r10.md #8
+    refuted: candidates are pair-mass (quadratic in cluster size) and
+    threshold-specific; fpos is corpus-mass and threshold-free.
+
+    Root discipline: deterministic ``stores.store_root`` path keyed on
+    (sf_dir, k) + documents mtime — cross-process reuse, stale-sibling
+    sweep, force=True rebuilds as a new version in the same root (see
+    stores.py). The registered build query passes force=True so the
+    bench bills the corpus-scale build honestly."""
+    import os
+
+    from . import stores, tableformat
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    mtime = os.path.getmtime(doc_path) if os.path.exists(doc_path) else 0
+    root = stores.store_root(
+        "shinglebase", (os.path.abspath(sf_dir), k), mtime
+    )
+
+    def _build(r):
+        from ..session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = build_shingle_base(
+            docs,
+            "doc_id",
+            "text",
+            k=k,
+            block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
+            sort_sets=True,
+        ).select(
+            "id",
+            F.col("block.lang").alias("lang"),
+            F.col("block.bucket").alias("bucket"),
+            "sset",
+        )
+        # two member writes + the df agg all consume base: materialize
+        # the tokenize/shingle pass once (executor-local blocks)
+        base = base.localCheckpoint(eager=True)
+        fpos = frequency_ordered_prefix(
+            base, threshold=0.0, group_cols=("lang", "bucket")
+        )
+        tableformat.commit_atomic(
+            r,
+            {
+                "base": ("bucketed", base, "id", 8),
+                "fpos": ("bucketed", fpos, "s", 8),
+            },
+        )
+
+    return stores.ensure_store(spark, root, _build, force=force)
+
+
+def shingle_base_probe(spark, sf_dir: str, k: int = 3):
+    """The committed shingle-base snapshot (build-if-absent, then stored
+    reads only): returns (base, fpos) — see shingle_base_store."""
+    from . import tableformat
+
+    root = shingle_base_store(spark, sf_dir, k=k)
+    return (
+        tableformat.read_atomic(spark, root, "base"),
+        tableformat.read_atomic(spark, root, "fpos"),
+    )
+
+
+def stored_prefix(fpos: DataFrame, threshold: float) -> DataFrame:
+    """Filter the stored full positional stream down to exactly the
+    AllPairs prefix frequency_ordered_prefix(threshold) would emit:
+    keep positions p ≤ max(n − ⌈n·t_eff⌉ + 1, 1) under the same
+    rounding-safe effective threshold."""
+    t_eff = max(float(threshold) - 5e-5, 0.0)
+    bound = F.greatest(
+        F.col("n") - F.ceil(F.col("n") * F.lit(t_eff)).cast("int") + F.lit(1),
+        F.lit(1),
+    )
+    return fpos.filter(F.col("p") <= bound)
+
+
+def jaccard_pairs_stored(
+    spark, sf_dir: str, threshold: float, k: int = 3
+) -> DataFrame:
+    """jaccard_pairs over the committed shingle base: probe the stored
+    (base, fpos) snapshot, filter fpos to the threshold's prefix, and
+    run the shared candidate+verify core on (lang, bucket) blocks.
+    Output is IDENTICAL to jaccard_pairs(docs, block_cols=[lang,
+    n_chars div 200], k, threshold) — same global frequency order, same
+    lossless filters, same verify — while the corpus-scale tokenize/df/
+    reorder cost is paid once per corpus by shingle_base_store."""
+    base, fpos = shingle_base_probe(spark, sf_dir, k=k)
+    return _allpairs_jaccard_verify(
+        stored_prefix(fpos, threshold),
+        base.select("id", "sset"),
+        threshold,
+        block_keys=("lang", "bucket"),
     )
 
 

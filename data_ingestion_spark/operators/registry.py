@@ -42,16 +42,15 @@ GROUP BY md5(text)
 
 
 def dedup_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact 3-shingle Jaccard near-dup pairs (threshold 0.3)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(
-        docs,
-        id_col="doc_id",
-        text_col="text",
-        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
-        k=3,
-        threshold=0.3,
-    ).orderBy("id_a", "id_b")
+    """Blocked exact 3-shingle Jaccard near-dup pairs (threshold 0.3),
+    probing the committed shingle-base snapshot (r11: the stored-artifact
+    amortization — shingle_base_build_docs pays the corpus-scale
+    tokenize/df/reorder once; this consumer reads the bucketed prefix
+    stream and set table). Output identical to the in-line
+    dedup.jaccard_pairs (equivalence pytest-pinned)."""
+    return dedup.jaccard_pairs_stored(spark, sf_dir, threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
 
 
 DEDUP_JACCARD_PAIRS_DOCS_SQL = f"""
@@ -1049,16 +1048,9 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (blocked exact Jaccard ≥ 0.3) resolved into dedup
     CLUSTERS via iterative min-label connected components. The oracle
     replays the transitive closure with a recursive CTE — iterative Spark
-    vs recursive SQL, same fixpoint."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(
-        docs,
-        id_col="doc_id",
-        text_col="text",
-        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
-        k=3,
-        threshold=0.3,
-    )
+    vs recursive SQL, same fixpoint. Pairs come from the committed
+    shingle-base snapshot (r11, see shingle_base_store)."""
+    pairs = dedup.jaccard_pairs_stored(spark, sf_dir, threshold=0.3)
     return (
         dedup.connected_components(pairs)
         .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
@@ -2436,7 +2428,7 @@ def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from re-shuffling the whole index every night to a one-time
     write-side shuffle per commit.
     """
-    import tempfile
+    from . import stores
 
     from ..functions import md5_hash60
     from . import tableformat
@@ -2459,7 +2451,7 @@ def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbase, cbands = dedup._minhash_bands(corpus, "doc_id", "text", **kwargs)
     bbase, bbands = dedup._minhash_bands(batch, "doc_id", "text", **kwargs)
 
-    root = tempfile.mkdtemp(prefix="nightly_dedup_")
+    root = stores.scratch_dir("nightly_dedup_")
     # bkey packs (band, key) into ONE column — 'band:key' with ':' absent
     # from the comma-joined hash key, so the packing is collision-free and
     # joining on bkey alone is EXACTLY the (band, key) equi-join. A single
@@ -2705,29 +2697,19 @@ def minhash_band_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the threshold."""
     from ..functions import md5_hash60
 
-    docs = load_table(spark, sf_dir, "documents")
-    # Fused shingle pipeline (r8): BOTH sides of the recall measurement —
-    # the exact AllPairs truth and the banded minhash find — consume the
-    # same tokenize→shingle→distinct pass, materialized once (before,
-    # the minhash side re-tokenized the corpus). Honest measurement: the
-    # fusion saves ~0.5s at sf0.1 (7.5→6.9 min-of-2), NOT the larger cut
-    # hoped for — profiling shows the duplicate scan was cheap and the
-    # dominant cost is the AllPairs truth internals themselves (freq agg
-    # + prefix reorder + candidate distinct ≈ 4s), which this query
-    # legitimately pays to know ground truth. sset/shingles derivations
-    # are exactly what jaccard_pairs/_minhash_bands build in-line, so the
-    # recall VALUE is unchanged (oracle green, same n_true/n_found/n_hit).
-    shingled = dedup.build_shingle_base(
-        docs, "doc_id", "text", k=3,
-        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
-        sort_sets=False, out_col="shingles",
-    ).localCheckpoint(eager=True)
-    truth = dedup.jaccard_pairs(
-        None, id_col="doc_id", text_col="text",
-        block_cols=None, k=3, threshold=0.3,
-        prebuilt_base=shingled.select(
-            "id", F.array_sort("shingles").alias("sset"), "block"
-        ),
+    # r11: BOTH sides of the recall measurement — the exact AllPairs
+    # truth and the banded minhash find — now probe the COMMITTED
+    # shingle-base snapshot (dedup.shingle_base_store): the truth side
+    # reads the stored frequency-ordered prefix stream (the r8 fusion's
+    # ~4s of in-line freq-agg + reorder internals are paid once per
+    # corpus by shingle_base_build_docs), and the minhash side consumes
+    # the stored sets directly — minhash over the sorted-distinct sset
+    # equals minhash over raw shingles (min of hashed values is
+    # order-free and idempotent under distinct), so the recall VALUE is
+    # unchanged (same oracle, same n_true/n_found/n_hit).
+    base, _fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
+    truth = dedup.jaccard_pairs_stored(
+        spark, sf_dir, threshold=0.3
     ).select("id_a", "id_b")
 
     def prehash(s):
@@ -2741,7 +2723,7 @@ def minhash_band_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         None, id_col="doc_id", text_col="text", k=3,
         jaccard_distance_threshold=0.7, hash_fn=portable, band_r=2,
         materialize=True, prehash_fn=prehash,
-        prebuilt_shingles=shingled.select("id", "shingles"),
+        prebuilt_shingles=base.select("id", F.col("sset").alias("shingles")),
     ).select("id_a", "id_b")
     truth = truth.localCheckpoint(eager=False)  # feeds n_true AND the hit join
     hits = truth.join(found, ["id_a", "id_b"], "left_semi")
@@ -2968,23 +2950,31 @@ def dedup_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (id_a, id_b, containment_micro) for id_a ≠ id_b, BOTH
     directions possible, containment in exact integer micros.
     """
-    docs = load_table(spark, sf_dir, "documents")
     t_num, t_den = 6, 10  # threshold 0.6 as an exact rational
-    base = dedup.build_shingle_base(
-        docs, "doc_id", "text", k=3, block_cols=[F.col("lang")], sort_sets=True
-    ).localCheckpoint(eager=False)
-    # r9: keep (n, p) from the prefix stream for the PPJoin positional
-    # filter, asymmetric form — overlap reachable from A's element at
-    # 1-based position p is ≤ 1 + |A| − p (all common elements sit at
-    # positions ≥ p in A's frequency order), and containment ≥ t needs
-    # overlap ≥ t·|A|, so a match with t_den·(1 + n − p) < t_num·n cannot
-    # witness a true pair. A's FIRST common element always survives
-    # (every common element is at a later position), so the filter is
-    # lossless; the gate is exact integer arithmetic, like the verify.
-    pref = dedup.frequency_ordered_prefix(
-        base, threshold=t_num / t_den
-    ).select("id", "block", "n", "p", "s")
-    inv = base.select("id", "block", F.explode("sset").alias("s"))
+    # r11: both sides of the candidate join come from the committed
+    # shingle-base snapshot (dedup.shingle_base_store) — the stored fpos
+    # stream IS the full frequency-ordered inverted index (unfiltered),
+    # and its threshold-filtered prefix is exactly what
+    # frequency_ordered_prefix(0.6) emitted before. The containment
+    # block is lang alone (a short doc quoted in a much longer one sits
+    # in a DIFFERENT length bucket by construction — bucket equality
+    # would define the operator away), so the stored bucket column is
+    # simply ignored here. The corpus is tokenized/df-ordered once per
+    # corpus by shingle_base_build_docs instead of once per report.
+    #
+    # r9 (unchanged): the PPJoin positional filter, asymmetric form —
+    # overlap reachable from A's element at 1-based position p is
+    # ≤ 1 + |A| − p (all common elements sit at positions ≥ p in A's
+    # frequency order), and containment ≥ t needs overlap ≥ t·|A|, so a
+    # match with t_den·(1 + n − p) < t_num·n cannot witness a true pair.
+    # A's FIRST common element always survives (every common element is
+    # at a later position), so the filter is lossless; the gate is exact
+    # integer arithmetic, like the verify.
+    base, fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
+    pref = dedup.stored_prefix(fpos, t_num / t_den).select(
+        "id", F.col("lang").alias("block"), "n", "p", "s"
+    )
+    inv = fpos.select("id", F.col("lang").alias("block"), "s")
     cand = (
         pref.alias("pa")
         .join(
@@ -3167,7 +3157,7 @@ def knn_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     build phase runs inside the call only because driver queries are
     stateless; the probe phase demonstrably touches stored snapshots
     alone (read_atomic), which is the part that persists across nights."""
-    import tempfile
+    from . import stores
 
     from . import tableformat
 
@@ -3186,7 +3176,7 @@ def knn_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "list_id int, cv array<double>",
     )
-    root = tempfile.mkdtemp(prefix="ivf_stored_")
+    root = stores.scratch_dir("ivf_stored_")
     tableformat.commit_atomic(
         root,
         {

@@ -165,7 +165,7 @@ def zorder_prune_demo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_layout_stats.py (gh <= gt//2 on a deterministic grid).
     """
     import shutil
-    import tempfile
+    from . import stores
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     r = ev.select(
@@ -183,7 +183,7 @@ def zorder_prune_demo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = {"user_id": (xmid - xspan, xmid + xspan), "value": (ymid - yspan, ymid + yspan)}
 
     n_total = ev.count()
-    base = tempfile.mkdtemp(prefix="zorder_demo_")
+    base = stores.scratch_dir("zorder_demo_")
     rows = []
     try:
         zdir, cdir = os.path.join(base, "z"), os.path.join(base, "ctl")
@@ -1408,7 +1408,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong anti-join, a lost insert, or a partial swap all change the
     numbers."""
     import shutil
-    import tempfile
+    from . import stores
 
     from . import cdc
 
@@ -1424,7 +1424,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         cust.schema,
     )
-    base = tempfile.mkdtemp(prefix="merge_upsert_")
+    base = stores.scratch_dir("merge_upsert_")
     target = os.path.join(base, "customer")
     try:
         cust.write.mode("overwrite").parquet(target)
@@ -1658,13 +1658,13 @@ def compact_small_files_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — a dropped row, a duplicated file, or a partial swap changes
     the checksum; `files_reduced` pins that compaction actually happened."""
     import shutil
-    import tempfile
+    from . import stores
 
     from ..functions import md5_hash60
     from ..sinks.parquet_sink import compact_table
 
     docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="compact_")
+    base = stores.scratch_dir("compact_")
     target = os.path.join(base, "documents")
     try:
         docs.repartition(64).write.mode("overwrite").parquet(target)
@@ -1794,13 +1794,13 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes both versions' aggregates closed-form from the base table —
     a pointer flip that lost v0, or a torn commit, changes the answer."""
     import shutil
-    import tempfile
+    from . import stores
 
     from . import tableformat as tf
 
     ords = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
-    base = tempfile.mkdtemp(prefix="timetravel_")
+    base = stores.scratch_dir("timetravel_")
     root = os.path.join(base, "orders_t")
     try:
         assert tf.commit_version(ords, root) == 0
@@ -1867,7 +1867,7 @@ def stats_prune_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator). At 100 TB this is the planner reading KB of manifest
     instead of listing + footer-fetching the object store per query."""
     import shutil
-    import tempfile
+    from . import stores
 
     from . import tableformat as tf
 
@@ -1880,7 +1880,7 @@ def stats_prune_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid, span = (plo + phi) / 2.0, (phi - plo) * 0.05
     lo, hi = mid - span, mid + span
 
-    base = tempfile.mkdtemp(prefix="stats_prune_")
+    base = stores.scratch_dir("stats_prune_")
     root = os.path.join(base, "orders_t")
     try:
         clustered = ords.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
@@ -2144,13 +2144,13 @@ def table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     update (fingerprint bug), a ghost delete, or a reversed diff
     direction all change the counts."""
     import shutil
-    import tempfile
+    from . import stores
 
     from . import tableformat as tf
 
     ords = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
-    base = tempfile.mkdtemp(prefix="cdf_")
+    base = stores.scratch_dir("cdf_")
     root = os.path.join(base, "orders_t")
     try:
         tf.commit_version(ords, root)
@@ -2350,7 +2350,7 @@ def backfill_partitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a missed gap, a partial refill, or an over-wide overwrite all
     change the rows."""
     import shutil
-    import tempfile
+    from . import stores
 
     from ..sinks.parquet_sink import (
         backfill_partitions,
@@ -2362,7 +2362,7 @@ def backfill_partitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date", F.to_date("ts")
     )
     holes = ["2024-01-07", "2024-01-21"]
-    base = tempfile.mkdtemp(prefix="backfill_")
+    base = stores.scratch_dir("backfill_")
     path = os.path.join(base, "events")
     try:
         write_partitioned(
@@ -4633,7 +4633,7 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     revenue by market segment over the bucketed copies). The repartition
     before each write lands every bucket in exactly one file, so the
     on-disk sort order is usable by the SMJ."""
-    import tempfile
+    from . import stores
 
     from . import layout
 
@@ -4643,7 +4643,7 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "custkey"
     )
-    path = tempfile.mkdtemp(prefix="bucketed_demo_")
+    path = stores.scratch_dir("bucketed_demo_")
     layout.write_bucketed(
         ords.repartition(8, "custkey"), "bkt_orders", "custkey", 8, path
     )
@@ -4788,14 +4788,10 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(
-        docs,
-        id_col="doc_id",
-        text_col="text",
-        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
-        k=3,
-        threshold=0.3,
-    )
+    # r11: pairs probe the committed shingle-base snapshot (see
+    # dedup.shingle_base_store) — same output, corpus-scale shingle
+    # derivation paid once by shingle_base_build_docs
+    pairs = dedup.jaccard_pairs_stored(spark, sf_dir, threshold=0.3)
     clusters = dedup.connected_components(pairs)
     scored = inference.classifier_scores(docs, "doc_id", "text").withColumnRenamed(
         "id", "doc_id"
@@ -4864,15 +4860,9 @@ def dedup_clusters_twostar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixpoint."""
     from . import dedup
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(
-        docs,
-        id_col="doc_id",
-        text_col="text",
-        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
-        k=3,
-        threshold=0.3,
-    )
+    # r11: pairs probe the committed shingle-base snapshot (see
+    # dedup.shingle_base_store)
+    pairs = dedup.jaccard_pairs_stored(spark, sf_dir, threshold=0.3)
     return (
         dedup.connected_components_twostar(pairs)
         .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
@@ -4982,13 +4972,13 @@ def rtbf_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same shape runs per-partition off the stats manifest
     (only files whose min/max overlap the erase keys rewrite); here the
     observable algebra is what the oracle replays."""
-    import tempfile
+    from . import stores
 
     from ..functions import md5_hash60
     from . import tableformat
 
     docs = load_table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="rtbf_")
+    root = stores.scratch_dir("rtbf_")
     erase_gate = md5_hash60(F.col("doc_id").cast("string")) % 20 == 0
     v0 = tableformat.commit_version(docs, root)
     v1 = tableformat.commit_version(docs.filter(~erase_gate), root)
@@ -5057,13 +5047,13 @@ def rtbf_delete_dv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     read (exceptAll in both directions), so a reader cannot tell which
     deletion tier produced the version. mask_rows surfaces that the
     commit wrote exactly |erase set| rows and nothing else."""
-    import tempfile
+    from . import stores
 
     from ..functions import md5_hash60
     from . import tableformat
 
     docs = load_table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="rtbf_dv_")
+    root = stores.scratch_dir("rtbf_dv_")
     erase_gate = md5_hash60(F.col("doc_id").cast("string")) % 20 == 0
     erase_keys = docs.filter(erase_gate).select("doc_id")
     v0 = tableformat.commit_version(docs, root)
@@ -5209,10 +5199,10 @@ def dpp_prune_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ``dynamicpruning#`` PartitionFilter; the oracle checks the join
     algebra. At 100 TB this is the difference between scanning 2 of 500
     partitions and scanning them all."""
-    import tempfile
+    from . import stores
 
     ev = load_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="dpp_")
+    base = stores.scratch_dir("dpp_")
     ev.write.partitionBy("event_type").mode("overwrite").parquet(base + "/fact")
     (
         ev.select("event_type")
@@ -5270,12 +5260,12 @@ def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     not make unchanged rows look changed). This is the Iceberg/Delta
     contract that lets a 100 TB table grow columns without rewriting
     history — snapshots are immutable, readers pick their version."""
-    import tempfile
+    from . import stores
 
     from . import tableformat
 
     ords = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="schevo_")
+    root = stores.scratch_dir("schevo_")
     v0 = tableformat.commit_version(ords, root)
     evolved = ords.withColumn(
         "is_urgent", F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")

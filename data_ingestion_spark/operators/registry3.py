@@ -295,7 +295,7 @@ def pq_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_q·m·k LUT broadcast. Values are exactly pq_ivf_topk_embeddings'
     semantics restricted to the 2 lowest-id queries, so the oracle is
     the same unrolled train→encode→LUT→probe SQL."""
-    import tempfile
+    from . import stores
 
     from . import similarity, tableformat
 
@@ -330,7 +330,7 @@ def pq_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)],
         "list_id int, cv array<double>",
     )
-    root = tempfile.mkdtemp(prefix="pq_ivf_stored_")
+    root = stores.scratch_dir("pq_ivf_stored_")
     tableformat.commit_atomic(
         root,
         {
@@ -4407,15 +4407,12 @@ def dedup_review_queue_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst-first, fully tie-broken."""
     from . import dedup
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(
-        docs,
-        id_col="doc_id",
-        text_col="text",
-        block_cols=[F.col("lang"), F.expr("n_chars div 200").alias("bucket")],
-        k=3,
-        threshold=0.02,
-    )
+    # r11: pairs probe the committed shingle-base snapshot (see
+    # dedup.shingle_base_store); at τ_lo = 0.02 the prefix is ~98% of
+    # each set, so amortizing the tokenize/df/reorder derivation matters
+    # MOST here — the probe reads the bucketed prefix stream and applies
+    # only the p ≤ bound filter
+    pairs = dedup.jaccard_pairs_stored(spark, sf_dir, threshold=0.02)
     return (
         pairs.filter(F.col("jaccard") < 0.3)
         .orderBy(
@@ -5246,4 +5243,95 @@ ORDER BY grp, rk
 QUERIES["cluster_keywords_embeddings"] = (
     cluster_keywords_embeddings,
     _cluster_keywords_oracle(),
+)
+
+
+# --------------------------------------------------------------------------
+# Stored AllPairs shingle base: the BUILD query (r11, r10 verdict task #4)
+# --------------------------------------------------------------------------
+def shingle_base_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD phase of the stored shingle base (dedup.
+    shingle_base_store): run tokenize → 3-shingle → global-df →
+    frequency-reorder ONCE over the corpus and commit two member tables
+    in one transaction — ``base`` (id, lang, bucket, sset; bucketed by
+    id) and ``fpos`` (id, lang, bucket, n, p, s — the FULL positional
+    explode in global-frequency-ascending order; bucketed by s). Seven
+    consumers probe the snapshot instead of re-deriving it (the
+    jaccard-pairs/clusters/two-star/keep-best/review-queue family, the
+    containment tier, and the minhash recall QC) — the same build/probe
+    amortization as winnow_fingerprint_build_docs, pointed at the most
+    recomputed derivation in the repo (~29 s of the 281 s sf0.1 bench
+    before r11). ``force=True`` so the bench bills the corpus-scale
+    build here, never hides it behind cross-process store reuse.
+
+    Returns a per-(lang, bucket) certification summary READ BACK FROM
+    THE STORED SNAPSHOT: row/doc/distinct-shingle counts plus two
+    position-sensitive checksums (``sum_p`` and ``poshash`` =
+    Σ p·(md5-hash60(s) mod 1000003)) — any misassigned frequency rank,
+    dropped element, or reordered tie changes them, so a hash-matching
+    oracle (which replays df + row_number ranking in DuckDB) certifies
+    the committed positional stream, not a transient recompute."""
+    from . import dedup, tableformat
+    from ..functions import md5_hash60
+
+    root = dedup.shingle_base_store(spark, sf_dir, k=3, force=True)
+    fpos = tableformat.read_atomic(spark, root, "fpos")
+    h = md5_hash60(F.col("s")) % F.lit(1000003)
+    return (
+        fpos.groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("s").cast("long").alias("n_distinct_shingles"),
+            F.sum("p").cast("long").alias("sum_p"),
+            F.sum(F.col("p").cast("long") * h).cast("long").alias("poshash"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+SHINGLE_BASE_BUILD_DOCS_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, lang, (n_chars // 200)::BIGINT AS bucket,
+         list_sort(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ))) AS sset
+  FROM (SELECT doc_id, lang, n_chars, {{_SQL_TOKENS_C}} AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+), ex AS (
+  SELECT id, lang, bucket, len(sset) AS n, unnest(sset) AS s FROM base
+), dfreq AS (
+  SELECT s, count(*) AS df_s FROM ex GROUP BY s
+), fpos AS (
+  SELECT ex.id, ex.lang, ex.bucket, ex.n,
+         row_number() OVER (PARTITION BY ex.id ORDER BY d.df_s, ex.s) AS p,
+         ex.s
+  FROM ex JOIN dfreq d ON d.s = ex.s
+)
+SELECT lang, bucket,
+       count(DISTINCT id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT s)::BIGINT AS n_distinct_shingles,
+       sum(p)::BIGINT AS sum_p,
+       sum(p * ({{_SQL_HASH60_S}} % 1000003))::BIGINT AS poshash
+FROM fpos
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+def _shingle_base_build_oracle() -> str:
+    from .registry import _SQL_HASH60, _SQL_TOKENS
+
+    return SHINGLE_BASE_BUILD_DOCS_SQL.format(
+        _SQL_TOKENS_C=_SQL_TOKENS.format(c="text"),
+        _SQL_HASH60_S=_SQL_HASH60.format(c="s"),
+    )
+
+
+QUERIES["shingle_base_build_docs"] = (
+    shingle_base_build_docs,
+    _shingle_base_build_oracle(),
 )

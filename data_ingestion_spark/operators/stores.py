@@ -132,3 +132,29 @@ def drop_store(spark, root: str) -> None:
         except Exception:
             pass
     shutil.rmtree(root, ignore_errors=True)
+
+
+_SCRATCH_DIRS: list = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp with process-exit cleanup — for DEMO/scenario queries that
+    build scratch versioned tables as part of their semantics (zorder
+    demo, merge-upsert, time travel, RTBF, ...). Unlike store_root these
+    are not reusable artifacts: each run's history IS the query, so the
+    dir is fresh per call — but it no longer outlives the process (the
+    r10 ADVICE leak class: every bench rep/test run left its scenario
+    tables in /tmp forever)."""
+    import atexit
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(_cleanup_scratch)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)

@@ -99,6 +99,19 @@ _PRIORITY = [
     "stratified_split_docs",
     # ---- driver window cutoff (first 50 above) ----
     # ROUND-12 window, pre-enumerated IN ORDER (rotate to front at r12):
+    # (a) the r11-changed/new stored-shingle-base queries — the build
+    # query (r11-new, never driver-checked) and the 7 consumers
+    # re-plumbed onto the committed snapshot (all locally oracle-green
+    # at sf0.01 against unchanged oracles; equivalence + plan shapes
+    # pytest-pinned):
+    "shingle_base_build_docs",
+    "dedup_jaccard_pairs_docs",
+    "dedup_clusters_docs",
+    "dedup_clusters_twostar_docs",
+    "dedup_keep_best_docs",
+    "dedup_review_queue_docs",
+    "dedup_containment_pairs_docs",
+    "minhash_band_recall_docs",
     # (b) the ingest_* reference-fidelity parser family (r6-era; html/pdf
     # are r5-era and re-earn in the r11 window; ingest_metrics_by_source
     # is r8-era and waits its turn):
@@ -146,14 +159,6 @@ _PRIORITY = [
     "tpch_q19_disjunctive",
     "tpch_q20_excess_volume",
     "tpch_q22_idle_wealthy",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_exists_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "trajectory_events",
     # ---- r12 window end (50 names above) ----
     # r10 driver window names, all driver-green in CORRECTNESS_r10 (50):
     "compaction_plan_docs",
@@ -198,7 +203,6 @@ _PRIORITY = [
     "loo_source_value_docs",
     "wasserstein_pairs_sources",
     "stratified_exact_k_docs",
-    "dedup_review_queue_docs",
     "assoc_triples_lineitem",
     "rolling_wau_events",
     "mad_events",
@@ -211,12 +215,6 @@ _PRIORITY = [
     "dedup_embedding_pairs",
     "dedup_embedding_pairs_stress",
     "knn_ivf_stored_probe",
-    "dedup_jaccard_pairs_docs",
-    "dedup_containment_pairs_docs",
-    "minhash_band_recall_docs",
-    "dedup_clusters_twostar_docs",
-    "dedup_keep_best_docs",
-    "dedup_clusters_docs",
     "dedup_minhash_docs",
     "dedup_incremental_docs",
     "dedup_nightly_pipeline_docs",

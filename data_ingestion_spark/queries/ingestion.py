@@ -14,7 +14,7 @@ enrichment IS included — it's deterministic.
 from __future__ import annotations
 
 import os
-import tempfile
+from ..operators import stores
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,7 +29,7 @@ def _run_pipeline(spark: SparkSession, files: dict, keys: list[str], rules=None)
     File values: str → text file; callable → invoked with the target path
     (e.g. the xlsx writer). ``rules`` overrides DEFAULT_RULES (e.g. the
     opt-in pdf route)."""
-    tmp = tempfile.mkdtemp(prefix="ingestq_")
+    tmp = stores.scratch_dir("ingestq_")
     landing = os.path.join(tmp, "landing")
     bucket = os.path.join(landing, "qbucket")
     for rel, content in files.items():
@@ -336,7 +336,7 @@ def ingest_logfmt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.logfmt_source import LogfmtDataSource
 
     spark.dataSource.register(LogfmtDataSource)
-    tmp = tempfile.mkdtemp(prefix="logfmtq_")
+    tmp = stores.scratch_dir("logfmtq_")
     with open(os.path.join(tmp, "a.logfmt"), "w") as f:
         f.write(
             'level=info msg="service started" port=8080\n'

@@ -62,10 +62,13 @@ def test_registry_consistency():
     # the window must also land IN ORDER (the pre-commitment is verbatim)
     assert names[:50] == list(r11_precommitted)
     # the r12 window head is pre-committed right after the cutoff: the
-    # ingest_* reference-fidelity family (last driver row r6)
+    # r11-changed stored-shingle-base queries, then the ingest_*
+    # reference-fidelity family (last driver row r6)
     assert names[50:53] == [
-        "ingest_audit_log", "ingest_avro_docs", "ingest_csv_docs",
+        "shingle_base_build_docs", "dedup_jaccard_pairs_docs",
+        "dedup_clusters_docs",
     ]
+    assert names[58:60] == ["ingest_audit_log", "ingest_avro_docs"]
     for fresh_green in ("cap_per_source_docs", "word_count_docs",
                         "rtbf_delete_dv_docs", "skew_autogate_join_events",
                         "tpch_q9_product_profit", "ingest_csv_docs",

@@ -2331,3 +2331,54 @@ def test_store_root_is_deterministic_and_force_keeps_prior_version(
     assert after == {
         (r["doc_id"], r["winnow_hash"]) for r in lazy_before.collect()
     }
+
+
+def test_jaccard_pairs_stored_equals_inline(spark, tmp_path):
+    """r11 stored shingle base: jaccard_pairs_stored must return EXACTLY
+    what the in-line AllPairs path returns — same global frequency
+    order, same rounding-safe prefix bound, same verify — at a tight AND
+    a loose threshold (the loose one exercises the near-full prefix the
+    review queue uses). Corpus is planted with twins, a partial overlap,
+    and a too-short doc (filtered by the >= k tokens gate on both paths)."""
+    import os
+
+    from data_ingestion_spark.operators import dedup
+
+    sf = str(tmp_path)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight", "en"),
+        (2, "the quick brown fox jumps over the lazy dog tonight", "en"),
+        (3, "the quick brown fox walks under the lazy dog today", "en"),
+        (4, "completely different words appear in this document here", "en"),
+        (5, "el rapido zorro marron salta sobre el perro hoy", "es"),
+        (6, "el rapido zorro marron salta sobre el perro hoy", "es"),
+        (7, "too short", "en"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    from pyspark.sql import functions as F
+
+    blocks = [F.col("lang"), F.expr("n_chars div 200").alias("bucket")]
+    for t in (0.3, 0.02):
+        inline = sorted(
+            map(
+                tuple,
+                dedup.jaccard_pairs(
+                    docs, "doc_id", "text", block_cols=blocks, k=3, threshold=t
+                ).collect(),
+            )
+        )
+        stored = sorted(
+            map(
+                tuple,
+                dedup.jaccard_pairs_stored(spark, sf, threshold=t).collect(),
+            )
+        )
+        assert inline == stored and stored, (t, inline, stored)
+    # the planted exact twins are found at the tight threshold
+    tight = dedup.jaccard_pairs_stored(spark, sf, threshold=0.3)
+    found = {(r["id_a"], r["id_b"]) for r in tight.collect()}
+    assert {(1, 2), (5, 6)} <= found

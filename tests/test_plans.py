@@ -1113,3 +1113,48 @@ def test_plans_artifact_covers_registry():
     )
     stale = rows - registered
     assert not stale, f"PLANS.md rows for unregistered queries: {sorted(stale)}"
+
+
+def test_jaccard_family_probes_stored_shingle_base(spark):
+    """r11 (the r10 verdict's task #4): every exact-Jaccard consumer must
+    READ THE COMMITTED SHINGLE-BASE SNAPSHOT (vtab_base_*/vtab_fpos_*
+    bucketed catalog tables) — never re-run tokenize → shingle →
+    global-df → frequency-reorder from a raw documents scan. At 100 TB
+    this is one corpus-scale index job per night vs one per report.
+    Scope: the non-iterative consumers — the connected-components family
+    (clusters/two-star/keep-best) consumes the SAME jaccard_pairs_stored
+    stream but its iterative localCheckpoints replace the upstream plan
+    with an ExistingRDD scan, so its probe shape is pinned transitively
+    through dedup_jaccard_pairs_docs here plus the value-equality oracle."""
+    probe_only = (
+        # query -> the store member its VISIBLE plan must scan (the
+        # recall QC lazily checkpoints its truth side, so only the
+        # minhash side's base probe shows; the truth side's shape is the
+        # jaccard_pairs_stored plan pinned by the first entry)
+        ("dedup_jaccard_pairs_docs", "vtab_fpos_"),
+        ("dedup_review_queue_docs", "vtab_fpos_"),
+        ("dedup_containment_pairs_docs", "vtab_fpos_"),
+        ("minhash_band_recall_docs", "vtab_base_"),
+    )
+    for name, member in probe_only:
+        plan = plan_of(spark, name)
+        assert member in plan, (
+            f"{name} must probe the stored shingle base ({member})"
+        )
+        # the shingle derivation (token split + 3-gram concat_ws) and the
+        # frequency reorder (collect_list of (df_s, s) structs) are gone
+        assert "concat_ws( , " not in plan, f"{name} re-shingles the corpus"
+        assert "collect_list" not in plan, f"{name} re-runs the df reorder"
+        assert "documents.parquet" not in plan, (
+            f"{name} must not re-scan the corpus"
+        )
+    # the candidate self-join reads BOTH sides from the bucketed fpos
+    # store: the only Exchange left in the pair queries is the candidate
+    # distinct — the corpus-mass prefix stream never re-shuffles
+    import re
+
+    plan = plan_of(spark, "dedup_jaccard_pairs_docs")
+    assert plan.count("Bucketed: true") >= 2, plan[:2000]
+    # and the build query proves the stored content (reads it back)
+    plan = plan_of(spark, "shingle_base_build_docs")
+    assert "vtab_fpos_" in plan
