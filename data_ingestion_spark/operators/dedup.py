@@ -418,17 +418,76 @@ def stored_prefix(fpos: DataFrame, threshold: float) -> DataFrame:
     return fpos.filter(F.col("p") <= bound)
 
 
+#: Below this threshold the stored path switches from prefix+verify to
+#: count-aggregation: the AllPairs prefix keeps n − ⌈n·t⌉ + 1 elements,
+#: so at t < 0.25 every prefix retains > 75% of its set and the prefix
+#: join's output is already within a small constant of the FULL
+#: co-occurrence mass — the candidate distinct + per-pair array_intersect
+#: verify is then pure extra cost over counting the co-occurrence rows
+#: directly (measured at sf0.1: review queue at t=0.02, 4.6 s → 1.1 s).
+#: At higher thresholds prefix+verify stays the scale-safe default: the
+#: rarest-first prefix EXCLUDES hot boilerplate shingles, so on a corpus
+#: with a df=10⁶ shingle the candidate stream collapses while the
+#: count path would pay df² co-occurrence rows — the property that
+#: matters at 100 TB and that a boilerplate-free synthetic bench
+#: cannot show.
+JACCARD_COUNT_STRATEGY_BELOW = 0.25
+
+
 def jaccard_pairs_stored(
-    spark, sf_dir: str, threshold: float, k: int = 3
+    spark, sf_dir: str, threshold: float, k: int = 3, strategy: str | None = None
 ) -> DataFrame:
     """jaccard_pairs over the committed shingle base: probe the stored
-    (base, fpos) snapshot, filter fpos to the threshold's prefix, and
-    run the shared candidate+verify core on (lang, bucket) blocks.
-    Output is IDENTICAL to jaccard_pairs(docs, block_cols=[lang,
-    n_chars div 200], k, threshold) — same global frequency order, same
-    lossless filters, same verify — while the corpus-scale tokenize/df/
-    reorder cost is paid once per corpus by shingle_base_store."""
+    (base, fpos) snapshot and produce exactly the pairs
+    jaccard_pairs(docs, block_cols=[lang, n_chars div 200], k, threshold)
+    returns, via one of two value-identical plans:
+
+    - ``prefix`` (default for t ≥ JACCARD_COUNT_STRATEGY_BELOW): filter
+      fpos to the threshold's AllPairs prefix and run the shared
+      candidate+verify core — few candidates at high t, hot-shingle-safe.
+    - ``count`` (default below): self-join the FULL positional stream on
+      (lang, bucket, s) under the length filter and COUNT co-occurrence
+      rows per pair — |A∩B| exactly (sset is distinct), so
+      jac = inter/(|A|+|B|−inter) with no array rejoin and no distinct;
+      the groupBy partial-aggregates map-side on the bucketed join's
+      output. Right when the prefix would be nearly full anyway.
+
+    The corpus-scale tokenize/df/reorder cost is paid once per corpus by
+    shingle_base_store either way."""
     base, fpos = shingle_base_probe(spark, sf_dir, k=k)
+    if strategy is None:
+        strategy = (
+            "count" if threshold < JACCARD_COUNT_STRATEGY_BELOW else "prefix"
+        )
+    if strategy == "count":
+        t_eff = max(float(threshold) - 5e-5, 0.0)
+        ix = fpos.select("id", "lang", "bucket", "n", "s")
+        a, b = ix.alias("a"), ix.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (F.col("b.n") * F.lit(t_eff) <= F.col("a.n"))
+                & (F.col("a.n") * F.lit(t_eff) <= F.col("b.n")),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n").alias("na"),
+                F.col("b.n").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("inter")
+        ).cast("double")
+        return (
+            pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     return _allpairs_jaccard_verify(
         stored_prefix(fpos, threshold),
         base.select("id", "sset"),

@@ -2371,13 +2371,19 @@ def test_jaccard_pairs_stored_equals_inline(spark, tmp_path):
                 ).collect(),
             )
         )
-        stored = sorted(
-            map(
-                tuple,
-                dedup.jaccard_pairs_stored(spark, sf, threshold=t).collect(),
+        # BOTH stored strategies must equal the in-line path at BOTH
+        # thresholds — the auto-crossover (count below 0.25, prefix
+        # above) is a performance choice, never a semantic one
+        for strategy in ("prefix", "count"):
+            stored = sorted(
+                map(
+                    tuple,
+                    dedup.jaccard_pairs_stored(
+                        spark, sf, threshold=t, strategy=strategy
+                    ).collect(),
+                )
             )
-        )
-        assert inline == stored and stored, (t, inline, stored)
+            assert inline == stored and stored, (t, strategy, inline, stored)
     # the planted exact twins are found at the tight threshold
     tight = dedup.jaccard_pairs_stored(spark, sf, threshold=0.3)
     found = {(r["id_a"], r["id_b"]) for r in tight.collect()}
