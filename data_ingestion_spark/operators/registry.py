@@ -2935,69 +2935,76 @@ def dedup_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus dedup (Broder's resemblance vs containment distinction,
     SEQUENCES'97) needs a separate operator for.
 
-    Exact overlap by COUNTING (r11): the stored positional stream
-    (dedup.shingle_base_store) is the block's inverted index; the
-    within-lang self-join emits one row per shared shingle per ordered
-    pair, and a pair groupBy counts them — |A ∩ B| exactly, because the
-    shingle sets are distinct by construction. The integer-ratio gate
-    (10·inter ≥ 6·|A|) and the reported micros never touch floats. No
-    length filter applies (|B| is unbounded above by design — that
-    asymmetry IS the operator), and no prefix applies either: the
-    asymmetric threshold bounds only the contained side, so the index
-    side always carried the full explode — see the in-body comment for
-    why counting beats the former prefix+array-verify here.
+    Lossless pruning, adapted from AllPairs for the asymmetric threshold:
+    overlap ≥ t·|A| bounds only the CONTAINED side, so A explodes its
+    frequency-ascending PREFIX (|A| − ⌈t·|A|⌉ + 1 rarest shingles — any
+    qualifying pair must share one) and joins against the FULL inverted
+    index of the block (B has no prefix bound: a superset can hide A's
+    rare shingles anywhere). Rarest-first ordering keeps the candidate
+    join collision-bound by rare-shingle document frequency. No length
+    filter applies (|B| is unbounded above by design — that asymmetry IS
+    the operator). Verify rejoins shingle sets by id and checks the exact
+    integer-ratio threshold (10·inter ≥ 6·|A| — no float division in the
+    gate).
 
     Output: (id_a, id_b, containment_micro) for id_a ≠ id_b, BOTH
     directions possible, containment in exact integer micros.
     """
     t_num, t_den = 6, 10  # threshold 0.6 as an exact rational
-    # r11: the pair overlap is COUNTED from the stored positional stream
-    # (dedup.shingle_base_store) instead of prefix-candidated and
-    # array-verified. Rationale, stated honestly: the asymmetric
-    # threshold bounds only the CONTAINED side, so the r9 design's
-    # candidate join was already prefix × FULL inverted index — the
-    # superset side carried every occurrence of every matched shingle,
-    # unguarded by construction (a superset can hide A's rare shingles
-    # anywhere). Counting co-occurrence rows from the full × full join
-    # within lang blocks therefore adds only the A-side's common-shingle
-    # matches (bounded ×1/t over the prefix form) while ELIMINATING the
-    # candidate distinct, both sset rejoins, and the per-candidate
-    # array_intersect over ~10²-element arrays — measured 5.9 s → 0.9 s
-    # at sf0.1, value-identical (the count IS |A ∩ B|: sset is distinct,
-    # each shared shingle contributes exactly one join row). This is the
-    # same count-vs-verify crossover jaccard_pairs_stored documents
-    # (JACCARD_COUNT_STRATEGY_BELOW) — containment sits on the count
-    # side at ANY threshold because its index side was never prefixed.
-    # The block is lang alone (a short doc quoted in a much longer one
-    # sits in a DIFFERENT length bucket by construction — bucket
-    # equality would define the operator away); the stored bucket
-    # column is simply ignored. The gate and the reported micros stay
-    # exact integer arithmetic.
-    _base, fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
-    ix = fpos.select("id", "lang", "n", "s")
-    a, b = ix.alias("a"), ix.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("na"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    # r11: both sides of the candidate join come from the committed
+    # shingle-base snapshot (dedup.shingle_base_store) — the stored fpos
+    # stream IS the full frequency-ordered inverted index (unfiltered),
+    # and its threshold-filtered prefix is exactly what
+    # frequency_ordered_prefix(0.6) emitted before. The containment
+    # block is lang alone (a short doc quoted in a much longer one sits
+    # in a DIFFERENT length bucket by construction — bucket equality
+    # would define the operator away), so the stored bucket column is
+    # simply ignored here. The corpus is tokenized/df-ordered once per
+    # corpus by shingle_base_build_docs instead of once per report.
+    #
+    # r9 (unchanged): the PPJoin positional filter, asymmetric form —
+    # overlap reachable from A's element at 1-based position p is
+    # ≤ 1 + |A| − p (all common elements sit at positions ≥ p in A's
+    # frequency order), and containment ≥ t needs overlap ≥ t·|A|, so a
+    # match with t_den·(1 + n − p) < t_num·n cannot witness a true pair.
+    # A's FIRST common element always survives (every common element is
+    # at a later position), so the filter is lossless; the gate is exact
+    # integer arithmetic, like the verify.
+    base, fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
+    pref = dedup.stored_prefix(fpos, t_num / t_den).select(
+        "id", F.col("lang").alias("block"), "n", "p", "s"
     )
+    inv = fpos.select("id", F.col("lang").alias("block"), "s")
+    cand = (
+        pref.alias("pa")
+        .join(
+            inv.alias("ib"),
+            (F.col("pa.block") == F.col("ib.block"))
+            & (F.col("pa.s") == F.col("ib.s"))
+            & (F.col("pa.id") != F.col("ib.id"))
+            & (
+                F.lit(t_den) * (F.lit(1) + F.col("pa.n") - F.col("pa.p"))
+                >= F.lit(t_num) * F.col("pa.n")
+            ),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("ib.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("sset").alias("sh_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sset").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    na = F.size("sh_a").cast("long")
     return (
-        pairs.filter(F.col("inter") * t_den >= F.col("na").cast("long") * t_num)
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(inter * t_den >= na * t_num)
         .select(
             "id_a",
             "id_b",
-            F.expr("(1000000 * inter) div na").cast("long").alias(
-                "containment_micro"
-            ),
+            F.expr("(1000000 * size(array_intersect(sh_a, sh_b)))"
+                   " div size(sh_a)")
+            .cast("long")
+            .alias("containment_micro"),
         )
         .orderBy("id_a", "id_b")
     )
