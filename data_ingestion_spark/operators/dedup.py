@@ -173,7 +173,6 @@ def jaccard_pairs(
     block_cols: list[Column],
     k: int = 3,
     threshold: float = 0.2,
-    prebuilt_base: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs within a block with shingle-Jaccard ≥ threshold —
     LOSSLESSLY pruned by AllPairs prefix + length filtering (Bayardo,
@@ -218,23 +217,16 @@ def jaccard_pairs(
     Set semantics via array_intersect/array_union (both dedup — matching
     DuckDB's list_intersect/list_distinct).
     """
-    if prebuilt_base is not None:
-        # Fusion seam (r8): a caller that ALSO runs the minhash pipeline
-        # over the same corpus (minhash_band_recall_docs) tokenizes and
-        # shingles once and hands the materialized (id, sset, block)
-        # frame in — sset must be array_sort(array_distinct(shingles)),
-        # exactly what the in-line branch below builds. The caller owns
-        # materialization.
-        base = prebuilt_base
-    else:
-        # The shingle pipeline feeds THREE consumers (df agg, prefix
-        # stream, verify-side sets); materialize it once instead of
-        # re-tokenizing the corpus per consumer. localCheckpoint stores
-        # executor-local blocks — no driver collect, partitioning
-        # preserved.
-        base = build_shingle_base(
-            df, id_col, text_col, k=k, block_cols=block_cols, sort_sets=True
-        ).localCheckpoint(eager=False)
+    # The shingle pipeline feeds THREE consumers (df agg, prefix
+    # stream, verify-side sets); materialize it once instead of
+    # re-tokenizing the corpus per consumer. localCheckpoint stores
+    # executor-local blocks — no driver collect, partitioning
+    # preserved. (The r8 prebuilt-base fusion seam was removed in r11:
+    # its one consumer, minhash_band_recall_docs, probes the committed
+    # shingle-base store now.)
+    base = build_shingle_base(
+        df, id_col, text_col, k=k, block_cols=block_cols, sort_sets=True
+    ).localCheckpoint(eager=False)
     pref = frequency_ordered_prefix(base, threshold)
     return _allpairs_jaccard_verify(
         pref, base.select("id", "sset"), threshold, block_keys=("block",)
@@ -272,7 +264,14 @@ def _allpairs_jaccard_verify(
     ubound = F.lit(1) + F.least(
         F.col("pa.n") - F.col("pa.p"), F.col("pb.n") - F.col("pb.p")
     )
-    block_eq = [F.col(f"pa.{c}") == F.col(f"pb.{c}") for c in block_keys]
+    # NULL-SAFE block equality (r11 review finding): the in-line path
+    # compares block STRUCTS, and Spark struct equality treats NULL
+    # fields as equal — two NULL-lang docs share a block there. Bare
+    # `==` on the unpacked columns would silently drop such pairs from
+    # the stored path; `eqNullSafe` restores exact parity.
+    block_eq = [
+        F.col(f"pa.{c}").eqNullSafe(F.col(f"pb.{c}")) for c in block_keys
+    ]
     cond = (
         (F.col("pa.s") == F.col("pb.s"))
         & (F.col("pa.id") < F.col("pb.id"))
@@ -355,8 +354,20 @@ def shingle_base_store(spark, sf_dir: str, k: int = 3, force: bool = False) -> s
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     mtime = os.path.getmtime(doc_path) if os.path.exists(doc_path) else 0
+    # the derivation token invalidates committed snapshots when any part
+    # of the tokenize→shingle→frequency-order derivation changes (see
+    # stores.derivation_token)
     root = stores.store_root(
-        "shinglebase", (os.path.abspath(sf_dir), k), mtime
+        "shinglebase",
+        (
+            os.path.abspath(sf_dir),
+            k,
+            stores.derivation_token(
+                build_shingle_base, frequency_ordered_prefix,
+                tokens, word_shingles,
+            ),
+        ),
+        mtime,
     )
 
     def _build(r):
@@ -390,7 +401,9 @@ def shingle_base_store(spark, sf_dir: str, k: int = 3, force: bool = False) -> s
             },
         )
 
-    return stores.ensure_store(spark, root, _build, force=force)
+    return stores.ensure_store(
+        spark, root, _build, force=force, origin=doc_path
+    )
 
 
 def shingle_base_probe(spark, sf_dir: str, k: int = 3):
@@ -466,8 +479,11 @@ def jaccard_pairs_stored(
         pairs = (
             a.join(
                 b,
-                (F.col("a.lang") == F.col("b.lang"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
+                # eqNullSafe on the block columns: parity with the
+                # in-line struct-equality blocks (NULL lang/bucket rows
+                # share a block) — see _allpairs_jaccard_verify
+                F.col("a.lang").eqNullSafe(F.col("b.lang"))
+                & F.col("a.bucket").eqNullSafe(F.col("b.bucket"))
                 & (F.col("a.s") == F.col("b.s"))
                 & (F.col("a.id") < F.col("b.id"))
                 & (F.col("b.n") * F.lit(t_eff) <= F.col("a.n"))

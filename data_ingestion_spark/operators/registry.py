@@ -2707,9 +2707,12 @@ def minhash_band_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equals minhash over raw shingles (min of hashed values is
     # order-free and idempotent under distinct), so the recall VALUE is
     # unchanged (same oracle, same n_true/n_found/n_hit).
-    base, _fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
-    truth = dedup.jaccard_pairs_stored(
-        spark, sf_dir, threshold=0.3
+    base, fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
+    truth = dedup._allpairs_jaccard_verify(
+        dedup.stored_prefix(fpos, 0.3),
+        base.select("id", "sset"),
+        threshold=0.3,
+        block_keys=("lang", "bucket"),
     ).select("id_a", "id_b")
 
     def prehash(s):
@@ -2979,7 +2982,9 @@ def dedup_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pref.alias("pa")
         .join(
             inv.alias("ib"),
-            (F.col("pa.block") == F.col("ib.block"))
+            # eqNullSafe: parity with the former struct-equality lang
+            # block (NULL-lang docs share a block) — r11 review finding
+            F.col("pa.block").eqNullSafe(F.col("ib.block"))
             & (F.col("pa.s") == F.col("ib.s"))
             & (F.col("pa.id") != F.col("ib.id"))
             & (

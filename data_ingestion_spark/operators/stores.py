@@ -44,33 +44,85 @@ def store_base_dir() -> str:
     return os.path.join(tempfile.gettempdir(), "spark_graft_stores")
 
 
+def derivation_token(*funcs) -> str:
+    """A hash of the SOURCE of the functions that define a store's
+    derivation. Included in the store identity so a code change to the
+    derivation AUTOMATICALLY invalidates committed snapshots (r11 review
+    finding: path+params+mtime alone would serve a pre-change snapshot
+    to every fresh process after, say, the tokenizer or the frequency
+    tie-break changed — the one staleness the old build-per-process
+    design could never exhibit). Comment-only edits also invalidate;
+    that is the safe direction for a cache."""
+    import inspect
+
+    src = "\n".join(inspect.getsource(f) for f in funcs)
+    return hashlib.sha1(src.encode()).hexdigest()[:10]
+
+
 def store_root(name: str, key_parts: tuple, mtime_token: float) -> str:
     """The deterministic root for store ``name`` parameterized by
-    ``key_parts`` (corpus abspath + params — the store's identity) and
-    ``mtime_token`` (the corpus file's mtime — the store's freshness).
-    Two hashes, not one: the identity prefix is what ``sweep_stale``
-    globs, so a regenerated corpus invalidates ONLY its own store and
-    never a different corpus's (or different-parameter) store."""
+    ``key_parts`` (corpus abspath + params + derivation_token — the
+    store's identity) and ``mtime_token`` (the corpus file's mtime — the
+    store's freshness). Two hashes, not one: the identity prefix is what
+    ``sweep_stale`` globs, so a regenerated corpus invalidates ONLY its
+    own store and never a different corpus's (or different-parameter)
+    store."""
     keyhash = hashlib.sha1(repr(key_parts).encode()).hexdigest()[:12]
     mthash = hashlib.sha1(repr(mtime_token).encode()).hexdigest()[:8]
     return os.path.join(store_base_dir(), f"{name}_{keyhash}_{mthash}")
 
 
-def ensure_store(spark, root: str, build_fn, force: bool = False) -> str:
+def ensure_store(
+    spark, root: str, build_fn, force: bool = False, origin: str | None = None
+) -> str:
     """Build-if-absent: if ``root`` holds a committed transaction, reuse
     it; otherwise call ``build_fn(root)`` (which must ``commit_atomic``
     into ``root``) and sweep stale siblings. ``force=True`` always
     rebuilds — as a new version in the same root (old version kept for
     in-flight lazy readers), vacuumed to the last 2 so repeated forced
-    builds (every bench rep) cannot grow the root unboundedly."""
+    builds (every bench rep) cannot grow the root unboundedly.
+    ``origin`` (the source corpus file) is recorded in the root so
+    orphaned stores — snapshots of a corpus that no longer exists, e.g.
+    every pytest tmp-dir corpus — are reaped by ANY later build (r11
+    review finding: identity-prefix sweeping alone never matches a
+    run-unique tmp path again, so those roots leaked forever)."""
+    import json
+
     if not force and os.path.exists(tableformat._txn_path(root)):
         return root
     os.makedirs(store_base_dir(), exist_ok=True)
     build_fn(root)
+    if origin is not None:
+        with open(os.path.join(root, "_origin.json"), "w") as f:
+            json.dump({"corpus": os.path.abspath(origin)}, f)
     if force:
         _vacuum_members(spark, root, keep_last=2)
     sweep_stale(spark, root)
+    reap_orphans(spark)
     return root
+
+
+def reap_orphans(spark) -> None:
+    """Drop every store root whose recorded origin corpus no longer
+    exists on disk (deleted tmp-dir corpora). Best-effort; roots without
+    an origin record are left alone."""
+    import json
+
+    base = store_base_dir()
+    try:
+        roots = os.listdir(base)
+    except OSError:
+        return
+    for d in roots:
+        path = os.path.join(base, d)
+        origin_file = os.path.join(path, "_origin.json")
+        try:
+            with open(origin_file) as f:
+                corpus = json.load(f).get("corpus")
+        except (OSError, ValueError):
+            continue
+        if corpus and not os.path.exists(corpus):
+            drop_store(spark, path)
 
 
 def _vacuum_members(spark, root: str, keep_last: int) -> None:

@@ -302,8 +302,17 @@ def winnow_fingerprint_store(
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     mtime = os.path.getmtime(doc_path) if os.path.exists(doc_path) else 0
+    # the derivation token invalidates committed snapshots when the
+    # winnowing code itself changes (see stores.derivation_token)
     root = stores.store_root(
-        "winnow", (os.path.abspath(sf_dir), k, w), mtime
+        "winnow",
+        (
+            os.path.abspath(sf_dir),
+            k,
+            w,
+            stores.derivation_token(winnow_fingerprints),
+        ),
+        mtime,
     )
 
     def _build(r):
@@ -315,7 +324,9 @@ def winnow_fingerprint_store(
         )
         tableformat.commit_atomic(r, {"fp": ("bucketed", fp, "winnow_hash", 8)})
 
-    return stores.ensure_store(spark, root, _build, force=force)
+    return stores.ensure_store(
+        spark, root, _build, force=force, origin=doc_path
+    )
 
 
 def winnow_fingerprint_probe(spark, sf_dir: str, k: int = 5, w: int = 4):

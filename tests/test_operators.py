@@ -2388,3 +2388,79 @@ def test_jaccard_pairs_stored_equals_inline(spark, tmp_path):
     tight = dedup.jaccard_pairs_stored(spark, sf, threshold=0.3)
     found = {(r["id_a"], r["id_b"]) for r in tight.collect()}
     assert {(1, 2), (5, 6)} <= found
+
+
+def test_jaccard_pairs_stored_null_block_parity(spark, tmp_path):
+    """r11 review finding: the in-line path blocks on STRUCTS, and Spark
+    struct equality treats NULL fields as equal — two NULL-lang twins
+    share a block there. The stored paths compare unpacked columns and
+    must use null-safe equality to keep exact parity; a bare `==` would
+    silently drop the pair."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators import dedup
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", None, 36),
+            (2, "alpha beta gamma delta epsilon zeta", None, 36),
+            (3, "alpha beta gamma delta epsilon zeta", "en", 36),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    blocks = [F.col("lang"), F.expr("n_chars div 200").alias("bucket")]
+    inline = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(
+            docs, "doc_id", "text", block_cols=blocks, k=3, threshold=0.3
+        ).collect()
+    }
+    assert inline == {(1, 2)}  # struct blocks: NULL==NULL, 3 is separate
+    for strategy in ("prefix", "count"):
+        stored = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.jaccard_pairs_stored(
+                spark, sf, threshold=0.3, strategy=strategy
+            ).collect()
+        }
+        assert stored == inline, (strategy, stored)
+
+
+def test_store_orphan_reaping_and_derivation_token(spark, tmp_path):
+    """r11 review findings: (1) a store whose source corpus was deleted
+    (every pytest tmp corpus) is reaped by the next build — the shared
+    store dir does not grow without bound across runs; (2) the store
+    identity includes a hash of the derivation functions' SOURCE, so a
+    code change invalidates committed snapshots automatically."""
+    import os
+    import shutil
+
+    from data_ingestion_spark.operators import dedup, stores
+
+    sf_a = str(tmp_path / "a")
+    os.makedirs(sf_a)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", 22)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).write.parquet(os.path.join(sf_a, "documents.parquet"))
+    root_a = dedup.shingle_base_store(spark, sf_a)
+    assert os.path.exists(os.path.join(root_a, "_origin.json"))
+    # delete the corpus, then build a DIFFERENT corpus's store: the
+    # orphaned root must be reaped by that unrelated build
+    shutil.rmtree(sf_a)
+    sf_b = str(tmp_path / "b")
+    os.makedirs(sf_b)
+    spark.createDataFrame(
+        [(1, "one two three four five", "en", 23)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).write.parquet(os.path.join(sf_b, "documents.parquet"))
+    dedup.shingle_base_store(spark, sf_b)
+    assert not os.path.exists(root_a), "orphaned store must be reaped"
+    # derivation token: different function source -> different identity
+    t1 = stores.derivation_token(dedup.build_shingle_base)
+    t2 = stores.derivation_token(dedup.frequency_ordered_prefix)
+    assert t1 != t2 and t1 == stores.derivation_token(dedup.build_shingle_base)
