@@ -359,15 +359,12 @@ def shingle_base_store(spark, sf_dir: str, k: int = 3, force: bool = False) -> s
     # stores.derivation_token)
     root = stores.store_root(
         "shinglebase",
-        (
-            os.path.abspath(sf_dir),
-            k,
-            stores.derivation_token(
-                build_shingle_base, frequency_ordered_prefix,
-                tokens, word_shingles,
-            ),
-        ),
+        (os.path.abspath(sf_dir), k),
         mtime,
+        derivation=stores.derivation_token(
+            build_shingle_base, frequency_ordered_prefix,
+            tokens, word_shingles,
+        ),
     )
 
     def _build(r):

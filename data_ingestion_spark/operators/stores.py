@@ -59,17 +59,25 @@ def derivation_token(*funcs) -> str:
     return hashlib.sha1(src.encode()).hexdigest()[:10]
 
 
-def store_root(name: str, key_parts: tuple, mtime_token: float) -> str:
-    """The deterministic root for store ``name`` parameterized by
-    ``key_parts`` (corpus abspath + params + derivation_token — the
-    store's identity) and ``mtime_token`` (the corpus file's mtime — the
-    store's freshness). Two hashes, not one: the identity prefix is what
-    ``sweep_stale`` globs, so a regenerated corpus invalidates ONLY its
-    own store and never a different corpus's (or different-parameter)
-    store."""
+def store_root(
+    name: str, key_parts: tuple, mtime_token: float, derivation: str = ""
+) -> str:
+    """The deterministic root for store ``name``: the IDENTITY is
+    (name, key_parts) — corpus abspath + params — and the FRESHNESS is
+    the derivation-source token plus the corpus mtime. The path is
+    ``<name>_<keyhash>_<dthash>_<mthash>`` and ``sweep_stale`` globs the
+    ``<name>_<keyhash>_`` identity prefix, so BOTH a regenerated corpus
+    (new mtime) AND a changed derivation (new token) leave exactly one
+    live root per identity — the superseded sibling is swept at the next
+    build. (The token must NOT live inside key_parts: that would change
+    the identity prefix and strand the old root forever — caught in the
+    r11 second review pass.)"""
     keyhash = hashlib.sha1(repr(key_parts).encode()).hexdigest()[:12]
+    dthash = hashlib.sha1(repr(derivation).encode()).hexdigest()[:6]
     mthash = hashlib.sha1(repr(mtime_token).encode()).hexdigest()[:8]
-    return os.path.join(store_base_dir(), f"{name}_{keyhash}_{mthash}")
+    return os.path.join(
+        store_base_dir(), f"{name}_{keyhash}_{dthash}_{mthash}"
+    )
 
 
 def ensure_store(
@@ -147,10 +155,11 @@ def _vacuum_members(spark, root: str, keep_last: int) -> None:
 
 def sweep_stale(spark, keep_root: str) -> None:
     """Remove sibling roots with the same ``<name>_<keyhash>_`` identity
-    prefix but a different mtime suffix — by construction snapshots of a
-    corpus that no longer exists in that form. Best-effort."""
+    prefix but a different derivation-token or mtime suffix — by
+    construction snapshots of a corpus/derivation state that no longer
+    exists in that form. Best-effort."""
     base = os.path.dirname(keep_root)
-    prefix = os.path.basename(keep_root).rsplit("_", 1)[0] + "_"
+    prefix = os.path.basename(keep_root).rsplit("_", 2)[0] + "_"
     try:
         siblings = os.listdir(base)
     except OSError:

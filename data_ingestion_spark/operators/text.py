@@ -306,13 +306,9 @@ def winnow_fingerprint_store(
     # winnowing code itself changes (see stores.derivation_token)
     root = stores.store_root(
         "winnow",
-        (
-            os.path.abspath(sf_dir),
-            k,
-            w,
-            stores.derivation_token(winnow_fingerprints),
-        ),
+        (os.path.abspath(sf_dir), k, w),
         mtime,
+        derivation=stores.derivation_token(winnow_fingerprints),
     )
 
     def _build(r):

@@ -2460,7 +2460,23 @@ def test_store_orphan_reaping_and_derivation_token(spark, tmp_path):
     ).write.parquet(os.path.join(sf_b, "documents.parquet"))
     dedup.shingle_base_store(spark, sf_b)
     assert not os.path.exists(root_a), "orphaned store must be reaped"
-    # derivation token: different function source -> different identity
+    # derivation token: different function source -> different token,
+    # same function -> stable token
     t1 = stores.derivation_token(dedup.build_shingle_base)
     t2 = stores.derivation_token(dedup.frequency_ordered_prefix)
     assert t1 != t2 and t1 == stores.derivation_token(dedup.build_shingle_base)
+    # and a CHANGED derivation sweeps the old root rather than stranding
+    # it: the token is a path segment INSIDE the swept identity prefix
+    # (second review pass), so an old-token sibling of the same
+    # (corpus, params) identity is removed at the next build
+    root_b = dedup.shingle_base_store(spark, sf_b)
+    name, keyhash, _dt, _mt = os.path.basename(root_b).split("_")
+    stale_sibling = os.path.join(
+        os.path.dirname(root_b), f"{name}_{keyhash}_oldtok_deadbeef"
+    )
+    os.makedirs(stale_sibling, exist_ok=True)
+    dedup.shingle_base_store(spark, sf_b, force=True)
+    assert not os.path.exists(stale_sibling), (
+        "old-derivation sibling must be swept"
+    )
+    assert os.path.exists(root_b)
