@@ -361,9 +361,12 @@ def shingle_base_store(spark, sf_dir: str, k: int = 3, force: bool = False) -> s
         "shinglebase",
         (os.path.abspath(sf_dir), k),
         mtime,
+        # hashing shingle_base_store ITSELF captures the _build closure
+        # (bucket expression, group_cols, member bucketing) — hashing
+        # only the helpers missed exactly those (second-review finding)
         derivation=stores.derivation_token(
-            build_shingle_base, frequency_ordered_prefix,
-            tokens, word_shingles,
+            shingle_base_store, build_shingle_base,
+            frequency_ordered_prefix, tokens, word_shingles,
         ),
     )
 

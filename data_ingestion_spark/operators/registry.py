@@ -70,7 +70,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
 FROM nonempty a
 JOIN nonempty b
-  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  ON a.lang IS NOT DISTINCT FROM b.lang AND a.bucket IS NOT DISTINCT FROM b.bucket AND a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
             / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.3
 """
@@ -1073,7 +1073,7 @@ WITH RECURSIVE base AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM nonempty a
   JOIN nonempty b
-    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ON a.lang IS NOT DISTINCT FROM b.lang AND a.bucket IS NOT DISTINCT FROM b.bucket AND a.doc_id < b.doc_id
   WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
               / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.3
 ), edges AS (
@@ -2779,7 +2779,7 @@ WITH base AS (
 ), truth AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM base a JOIN base b
-    ON a.lang = b.lang AND a.bucket = b.bucket AND a.id < b.id
+    ON a.lang IS NOT DISTINCT FROM b.lang AND a.bucket IS NOT DISTINCT FROM b.bucket AND a.id < b.id
   WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
               / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
         >= 0.3
@@ -3029,7 +3029,7 @@ WITH base AS (
 SELECT a.id AS id_a, b.id AS id_b,
        ((1000000 * len(list_intersect(a.sset, b.sset)))
         // len(a.sset))::BIGINT AS containment_micro
-FROM base a JOIN base b ON a.block = b.block AND a.id <> b.id
+FROM base a JOIN base b ON a.block IS NOT DISTINCT FROM b.block AND a.id <> b.id
 WHERE 10 * len(list_intersect(a.sset, b.sset)) >= 6 * len(a.sset)
 ORDER BY id_a, id_b
 """

@@ -4443,7 +4443,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          AS jaccard
 FROM nonempty a
 JOIN nonempty b
-  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  ON a.lang IS NOT DISTINCT FROM b.lang AND a.bucket IS NOT DISTINCT FROM b.bucket AND a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
             / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
       >= 0.02

@@ -94,20 +94,37 @@ def ensure_store(
     every pytest tmp-dir corpus — are reaped by ANY later build (r11
     review finding: identity-prefix sweeping alone never matches a
     run-unique tmp path again, so those roots leaked forever)."""
-    import json
-
     if not force and os.path.exists(tableformat._txn_path(root)):
+        # backfill the origin record on reuse (a crash between
+        # commit_atomic and the origin write, or a root committed by an
+        # older writer, would otherwise stay invisible to reap_orphans
+        # forever — r11 second-review finding)
+        if origin is not None and not os.path.exists(
+            os.path.join(root, "_origin.json")
+        ):
+            _write_origin(root, origin)
         return root
     os.makedirs(store_base_dir(), exist_ok=True)
     build_fn(root)
     if origin is not None:
-        with open(os.path.join(root, "_origin.json"), "w") as f:
-            json.dump({"corpus": os.path.abspath(origin)}, f)
+        _write_origin(root, origin)
     if force:
         _vacuum_members(spark, root, keep_last=2)
     sweep_stale(spark, root)
     reap_orphans(spark)
     return root
+
+
+def _write_origin(root: str, origin: str) -> None:
+    """Atomic (tmp + rename) origin record — a torn write must never
+    make reap_orphans misread a live store's corpus path."""
+    import json
+
+    path = os.path.join(root, "_origin.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"corpus": os.path.abspath(origin)}, f)
+    os.rename(tmp, path)
 
 
 def reap_orphans(spark) -> None:
@@ -129,8 +146,18 @@ def reap_orphans(spark) -> None:
                 corpus = json.load(f).get("corpus")
         except (OSError, ValueError):
             continue
-        if corpus and not os.path.exists(corpus):
+        if not corpus:
+            continue
+        # only a DEFINITE absence is an orphan: os.path.exists returns
+        # False on EACCES/unmounted paths too, and reaping on those
+        # would rmtree a live store out from under concurrent readers
+        # (r11 second-review finding)
+        try:
+            os.stat(corpus)
+        except (FileNotFoundError, NotADirectoryError):
             drop_store(spark, path)
+        except OSError:
+            continue
 
 
 def _vacuum_members(spark, root: str, keep_last: int) -> None:

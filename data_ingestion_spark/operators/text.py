@@ -308,7 +308,11 @@ def winnow_fingerprint_store(
         "winnow",
         (os.path.abspath(sf_dir), k, w),
         mtime,
-        derivation=stores.derivation_token(winnow_fingerprints),
+        # hashing winnow_fingerprint_store ITSELF captures the _build
+        # closure (carry_cols, bucket count) — see the shingle-base note
+        derivation=stores.derivation_token(
+            winnow_fingerprint_store, winnow_fingerprints
+        ),
     )
 
     def _build(r):

@@ -2428,6 +2428,27 @@ def test_jaccard_pairs_stored_null_block_parity(spark, tmp_path):
             ).collect()
         }
         assert stored == inline, (strategy, stored)
+    # and the DuckDB oracle agrees too (its block joins are
+    # IS NOT DISTINCT FROM since the r11 second review pass — before
+    # that, SQL `=` silently excluded NULL-block pairs, a latent
+    # three-way divergence the generated fixtures never exercised)
+    import duckdb
+
+    from data_ingestion_spark.operators.registry import (
+        DEDUP_JACCARD_PAIRS_DOCS_SQL,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+        + os.path.join(sf, "documents.parquet")
+        + "/*.parquet')"
+    )
+    oracle = {
+        (r[0], r[1])
+        for r in con.sql(DEDUP_JACCARD_PAIRS_DOCS_SQL).fetchall()
+    }
+    assert oracle == inline, oracle
 
 
 def test_store_orphan_reaping_and_derivation_token(spark, tmp_path):
