@@ -488,6 +488,16 @@ def main() -> None:
     worst5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    # Tail hygiene (r12, an r11 verdict note): stop the session BEFORE the
+    # final line and hard-exit right after it. Spark's async shutdown
+    # occasionally logs a benign ERROR stack trace (DAGScheduler
+    # "attempted to access non-existent accumulator" during
+    # post-completion stage cleanup) — on a clean rc=0 run with every
+    # timing recorded, that trace landing AFTER the summary made the
+    # driver's tail capture read like a crash (BENCH_r11). Stopping first
+    # flushes any such noise above the summary; os._exit prevents JVM
+    # shutdown races from printing below it.
+    spark.stop()
     # FINAL LINE: compact summary only (<1.5 kB) — the driver tail-captures
     # ~2,000 chars, and a full per-query map overflows it (BENCH_r03).
     print(
@@ -510,6 +520,9 @@ def main() -> None:
             }
         )
     )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -353,14 +353,16 @@ def shingle_base_store(spark, sf_dir: str, k: int = 3, force: bool = False) -> s
     from . import stores, tableformat
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    mtime = os.path.getmtime(doc_path) if os.path.exists(doc_path) else 0
+    # freshness = mtime + size + part names (stores.corpus_token): a
+    # timestamp-preserving corpus replace must not serve a stale snapshot
+    fresh = stores.corpus_token(doc_path)
     # the derivation token invalidates committed snapshots when any part
     # of the tokenize→shingle→frequency-order derivation changes (see
     # stores.derivation_token)
     root = stores.store_root(
         "shinglebase",
         (os.path.abspath(sf_dir), k),
-        mtime,
+        fresh,
         # hashing shingle_base_store ITSELF captures the _build closure
         # (bucket expression, group_cols, member bucketing) — hashing
         # only the helpers missed exactly those (second-review finding)
@@ -888,6 +890,69 @@ def simhash_multiprobe_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --------------------------------------------------------------------------
+# Stored SimHash signature base (r12): the corpus-scale tokenize → 60-bit
+# vote derivation, committed once per corpus
+# --------------------------------------------------------------------------
+def simhash_base_store(spark, sf_dir: str, force: bool = False) -> str:
+    """Build-once stored SimHash signatures for the documents table —
+    the shingle-base amortization (shingle_base_store) applied to the
+    signature family (the r11 verdict's task #3): before r12, THREE
+    consumers (the signature dump, the hamming ≤ 3 pair tier, and the
+    multi-probe hamming ≤ 7 tier) each re-ran tokenize → explode →
+    60-conditional-sum vote aggregation over every corpus token
+    (~3.7 s of the sf0.1 bench PER consumer — and at 100 TB, a full
+    corpus-token pass per report). One member table:
+
+    - ``sig`` (id, simhash): BUCKETED BY id — banding/probing explodes
+      are linear in n_docs and derive from the 8-byte signature, so id
+      is the only join key consumers ever bring back to this table.
+
+    The signature is geometry-free: band_bits/max_hamming are QUERY-time
+    parameters applied to the stored 60-bit value, so one snapshot
+    serves every banding and every hamming radius (the same
+    one-artifact-serves-every-parameter property as the shingle base's
+    threshold-generic frequency order).
+
+    Root discipline: deterministic ``stores.store_root`` keyed on
+    (sf_dir, SIMHASH_BITS) + the corpus freshness token; cross-process
+    reuse, grace-gated stale-sibling sweep, force=True rebuilds as a new
+    version (see stores.py). The registered build query passes
+    force=True so the bench bills the corpus-scale build honestly."""
+    import os
+
+    from . import stores, tableformat
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    fresh = stores.corpus_token(doc_path)
+    root = stores.store_root(
+        "simsig",
+        (os.path.abspath(sf_dir), SIMHASH_BITS),
+        fresh,
+        derivation=stores.derivation_token(simhash_base_store, simhash),
+    )
+
+    def _build(r):
+        from ..session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        sig = simhash(docs, "doc_id", "text")
+        tableformat.commit_atomic(r, {"sig": ("bucketed", sig, "id", 8)})
+
+    return stores.ensure_store(
+        spark, root, _build, force=force, origin=doc_path
+    )
+
+
+def simhash_base_probe(spark, sf_dir: str) -> DataFrame:
+    """The committed SimHash snapshot (build-if-absent, then stored
+    reads only): (id, simhash), bucketed by id."""
+    from . import tableformat
+
+    root = simhash_base_store(spark, sf_dir)
+    return tableformat.read_atomic(spark, root, "sig")
 
 
 # --------------------------------------------------------------------------

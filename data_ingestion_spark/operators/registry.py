@@ -255,9 +255,14 @@ DEDUP_INCREMENTAL_DOCS_SQL = _minhash_incremental_oracle()
 
 
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash signatures per document (dedup tier 4; md5-derived token hashes, bitwise majority)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    """60-bit SimHash signatures per document (dedup tier 4; md5-derived
+    token hashes, bitwise majority). r12: reads the committed signature
+    snapshot (dedup.simhash_base_store — the corpus-token-scale vote
+    aggregation is paid once per corpus by simhash_base_build_docs);
+    values identical to the in-line dedup.simhash (pytest-pinned)."""
+    return dedup.simhash_base_probe(spark, sf_dir).withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 def _simhash_oracle() -> str:
@@ -290,13 +295,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in 4 × 15-bit bands — any pair within hamming 3 MUST agree on ≥1 band,
     so the banded candidate join + exact popcount verify is EXACTLY the
     brute-force result (the oracle replays it all-pairs; recall here is a
-    theorem, not a probability)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Materialize signatures before the self-join: the 60-way vote expression
-    # would otherwise be duplicated into BOTH join sides (plan blowup —
-    # 50s of planning at sf0.01). At scale signatures are persisted columns
-    # anyway; localCheckpoint is the in-session equivalent.
-    sig = dedup.simhash(docs, "doc_id", "text").localCheckpoint(eager=True)
+    theorem, not a probability).
+
+    r12: signatures come from the committed snapshot (simhash_base_store)
+    — the persisted-columns design the old localCheckpoint comment
+    described, made literal: both self-join sides scan the bucketed
+    parquet instead of re-running (×2) the 60-way vote aggregation."""
+    sig = dedup.simhash_base_probe(spark, sf_dir)
     return dedup.simhash_hamming_pairs(sig, max_hamming=3, band_bits=15).orderBy(
         "id_a", "id_b"
     )
@@ -378,11 +383,15 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-level, not rows-only. Band widening at corpus growth is the
     documented scale rule: band_bits ≈ log2(n) + c keeps per-bucket
     occupancy O(1), so the equi-join scales with the TRUE near-dup mass,
-    not n²."""
-    allv = _planted_embeddings(spark, sf_dir)
-    return similarity.hyperplane_lsh_pairs(
-        allv, id_col="vec_id", vec_col="embedding",
-        bits=60, band_bits=10, threshold=0.9, dim=64,
+    not n².
+
+    r12: probes the committed embedding-signature snapshot
+    (embedding_signature_store) — plant + signature + norm are paid once
+    per corpus by embsig_base_build_embeddings; output identical to the
+    in-line hyperplane_lsh_pairs path (equivalence pytest-pinned)."""
+    base, _ = embedding_signature_probe(spark, sf_dir)
+    return similarity.lsh_pairs_from_base(
+        base, bits=60, band_bits=10, threshold=0.9
     ).orderBy("id_a", "id_b")
 
 
@@ -408,6 +417,184 @@ def dedup_embedding_pairs_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banding algorithm replayed in SQL. A brute-force oracle would demand
 # recall exactly 1.0 — the measured recall is surfaced explicitly by
 # dedup_embedding_recall instead.
+
+
+# --------------------------------------------------------------------------
+# Stored embedding-signature base (r12): plant + 60-bit hyperplane
+# signature + norms + SemDeDup assignment, committed once per corpus
+# --------------------------------------------------------------------------
+def embedding_signature_store(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Build-once stored signature base for the embeddings table — the
+    r11 verdict's task #3 (the shingle-base amortization applied to the
+    embedding-signature family). Before r12, every LSH consumer re-ran
+    the twin plant + hyperplane signature + norm over the corpus — and
+    because the candidate join is a SELF-join, the signature subtree was
+    evaluated TWICE per query (measured: 2.5 s of knn_lsh_pairs' 6.0 s
+    at sf0.1) — and semantic_dedup re-ran its centroid assignment per
+    report. Two member tables, one atomic transaction:
+
+    - ``base`` (id, v, sig, nrm): the PLANTED vector set (raw ids plus
+      the deterministic twins ≥ _TWIN_ID_OFFSET — raw-set consumers
+      filter ``id < offset``), v cast to array<double>, the 60-bit
+      seed-42 hyperplane signature, and the L2 norm. BUCKETED BY id —
+      the exact-cosine verify joins candidates back by id, so the
+      stored vector sides re-shuffle nothing. One WIDE signature serves
+      EVERY registered geometry: the splitmix64 plane stream is
+      per-bit (plane i never depends on the total bit count,
+      similarity._deterministic_hyperplanes), and the band/first-agree
+      logic reads only bits < ``bits`` (similarity.lsh_pairs_from_base),
+      so the 16-bit production geometry and the 60-bit planted-twin
+      geometry slice the same stored long.
+    - ``assign`` (list_id, vec_id, embedding): SemDeDup nearest-centroid
+      assignment of the RAW set at the paper's own k = max(8, n/64)
+      cost rule. BUCKETED BY list_id — the within-cluster pair join is
+      the only consumer shape, so both self-join sides read
+      pre-partitioned.
+
+    Root discipline: deterministic ``stores.store_root`` keyed on
+    (sf_dir, bits, seed) + the corpus freshness token; the derivation
+    token's mechanical closure covers the plant, the plane generator,
+    the signature fold, and the assignment path (see
+    stores.derivation_token). The registered build query passes
+    force=True so the bench bills the corpus-scale build honestly."""
+    import os
+
+    from . import stores, tableformat
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    fresh = stores.corpus_token(emb_path)
+    root = stores.store_root(
+        "embsig",
+        (os.path.abspath(sf_dir), 60, 42),
+        fresh,
+        derivation=stores.derivation_token(
+            embedding_signature_store,
+            _planted_embeddings,
+            similarity.hyperplane_signature,
+            similarity._deterministic_hyperplanes,
+            similarity.semantic_assign,
+            similarity.ivf_centroids_from_sample,
+        ),
+    )
+
+    def _build(r):
+        planes = similarity._deterministic_hyperplanes(64, 60, seed=42)
+        base = _planted_embeddings(spark, sf_dir).mapInPandas(
+            _embsig_base_batches(planes),
+            schema="id long, v array<double>, sig long, nrm double",
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        cents = similarity.ivf_centroids_from_sample(
+            emb, n_lists=max(8, n // 64)
+        )
+        assigned = emb.select("vec_id", "embedding").mapInPandas(
+            _embsig_assign_batches(cents),
+            schema="list_id int, vec_id long, embedding array<float>",
+        )
+        tableformat.commit_atomic(
+            r,
+            {
+                "base": ("bucketed", base, "id", 8),
+                "assign": ("bucketed", assigned, "list_id", 8),
+            },
+        )
+
+    return stores.ensure_store(
+        spark, root, _build, force=force, origin=emb_path
+    )
+
+
+def _embsig_base_batches(planes):
+    """Arrow batch worker for the embsig BUILD: per vector, the b-bit
+    hyperplane signature and the L2 norm, via elementwise float64
+    products + ``np.cumsum`` — ufunc accumulation is SEQUENTIAL, so each
+    sum is bit-identical to the SQL left fold from 0.0D that
+    similarity.hyperplane_signature / l2_norm evaluate (equality
+    pytest-pinned on the real corpus). The interpreted higher-order fold
+    costs ~6 µs per (row, plane) element pass (2.6 s for 2 000×60 at
+    sf0.1); the vectorized form is ~20× cheaper and runs once per corpus
+    inside the build, never in a consumer. Chunked so the transient
+    (rows × bits × dim) product tensor stays ~100 MB."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(planes, dtype=np.float64)
+        bits = P.shape[0]
+        weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+        chunk_rows = max(64, 8_000_000 // (bits * P.shape[1]))
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf.iloc[lo: lo + chunk_rows]
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in chunk["embedding"]]
+                )
+                dots = np.cumsum(V[:, None, :] * P[None, :, :], axis=2)[:, :, -1]
+                sig = ((dots > 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+                nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+                yield pd.DataFrame(
+                    {
+                        "id": chunk["vec_id"].to_numpy(),
+                        "v": chunk["embedding"],
+                        "sig": sig,
+                        "nrm": nrm,
+                    }
+                )
+
+    return fn
+
+
+def _embsig_assign_batches(cents):
+    """Arrow batch worker for the embsig BUILD's ``assign`` member:
+    nearest-centroid list per vector — max inner product, lowest-cid
+    tie-break — via the same sequential-cumsum dots as
+    ``_embsig_base_batches``; ``np.argmax`` returns the FIRST maximum,
+    which IS the lowest-cid tie-break of both similarity.ivf_assign
+    (array_sort on (-d, idx)) and the large-k max_by branch (equality
+    pytest-pinned). Chunked against the (rows × k × dim) tensor — k
+    scales with the corpus (SemDeDup's k = n/64 rule), so the chunk
+    shrinks as k grows."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.float64)
+        chunk_rows = max(64, 8_000_000 // max(C.shape[0] * C.shape[1], 1))
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf.iloc[lo: lo + chunk_rows]
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in chunk["embedding"]]
+                )
+                dots = np.cumsum(V[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+                lid = np.argmax(dots, axis=1).astype(np.int32)
+                yield pd.DataFrame(
+                    {
+                        "list_id": lid,
+                        "vec_id": chunk["vec_id"].to_numpy(),
+                        "embedding": chunk["embedding"],
+                    }
+                )
+
+    return fn
+
+
+def embedding_signature_probe(spark: SparkSession, sf_dir: str):
+    """The committed embedding-signature snapshot (build-if-absent, then
+    stored reads only): returns (base, assign) — see
+    embedding_signature_store."""
+    from . import tableformat
+
+    root = embedding_signature_store(spark, sf_dir)
+    return (
+        tableformat.read_atomic(spark, root, "base"),
+        tableformat.read_atomic(spark, root, "assign"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -442,11 +629,32 @@ def knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deterministic (splitmix64 from seed 42), so the DuckDB oracle
     replays the ENTIRE algorithm — signature, banding, candidate join,
     verify — with the same plane values embedded as literals: the
-    approximate operator is value-checked, not rows-only."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.hyperplane_lsh_pairs(
-        emb, bits=16, band_bits=4, threshold=0.35
+    approximate operator is value-checked, not rows-only.
+
+    r12: probes the committed embedding-signature snapshot, slicing the
+    low 16 bits of the stored 60-bit signature (the plane stream is
+    per-bit, so plane i is geometry-independent) and filtering to the
+    raw ids (< _TWIN_ID_OFFSET — the store carries the planted set).
+    Output identical to the in-line path (equivalence pytest-pinned)."""
+    base, _ = embedding_signature_probe(spark, sf_dir)
+    raw = base.filter(F.col("id") < _TWIN_ID_OFFSET)
+    return similarity.lsh_pairs_from_base(
+        raw, bits=16, band_bits=4, threshold=0.35
     ).orderBy("id_a", "id_b")
+
+
+def _sig_terms_sql(bits: int, dim: int = 64) -> str:
+    """The b-bit seed-42 hyperplane signature as one DuckDB SQL
+    expression over an ``embedding`` column — plane values embedded as
+    literals (shared by the LSH-pair oracles and the embsig build
+    certification)."""
+    planes = similarity._deterministic_hyperplanes(dim, bits, seed=42)
+    return " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0 "
+        f"THEN {2**i}::BIGINT ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
 
 
 def _knn_lsh_pairs_oracle(
@@ -460,13 +668,7 @@ def _knn_lsh_pairs_oracle(
     banding, candidate join, exact-cosine verify — plane values embedded
     as literals. ``source_sql`` must yield (vec_id, embedding); the
     planted-twin variant (dedup_embedding_pairs) passes its plant CTE."""
-    planes = similarity._deterministic_hyperplanes(dim, bits, seed=42)
-    sig_terms = " + ".join(
-        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
-        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0 "
-        f"THEN {2**i}::BIGINT ELSE 0 END)"
-        for i, plane in enumerate(planes)
-    )
+    sig_terms = _sig_terms_sql(bits, dim)
     thr = repr(float(threshold))
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
@@ -522,6 +724,160 @@ DEDUP_EMBEDDING_PAIRS_SQL = _knn_lsh_pairs_oracle(
 DEDUP_EMBEDDING_PAIRS_STRESS_SQL = _knn_lsh_pairs_oracle(
     bits=48, band_bits=3, threshold=0.4
 )
+
+
+def embsig_base_build_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD phase of the stored embedding-signature base
+    (embedding_signature_store): run twin-plant → 60-bit hyperplane
+    signature → L2 norm (member ``base``, bucketed by id) and the
+    SemDeDup nearest-centroid assignment (member ``assign``, bucketed by
+    list_id) ONCE over the corpus and commit both in one transaction.
+    Four consumers probe the snapshot instead of re-deriving it
+    (knn_lsh_pairs, dedup_embedding_pairs, semantic_dedup_embeddings —
+    plus any future geometry with bits ≤ 60, since the plane stream is
+    per-bit). ``force=True`` so the bench bills the corpus-scale build
+    here, never hides it behind cross-process store reuse.
+
+    Returns a certification summary READ BACK FROM THE STORED SNAPSHOT:
+    per sig-residue group over ``base`` and per list over ``assign`` —
+    row counts, a signature checksum (Σ sig mod 1000003), an id-sum for
+    the assignment mapping, and an order-independent micro-int norm sum
+    (Σ floor(nrm·1e6 + 0.5)) — any flipped signature bit, misassigned
+    list, dropped twin, or perturbed vector value changes them, so a
+    hash-matching oracle (which replays plant + signature + assignment
+    in DuckDB) certifies the committed members, not a transient
+    recompute."""
+    from . import tableformat
+    from ..functions.vector_functions import l2_norm
+
+    root = embedding_signature_store(spark, sf_dir, force=True)
+    base = tableformat.read_atomic(spark, root, "base")
+    assign = tableformat.read_atomic(spark, root, "assign")
+    nrm_micro = F.floor(F.col("nrm") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    base_cert = (
+        base.groupBy((F.col("sig") % F.lit(16)).cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("sig") % F.lit(1000003)).cast("long").alias("chk1"),
+            F.sum(nrm_micro).cast("long").alias("chk2"),
+        )
+        .select(
+            F.lit("base").alias("member"), "grp", "n_rows", "chk1", "chk2"
+        )
+    )
+    a_nrm_micro = F.floor(
+        l2_norm(F.col("embedding")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    assign_cert = (
+        assign.groupBy(F.col("list_id").cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("vec_id").cast("long").alias("chk1"),
+            F.sum(a_nrm_micro).cast("long").alias("chk2"),
+        )
+        .select(
+            F.lit("assign").alias("member"), "grp", "n_rows", "chk1", "chk2"
+        )
+    )
+    return base_cert.unionByName(assign_cert).orderBy("member", "grp")
+
+
+def _embsig_build_oracle() -> str:
+    """Replays the embsig build end-to-end in DuckDB: the twin plant
+    (_planted_source_sql), the 60-bit signature (plane literals), the
+    norms, and the dynamic-k SemDeDup assignment (the
+    SEMANTIC_DEDUP_EMBEDDINGS_SQL cents/assign CTEs)."""
+    sig60 = _sig_terms_sql(60)
+    return f"""
+WITH planted AS ({_planted_source_sql()}),
+sigs AS (
+  SELECT vec_id, {sig60} AS sig,
+         sqrt(list_inner_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[])) AS nrm
+  FROM planted
+),
+base_cert AS (
+  SELECT 'base' AS member, (sig % 16)::BIGINT AS grp,
+         count(*)::BIGINT AS n_rows,
+         sum(sig % 1000003)::BIGINT AS chk1,
+         sum(CAST(floor(nrm * 1e6 + 0.5) AS BIGINT))::BIGINT AS chk2
+  FROM sigs GROUP BY sig % 16
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT (SELECT greatest(8, count(*) // 64) FROM embeddings))
+),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC, c.cid ASC
+           ) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+),
+assign_cert AS (
+  SELECT 'assign' AS member, cid::BIGINT AS grp, count(*)::BIGINT AS n_rows,
+         sum(vec_id)::BIGINT AS chk1,
+         sum(CAST(floor(sqrt(list_inner_product(embedding::DOUBLE[],
+             embedding::DOUBLE[])) * 1e6 + 0.5) AS BIGINT))::BIGINT AS chk2
+  FROM assign GROUP BY cid
+)
+SELECT member, grp, n_rows, chk1, chk2 FROM base_cert
+UNION ALL
+SELECT member, grp, n_rows, chk1, chk2 FROM assign_cert
+ORDER BY member, grp
+"""
+
+
+EMBSIG_BASE_BUILD_EMBEDDINGS_SQL = _embsig_build_oracle()
+
+
+def simhash_base_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD phase of the stored SimHash base
+    (dedup.simhash_base_store): run the corpus-token-scale tokenize →
+    60-conditional-sum vote aggregation ONCE and commit (id, simhash)
+    bucketed by id. Three consumers probe the snapshot instead of
+    re-deriving it (dedup_simhash_docs, dedup_simhash_pairs,
+    simhash_multiprobe_pairs_docs — the signature is geometry-free, so
+    one snapshot serves every banding/hamming radius). ``force=True`` so
+    the bench bills the corpus-scale build honestly.
+
+    Returns a per-signature-residue certification summary READ BACK FROM
+    THE STORED SNAPSHOT: doc counts, Σ simhash mod 1000003, and Σ doc_id
+    — any flipped bit or dropped doc changes them, so the hash-matching
+    oracle (which replays the vote aggregation in DuckDB) certifies the
+    committed signatures."""
+    from . import tableformat
+
+    root = dedup.simhash_base_store(spark, sf_dir, force=True)
+    sig = tableformat.read_atomic(spark, root, "sig")
+    return (
+        sig.groupBy(
+            F.col("simhash").bitwiseAND(F.lit(63)).cast("long").alias("grp")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("simhash") % F.lit(1000003)).cast("long").alias(
+                "sighash"
+            ),
+            F.sum("id").cast("long").alias("idsum"),
+        )
+        .orderBy("grp")
+    )
+
+
+SIMHASH_BASE_BUILD_DOCS_SQL = f"""
+SELECT (simhash & 63)::BIGINT AS grp, count(*)::BIGINT AS n_docs,
+       sum(simhash % 1000003)::BIGINT AS sighash,
+       sum(doc_id)::BIGINT AS idsum
+FROM ({DEDUP_SIMHASH_DOCS_SQL})
+GROUP BY simhash & 63
+ORDER BY grp
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2255,12 +2611,16 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale sweep showed 6.6× growth at k=32; k = n/64 pins mean cluster
     size at 64 and makes fan-out linear. The broadcast-literal assignment
     expression holds to k in the low thousands; past that, swap in a
-    centroid-table join (same output)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    cents = similarity.ivf_centroids_from_sample(emb, n_lists=max(8, n // 64))
-    assigned, dropped = similarity.semantic_dedup(
-        emb, cents, id_col="vec_id", vec_col="embedding", threshold_micro=300000
+    centroid-table join (same output).
+
+    r12: the assignment comes from the committed embsig ``assign``
+    member (bucketed by list_id, so the within-cluster pair self-join
+    reads both sides pre-partitioned); the greedy drop rule
+    (similarity.semantic_drops) runs from the snapshot. Output identical
+    to the in-line semantic_dedup path (equivalence pytest-pinned)."""
+    _, assigned = embedding_signature_probe(spark, sf_dir)
+    dropped = similarity.semantic_drops(
+        assigned, id_col="vec_id", vec_col="embedding", threshold_micro=300000
     )
     return (
         assigned.join(
@@ -2326,6 +2686,14 @@ QUERIES: dict = {
     "dedup_embedding_pairs_stress": (
         dedup_embedding_pairs_stress,
         DEDUP_EMBEDDING_PAIRS_STRESS_SQL,
+    ),
+    "embsig_base_build_embeddings": (
+        embsig_base_build_embeddings,
+        EMBSIG_BASE_BUILD_EMBEDDINGS_SQL,
+    ),
+    "simhash_base_build_docs": (
+        simhash_base_build_docs,
+        SIMHASH_BASE_BUILD_DOCS_SQL,
     ),
     "knn_cosine_topk": (knn_cosine_topk, KNN_COSINE_TOPK_SQL),
     "knn_lsh_pairs": (knn_lsh_pairs, KNN_LSH_PAIRS_SQL),

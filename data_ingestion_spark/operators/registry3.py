@@ -247,12 +247,13 @@ def simhash_multiprobe_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     standard memory/latency trade of production LSH services. With the
     exact popcount verify the output EQUALS brute force at ≤ 7, so the
     oracle is the all-pairs form and recall stays a theorem, not a
-    probability. Signatures are materialized once before the join (the
-    dedup_simhash_pairs plan-blowup precedent)."""
+    probability. r12: signatures come from the committed snapshot
+    (dedup.simhash_base_store — the corpus-token-scale vote aggregation
+    is paid once per corpus by simhash_base_build_docs); both the probe
+    and build join sides scan the bucketed parquet."""
     from . import dedup
 
-    docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.simhash(docs, "doc_id", "text").localCheckpoint(eager=True)
+    sig = dedup.simhash_base_probe(spark, sf_dir)
     return dedup.simhash_multiprobe_pairs(
         sig, max_hamming=7, band_bits=15
     ).orderBy("id_a", "id_b")

@@ -246,6 +246,24 @@ def hyperplane_lsh_pairs(
         hyperplane_signature(vec_col, planes).alias("sig"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
+    return lsh_pairs_from_base(base, bits, band_bits, threshold)
+
+
+def lsh_pairs_from_base(
+    base: DataFrame, bits: int, band_bits: int, threshold: float
+) -> DataFrame:
+    """Band join + first-agree dedup + exact-cosine verify over a
+    prepared ``(id, v, sig, nrm)`` base — the shared tail of
+    ``hyperplane_lsh_pairs`` and the r12 STORED-signature consumers
+    (embsig store, registry.embedding_signature_store). Only the LOW
+    ``bits`` bits of ``sig`` are ever read (band keys and the xor-based
+    first-agree filter both index bits < bits), so ONE stored wide
+    signature serves every geometry with fewer bits: the splitmix64
+    plane stream is generated per-bit (``_deterministic_hyperplanes``
+    ignores the total-bit count), hence plane i of a 16-bit consumer IS
+    plane i of the stored 60-bit signature — the same
+    one-artifact-serves-every-parameter property the stored shingle
+    base proved for Jaccard thresholds."""
     n_bands = bits // band_bits
     n_keys = 1 << band_bits
     # Band keys packed into ONE int (band_index * 2^band_bits + key): an
@@ -564,6 +582,24 @@ def semantic_dedup(
     Returns (assigned, dropped): assigned = df + list_id; dropped =
     (list_id, id) rows that lost to a lower-id near-duplicate.
     """
+    assigned = semantic_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    dropped = semantic_drops(
+        assigned, id_col=id_col, vec_col=vec_col,
+        threshold_micro=threshold_micro,
+    )
+    return assigned, dropped
+
+
+def semantic_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The assignment half of ``semantic_dedup``: df + ``list_id``
+    (nearest centroid by inner product, lowest-cid tie-break). Split out
+    (r12) so the embsig store can COMMIT the assignment once per corpus
+    and ``semantic_drops`` can run from the stored snapshot."""
     if len(centroids) > 64:
         # Large-k regime (k scales with the corpus): a broadcast centroid
         # TABLE + argmax aggregate replaces the literal expression — an
@@ -600,6 +636,20 @@ def semantic_dedup(
         assigned = df.join(assigned_ids, id_col)
     else:
         assigned = ivf_assign(df, centroids, vec_col=vec_col, n_probe=1)
+    return assigned
+
+
+def semantic_drops(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_micro: int = 300000,
+) -> DataFrame:
+    """The drop half of ``semantic_dedup``: within each ``list_id``, a
+    vector is dropped iff some lower-id cluster-mate has cosine ≥ the
+    micro-unit threshold. Takes any ``(list_id, id, vec)`` frame — the
+    inline assignment or the stored embsig ``assign`` member (whose
+    list_id bucketing makes this self-join exchange-free)."""
     a = assigned.select(
         "list_id", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
     )
@@ -607,7 +657,7 @@ def semantic_dedup(
         "list_id", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
     )
     cos = cosine_similarity(F.col("_va"), F.col("_vb"))
-    dropped = (
+    return (
         a.join(b, "list_id")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(
@@ -617,7 +667,6 @@ def semantic_dedup(
         .select("list_id", F.col("_idb").alias(id_col))
         .distinct()
     )
-    return assigned, dropped
 
 
 # ---------------------------------------------------------------------------

@@ -13,20 +13,27 @@ commits, and later processes (or sessions) reuse the snapshot straight
 from disk (``read_version`` re-registers bucketed catalog entries on a
 fresh session — see the catalog-durability note in tableformat.py).
 
-Staleness and bounded storage: a regenerated corpus changes the mtime →
-a NEW root; the superseded sibling (same name+params prefix, different
-mtime suffix) is swept after the new build commits, so storage is bounded
-at one live snapshot per (corpus, params). A ``force=True`` rebuild
+Staleness and bounded storage: a regenerated corpus changes the
+freshness token (mtime + size + part-file names, ``corpus_token``) → a
+NEW root; the superseded sibling (same name+params prefix, different
+suffix) is swept once it is older than SWEEP_GRACE_SECONDS — in-flight
+readers drain first — so storage is bounded at one live snapshot per
+(corpus, params) plus a short-lived grace tail. A ``force=True`` rebuild
 commits a NEW VERSION into the SAME root and vacuums to the last two —
 the previous version's files stay on disk until the next rebuild, so a
 lazy DataFrame a consumer obtained before the rebuild still collects
 correctly (r10 ADVICE: the old eager-drop design broke exactly that).
 
-Single-writer assumption: tableformat manifests are read-modify-write;
-the driver / bench / pytest harnesses are sequential per process, and two
-processes concurrently BUILDING the same store are not supported (the
-same constraint commit_atomic already documents). Concurrent READERS of
-a committed store are fine — that is the point of the design.
+Concurrency model (r12, was the r11 ADVICE medium): concurrent READERS
+of a committed store are always fine — that is the point of the design.
+Concurrent BUILDERS of the same root are serialized by an O_EXCL
+lockfile (``<root>.lock``): the loser waits for the winner's committed
+``_txn.json`` and reuses it (or, for ``force=True``, takes the lock and
+commits the next version). tableformat manifests stay read-modify-write
+INSIDE the lock, so the documented single-writer constraint is now
+enforced rather than assumed. The base dir is per-user and 0700 — a
+foreign user on a shared host can neither pre-plant a root we would
+trust nor read ours.
 """
 
 from __future__ import annotations
@@ -34,37 +41,236 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import stat as _stat
 import tempfile
+import time
 
 from . import tableformat
 
+#: Superseded/orphaned sibling roots younger than this are left in place
+#: so in-flight cross-process readers drain before deletion (r11 ADVICE);
+#: a later build reaps them once aged. In-root force-rebuilds already
+#: protect readers via vacuum keep_last=2 — this extends the courtesy to
+#: the cross-root sweep.
+SWEEP_GRACE_SECONDS = 600.0
+
+#: A build lock older than this is presumed crashed and is stolen.
+LOCK_STALE_SECONDS = 1800.0
+
+#: How long a loser waits for the winner's commit before giving up.
+LOCK_WAIT_SECONDS = 600.0
+
 
 def store_base_dir() -> str:
-    """One well-known directory for every deterministic store root."""
-    return os.path.join(tempfile.gettempdir(), "spark_graft_stores")
+    """The per-user directory for every deterministic store root.
+    Per-user (uid suffix) + mode 0700 so that on a multi-user host no
+    other user can pre-plant a root with a forged ``_txn.json`` that
+    ``ensure_store`` would trust, nor read committed corpus derivations
+    (r11 ADVICE medium — the old shared /tmp/spark_graft_stores had no
+    ownership story at all)."""
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_stores_{uid}")
+
+
+def _ensure_base_dir() -> str:
+    """Create the base dir 0700 and verify we own it: a symlink, a
+    non-directory, or a foreign-uid dir at the well-known path is an
+    attack or a misconfiguration — refuse loudly rather than trust it.
+    A pre-existing dir with group/other bits (e.g. created by an older
+    writer under a permissive umask) is tightened in place."""
+    base = store_base_dir()
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.lstat(base)
+    if _stat.S_ISLNK(st.st_mode) or not _stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(f"store base dir {base} is not a real directory")
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"store base dir {base} is owned by uid {st.st_uid}, "
+            f"not {os.getuid()} — refusing to trust foreign store roots"
+        )
+    if st.st_mode & 0o077:
+        os.chmod(base, 0o700)
+    return base
+
+
+def corpus_token(path: str) -> tuple:
+    """The freshness token for a corpus file/directory: mtime + total
+    byte size + the sorted entry-name list (for directories — a Spark
+    parquet 'file' is a directory of part files whose names embed a
+    fresh job UUID on every rewrite). mtime alone (the pre-r12 token)
+    silently served a stale snapshot after a timestamp-preserving
+    replace (rsync -t, cp -p, tar -x) or a rewrite within the
+    filesystem's mtime granularity (r11 ADVICE)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (0,)
+    if not _stat.S_ISDIR(st.st_mode):
+        return (st.st_mtime, st.st_size)
+    try:
+        names = sorted(os.listdir(path))
+    except OSError:
+        names = []
+    total = 0
+    for nm in names:
+        try:
+            total += os.stat(os.path.join(path, nm)).st_size
+        except OSError:
+            pass
+    return (st.st_mtime, total, tuple(names))
+
+
+def _parse_local_imports(src: str, module: str):
+    """Yield (module_name, [attr, ...]) for ``from X import a, b`` /
+    ``import X`` statements in a function body, with relative imports
+    resolved against the function's defining module. Function-local
+    imports bind LOCALS, so the co_names/globals walk in
+    ``_derivation_closure`` cannot see them (the r11 second review
+    caught exactly one such omission by hand; this mechanizes it)."""
+    import re
+
+    pkg_parts = module.split(".")
+    for m in re.finditer(
+        r"^\s*from\s+([.\w]+)\s+import\s+([\w,\s]+?)\s*$|^\s*import\s+([.\w]+)",
+        src,
+        re.MULTILINE,
+    ):
+        if m.group(3):
+            yield m.group(3), []
+            continue
+        mod, attrs = m.group(1), [a.strip() for a in m.group(2).split(",")]
+        if mod.startswith("."):
+            # resolve `from ..session import x` against the defining module
+            dots = len(mod) - len(mod.lstrip("."))
+            base = ".".join(pkg_parts[: len(pkg_parts) - dots])
+            rest = mod.lstrip(".")
+            mod = f"{base}.{rest}" if rest else base
+        yield mod, [a for a in attrs if a]
+
+
+def _derivation_closure(funcs) -> dict:
+    """Mechanically expand a set of root functions to every function in
+    THIS package they transitively reference — through module globals
+    (co_names), nested code objects (closures like ``_build``), closure
+    cells, module-attribute access (``tableformat.commit_atomic``), and
+    function-local import statements. Returns {qualified_name: fn}.
+
+    This replaces the hand-enumerated dependency list the r11 ADVICE
+    called fragile: a helper added to the derivation is picked up by the
+    walk instead of relying on a human to remember the list. Explicit
+    roots are still accepted (and still sufficient) — the walk only ever
+    ADDS, which is the safe direction for a cache key."""
+    import importlib
+    import inspect
+    import types
+
+    pkg = __name__.split(".")[0]
+
+    def in_pkg(obj) -> bool:
+        import types
+
+        if isinstance(obj, types.ModuleType):
+            return (obj.__name__ or "").startswith(pkg)
+        return (getattr(obj, "__module__", "") or "").startswith(pkg)
+
+    seen: dict = {}
+    stack = [f for f in funcs]
+    while stack:
+        f = stack.pop()
+        try:
+            f = inspect.unwrap(f)
+        except Exception:
+            continue
+        if not isinstance(f, types.FunctionType) or not in_pkg(f):
+            continue
+        qual = f"{f.__module__}.{f.__qualname__}"
+        if qual in seen:
+            continue
+        seen[qual] = f
+        g = f.__globals__
+        # modules whose attributes this function touches: globals plus
+        # function-local imports (which bind locals, invisible to g)
+        modules = []
+        try:
+            src = inspect.getsource(f)
+        except (OSError, TypeError):
+            src = ""
+        for mod_name, attrs in _parse_local_imports(src, f.__module__):
+            if not mod_name.startswith(pkg):
+                continue
+            try:
+                mod = importlib.import_module(mod_name)
+            except ImportError:
+                continue
+            modules.append(mod)
+            for a in attrs:
+                obj = getattr(mod, a, None)
+                if isinstance(obj, types.FunctionType):
+                    stack.append(obj)
+                elif isinstance(obj, types.ModuleType):
+                    modules.append(obj)
+        codes = [f.__code__]
+        names: set = set()
+        while codes:
+            code = codes.pop()
+            names.update(code.co_names)
+            for const in code.co_consts:
+                if isinstance(const, types.CodeType):
+                    codes.append(const)
+        for name in names:
+            obj = g.get(name)
+            if isinstance(obj, types.FunctionType):
+                stack.append(obj)
+            elif isinstance(obj, types.ModuleType) and in_pkg(obj):
+                modules.append(obj)
+        for mod in modules:
+            if not in_pkg(mod):
+                continue
+            for name in names:
+                attr = getattr(mod, name, None)
+                if isinstance(attr, types.FunctionType):
+                    stack.append(attr)
+        for cell in f.__closure__ or ():
+            try:
+                v = cell.cell_contents
+            except ValueError:
+                continue
+            if isinstance(v, types.FunctionType):
+                stack.append(v)
+    return seen
 
 
 def derivation_token(*funcs) -> str:
     """A hash of the SOURCE of the functions that define a store's
-    derivation. Included in the store identity so a code change to the
-    derivation AUTOMATICALLY invalidates committed snapshots (r11 review
-    finding: path+params+mtime alone would serve a pre-change snapshot
-    to every fresh process after, say, the tokenizer or the frequency
-    tie-break changed — the one staleness the old build-per-process
-    design could never exhibit). Comment-only edits also invalidate;
-    that is the safe direction for a cache."""
+    derivation — the listed roots plus their MECHANICALLY-derived
+    transitive in-package closure (``_derivation_closure``). Included in
+    the store identity so a code change to the derivation, or to any
+    helper it calls (tokenizer regex, bucketed write path, loader),
+    AUTOMATICALLY invalidates committed snapshots (r11 review finding +
+    r11 ADVICE: a hand-enumerated list missed the _build closure once
+    already). Comment-only edits also invalidate; that is the safe
+    direction for a cache. The closure is derived from source text and
+    explicit imports — never from ambient interpreter state — so every
+    process computes the same token."""
     import inspect
 
-    src = "\n".join(inspect.getsource(f) for f in funcs)
-    return hashlib.sha1(src.encode()).hexdigest()[:10]
+    closure = _derivation_closure(funcs)
+    parts = []
+    for qual in sorted(closure):
+        try:
+            parts.append(qual + "\n" + inspect.getsource(closure[qual]))
+        except (OSError, TypeError):
+            parts.append(qual)
+    return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
 
 
 def store_root(
-    name: str, key_parts: tuple, mtime_token: float, derivation: str = ""
+    name: str, key_parts: tuple, mtime_token, derivation: str = ""
 ) -> str:
     """The deterministic root for store ``name``: the IDENTITY is
     (name, key_parts) — corpus abspath + params — and the FRESHNESS is
-    the derivation-source token plus the corpus mtime. The path is
+    the derivation-source token plus the corpus freshness token
+    (``corpus_token``: mtime + size + part names). The path is
     ``<name>_<keyhash>_<dthash>_<mthash>`` and ``sweep_stale`` globs the
     ``<name>_<keyhash>_`` identity prefix, so BOTH a regenerated corpus
     (new mtime) AND a changed derivation (new token) leave exactly one
@@ -94,7 +300,7 @@ def ensure_store(
     every pytest tmp-dir corpus — are reaped by ANY later build (r11
     review finding: identity-prefix sweeping alone never matches a
     run-unique tmp path again, so those roots leaked forever)."""
-    if not force and os.path.exists(tableformat._txn_path(root)):
+    def _reuse() -> str:
         # backfill the origin record on reuse (a crash between
         # commit_atomic and the origin write, or a root committed by an
         # older writer, would otherwise stay invisible to reap_orphans
@@ -104,15 +310,84 @@ def ensure_store(
         ):
             _write_origin(root, origin)
         return root
-    os.makedirs(store_base_dir(), exist_ok=True)
-    build_fn(root)
-    if origin is not None:
-        _write_origin(root, origin)
-    if force:
-        _vacuum_members(spark, root, keep_last=2)
-    sweep_stale(spark, root)
-    reap_orphans(spark)
+
+    if not force and os.path.exists(tableformat._txn_path(root)):
+        return _reuse()
+    _ensure_base_dir()
+    # Builds are serialized by an O_EXCL lockfile (r11 ADVICE medium:
+    # two processes racing past the _txn.json existence check both built
+    # into the same root and could corrupt its manifests). A losing
+    # non-force builder waits for the winner's commit and reuses it; a
+    # losing force builder takes the lock next and commits a new version.
+    with _build_lock(root, force=force) as already_committed:
+        if already_committed and not force:
+            return _reuse()
+        build_fn(root)
+        if origin is not None:
+            _write_origin(root, origin)
+        if force:
+            _vacuum_members(spark, root, keep_last=2)
+        sweep_stale(spark, root)
+        reap_orphans(spark)
     return root
+
+
+class _build_lock:
+    """O_EXCL lockfile around a store build. ``__enter__`` returns True
+    if the root already holds a committed transaction by the time the
+    lock is held (the caller can reuse instead of rebuilding). A lock
+    older than LOCK_STALE_SECONDS is presumed crashed and stolen; a
+    loser that waits LOCK_WAIT_SECONDS without seeing a commit raises
+    rather than silently double-building."""
+
+    def __init__(self, root: str, force: bool = False):
+        self.root = root
+        self.force = force
+        self.path = root + ".lock"
+        self._held = False
+
+    def __enter__(self) -> bool:
+        deadline = time.monotonic() + LOCK_WAIT_SECONDS
+        while True:
+            try:
+                fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o600
+                )
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                self._held = True
+                return os.path.exists(tableformat._txn_path(self.root))
+            except FileExistsError:
+                pass
+            # someone else is building: a non-force caller is satisfied
+            # by their commit the moment it lands
+            if not self.force and os.path.exists(
+                tableformat._txn_path(self.root)
+            ):
+                return True
+            try:
+                age = time.time() - os.stat(self.path).st_mtime
+            except OSError:
+                continue  # lock vanished between open and stat — retry
+            if age > LOCK_STALE_SECONDS:
+                try:
+                    os.unlink(self.path)  # crashed builder: steal
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"store build lock {self.path} held for "
+                    f"{age:.0f}s without a commit"
+                )
+            time.sleep(0.1)
+
+    def __exit__(self, *exc) -> None:
+        if self._held:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
 
 
 def _write_origin(root: str, origin: str) -> None:
@@ -155,9 +430,25 @@ def reap_orphans(spark) -> None:
         try:
             os.stat(corpus)
         except (FileNotFoundError, NotADirectoryError):
-            drop_store(spark, path)
+            if _aged_out(path):  # grace: let in-flight readers drain
+                drop_store(spark, path)
         except OSError:
             continue
+
+
+def _aged_out(path: str) -> bool:
+    """True once ``path`` is older than the sweep grace window (r11
+    ADVICE: cross-root sweeps used to rmtree a superseded/orphaned root
+    the instant a later build noticed it, breaking lazy DataFrames a
+    CONCURRENT process was still holding against it; the grace window
+    lets those readers drain — a later build reaps the root once aged).
+    Age = the root dir's own mtime: committing into or probing a root
+    does not touch the top directory after the build, so a just-
+    superseded root reads as old as its build."""
+    try:
+        return time.time() - os.stat(path).st_mtime > SWEEP_GRACE_SECONDS
+    except OSError:
+        return False
 
 
 def _vacuum_members(spark, root: str, keep_last: int) -> None:
@@ -182,9 +473,12 @@ def _vacuum_members(spark, root: str, keep_last: int) -> None:
 
 def sweep_stale(spark, keep_root: str) -> None:
     """Remove sibling roots with the same ``<name>_<keyhash>_`` identity
-    prefix but a different derivation-token or mtime suffix — by
+    prefix but a different derivation-token or freshness suffix — by
     construction snapshots of a corpus/derivation state that no longer
-    exists in that form. Best-effort."""
+    exists in that form. Age-gated (``_aged_out``) so a concurrent
+    process still lazily reading the superseded root drains before
+    deletion; the sibling is reaped by a later build instead.
+    Best-effort."""
     base = os.path.dirname(keep_root)
     prefix = os.path.basename(keep_root).rsplit("_", 2)[0] + "_"
     try:
@@ -193,7 +487,12 @@ def sweep_stale(spark, keep_root: str) -> None:
         return
     for d in siblings:
         path = os.path.join(base, d)
-        if d.startswith(prefix) and path != keep_root:
+        if (
+            d.startswith(prefix)
+            and path != keep_root
+            and not d.endswith(".lock")
+            and _aged_out(path)
+        ):
             drop_store(spark, path)
 
 

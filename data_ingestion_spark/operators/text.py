@@ -301,13 +301,15 @@ def winnow_fingerprint_store(
     from . import stores, tableformat
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    mtime = os.path.getmtime(doc_path) if os.path.exists(doc_path) else 0
+    # freshness = mtime + size + part names (stores.corpus_token): a
+    # timestamp-preserving corpus replace must not serve a stale snapshot
+    fresh = stores.corpus_token(doc_path)
     # the derivation token invalidates committed snapshots when the
     # winnowing code itself changes (see stores.derivation_token)
     root = stores.store_root(
         "winnow",
         (os.path.abspath(sf_dir), k, w),
-        mtime,
+        fresh,
         # hashing winnow_fingerprint_store ITSELF captures the _build
         # closure (carry_cols, bucket count) — see the shingle-base note
         derivation=stores.derivation_token(

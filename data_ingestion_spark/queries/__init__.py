@@ -16,89 +16,25 @@ verified by tools/check_oracle.py regardless of position.
 
 from __future__ import annotations
 
-#: First-50 curation for the driver's correctness window. Round-11 rotation
-#: (r10 verdict task #1): CORRECTNESS_r10 went 50/50 green, so the r10-window
+#: First-50 curation for the driver's correctness window. Round-12 rotation
+#: (r11 verdict task #1): CORRECTNESS_r11 went 50/50 green, so the r11-window
 #: names rotate out and the 50 slots go — VERBATIM, exactly as pre-enumerated
-#: at r10 close — to (a) the 3 r10-changed/new stored-winnow queries, (b) the
-#: 18 r3-era names (oldest external signal; testdata regenerated 6x since),
-#: and (c) the 29 alphabetically-first r5-era rows. After this window lands,
-#: no query's latest driver row predates r5 (ledger entering r11, computed
-#: from committed CORRECTNESS_r*.json: r10×50, r9×50, r8×46, r7×43, r6×50,
-#: r5×35, r3×18, never×1).
+#: at r11 close — to (a) the 8 stored-shingle-base queries (the r11-new build
+#: — the ONLY query with no driver row ever — plus its 7 re-plumbed
+#: consumers), (b) the 9 ingest_* reference-fidelity parsers (the CORE
+#: reference surface, last driver-checked r6, through 4 testdata
+#: regenerations), (c) the 6 remaining r5-era rows, and (d) the
+#: alphabetically-first r6-era fill. After this window lands, no query's
+#: latest driver row predates r6 (ledger entering r12, computed from
+#: committed CORRECTNESS_r*.json: r11×50, r10×50, r9×50, r8×45, r7×42,
+#: r6×50, r5×6, never×1 — the never row is shingle_base_build_docs, slot 1).
 #:
-#: ROUND-12 window (pre-committed now, r10 verdict task #3): slots go to
-#: (a) any r11-changed queries not already in the r11 window (the stored
-#:     shingle-base consumers — see operators/dedup.py), then
-#: (b) the ingest_* reference-fidelity parser family — the CORE reference
-#:     surface, last driver-checked in r6 and bench-excluded, so the
-#:     external oracle hasn't seen it through 4 testdata regenerations
-#:     (r10 verdict "What's wrong" #3) — then
-#: (c) the 6 remaining r5-era rows, then
-#: (d) alphabetically-first r6-era rows to fill 50. The full 50-name r12
-#:     window is pre-enumerated below the cutoff IN ORDER: rotating it to
-#:     the front is the only edit r12 needs. After r12 no query's latest
-#:     driver row predates r6. Everything stays registered and locally
-#:     verified by tools/check_oracle.py at 3 SFs regardless of position.
+#: ROUND-13 window: pre-enumerated at r12 close (below the cutoff) once the
+#: r12-changed query set is final. Everything stays registered and locally
+#: verified by tools/check_oracle.py at 3 SFs regardless of position.
 _PRIORITY = [
-    # ---- ROUND-11 driver window (the first 50) ----
-    # (a) r10-changed/new: the stored-fingerprint build + its two
-    # re-plumbed consumers (plagiarism_pairs_docs, the third changed
-    # consumer, re-earned in the r10 window; dedup_review_queue_docs was
-    # unchanged — SELFREVIEW_r10.md #8):
-    "winnow_fingerprint_build_docs",
-    "winnow_fingerprint_docs",
-    "source_overlap_matrix_docs",
-    # (b) the 18 r3-era names (oldest external signal in the repo):
-    "map_functions_events",
-    "mix_corpus_docs",
-    "pagerank_supplier_graph",
-    "paragraph_dedup_docs",
-    "regression_stats_lineitem",
-    "retention_cohorts_events",
-    "scd2_customers",
-    "semantic_dedup_embeddings",
-    "setop_multiset_priorities",
-    "skew_salted_join_events",
-    "snapshot_diff_customers",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode",
-    "tpch_q16_parts_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q6_forecast_revenue",
-    "variant_props_events",
-    "zorder_layout_events",
-    # (c) the 29 alphabetically-first r5-era rows:
-    "agg_pricing_summary",
-    "anti_join_inactive_customers",
-    "backfill_partitions_events",
-    "bm25_topk_docs",
-    "bpe_encode_docs",
-    "bpe_train_merges_corpus",
-    "char_entropy_docs",
-    "compact_small_files_docs",
-    "corpus_build_pipeline_docs",
-    "dedup_audio_fingerprint_docs",
-    "dedup_image_phash_docs",
-    "event_transitions_events",
-    "heavy_hitters_docs",
-    "histogram_lineitem",
-    "incremental_agg_orders",
-    "ingest_html_docs",
-    "ingest_pdf_docs",
-    "join_cardinality_orders_customer",
-    "join_multi_region",
-    "join_revenue_by_segment",
-    "lm_perplexity_docs",
-    "nfc_normalize_docs",
-    "pca_project_embeddings",
-    "pca_top2_components_embeddings",
-    "pca_top_component_embeddings",
-    "pit_join_events",
-    "scan_filter_project",
-    "shard_balance_docs",
-    "stratified_split_docs",
-    # ---- driver window cutoff (first 50 above) ----
-    # ROUND-12 window, pre-enumerated IN ORDER (rotate to front at r12):
+    # ---- ROUND-12 driver window (the first 50) ----
+    # Landed VERBATIM as pre-enumerated at r11 close (r11 verdict task #1):
     # (a) the r11-changed/new stored-shingle-base queries — the build
     # query (r11-new, never driver-checked) and the 7 consumers
     # re-plumbed onto the committed snapshot (all locally oracle-green
@@ -113,7 +49,7 @@ _PRIORITY = [
     "dedup_containment_pairs_docs",
     "minhash_band_recall_docs",
     # (b) the ingest_* reference-fidelity parser family (r6-era; html/pdf
-    # are r5-era and re-earn in the r11 window; ingest_metrics_by_source
+    # are r5-era and re-earned in the r11 window; ingest_metrics_by_source
     # is r8-era and waits its turn):
     "ingest_audit_log",
     "ingest_avro_docs",
@@ -159,7 +95,69 @@ _PRIORITY = [
     "tpch_q19_disjunctive",
     "tpch_q20_excess_volume",
     "tpch_q22_idle_wealthy",
-    # ---- r12 window end (50 names above) ----
+    # ---- driver window cutoff (first 50 above) ----
+    # ROUND-13 window, pre-enumerated IN ORDER (rotate to front at r13);
+    # filled in at r12 close once the r12-changed set is final.
+    # ---- (r13 pre-enumeration placeholder) ----
+    # r12-new stored-signature builds: registered AHEAD of their
+    # consumers (semantic_dedup_embeddings and simhash_multiprobe /
+    # dedup_embedding_pairs below, knn_lsh_pairs / dedup_simhash_* in
+    # the pool) so bench/driver order pays each corpus-scale build
+    # before the first probe:
+    "embsig_base_build_embeddings",
+    "simhash_base_build_docs",
+    # Round-11 driver window names, all driver-green in CORRECTNESS_r11:
+    "winnow_fingerprint_build_docs",
+    "winnow_fingerprint_docs",
+    "source_overlap_matrix_docs",
+    "map_functions_events",
+    "mix_corpus_docs",
+    "pagerank_supplier_graph",
+    "paragraph_dedup_docs",
+    "regression_stats_lineitem",
+    "retention_cohorts_events",
+    "scd2_customers",
+    "semantic_dedup_embeddings",
+    "setop_multiset_priorities",
+    "skew_salted_join_events",
+    "snapshot_diff_customers",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode",
+    "tpch_q16_parts_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q6_forecast_revenue",
+    "variant_props_events",
+    "zorder_layout_events",
+    "agg_pricing_summary",
+    "anti_join_inactive_customers",
+    "backfill_partitions_events",
+    "bm25_topk_docs",
+    "bpe_encode_docs",
+    "bpe_train_merges_corpus",
+    "char_entropy_docs",
+    "compact_small_files_docs",
+    "corpus_build_pipeline_docs",
+    "dedup_audio_fingerprint_docs",
+    "dedup_image_phash_docs",
+    "event_transitions_events",
+    "heavy_hitters_docs",
+    "histogram_lineitem",
+    "incremental_agg_orders",
+    "ingest_html_docs",
+    "ingest_pdf_docs",
+    "join_cardinality_orders_customer",
+    "join_multi_region",
+    "join_revenue_by_segment",
+    "lm_perplexity_docs",
+    "nfc_normalize_docs",
+    "pca_project_embeddings",
+    "pca_top2_components_embeddings",
+    "pca_top_component_embeddings",
+    "pit_join_events",
+    "scan_filter_project",
+    "shard_balance_docs",
+    "stratified_split_docs",
+    # ---- r11 window end ----
     # r10 driver window names, all driver-green in CORRECTNESS_r10 (50):
     "compaction_plan_docs",
     "l_diversity_docs",

@@ -22,59 +22,54 @@ def test_registry_consistency():
     # zero rows-only queries left
     assert set(q) == set(o)
     assert len(q) >= 242
-    # driver verifies the first 50 in insertion order: round-11 rotation
-    # (the r10 verdict's task #1) lands the pre-committed window VERBATIM —
-    # the 3 r10-changed/new stored-winnow queries, the 18 r3-era names, and
-    # the 29 alphabetically-first r5-era rows; no query with a fresh r6-r10
-    # driver-green row may burn a slot
+    # driver verifies the first 50 in insertion order: round-12 rotation
+    # (the r11 verdict's task #1) lands the pre-committed window VERBATIM —
+    # the 8 stored-shingle-base queries (build + 7 consumers), the 9
+    # ingest_* reference-fidelity parsers (r6-era), the 6 remaining r5-era
+    # rows, and the alphabetically-first r6-era fill; no query with a fresh
+    # r7-r11 driver-green row may burn a slot
     names = list(q)
     window = set(names[:50])
-    r11_precommitted = (
-        "winnow_fingerprint_build_docs", "winnow_fingerprint_docs",
-        "source_overlap_matrix_docs",
-        # 18 r3-era
-        "map_functions_events", "mix_corpus_docs", "pagerank_supplier_graph",
-        "paragraph_dedup_docs", "regression_stats_lineitem",
-        "retention_cohorts_events", "scd2_customers",
-        "semantic_dedup_embeddings", "setop_multiset_priorities",
-        "skew_salted_join_events", "snapshot_diff_customers",
-        "tpch_q11_important_stock", "tpch_q12_shipmode",
-        "tpch_q16_parts_supplier", "tpch_q21_waiting_supplier",
-        "tpch_q6_forecast_revenue", "variant_props_events",
-        "zorder_layout_events",
-        # 29 alphabetically-first r5-era
-        "agg_pricing_summary", "anti_join_inactive_customers",
-        "backfill_partitions_events", "bm25_topk_docs", "bpe_encode_docs",
-        "bpe_train_merges_corpus", "char_entropy_docs",
-        "compact_small_files_docs", "corpus_build_pipeline_docs",
-        "dedup_audio_fingerprint_docs", "dedup_image_phash_docs",
-        "event_transitions_events", "heavy_hitters_docs",
-        "histogram_lineitem", "incremental_agg_orders", "ingest_html_docs",
-        "ingest_pdf_docs", "join_cardinality_orders_customer",
-        "join_multi_region", "join_revenue_by_segment", "lm_perplexity_docs",
-        "nfc_normalize_docs", "pca_project_embeddings",
-        "pca_top2_components_embeddings", "pca_top_component_embeddings",
-        "pit_join_events", "scan_filter_project", "shard_balance_docs",
-        "stratified_split_docs",
-    )
-    assert len(r11_precommitted) == 50
-    assert window == set(r11_precommitted)
-    # the window must also land IN ORDER (the pre-commitment is verbatim)
-    assert names[:50] == list(r11_precommitted)
-    # the r12 window head is pre-committed right after the cutoff: the
-    # r11-changed stored-shingle-base queries, then the ingest_*
-    # reference-fidelity family (last driver row r6)
-    assert names[50:53] == [
+    r12_precommitted = (
+        # (a) stored-shingle-base family (build r11-new, never
+        # driver-checked; 7 consumers re-plumbed in r11)
         "shingle_base_build_docs", "dedup_jaccard_pairs_docs",
-        "dedup_clusters_docs",
-    ]
-    assert names[58:60] == ["ingest_audit_log", "ingest_avro_docs"]
+        "dedup_clusters_docs", "dedup_clusters_twostar_docs",
+        "dedup_keep_best_docs", "dedup_review_queue_docs",
+        "dedup_containment_pairs_docs", "minhash_band_recall_docs",
+        # (b) ingest_* reference-fidelity parsers (r6-era)
+        "ingest_audit_log", "ingest_avro_docs", "ingest_csv_docs",
+        "ingest_excel_docs", "ingest_json_docs", "ingest_logfmt_docs",
+        "ingest_orc_docs", "ingest_txt_docs", "ingest_xml_docs",
+        # (c) 6 remaining r5-era rows
+        "table_changes_orders", "temperature_sample_docs",
+        "time_travel_orders", "triangle_count_suppliers",
+        "vocab_coverage_docs", "winsorize_events",
+        # (d) alphabetically-first r6-era fill
+        "assign_ids_orders", "chi2_lang_source_docs", "dedup_exact_docs",
+        "dsir_importance_docs", "ewma_user_values",
+        "hll_intersection_events", "kn_bigram_lm_corpus",
+        "knn_two_stage_topk", "ks_drift_docs", "matryoshka_qc_embeddings",
+        "merge_upsert_customers", "nb_lang_confusion_docs",
+        "pq_adc_topk_embeddings", "pq_ivf_topk_embeddings",
+        "psi_drift_docs", "s3_event_decode_docs", "shuffle_ids_docs",
+        "stats_prune_scan_orders", "tpch_q10_returned_items",
+        "tpch_q13_custdist", "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+        "tpch_q18_large_volume", "tpch_q19_disjunctive",
+        "tpch_q20_excess_volume", "tpch_q22_idle_wealthy",
+    )
+    assert len(r12_precommitted) == 50
+    assert window == set(r12_precommitted)
+    # the window must also land IN ORDER (the pre-commitment is verbatim)
+    assert names[:50] == list(r12_precommitted)
     for fresh_green in ("cap_per_source_docs", "word_count_docs",
                         "rtbf_delete_dv_docs", "skew_autogate_join_events",
-                        "tpch_q9_product_profit", "ingest_csv_docs",
-                        "dedup_exact_docs", "knn_cosine_topk",
+                        "tpch_q9_product_profit", "knn_cosine_topk",
                         "session_window_events", "dedup_embedding_pairs",
-                        "sessionize_events", "rfm_segments_customers"):
+                        "sessionize_events", "rfm_segments_customers",
+                        "winnow_fingerprint_build_docs",
+                        "scan_filter_project", "agg_pricing_summary"):
         assert fresh_green not in window, fresh_green
 
 

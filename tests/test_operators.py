@@ -2283,12 +2283,19 @@ def test_winnow_store_probe_matches_direct_and_invalidates(spark, tmp_path):
         os.path.join(sf, "documents.parquet"),
         (_time.time() + 2, _time.time() + 2),
     )
+    # r12: sweeps are age-gated so in-flight cross-process readers of a
+    # superseded root drain before deletion — backdate r1 past the grace
+    # window so this build's sweep may legitimately reap it
+    from data_ingestion_spark.operators import stores as _stores
+
+    old = _time.time() - _stores.SWEEP_GRACE_SECONDS - 60
+    os.utime(r1, (old, old))
     r2 = text.winnow_fingerprint_store(spark, sf)
     assert r2 != r1
     fresh = text.winnow_fingerprint_probe(spark, sf)
     assert {r["doc_id"] for r in fresh.collect()} == {9}
-    # the superseded root (old mtime, same identity prefix) was swept:
-    # exactly one live sibling remains for this corpus+params identity
+    # the superseded (aged) root was swept: exactly one live sibling
+    # remains for this corpus+params identity
     import glob as _glob
 
     prefix = os.path.basename(r1).rsplit("_", 1)[0]
@@ -2471,8 +2478,14 @@ def test_store_orphan_reaping_and_derivation_token(spark, tmp_path):
     root_a = dedup.shingle_base_store(spark, sf_a)
     assert os.path.exists(os.path.join(root_a, "_origin.json"))
     # delete the corpus, then build a DIFFERENT corpus's store: the
-    # orphaned root must be reaped by that unrelated build
+    # orphaned root must be reaped by that unrelated build — once aged
+    # past the r12 sweep grace window (backdated here; a young orphan is
+    # deliberately left so in-flight readers drain first)
     shutil.rmtree(sf_a)
+    import time as _time
+
+    _old = _time.time() - stores.SWEEP_GRACE_SECONDS - 60
+    os.utime(root_a, (_old, _old))
     sf_b = str(tmp_path / "b")
     os.makedirs(sf_b)
     spark.createDataFrame(
@@ -2496,6 +2509,7 @@ def test_store_orphan_reaping_and_derivation_token(spark, tmp_path):
         os.path.dirname(root_b), f"{name}_{keyhash}_oldtok_deadbeef"
     )
     os.makedirs(stale_sibling, exist_ok=True)
+    os.utime(stale_sibling, (_old, _old))  # past the sweep grace window
     dedup.shingle_base_store(spark, sf_b, force=True)
     assert not os.path.exists(stale_sibling), (
         "old-derivation sibling must be swept"
