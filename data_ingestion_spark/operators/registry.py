@@ -467,7 +467,14 @@ def embedding_signature_store(
     fresh = stores.corpus_token(emb_path)
     root = stores.store_root(
         "embsig",
-        (os.path.abspath(sf_dir), 60, 42),
+        # the plant CONSTANTS are module-level data, invisible to the
+        # derivation-token source walk (which only hashes functions) —
+        # fold them into the identity so editing the twin rate/eps/
+        # direction invalidates committed snapshots (r12 self-review)
+        (
+            os.path.abspath(sf_dir), 60, 42,
+            _TWIN_RATE, _TWIN_ID_OFFSET, _TWIN_EPS, tuple(_TWIN_DIR),
+        ),
         fresh,
         derivation=stores.derivation_token(
             embedding_signature_store,

@@ -311,9 +311,13 @@ def ensure_store(
             _write_origin(root, origin)
         return root
 
+    # Ownership check on EVERY path, not just builds: the reuse fast path
+    # trusts a committed _txn.json, so it must trust the directory it sits
+    # in first — a foreign-owned base dir squatting at the well-known path
+    # would otherwise serve pre-planted data to pure readers (r12 review).
+    _ensure_base_dir()
     if not force and os.path.exists(tableformat._txn_path(root)):
         return _reuse()
-    _ensure_base_dir()
     # Builds are serialized by an O_EXCL lockfile (r11 ADVICE medium:
     # two processes racing past the _txn.json existence check both built
     # into the same root and could corrupt its manifests). A losing

@@ -96,17 +96,71 @@ _PRIORITY = [
     "tpch_q20_excess_volume",
     "tpch_q22_idle_wealthy",
     # ---- driver window cutoff (first 50 above) ----
-    # ROUND-13 window, pre-enumerated IN ORDER (rotate to front at r13);
-    # filled in at r12 close once the r12-changed set is final.
-    # ---- (r13 pre-enumeration placeholder) ----
-    # r12-new stored-signature builds: registered AHEAD of their
-    # consumers (semantic_dedup_embeddings and simhash_multiprobe /
-    # dedup_embedding_pairs below, knn_lsh_pairs / dedup_simhash_* in
-    # the pool) so bench/driver order pays each corpus-scale build
-    # before the first probe:
+    # ROUND-13 window, pre-enumerated IN ORDER at r12 close (rotate to
+    # front at r13 — the only edit r13 needs):
+    # (a) the 8 r12-changed stored-signature queries — the two builds
+    # (r12-new, never driver-checked; registered AHEAD of their
+    # consumers so bench/driver order pays each corpus-scale build
+    # before the first probe) and the 6 consumers re-plumbed onto the
+    # committed snapshots (all locally oracle-green at sf0.001 AND
+    # sf0.01 against unchanged oracles; stored-vs-inline equality and
+    # vtab_ plan shapes pytest-pinned in test_stored_signatures_r12.py):
     "embsig_base_build_embeddings",
     "simhash_base_build_docs",
-    # Round-11 driver window names, all driver-green in CORRECTNESS_r11:
+    "knn_lsh_pairs",
+    "dedup_embedding_pairs",
+    "semantic_dedup_embeddings",
+    "dedup_simhash_docs",
+    "dedup_simhash_pairs",
+    "simhash_multiprobe_pairs_docs",
+    # (b) the 14 remaining r6-era rows (oldest driver signal after the
+    # r12 window lands):
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_exists_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "trajectory_events",
+    "unimax_mixture_sources",
+    "url_dedup_docs",
+    "weighted_sample_docs",
+    "wilson_quality_sources",
+    "zipf_slope_corpus",
+    "zorder_prune_demo_events",
+    # (c) the 28 alphabetically-first r7-era rows to fill 50:
+    "array_hof_embeddings",
+    "asof_join_events_orders",
+    "assoc_rules_lineitem",
+    "auc_quality_classifier_docs",
+    "bucketed_join_orders_customer",
+    "calibration_bins_docs",
+    "classifier_report_docs",
+    "cms_token_freq_corpus",
+    "cube_order_status_priority",
+    "date_functions_orders",
+    "dpp_prune_join_events",
+    "event_paths_topk_events",
+    "event_volume_trend_events",
+    "except_wealthy_nations",
+    "full_outer_join_nation_balance",
+    "funnel_windowed_events",
+    "gapfill_events_locf",
+    "grouping_sets_orders",
+    "join_size_sample_orders_customer",
+    "key_skew_profile_events",
+    "kmeans_centroids_embeddings",
+    "knn_cosine_topk",
+    "knn_ivf_topk",
+    "ks_critical_drift_docs",
+    "lag_lead_user_events",
+    "multi_distinct_events",
+    "neyman_allocation_events",
+    "ntile_customer_quartiles",
+    # ---- r13 window end (50 names above) ----
+    # Round-11 driver window names, all driver-green in CORRECTNESS_r11
+    # (semantic_dedup_embeddings moved up into the r13 block):
     "winnow_fingerprint_build_docs",
     "winnow_fingerprint_docs",
     "source_overlap_matrix_docs",
@@ -117,7 +171,6 @@ _PRIORITY = [
     "regression_stats_lineitem",
     "retention_cohorts_events",
     "scd2_customers",
-    "semantic_dedup_embeddings",
     "setop_multiset_priorities",
     "skew_salted_join_events",
     "snapshot_diff_customers",
@@ -162,7 +215,6 @@ _PRIORITY = [
     "compaction_plan_docs",
     "l_diversity_docs",
     "seasonality_dow_events",
-    "simhash_multiprobe_pairs_docs",
     "pq_ivf_stored_probe",
     "t_closeness_docs",
     "ess_importance_docs",
@@ -210,7 +262,6 @@ _PRIORITY = [
     "cluster_keywords_embeddings",
     # r9-window names, driver-green in CORRECTNESS_r09 (12 changed +
     # 20 r8-late + 18 r3-era rotations):
-    "dedup_embedding_pairs",
     "dedup_embedding_pairs_stress",
     "knn_ivf_stored_probe",
     "dedup_minhash_docs",
@@ -246,7 +297,6 @@ _PRIORITY = [
     "covariance_embeddings",
     "curriculum_bins_docs",
     "dedup_embedding_recall",
-    "dedup_simhash_docs",
     "dedup_substring_docs",
     "dq_checks_star_schema",
     "funnel_conversion_events",

@@ -63,6 +63,15 @@ def test_registry_consistency():
     assert window == set(r12_precommitted)
     # the window must also land IN ORDER (the pre-commitment is verbatim)
     assert names[:50] == list(r12_precommitted)
+    # the r13 window head is pre-committed right after the cutoff: the
+    # two r12-new stored-signature builds, then their re-plumbed
+    # consumers, then the r6-era tail
+    assert names[50:54] == [
+        "embsig_base_build_embeddings", "simhash_base_build_docs",
+        "knn_lsh_pairs", "dedup_embedding_pairs",
+    ]
+    assert names[58:60] == ["tpch_q2_min_cost_supplier",
+                            "tpch_q3_shipping_priority"]
     for fresh_green in ("cap_per_source_docs", "word_count_docs",
                         "rtbf_delete_dv_docs", "skew_autogate_join_events",
                         "tpch_q9_product_profit", "knn_cosine_topk",
