@@ -94,10 +94,20 @@ def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the cost shape matches the xxhash64 production default
     (dedup.minhash_near_dup's hash_fn arg) while the oracle re-executes
     signature → banding → candidate join → exact-Jaccard verify
-    bit-for-bit."""
+    bit-for-bit.
+
+    r12: the shingle sets come from the committed shingle-base snapshot
+    (dedup.shingle_base_store) via the prebuilt_shingles seam — the
+    tokenize→shingle pass is paid once per corpus by
+    shingle_base_build_docs, exactly the plumbing minhash_band_recall_docs
+    adopted in r11, and with the same equivalence argument: minhash over
+    the sorted-distinct sset equals minhash over raw shingles (min of
+    hashed values is order-free and idempotent under distinct), and the
+    exact-Jaccard verify's intersect/union sizes are set-level. Output
+    identical (equivalence pytest-pinned)."""
     from ..functions import md5_hash60
 
-    docs = load_table(spark, sf_dir, "documents")
+    base, _fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
 
     def prehash(s):
         # ONE md5 per shingle, shared by all tables via minhash_near_dup's
@@ -110,12 +120,13 @@ def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return h * F.lit(a) % _MINHASH_P + F.lit(b)
 
     return dedup.minhash_near_dup(
-        docs, id_col="doc_id", text_col="text", k=3,
+        None, id_col="doc_id", text_col="text", k=3,
         jaccard_distance_threshold=0.7,
         hash_fn=portable,
         band_r=2,
         materialize=True,
         prehash_fn=prehash,
+        prebuilt_shingles=base.select("id", F.col("sset").alias("shingles")),
     ).orderBy("id_a", "id_b")
 
 

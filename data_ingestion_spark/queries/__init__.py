@@ -98,13 +98,15 @@ _PRIORITY = [
     # ---- driver window cutoff (first 50 above) ----
     # ROUND-13 window, pre-enumerated IN ORDER at r12 close (rotate to
     # front at r13 — the only edit r13 needs):
-    # (a) the 8 r12-changed stored-signature queries — the two builds
+    # (a) the 9 r12-changed stored-signature queries — the two builds
     # (r12-new, never driver-checked; registered AHEAD of their
     # consumers so bench/driver order pays each corpus-scale build
-    # before the first probe) and the 6 consumers re-plumbed onto the
-    # committed snapshots (all locally oracle-green at sf0.001 AND
-    # sf0.01 against unchanged oracles; stored-vs-inline equality and
-    # vtab_ plan shapes pytest-pinned in test_stored_signatures_r12.py):
+    # before the first probe), the 6 consumers re-plumbed onto the
+    # committed signature snapshots, and dedup_minhash_docs re-plumbed
+    # onto the stored shingle base via the prebuilt_shingles seam (all
+    # locally oracle-green at sf0.001 AND sf0.01 against unchanged
+    # oracles; stored-vs-inline equality and vtab_ plan shapes
+    # pytest-pinned in test_stored_signatures_r12.py):
     "embsig_base_build_embeddings",
     "simhash_base_build_docs",
     "knn_lsh_pairs",
@@ -113,6 +115,7 @@ _PRIORITY = [
     "dedup_simhash_docs",
     "dedup_simhash_pairs",
     "simhash_multiprobe_pairs_docs",
+    "dedup_minhash_docs",
     # (b) the 14 remaining r6-era rows (oldest driver signal after the
     # r12 window lands):
     "tpch_q2_min_cost_supplier",
@@ -129,7 +132,7 @@ _PRIORITY = [
     "wilson_quality_sources",
     "zipf_slope_corpus",
     "zorder_prune_demo_events",
-    # (c) the 28 alphabetically-first r7-era rows to fill 50:
+    # (c) the 27 alphabetically-first r7-era rows to fill 50:
     "array_hof_embeddings",
     "asof_join_events_orders",
     "assoc_rules_lineitem",
@@ -157,7 +160,6 @@ _PRIORITY = [
     "lag_lead_user_events",
     "multi_distinct_events",
     "neyman_allocation_events",
-    "ntile_customer_quartiles",
     # ---- r13 window end (50 names above) ----
     # Round-11 driver window names, all driver-green in CORRECTNESS_r11
     # (semantic_dedup_embeddings moved up into the r13 block):
@@ -264,7 +266,6 @@ _PRIORITY = [
     # 20 r8-late + 18 r3-era rotations):
     "dedup_embedding_pairs_stress",
     "knn_ivf_stored_probe",
-    "dedup_minhash_docs",
     "dedup_incremental_docs",
     "dedup_nightly_pipeline_docs",
     "sessionize_events",

@@ -70,8 +70,8 @@ def test_registry_consistency():
         "embsig_base_build_embeddings", "simhash_base_build_docs",
         "knn_lsh_pairs", "dedup_embedding_pairs",
     ]
-    assert names[58:60] == ["tpch_q2_min_cost_supplier",
-                            "tpch_q3_shipping_priority"]
+    assert names[58:60] == ["dedup_minhash_docs",
+                            "tpch_q2_min_cost_supplier"]
     for fresh_green in ("cap_per_source_docs", "word_count_docs",
                         "rtbf_delete_dv_docs", "skew_autogate_join_events",
                         "tpch_q9_product_profit", "knn_cosine_topk",

@@ -220,6 +220,57 @@ def test_simhash_consumers_stored_equals_inline(spark, tmp_path):
     assert got_mp == inline_mp and got_mp
 
 
+def test_minhash_stored_shingles_equals_inline(spark, tmp_path):
+    """dedup_minhash_docs' stored-shingle path (prebuilt_shingles from
+    the committed base) must emit exactly the in-line tokenize-per-query
+    rows — minhash over the sorted-distinct sset equals minhash over raw
+    shingles (order-free min, distinct-idempotent), and the exact-Jaccard
+    verify is set-level."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions import md5_hash60
+    from data_ingestion_spark.operators import dedup
+    from data_ingestion_spark.operators import registry as R
+    from data_ingestion_spark.operators.registry import (
+        _MINHASH_P,
+        _minhash_ab,
+    )
+    from data_ingestion_spark.session import load_table
+
+    # plant exact twins so the high-similarity regime is non-vacuous
+    rnd = random.Random(21)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(50):
+        text = " ".join(rnd.choices(vocab, k=rnd.randrange(6, 30)))
+        rows.append((i, text, "en", len(text)))
+        if i % 10 == 0:
+            rows.append((i + 100, text, "en", len(text)))  # twin
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {tuple(r) for r in R.dedup_minhash_docs(spark, sf).collect()}
+
+    def prehash(s):
+        return md5_hash60(s) % _MINHASH_P
+
+    def portable(h, i):
+        a, b = _minhash_ab(i)
+        return h * F.lit(a) % _MINHASH_P + F.lit(b)
+
+    inline = {
+        tuple(r)
+        for r in dedup.minhash_near_dup(
+            load_table(spark, sf, "documents"),
+            id_col="doc_id", text_col="text", k=3,
+            jaccard_distance_threshold=0.7, hash_fn=portable, band_r=2,
+            materialize=True, prehash_fn=prehash,
+        ).collect()
+    }
+    assert got == inline and got
+
+
 def test_embsig_store_plans_probe_vtab_not_parquet(spark, tmp_path):
     """Plan pin: the stored consumers must scan the committed bucketed
     catalog tables (vtab_*) and never re-scan embeddings.parquet /
