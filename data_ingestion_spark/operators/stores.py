@@ -131,14 +131,18 @@ def _parse_local_imports(src: str, module: str):
 
     pkg_parts = module.split(".")
     for m in re.finditer(
-        r"^\s*from\s+([.\w]+)\s+import\s+([\w,\s]+?)\s*$|^\s*import\s+([.\w]+)",
+        r"^\s*from\s+([.\w]+)\s+import\s+"
+        r"(?:\(([^)]*)\)|([\w,\s]+?))\s*$"  # parenthesized OR bare list
+        r"|^\s*import\s+([.\w]+)",
         src,
-        re.MULTILINE,
+        re.MULTILINE | re.DOTALL,
     ):
-        if m.group(3):
-            yield m.group(3), []
+        if m.group(4):
+            yield m.group(4), []
             continue
-        mod, attrs = m.group(1), [a.strip() for a in m.group(2).split(",")]
+        mod = m.group(1)
+        names_src = m.group(2) if m.group(2) is not None else m.group(3)
+        attrs = [a.strip() for a in names_src.split(",")]
         if mod.startswith("."):
             # resolve `from ..session import x` against the defining module
             dots = len(mod) - len(mod.lstrip("."))

@@ -90,6 +90,51 @@ def test_build_lock_reuses_winner_commit_and_steals_stale(spark, tmp_path):
     assert not os.path.exists(root + ".lock")
 
 
+def test_build_lock_loser_waits_for_winner_commit(tmp_path, monkeypatch):
+    """Two concurrent builders of the same root: the loser must block on
+    the winner's lock and be satisfied the moment the winner's
+    ``_txn.json`` lands — never double-build, never give up early."""
+    import json
+    import threading
+
+    root = str(tmp_path / "r1")
+    os.makedirs(root)
+    fd = os.open(root + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+
+    def winner():
+        time.sleep(0.4)
+        with open(os.path.join(root, "_txn.json"), "w") as f:
+            json.dump({"txn": 0, "tables": {}}, f)
+        os.unlink(root + ".lock")
+
+    t = threading.Thread(target=winner)
+    t.start()
+    t0 = time.monotonic()
+    with stores._build_lock(root, force=False) as committed:
+        assert committed is True
+    waited = time.monotonic() - t0
+    t.join()
+    assert 0.3 < waited < 10, waited  # blocked on the winner, then served
+
+
+def test_build_lock_times_out_loudly(tmp_path, monkeypatch):
+    """A fresh foreign lock with NO commit: the loser must raise after
+    LOCK_WAIT_SECONDS rather than silently double-building into the
+    winner's root (the manifest-corruption race the lock exists for)."""
+    import pytest
+
+    monkeypatch.setattr(stores, "LOCK_WAIT_SECONDS", 0.5)
+    root = str(tmp_path / "r2")
+    os.makedirs(root)
+    fd = os.open(root + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    with pytest.raises(TimeoutError, match="without a commit"):
+        stores._build_lock(root, force=False).__enter__()
+    # the foreign lock is left in place (it is not ours to remove)
+    assert os.path.exists(root + ".lock")
+
+
 def test_young_superseded_sibling_survives_sweep(spark, tmp_path):
     """The cross-root sweep is age-gated: a just-superseded sibling (a
     concurrent process may still hold lazy DataFrames against it) is
@@ -131,6 +176,29 @@ def test_derivation_closure_is_mechanical():
         "data_ingestion_spark.operators.tableformat.commit_version_bucketed",
     ):
         assert qual in got, qual
+
+
+def test_parse_local_imports_handles_parenthesized_form():
+    """A refactor to parenthesized multi-line imports must not silently
+    drop dependencies out of the closure walk (the exact fragility class
+    the mechanical token exists to close)."""
+    src = (
+        "def f():\n"
+        "    from . import (stores,\n"
+        "                   tableformat)\n"
+        "    from ..session import load_table\n"
+        "    import os\n"
+    )
+    got = dict(
+        stores._parse_local_imports(
+            src, "data_ingestion_spark.operators.dedup"
+        )
+    )
+    assert got["data_ingestion_spark.operators"] == [
+        "stores", "tableformat"
+    ]
+    assert got["data_ingestion_spark.session"] == ["load_table"]
+    assert "os" in got
 
 
 def test_derivation_token_tracks_transitive_dep_change(tmp_path):
