@@ -496,7 +496,12 @@ def main() -> None:
     # timing recorded, that trace landing AFTER the summary made the
     # driver's tail capture read like a crash (BENCH_r11). Stopping first
     # flushes any such noise above the summary; os._exit prevents JVM
-    # shutdown races from printing below it.
+    # shutdown races from printing below it. os._exit also SKIPS atexit,
+    # which would reintroduce the r10 scratch-dir leak for bench runs —
+    # run the scratch cleanup explicitly first.
+    from data_ingestion_spark.operators import stores as _stores
+
+    _stores._cleanup_scratch()
     spark.stop()
     # FINAL LINE: compact summary only (<1.5 kB) — the driver tail-captures
     # ~2,000 chars, and a full per-query map overflows it (BENCH_r03).

@@ -592,7 +592,7 @@ def test_nightly_pipeline_band_join_hash(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_bucketed_join_has_zero_exchange(spark):
+def test_bucketed_join_has_zero_exchange(spark, tmp_path):
     """Co-bucketed SMJ must move no data: the bucketed scan feeds the join
     directly (Bucketed: true, all buckets selected), with zero Exchange
     anywhere in the join plan — the write-time shuffle IS the join
@@ -610,7 +610,9 @@ def test_bucketed_join_has_zero_exchange(spark):
     cust = load_table(spark, SF_DIR, "customer").withColumnRenamed(
         "c_custkey", "custkey"
     )
-    path = tempfile.mkdtemp(prefix="bkt_plan_")
+    # r12: pytest-managed dir, not a raw mkdtemp — the old form leaked
+    # one /tmp dir per run (224 of them found at the r12 sweep)
+    path = str(tmp_path / "bkt_plan")
     layout.write_bucketed(ords.repartition(8, "custkey"), "tp_bo", "custkey", 8, path)
     layout.write_bucketed(cust.repartition(8, "custkey"), "tp_bc", "custkey", 8, path)
     j = layout.bucketed_join(spark, "tp_bo", "tp_bc", "custkey")
@@ -668,7 +670,9 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
     assert not any("IN (purchase,signup)" in ln for ln in scan_lines)
 
 
-def test_nightly_index_commit_is_exchange_free_on_index_side(spark):
+def test_nightly_index_commit_is_exchange_free_on_index_side(
+    spark, tmp_path
+):
     """The nightly-dedup production shape (dedup_nightly_pipeline_docs):
     a band index committed via tableformat.commit_version_bucketed and
     re-read through read_version keeps its bucketed hashpartitioning, so
@@ -690,7 +694,7 @@ def test_nightly_index_commit_is_exchange_free_on_index_side(spark):
     )
     idx = spark.range(2000).select(F.col("id"), bkey.alias("bkey"))
     batch = spark.range(200).select((F.col("id") + 10_000).alias("id"), bkey.alias("bkey"))
-    root = tempfile.mkdtemp(prefix="nidx_plan_")
+    root = str(tmp_path / "nidx_plan")  # pytest-managed (r12 leak fix)
     v = tableformat.commit_version_bucketed(idx, root, "bkey", 8)
     stored = tableformat.read_version(spark, root, v)
     assert stored.count() == 2000  # manifest round-trip, catalog-resolved
