@@ -104,9 +104,9 @@ _PRIORITY = [
     # before the first probe), the 6 consumers re-plumbed onto the
     # committed signature snapshots, and dedup_minhash_docs re-plumbed
     # onto the stored shingle base via the prebuilt_shingles seam (all
-    # locally oracle-green at sf0.001 AND sf0.01 against unchanged
-    # oracles; stored-vs-inline equality and vtab_ plan shapes
-    # pytest-pinned in test_stored_signatures_r12.py):
+    # 9 locally oracle-green at ALL THREE SFs — sf0.001, sf0.01, sf0.1 —
+    # against unchanged oracles; stored-vs-inline equality and vtab_
+    # plan shapes pytest-pinned in test_stored_signatures_r12.py):
     "embsig_base_build_embeddings",
     "simhash_base_build_docs",
     "knn_lsh_pairs",
