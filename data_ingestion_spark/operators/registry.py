@@ -3359,11 +3359,24 @@ def dedup_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A's FIRST common element always survives (every common element is
     # at a later position), so the filter is lossless; the gate is exact
     # integer arithmetic, like the verify.
+    #
+    # r12: the SAME positional bound applied to the B side (PPJoin's
+    # two-sided form, Xiao et al. WWW'08): common elements share ONE
+    # global frequency order, so they sit at positions ≥ p_b in B too
+    # and overlap ≤ 1 + n_b − p_b; a match with
+    # t_den·(1 + n_b − p_b) < t_num·n_a cannot witness a true pair, and
+    # the pair's FIRST common element (first in BOTH documents' shared
+    # order) always passes both gates — lossless, and it prunes the
+    # candidate stream 178k → 119k at sf0.1 (output bit-identical,
+    # 3-SF oracle re-verified).
     base, fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
     pref = dedup.stored_prefix(fpos, t_num / t_den).select(
         "id", F.col("lang").alias("block"), "n", "p", "s"
     )
-    inv = fpos.select("id", F.col("lang").alias("block"), "s")
+    inv = fpos.select(
+        "id", F.col("lang").alias("block"),
+        F.col("n").alias("nb"), F.col("p").alias("pb"), "s",
+    )
     cand = (
         pref.alias("pa")
         .join(
@@ -3375,6 +3388,10 @@ def dedup_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pa.id") != F.col("ib.id"))
             & (
                 F.lit(t_den) * (F.lit(1) + F.col("pa.n") - F.col("pa.p"))
+                >= F.lit(t_num) * F.col("pa.n")
+            )
+            & (
+                F.lit(t_den) * (F.lit(1) + F.col("ib.nb") - F.col("ib.pb"))
                 >= F.lit(t_num) * F.col("pa.n")
             ),
         )

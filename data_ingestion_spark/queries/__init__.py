@@ -39,7 +39,11 @@ _PRIORITY = [
     # query (r11-new, never driver-checked) and the 7 consumers
     # re-plumbed onto the committed snapshot (all locally oracle-green
     # at sf0.01 against unchanged oracles; equivalence + plan shapes
-    # pytest-pinned):
+    # pytest-pinned). dedup_containment_pairs_docs additionally gained
+    # the two-sided PPJoin positional filter IN r12 (lossless candidate
+    # pruning, output bit-identical, re-verified at all 3 SFs incl. the
+    # full sf0.1 oracle replay) — so its r12 driver row checks the
+    # final two-sided form:
     "shingle_base_build_docs",
     "dedup_jaccard_pairs_docs",
     "dedup_clusters_docs",
