@@ -535,7 +535,16 @@ def _embsig_base_batches(planes):
     costs ~6 µs per (row, plane) element pass (2.6 s for 2 000×60 at
     sf0.1); the vectorized form is ~20× cheaper and runs once per corpus
     inside the build, never in a consumer. Chunked so the transient
-    (rows × bits × dim) product tensor stays ~100 MB."""
+    (rows × bits × dim) product tensor stays ~100 MB.
+
+    NULL vectors (r13, closing SELFREVIEW_r12 #11): the stored row must
+    equal the in-line SQL row bit-for-bit, and the MEASURED inline
+    semantics for a NULL embedding are sig = 0L — every per-plane
+    ``CASE WHEN <null dot> > 0`` takes the ELSE 0L branch, NOT a NULL
+    sig as the r12 self-review recollected — nrm = NULL (the fold over
+    a NULL array is NULL, sqrt(NULL) = NULL), v = NULL. Null rows are
+    split off the vectorized path and emitted with exactly those values
+    (pinned on a nullable fixture in test_embsig_nulls_r13.py)."""
 
     def fn(batches):
         import numpy as np
@@ -548,12 +557,23 @@ def _embsig_base_batches(planes):
         for pdf in batches:
             for lo in range(0, len(pdf), chunk_rows):
                 chunk = pdf.iloc[lo: lo + chunk_rows]
-                V = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in chunk["embedding"]]
-                )
-                dots = np.cumsum(V[:, None, :] * P[None, :, :], axis=2)[:, :, -1]
-                sig = ((dots > 0).astype(np.int64) * weights[None, :]).sum(axis=1)
-                nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+                nulls = chunk["embedding"].isna().to_numpy()
+                sig = np.zeros(len(chunk), dtype=np.int64)
+                # object dtype: None serializes to an Arrow NULL double,
+                # never a NaN (the inline fold yields NULL, not NaN)
+                nrm = np.full(len(chunk), None, dtype=object)
+                if not nulls.all():
+                    V = np.stack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v in chunk["embedding"][~nulls]
+                        ]
+                    )
+                    dots = np.cumsum(V[:, None, :] * P[None, :, :], axis=2)[:, :, -1]
+                    sig[~nulls] = (
+                        (dots > 0).astype(np.int64) * weights[None, :]
+                    ).sum(axis=1)
+                    nrm[~nulls] = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
                 yield pd.DataFrame(
                     {
                         "id": chunk["vec_id"].to_numpy(),
@@ -575,7 +595,13 @@ def _embsig_assign_batches(cents):
     (array_sort on (-d, idx)) and the large-k max_by branch (equality
     pytest-pinned). Chunked against the (rows × k × dim) tensor — k
     scales with the corpus (SemDeDup's k = n/64 rule), so the chunk
-    shrinks as k grows."""
+    shrinks as k grows.
+
+    NULL vectors land in list 0 — the MEASURED inline semantics of BOTH
+    semantic_assign branches (all dots NULL: ivf_assign's array_sort
+    puts the NULL-negd structs first and tie-breaks on idx → 0; the
+    max_by branch's all-NULL d tie-breaks on -cid → 0), pinned on a
+    nullable fixture in test_embsig_nulls_r13.py."""
 
     def fn(batches):
         import numpy as np
@@ -586,11 +612,17 @@ def _embsig_assign_batches(cents):
         for pdf in batches:
             for lo in range(0, len(pdf), chunk_rows):
                 chunk = pdf.iloc[lo: lo + chunk_rows]
-                V = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in chunk["embedding"]]
-                )
-                dots = np.cumsum(V[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
-                lid = np.argmax(dots, axis=1).astype(np.int32)
+                nulls = chunk["embedding"].isna().to_numpy()
+                lid = np.zeros(len(chunk), dtype=np.int32)
+                if not nulls.all():
+                    V = np.stack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v in chunk["embedding"][~nulls]
+                        ]
+                    )
+                    dots = np.cumsum(V[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+                    lid[~nulls] = np.argmax(dots, axis=1).astype(np.int32)
                 yield pd.DataFrame(
                     {
                         "list_id": lid,

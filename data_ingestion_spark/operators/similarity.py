@@ -159,14 +159,23 @@ def ivf_assign(
 def ivf_centroids_from_sample(
     df: DataFrame, n_lists: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[list[float]]:
-    """Deterministic centroid seeds: the n_lists lowest-id vectors.
+    """Deterministic centroid seeds: the n_lists lowest-id NON-NULL
+    vectors (a NULL embedding can't seed a centroid; on an all-non-null
+    corpus the filter is a no-op, so every existing oracle replay is
+    unchanged).
 
     A stand-in for k-means training that keeps the operator fully
     reproducible (and oracle-checkable); on a real corpus run
     ml.clustering.KMeans once offline and feed its centers in — the
     search-path code is identical either way.
     """
-    rows = df.orderBy(id_col).limit(n_lists).select(vec_col).collect()
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(n_lists)
+        .select(vec_col)
+        .collect()
+    )
     return [[float(x) for x in r[0]] for r in rows]
 
 

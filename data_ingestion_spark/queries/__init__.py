@@ -16,34 +16,90 @@ verified by tools/check_oracle.py regardless of position.
 
 from __future__ import annotations
 
-#: First-50 curation for the driver's correctness window. Round-12 rotation
-#: (r11 verdict task #1): CORRECTNESS_r11 went 50/50 green, so the r11-window
+#: First-50 curation for the driver's correctness window. Round-13 rotation
+#: (r12 verdict task #1): CORRECTNESS_r12 went 50/50 green, so the r12-window
 #: names rotate out and the 50 slots go — VERBATIM, exactly as pre-enumerated
-#: at r11 close — to (a) the 8 stored-shingle-base queries (the r11-new build
-#: — the ONLY query with no driver row ever — plus its 7 re-plumbed
-#: consumers), (b) the 9 ingest_* reference-fidelity parsers (the CORE
-#: reference surface, last driver-checked r6, through 4 testdata
-#: regenerations), (c) the 6 remaining r5-era rows, and (d) the
-#: alphabetically-first r6-era fill. After this window lands, no query's
-#: latest driver row predates r6 (ledger entering r12, computed from
-#: committed CORRECTNESS_r*.json: r11×50, r10×50, r9×50, r8×45, r7×42,
-#: r6×50, r5×6, never×1 — the never row is shingle_base_build_docs, slot 1).
+#: at r12 close — to (a) the 9 r12-changed stored-signature queries (the two
+#: builds, the only never-driver-checked rows, lead), (b) the 14 remaining
+#: r6-era rows, and (c) the 27 alphabetically-first r7-era rows. After this
+#: window lands, no query's latest driver row predates r7 (ledger entering
+#: r13, computed from committed CORRECTNESS_r*.json: r12×50, r11×50, r10×49,
+#: r9×44, r8×45, r7×42, r6×14, never×2 — the never rows are the two r12-new
+#: signature builds, slots 1-2 of this window).
 #:
-#: ROUND-13 window: pre-enumerated at r12 close (below the cutoff) once the
-#: r12-changed query set is final. Everything stays registered and locally
+#: ROUND-14 window: pre-enumerated at r13 close (below the cutoff) once the
+#: r13-changed query set is final. Everything stays registered and locally
 #: verified by tools/check_oracle.py at 3 SFs regardless of position.
 _PRIORITY = [
-    # ---- ROUND-12 driver window (the first 50) ----
-    # Landed VERBATIM as pre-enumerated at r11 close (r11 verdict task #1):
-    # (a) the r11-changed/new stored-shingle-base queries — the build
-    # query (r11-new, never driver-checked) and the 7 consumers
-    # re-plumbed onto the committed snapshot (all locally oracle-green
-    # at sf0.01 against unchanged oracles; equivalence + plan shapes
-    # pytest-pinned). dedup_containment_pairs_docs additionally gained
-    # the two-sided PPJoin positional filter IN r12 (lossless candidate
-    # pruning, output bit-identical, re-verified at all 3 SFs incl. the
-    # full sf0.1 oracle replay) — so its r12 driver row checks the
-    # final two-sided form:
+    # ---- ROUND-13 driver window (the first 50) ----
+    # Landed VERBATIM as pre-enumerated at r12 close (r12 verdict task #1):
+    # (a) the 9 r12-changed stored-signature queries — the two builds
+    # (r12-new, the only queries never driver-checked; registered AHEAD
+    # of their consumers so bench/driver order pays each corpus-scale
+    # build before the first probe), the 6 consumers re-plumbed onto the
+    # committed signature snapshots, and dedup_minhash_docs re-plumbed
+    # onto the stored shingle base via the prebuilt_shingles seam (all 9
+    # oracle-green at ALL THREE SFs at r12 close — sf0.001, sf0.01,
+    # sf0.1 — against unchanged oracles; stored-vs-inline equality and
+    # vtab_ plan shapes pytest-pinned in test_stored_signatures_r12.py):
+    "embsig_base_build_embeddings",
+    "simhash_base_build_docs",
+    "knn_lsh_pairs",
+    "dedup_embedding_pairs",
+    "semantic_dedup_embeddings",
+    "dedup_simhash_docs",
+    "dedup_simhash_pairs",
+    "simhash_multiprobe_pairs_docs",
+    "dedup_minhash_docs",
+    # (b) the 14 remaining r6-era rows (oldest driver signal after the
+    # r12 window lands):
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_exists_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "trajectory_events",
+    "unimax_mixture_sources",
+    "url_dedup_docs",
+    "weighted_sample_docs",
+    "wilson_quality_sources",
+    "zipf_slope_corpus",
+    "zorder_prune_demo_events",
+    # (c) the 27 alphabetically-first r7-era rows to fill 50:
+    "array_hof_embeddings",
+    "asof_join_events_orders",
+    "assoc_rules_lineitem",
+    "auc_quality_classifier_docs",
+    "bucketed_join_orders_customer",
+    "calibration_bins_docs",
+    "classifier_report_docs",
+    "cms_token_freq_corpus",
+    "cube_order_status_priority",
+    "date_functions_orders",
+    "dpp_prune_join_events",
+    "event_paths_topk_events",
+    "event_volume_trend_events",
+    "except_wealthy_nations",
+    "full_outer_join_nation_balance",
+    "funnel_windowed_events",
+    "gapfill_events_locf",
+    "grouping_sets_orders",
+    "join_size_sample_orders_customer",
+    "key_skew_profile_events",
+    "kmeans_centroids_embeddings",
+    "knn_cosine_topk",
+    "knn_ivf_topk",
+    "ks_critical_drift_docs",
+    "lag_lead_user_events",
+    "multi_distinct_events",
+    "neyman_allocation_events",
+    # ---- driver window cutoff (first 50 above) ----
+    # ROUND-14 window: pre-enumerated at r13 close (see the block comment
+    # above _PRIORITY) once the r13-changed query set is final.
+    # Round-12 driver window names, all driver-green in CORRECTNESS_r12
+    # (50):
     "shingle_base_build_docs",
     "dedup_jaccard_pairs_docs",
     "dedup_clusters_docs",
@@ -99,72 +155,6 @@ _PRIORITY = [
     "tpch_q19_disjunctive",
     "tpch_q20_excess_volume",
     "tpch_q22_idle_wealthy",
-    # ---- driver window cutoff (first 50 above) ----
-    # ROUND-13 window, pre-enumerated IN ORDER at r12 close (rotate to
-    # front at r13 — the only edit r13 needs):
-    # (a) the 9 r12-changed stored-signature queries — the two builds
-    # (r12-new, never driver-checked; registered AHEAD of their
-    # consumers so bench/driver order pays each corpus-scale build
-    # before the first probe), the 6 consumers re-plumbed onto the
-    # committed signature snapshots, and dedup_minhash_docs re-plumbed
-    # onto the stored shingle base via the prebuilt_shingles seam (all
-    # 9 locally oracle-green at ALL THREE SFs — sf0.001, sf0.01, sf0.1 —
-    # against unchanged oracles; stored-vs-inline equality and vtab_
-    # plan shapes pytest-pinned in test_stored_signatures_r12.py):
-    "embsig_base_build_embeddings",
-    "simhash_base_build_docs",
-    "knn_lsh_pairs",
-    "dedup_embedding_pairs",
-    "semantic_dedup_embeddings",
-    "dedup_simhash_docs",
-    "dedup_simhash_pairs",
-    "simhash_multiprobe_pairs_docs",
-    "dedup_minhash_docs",
-    # (b) the 14 remaining r6-era rows (oldest driver signal after the
-    # r12 window lands):
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_exists_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "trajectory_events",
-    "unimax_mixture_sources",
-    "url_dedup_docs",
-    "weighted_sample_docs",
-    "wilson_quality_sources",
-    "zipf_slope_corpus",
-    "zorder_prune_demo_events",
-    # (c) the 27 alphabetically-first r7-era rows to fill 50:
-    "array_hof_embeddings",
-    "asof_join_events_orders",
-    "assoc_rules_lineitem",
-    "auc_quality_classifier_docs",
-    "bucketed_join_orders_customer",
-    "calibration_bins_docs",
-    "classifier_report_docs",
-    "cms_token_freq_corpus",
-    "cube_order_status_priority",
-    "date_functions_orders",
-    "dpp_prune_join_events",
-    "event_paths_topk_events",
-    "event_volume_trend_events",
-    "except_wealthy_nations",
-    "full_outer_join_nation_balance",
-    "funnel_windowed_events",
-    "gapfill_events_locf",
-    "grouping_sets_orders",
-    "join_size_sample_orders_customer",
-    "key_skew_profile_events",
-    "kmeans_centroids_embeddings",
-    "knn_cosine_topk",
-    "knn_ivf_topk",
-    "ks_critical_drift_docs",
-    "lag_lead_user_events",
-    "multi_distinct_events",
-    "neyman_allocation_events",
-    # ---- r13 window end (50 names above) ----
     # Round-11 driver window names, all driver-green in CORRECTNESS_r11
     # (semantic_dedup_embeddings moved up into the r13 block):
     "winnow_fingerprint_build_docs",

@@ -22,63 +22,60 @@ def test_registry_consistency():
     # zero rows-only queries left
     assert set(q) == set(o)
     assert len(q) >= 242
-    # driver verifies the first 50 in insertion order: round-12 rotation
-    # (the r11 verdict's task #1) lands the pre-committed window VERBATIM —
-    # the 8 stored-shingle-base queries (build + 7 consumers), the 9
-    # ingest_* reference-fidelity parsers (r6-era), the 6 remaining r5-era
-    # rows, and the alphabetically-first r6-era fill; no query with a fresh
-    # r7-r11 driver-green row may burn a slot
+    # driver verifies the first 50 in insertion order: round-13 rotation
+    # (the r12 verdict's task #1) lands the pre-committed window VERBATIM —
+    # the 9 r12-changed stored-signature queries (the two never-driver-
+    # checked builds lead), the 14 remaining r6-era rows, and the 27
+    # alphabetically-first r7-era rows; no query with a fresh r8-r12
+    # driver-green row may burn a slot
     names = list(q)
     window = set(names[:50])
-    r12_precommitted = (
-        # (a) stored-shingle-base family (build r11-new, never
-        # driver-checked; 7 consumers re-plumbed in r11)
-        "shingle_base_build_docs", "dedup_jaccard_pairs_docs",
-        "dedup_clusters_docs", "dedup_clusters_twostar_docs",
-        "dedup_keep_best_docs", "dedup_review_queue_docs",
-        "dedup_containment_pairs_docs", "minhash_band_recall_docs",
-        # (b) ingest_* reference-fidelity parsers (r6-era)
-        "ingest_audit_log", "ingest_avro_docs", "ingest_csv_docs",
-        "ingest_excel_docs", "ingest_json_docs", "ingest_logfmt_docs",
-        "ingest_orc_docs", "ingest_txt_docs", "ingest_xml_docs",
-        # (c) 6 remaining r5-era rows
-        "table_changes_orders", "temperature_sample_docs",
-        "time_travel_orders", "triangle_count_suppliers",
-        "vocab_coverage_docs", "winsorize_events",
-        # (d) alphabetically-first r6-era fill
-        "assign_ids_orders", "chi2_lang_source_docs", "dedup_exact_docs",
-        "dsir_importance_docs", "ewma_user_values",
-        "hll_intersection_events", "kn_bigram_lm_corpus",
-        "knn_two_stage_topk", "ks_drift_docs", "matryoshka_qc_embeddings",
-        "merge_upsert_customers", "nb_lang_confusion_docs",
-        "pq_adc_topk_embeddings", "pq_ivf_topk_embeddings",
-        "psi_drift_docs", "s3_event_decode_docs", "shuffle_ids_docs",
-        "stats_prune_scan_orders", "tpch_q10_returned_items",
-        "tpch_q13_custdist", "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier", "tpch_q17_small_quantity",
-        "tpch_q18_large_volume", "tpch_q19_disjunctive",
-        "tpch_q20_excess_volume", "tpch_q22_idle_wealthy",
-    )
-    assert len(r12_precommitted) == 50
-    assert window == set(r12_precommitted)
-    # the window must also land IN ORDER (the pre-commitment is verbatim)
-    assert names[:50] == list(r12_precommitted)
-    # the r13 window head is pre-committed right after the cutoff: the
-    # two r12-new stored-signature builds, then their re-plumbed
-    # consumers, then the r6-era tail
-    assert names[50:54] == [
+    r13_precommitted = (
+        # (a) the 9 r12-changed stored-signature queries (builds first)
         "embsig_base_build_embeddings", "simhash_base_build_docs",
         "knn_lsh_pairs", "dedup_embedding_pairs",
-    ]
-    assert names[58:60] == ["dedup_minhash_docs",
-                            "tpch_q2_min_cost_supplier"]
+        "semantic_dedup_embeddings", "dedup_simhash_docs",
+        "dedup_simhash_pairs", "simhash_multiprobe_pairs_docs",
+        "dedup_minhash_docs",
+        # (b) the 14 remaining r6-era rows
+        "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+        "tpch_q4_exists_priority", "tpch_q5_local_supplier",
+        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "tpch_q9_product_profit", "trajectory_events",
+        "unimax_mixture_sources", "url_dedup_docs",
+        "weighted_sample_docs", "wilson_quality_sources",
+        "zipf_slope_corpus", "zorder_prune_demo_events",
+        # (c) the 27 alphabetically-first r7-era rows
+        "array_hof_embeddings", "asof_join_events_orders",
+        "assoc_rules_lineitem", "auc_quality_classifier_docs",
+        "bucketed_join_orders_customer", "calibration_bins_docs",
+        "classifier_report_docs", "cms_token_freq_corpus",
+        "cube_order_status_priority", "date_functions_orders",
+        "dpp_prune_join_events", "event_paths_topk_events",
+        "event_volume_trend_events", "except_wealthy_nations",
+        "full_outer_join_nation_balance", "funnel_windowed_events",
+        "gapfill_events_locf", "grouping_sets_orders",
+        "join_size_sample_orders_customer", "key_skew_profile_events",
+        "kmeans_centroids_embeddings", "knn_cosine_topk",
+        "knn_ivf_topk", "ks_critical_drift_docs",
+        "lag_lead_user_events", "multi_distinct_events",
+        "neyman_allocation_events",
+    )
+    assert len(r13_precommitted) == 50
+    assert window == set(r13_precommitted)
+    # the window must also land IN ORDER (the pre-commitment is verbatim)
+    assert names[:50] == list(r13_precommitted)
+    # the rotated-out r12 window sits right after the cutoff, its
+    # stored-shingle-base head intact
+    assert names[50:52] == ["shingle_base_build_docs",
+                            "dedup_jaccard_pairs_docs"]
     for fresh_green in ("cap_per_source_docs", "word_count_docs",
                         "rtbf_delete_dv_docs", "skew_autogate_join_events",
-                        "tpch_q9_product_profit", "knn_cosine_topk",
-                        "session_window_events", "dedup_embedding_pairs",
+                        "session_window_events", "ingest_csv_docs",
                         "sessionize_events", "rfm_segments_customers",
-                        "winnow_fingerprint_build_docs",
-                        "scan_filter_project", "agg_pricing_summary"):
+                        "winnow_fingerprint_build_docs", "dedup_exact_docs",
+                        "scan_filter_project", "agg_pricing_summary",
+                        "tpch_q22_idle_wealthy", "merge_upsert_customers"):
         assert fresh_green not in window, fresh_green
 
 
