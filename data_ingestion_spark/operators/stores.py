@@ -121,35 +121,37 @@ def corpus_token(path: str) -> tuple:
 
 
 def _parse_local_imports(src: str, module: str):
-    """Yield (module_name, [attr, ...]) for ``from X import a, b`` /
-    ``import X`` statements in a function body, with relative imports
-    resolved against the function's defining module. Function-local
-    imports bind LOCALS, so the co_names/globals walk in
-    ``_derivation_closure`` cannot see them (the r11 second review
-    caught exactly one such omission by hand; this mechanizes it)."""
-    import re
+    """Yield (module_name, [attr, ...]) for every import statement in a
+    function body, with relative imports resolved against the function's
+    defining module. Function-local imports bind LOCALS, so the
+    co_names/globals walk in ``_derivation_closure`` cannot see them
+    (the r11 second review caught exactly one such omission by hand;
+    this mechanizes it). Parsed with ``ast`` over the dedented source
+    (r12 ADVICE: the former regex missed ``import x as y`` /
+    ``from x import y as z`` aliases, trailing comments, and backslash
+    continuations — helpers reachable only through those forms were
+    silently dropped from the derivation closure). For an aliased
+    ``from x import y as z`` the SOURCE attribute name ``y`` is yielded
+    — that is the name the defining module exports."""
+    import ast
+    import textwrap
 
     pkg_parts = module.split(".")
-    for m in re.finditer(
-        r"^\s*from\s+([.\w]+)\s+import\s+"
-        r"(?:\(([^)]*)\)|([\w,\s]+?))\s*$"  # parenthesized OR bare list
-        r"|^\s*import\s+([.\w]+)",
-        src,
-        re.MULTILINE | re.DOTALL,
-    ):
-        if m.group(4):
-            yield m.group(4), []
-            continue
-        mod = m.group(1)
-        names_src = m.group(2) if m.group(2) is not None else m.group(3)
-        attrs = [a.strip() for a in names_src.split(",")]
-        if mod.startswith("."):
-            # resolve `from ..session import x` against the defining module
-            dots = len(mod) - len(mod.lstrip("."))
-            base = ".".join(pkg_parts[: len(pkg_parts) - dots])
-            rest = mod.lstrip(".")
-            mod = f"{base}.{rest}" if rest else base
-        yield mod, [a for a in attrs if a]
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                yield alias.name, []
+        elif isinstance(node, ast.ImportFrom):
+            mod = node.module or ""
+            if node.level:
+                # resolve `from ..session import x` against the module
+                base = ".".join(pkg_parts[: len(pkg_parts) - node.level])
+                mod = f"{base}.{mod}" if mod else base
+            yield mod, [alias.name for alias in node.names]
 
 
 def _derivation_closure(funcs) -> dict:
@@ -356,6 +358,7 @@ class _build_lock:
 
     def __enter__(self) -> bool:
         deadline = time.monotonic() + LOCK_WAIT_SECONDS
+        age = 0.0
         while True:
             try:
                 fd = os.open(
@@ -376,19 +379,54 @@ class _build_lock:
             try:
                 age = time.time() - os.stat(self.path).st_mtime
             except OSError:
-                continue  # lock vanished between open and stat — retry
-            if age > LOCK_STALE_SECONDS:
-                try:
-                    os.unlink(self.path)  # crashed builder: steal
-                except OSError:
-                    pass
-                continue
+                age = 0.0  # lock vanished between open and stat — recompete
+            else:
+                if age > LOCK_STALE_SECONDS:
+                    self._steal_stale()
+            # EVERY non-acquiring path falls through to the deadline check
+            # and the sleep (r12 ADVICE: the vanished-lock and stolen-lock
+            # branches used to `continue` past both, so a lock that kept
+            # vanishing/reappearing busy-spun forever)
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"store build lock {self.path} held for "
                     f"{age:.0f}s without a commit"
                 )
             time.sleep(0.1)
+
+    def _steal_stale(self) -> None:
+        """Remove a lock judged stale — under a kernel flock so only one
+        stealer acts at a time, and with staleness RE-JUDGED inside the
+        critical section (r12 ADVICE: two waiters could both judge the
+        lock stale outside any mutual exclusion, and the slower one's
+        unlink could then delete the faster one's freshly created lock —
+        re-opening the double-build race). The guard file is per-base-dir,
+        created once and never unlinked (no inode to race on), and flock
+        is released by the kernel on crash, so the steal path needs no
+        staleness protocol of its own."""
+        guard = os.path.join(os.path.dirname(self.path), "_steal.flock")
+        try:
+            import fcntl
+
+            gfd = os.open(guard, os.O_CREAT | os.O_RDWR, 0o600)
+        except (ImportError, OSError):
+            # no flock on this platform/dir: fall back to the best-effort
+            # direct unlink (the pre-r13 behavior, racy only across
+            # concurrent stealers of an already-crashed builder)
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+            return
+        try:
+            fcntl.flock(gfd, fcntl.LOCK_EX)
+            try:
+                if time.time() - os.stat(self.path).st_mtime > LOCK_STALE_SECONDS:
+                    os.unlink(self.path)
+            except OSError:
+                pass
+        finally:
+            os.close(gfd)  # closing the fd releases the flock
 
     def __exit__(self, *exc) -> None:
         if self._held:
@@ -527,6 +565,14 @@ def drop_store(spark, root: str) -> None:
         except Exception:
             pass
     shutil.rmtree(root, ignore_errors=True)
+    # a crashed builder's lock on a root that is now gone would otherwise
+    # leak in the base dir forever: locks are excluded from sweep_stale's
+    # sibling match and only ever stolen if that exact root is rebuilt
+    # (r12 ADVICE)
+    try:
+        os.unlink(root + ".lock")
+    except OSError:
+        pass
 
 
 _SCRATCH_DIRS: list = []
