@@ -280,14 +280,101 @@ QUERIES["simhash_multiprobe_pairs_docs"] = (
 # --------------------------------------------------------------------------
 # IVF-PQ probe from a PERSISTED index (the verdict-3 pattern completed)
 # --------------------------------------------------------------------------
+def pq_ivf_index_store(
+    spark: SparkSession,
+    sf_dir: str,
+    force: bool = False,
+    n_lists: int = 4,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+) -> str:
+    """Build-once/probe-everywhere IVF-PQ index store (r13, the r12
+    verdict's task 5): ONE atomic transaction commits (a) the flat code
+    table (list_id, vec_id, m, code) BUCKETED by list_id, (b) the PQ
+    codebooks (m·k·d_sub rows), and (c) the coarse centroids. Until r13
+    pq_ivf_stored_probe re-trained, re-encoded, and re-committed all
+    three into per-call scratch on EVERY invocation — so each bench rep
+    billed the whole build to the 'probe'. The index now lives at a
+    deterministic store root keyed on corpus + (n_lists, m, k, n_iter)
+    — probe-time knobs (n_probe, topk) deliberately NOT in the key, one
+    index serves them all — and is invalidated by the corpus freshness
+    token or a derivation change, exactly like the shingle/signature
+    bases. The registered build query passes force=True so the bench
+    bills the corpus-scale train/encode/commit honestly; the probe pays
+    stored reads only."""
+    import os
+
+    from . import similarity, stores, tableformat
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    fresh = stores.corpus_token(emb_path)
+    root = stores.store_root(
+        "pqivf",
+        (os.path.abspath(sf_dir), n_lists, m, k, n_iter),
+        fresh,
+        derivation=stores.derivation_token(
+            pq_ivf_index_store,
+            similarity.pq_train,
+            similarity.pq_encode,
+            similarity.ivf_assign,
+            similarity.ivf_centroids_from_sample,
+        ),
+    )
+
+    def _build(r):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.ivf_centroids_from_sample(emb, n_lists)
+        assigned = similarity.ivf_assign(
+            emb.select("vec_id", "embedding"), cents,
+            vec_col="embedding", n_probe=1,
+        ).select("vec_id", "list_id")
+        books = similarity.pq_train(
+            emb, "vec_id", "embedding", m=m, k=k, n_iter=n_iter
+        )
+        codes = similarity.pq_encode(emb, "vec_id", "embedding", books)
+        code_struct = ", ".join(
+            f"struct({s} AS m, code_{s} AS code)" for s in range(m)
+        )
+        flat = (
+            codes.select(
+                "vec_id", F.expr(f"explode(array({code_struct}))").alias("mc")
+            )
+            .select("vec_id", "mc.m", "mc.code")
+            .join(assigned, "vec_id")
+            .select("list_id", "vec_id", "m", "code")
+        )
+        books_df = spark.createDataFrame(
+            [
+                (s, c, d, float(books[s][c][d]))
+                for s in range(m)
+                for c in range(k)
+                for d in range(len(books[0][0]))
+            ],
+            "m int, code int, dim int, cval double",
+        )
+        cents_df = spark.createDataFrame(
+            [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)],
+            "list_id int, cv array<double>",
+        )
+        tableformat.commit_atomic(
+            r,
+            {
+                "codes": ("bucketed", flat, "list_id", n_lists),
+                "codebooks": ("plain", books_df),
+                "centroids": ("plain", cents_df),
+            },
+        )
+
+    return stores.ensure_store(spark, root, _build, force=force, origin=emb_path)
+
+
 def pq_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search served from COMMITTED index artifacts — the full
     production shape the r8 verdict asked for ("IVF k-means lists + PQ
-    codebooks as a versioned table"): one atomic transaction
-    (tableformat.commit_atomic) commits (a) the flat code table
-    (list_id, vec_id, m, code) BUCKETED by list_id, (b) the PQ codebooks
-    (m·k·d_sub rows), and (c) the coarse centroids; the probe phase then
-    touches ONLY stored snapshots — codebooks/centroids load as
+    codebooks as a versioned table"). The probe touches ONLY stored
+    snapshots (pq_ivf_index_store — built once per corpus, billed by
+    pq_ivf_index_build_embeddings): codebooks/centroids load as
     metadata-scale reads, the probed list ids resolve driver-side and
     prune the code scan's buckets (SelectedBucketsCount < total,
     plan-asserted), and the ADC sum runs over probed lists' codes alone.
@@ -296,55 +383,17 @@ def pq_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_q·m·k LUT broadcast. Values are exactly pq_ivf_topk_embeddings'
     semantics restricted to the 2 lowest-id queries, so the oracle is
     the same unrolled train→encode→LUT→probe SQL."""
-    from . import stores
-
     from . import similarity, tableformat
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_lists, n_probe, m, k, topk = 4, 2, 4, 8, 5
-    # ---- build phase: train coarse + PQ, encode, commit atomically ----
-    cents = similarity.ivf_centroids_from_sample(emb, n_lists)
-    assigned = similarity.ivf_assign(
-        emb.select("vec_id", "embedding"), cents, vec_col="embedding", n_probe=1
-    ).select("vec_id", "list_id")
-    books = similarity.pq_train(emb, "vec_id", "embedding", m=m, k=k, n_iter=2)
-    codes = similarity.pq_encode(emb, "vec_id", "embedding", books)
-    code_struct = ", ".join(f"struct({s} AS m, code_{s} AS code)" for s in range(m))
-    flat = (
-        codes.select(
-            "vec_id", F.expr(f"explode(array({code_struct}))").alias("mc")
-        )
-        .select("vec_id", "mc.m", "mc.code")
-        .join(assigned, "vec_id")
-        .select("list_id", "vec_id", "m", "code")
-    )
-    books_df = spark.createDataFrame(
-        [
-            (s, c, d, float(books[s][c][d]))
-            for s in range(m)
-            for c in range(k)
-            for d in range(len(books[0][0]))
-        ],
-        "m int, code int, dim int, cval double",
-    )
-    cents_df = spark.createDataFrame(
-        [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)],
-        "list_id int, cv array<double>",
-    )
-    root = stores.scratch_dir("pq_ivf_stored_")
-    tableformat.commit_atomic(
-        root,
-        {
-            "codes": ("bucketed", flat, "list_id", n_lists),
-            "codebooks": ("plain", books_df),
-            "centroids": ("plain", cents_df),
-        },
-    )
+    n_probe, topk = 2, 5
+    root = pq_ivf_index_store(spark, sf_dir)
     # ---- probe phase: stored snapshots only ----
     stored_books = tableformat.read_atomic(spark, root, "codebooks").collect()
-    books2 = [
-        [[0.0] * len(books[0][0]) for _ in range(k)] for _ in range(m)
-    ]
+    m = 1 + max(r["m"] for r in stored_books)
+    k = 1 + max(r["code"] for r in stored_books)
+    d_sub = 1 + max(r["dim"] for r in stored_books)
+    books2 = [[[0.0] * d_sub for _ in range(k)] for _ in range(m)]
     for r in stored_books:
         books2[r["m"]][r["code"]][r["dim"]] = float(r["cval"])
     stored_cents = tableformat.read_atomic(spark, root, "centroids")
@@ -392,6 +441,125 @@ def _pq_ivf_stored_oracle() -> str:
     return _pq_ivf_oracle(n_q=2)
 
 
+def pq_ivf_index_build_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD phase of the stored IVF-PQ index (pq_ivf_index_store):
+    coarse-centroid sample, IVF assignment, 2-round PQ Lloyd training,
+    encode, and the atomic 3-member commit run ONCE over the corpus.
+    ``force=True`` so the bench bills the corpus-scale build here —
+    pq_ivf_stored_probe then pays stored reads only (r13, the r12
+    verdict's task 5: the probe used to silently pay this entire build
+    per invocation).
+
+    Returns a certification summary READ BACK FROM THE COMMITTED
+    MEMBERS — per list over ``codes`` (row count, Σ vec_id, a packed
+    (m, code) checksum), per subspace over ``codebooks`` (row count,
+    micro-int codeword sum, a packed (code, dim) checksum), and per list
+    over ``centroids`` (dim count and micro-int component sum) — so a
+    hash-matching oracle (which replays seed→Lloyd→encode→assign in
+    DuckDB) certifies the committed artifacts, not a transient
+    recompute."""
+    from . import tableformat
+
+    root = pq_ivf_index_store(spark, sf_dir, force=True)
+    codes = tableformat.read_atomic(spark, root, "codes")
+    books = tableformat.read_atomic(spark, root, "codebooks")
+    cents = tableformat.read_atomic(spark, root, "centroids")
+    k = books.agg(F.max("code")).collect()[0][0] + 1
+    d_sub = books.agg(F.max("dim")).collect()[0][0] + 1
+    codes_cert = (
+        codes.groupBy(F.col("list_id").cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("vec_id").cast("long").alias("chk1"),
+            F.sum(F.col("m") * F.lit(k) + F.col("code"))
+            .cast("long")
+            .alias("chk2"),
+        )
+        .select(F.lit("codes").alias("member"), "grp", "n_rows", "chk1", "chk2")
+    )
+    books_cert = (
+        books.groupBy(F.col("m").cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.floor(F.col("cval") * F.lit(1e6) + F.lit(0.5)))
+            .cast("long")
+            .alias("chk1"),
+            F.sum(F.col("code") * F.lit(d_sub) + F.col("dim"))
+            .cast("long")
+            .alias("chk2"),
+        )
+        .select(
+            F.lit("codebooks").alias("member"), "grp", "n_rows", "chk1", "chk2"
+        )
+    )
+    cents_cert = cents.select(
+        F.lit("centroids").alias("member"),
+        F.col("list_id").cast("long").alias("grp"),
+        F.size("cv").cast("long").alias("n_rows"),
+        F.expr(
+            "aggregate(transform(cv, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)),"
+            " 0L, (a, v) -> a + v)"
+        ).alias("chk1"),
+        F.lit(0).cast("long").alias("chk2"),
+    )
+    return (
+        codes_cert.unionByName(books_cert)
+        .unionByName(cents_cert)
+        .orderBy("member", "grp")
+    )
+
+
+def _pq_ivf_index_build_oracle(
+    m: int = 4, k: int = 8, d_sub: int = 16, n_lists: int = 4
+) -> str:
+    """Replays the IVF-PQ index build in DuckDB — the shared PQ training
+    CTEs (seeds → 2 Lloyd rounds → b2/enc) plus the coarse
+    centroid/assignment CTEs of _pq_ivf_oracle — and certifies the same
+    per-member summaries pq_ivf_index_build_embeddings reads back from
+    the committed snapshot."""
+    from .registry2 import _pq_training_ctes
+
+    return f"""
+WITH {_pq_training_ctes(m, k, d_sub)}, cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT {n_lists})
+), asg AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cv::DOUBLE[]) DESC,
+                      c.cid ASC) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+)
+SELECT * FROM (
+  SELECT 'codes' AS member, a.list_id::BIGINT AS grp,
+         count(*)::BIGINT AS n_rows,
+         sum(e.vec_id)::BIGINT AS chk1,
+         sum(e.m * {k} + e.code)::BIGINT AS chk2
+  FROM enc e JOIN asg a USING (vec_id)
+  GROUP BY a.list_id
+  UNION ALL
+  SELECT 'codebooks', m::BIGINT, count(*)::BIGINT,
+         sum(floor(c * 1e6 + 0.5))::BIGINT,
+         sum(code * {d_sub} + dim)::BIGINT
+  FROM b2 GROUP BY m
+  UNION ALL
+  SELECT 'centroids', cid::BIGINT, len(cv)::BIGINT,
+         list_sum(list_transform(cv::DOUBLE[],
+                                 x -> floor(x * 1e6 + 0.5)))::BIGINT,
+         0::BIGINT
+  FROM cents
+) ORDER BY member, grp
+"""
+
+
+QUERIES["pq_ivf_index_build_embeddings"] = (
+    pq_ivf_index_build_embeddings,
+    _pq_ivf_index_build_oracle(),
+)
 QUERIES["pq_ivf_stored_probe"] = (pq_ivf_stored_probe, _pq_ivf_stored_oracle())
 
 

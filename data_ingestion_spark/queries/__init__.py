@@ -211,6 +211,10 @@ _PRIORITY = [
     "compaction_plan_docs",
     "l_diversity_docs",
     "seasonality_dow_events",
+    # r13: the stored-index build registered immediately BEFORE its probe
+    # so bench/driver order pays the corpus-scale train/encode/commit in
+    # the build query, never in the probe (r12 verdict task 5)
+    "pq_ivf_index_build_embeddings",
     "pq_ivf_stored_probe",
     "t_closeness_docs",
     "ess_importance_docs",
