@@ -3573,13 +3573,76 @@ FROM ranked WHERE rank <= 10
 QUERIES["knn_ivf_kmeans_topk"] = (knn_ivf_kmeans_topk, KNN_IVF_KMEANS_TOPK_SQL)
 
 
+def knn_ivf_index_store(
+    spark: SparkSession,
+    sf_dir: str,
+    force: bool = False,
+    k: int = 4,
+    n_iter: int = 2,
+) -> str:
+    """Build-once/probe-everywhere IVF-Flat index store (r13, the same
+    conversion as pq_ivf_index_store): one atomic transaction commits
+    the k-means-assigned vector lists BUCKETED by list_id plus the
+    trained centroids. Until r13 knn_ivf_stored_probe re-trained and
+    re-committed both into per-call scratch on every invocation, so
+    each bench rep billed the whole nightly build to the 'probe'. The
+    root is keyed on corpus + (k, n_iter) — probe-time knobs (n_probe,
+    query set) deliberately NOT in the key — and invalidated by the
+    corpus freshness token or a derivation change, like every other
+    stored base. The registered build query passes force=True so the
+    bench bills the train/assign/commit honestly."""
+    import os
+
+    from . import stores, tableformat
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    fresh = stores.corpus_token(emb_path)
+    root = stores.store_root(
+        "knnivf",
+        (os.path.abspath(sf_dir), k, n_iter),
+        fresh,
+        derivation=stores.derivation_token(
+            knn_ivf_index_store,
+            similarity.kmeans_centroid_list,
+            similarity.ivf_assign,
+        ),
+    )
+
+    def _build(r):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.kmeans_centroid_list(
+            emb, vec_col="embedding", k=k, n_iter=n_iter, id_col="vec_id"
+        )
+        lists = similarity.ivf_assign(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+            ),
+            cents,
+            vec_col="cv",
+            n_probe=1,
+        )
+        cents_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "list_id int, cv array<double>",
+        )
+        tableformat.commit_atomic(
+            r,
+            {
+                "lists": ("bucketed", lists, "list_id", k),
+                "centroids": ("plain", cents_df),
+            },
+        )
+
+    return stores.ensure_store(spark, root, _build, force=force, origin=emb_path)
+
+
 def knn_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search against a PERSISTED index — the production 100 TB shape
-    (r9, per the r8 verdict): train k-means lists ONCE, commit
-    (lists bucketed-by-list_id, centroids) as one atomic transaction
-    (tableformat.commit_atomic — the stored-index pattern
-    dedup_nightly_pipeline_docs established), then serve every probe from
-    the STORED tables with zero retraining on the query path:
+    (r9, per the r8 verdict): train k-means lists ONCE
+    (knn_ivf_index_store — built once per corpus, billed by
+    knn_ivf_index_build_embeddings), then serve every probe from the
+    STORED tables with zero retraining on the query path:
 
     - centroids load from the committed ``centroids`` member (a k×dim
       metadata-scale read), never from the training frame;
@@ -3593,37 +3656,11 @@ def knn_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Values are EXACTLY knn_ivf_kmeans_topk's semantics (same training,
     same probe ranking, same exact-cosine scoring) restricted to 2 query
-    vectors, so the oracle is the same unrolled two-Lloyd-round SQL. The
-    build phase runs inside the call only because driver queries are
-    stateless; the probe phase demonstrably touches stored snapshots
-    alone (read_atomic), which is the part that persists across nights."""
-    from . import stores
-
+    vectors, so the oracle is the same unrolled two-Lloyd-round SQL."""
     from . import tableformat
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # ---- build phase (nightly): train, assign, commit atomically ----
-    cents = similarity.kmeans_centroid_list(
-        emb, vec_col="embedding", k=4, n_iter=2, id_col="vec_id"
-    )
-    lists = similarity.ivf_assign(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
-        cents,
-        vec_col="cv",
-        n_probe=1,
-    )
-    cents_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "list_id int, cv array<double>",
-    )
-    root = stores.scratch_dir("ivf_stored_")
-    tableformat.commit_atomic(
-        root,
-        {
-            "lists": ("bucketed", lists, "list_id", 4),
-            "centroids": ("plain", cents_df),
-        },
-    )
+    root = knn_ivf_index_store(spark, sf_dir)
     # ---- probe phase: stored snapshots only, no retraining ----
     stored_cents = tableformat.read_atomic(spark, root, "centroids")
     cent_list = [
@@ -3667,6 +3704,81 @@ KNN_IVF_STORED_PROBE_SQL = KNN_IVF_KMEANS_TOPK_SQL.replace(
     "q.vec_id < 5", "q.vec_id < 2"
 )
 
+
+def knn_ivf_index_build_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD phase of the stored IVF-Flat index (knn_ivf_index_store):
+    two k-means Lloyd rounds, the corpus list assignment, and the atomic
+    2-member commit run ONCE over the corpus. ``force=True`` so the bench
+    bills the nightly build here — knn_ivf_stored_probe then pays stored
+    reads only (r13, the same honest-billing split as
+    pq_ivf_index_build_embeddings).
+
+    Returns a certification summary READ BACK FROM THE COMMITTED
+    MEMBERS: per list over ``lists`` (row count, Σ neighbor_id, and an
+    order-free micro-int sum over every stored vector component) and per
+    list over ``centroids`` (dim count, micro-int component sum) — the
+    oracle replays seed→two-Lloyd-rounds→assignment in DuckDB, so a
+    hash match certifies the committed artifacts, not a transient
+    recompute."""
+    from . import tableformat
+
+    root = knn_ivf_index_store(spark, sf_dir, force=True)
+    lists = tableformat.read_atomic(spark, root, "lists")
+    cents = tableformat.read_atomic(spark, root, "centroids")
+    vec_micro_sum = F.expr(
+        "aggregate(transform(cv, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    lists_cert = (
+        lists.groupBy(F.col("list_id").cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("neighbor_id").cast("long").alias("chk1"),
+            F.sum(vec_micro_sum).cast("long").alias("chk2"),
+        )
+        .select(F.lit("lists").alias("member"), "grp", "n_rows", "chk1", "chk2")
+    )
+    cents_cert = cents.select(
+        F.lit("centroids").alias("member"),
+        F.col("list_id").cast("long").alias("grp"),
+        F.size("cv").cast("long").alias("n_rows"),
+        vec_micro_sum.alias("chk1"),
+        F.lit(0).cast("long").alias("chk2"),
+    )
+    return lists_cert.unionByName(cents_cert).orderBy("member", "grp")
+
+
+# The oracle replays the training CTE chain of KNN_IVF_KMEANS_TOPK_SQL
+# verbatim up through corpus_assign (slice asserted below so a reworded
+# base oracle can't silently desynchronize), then certifies the members.
+_KNN_IVF_TRAIN_CTES = KNN_IVF_KMEANS_TOPK_SQL.split(", query_probe AS")[0]
+assert _KNN_IVF_TRAIN_CTES.rstrip().endswith(")") and (
+    "corpus_assign" in _KNN_IVF_TRAIN_CTES
+)
+KNN_IVF_INDEX_BUILD_SQL = f"""
+{_KNN_IVF_TRAIN_CTES}
+SELECT * FROM (
+  SELECT 'lists' AS member, cid::BIGINT AS grp,
+         count(*)::BIGINT AS n_rows,
+         sum(neighbor_id)::BIGINT AS chk1,
+         sum(list_sum(list_transform(cv2::DOUBLE[],
+                                     x -> floor(x * 1e6 + 0.5))))::BIGINT
+           AS chk2
+  FROM corpus_assign
+  GROUP BY cid
+  UNION ALL
+  SELECT 'centroids', cid::BIGINT, len(cv)::BIGINT,
+         list_sum(list_transform(cv::DOUBLE[],
+                                 x -> floor(x * 1e6 + 0.5)))::BIGINT,
+         0::BIGINT
+  FROM c2l
+) ORDER BY member, grp
+"""
+
+QUERIES["knn_ivf_index_build_embeddings"] = (
+    knn_ivf_index_build_embeddings,
+    KNN_IVF_INDEX_BUILD_SQL,
+)
 QUERIES["knn_ivf_stored_probe"] = (knn_ivf_stored_probe, KNN_IVF_STORED_PROBE_SQL)
 
 

@@ -263,6 +263,9 @@ _PRIORITY = [
     # r9-window names, driver-green in CORRECTNESS_r09 (12 changed +
     # 20 r8-late + 18 r3-era rotations):
     "dedup_embedding_pairs_stress",
+    # r13: stored-index build registered immediately BEFORE its probe
+    # (same honest-billing split as pq_ivf_index_build_embeddings)
+    "knn_ivf_index_build_embeddings",
     "knn_ivf_stored_probe",
     "dedup_incremental_docs",
     "dedup_nightly_pipeline_docs",
