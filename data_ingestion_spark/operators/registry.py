@@ -1121,12 +1121,29 @@ FROM seeded
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any word 3-gram with
     the pseudo-benchmark slice (doc_id % 97 == 0). Hash-keyed broadcast
-    overlap join — see dedup.contamination."""
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    overlap join — dedup.contamination's shape, with BOTH gram sides
+    read from the committed shingle base (r13, the r12 verdict's task 6:
+    same-session A/B at sf0.1 measured 1.5 s inline vs 0.5 s stored —
+    the tokenize→shingle→distinct pass over the full corpus is already
+    committed by shingle_base_build_docs, so re-deriving it per query
+    was pure waste; values are identical because the stored sset IS the
+    distinct gram set, docs under 3 tokens have no grams on either
+    path). dedup.contamination remains the general two-frame operator
+    for external eval sets that have no stored base."""
+    from ..functions import md5_hash60
+
+    base, _ = dedup.shingle_base_probe(spark, sf_dir)
+    grams = base.select(
+        F.col("id"), F.explode("sset").alias("gram")
+    ).select("id", md5_hash60(F.col("gram")).alias("gram_h"))
+    d_grams = grams.filter(F.col("id") % 97 != 0)
+    b_grams = (
+        grams.filter(F.col("id") % 97 == 0).select("gram_h").distinct()
+    )
     return (
-        dedup.contamination(corpus, benchmark, "doc_id", "text", k=3)
+        d_grams.join(F.broadcast(b_grams), "gram_h")
+        .groupBy("id")
+        .agg(F.countDistinct("gram_h").alias("n_hits"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     )

@@ -956,28 +956,30 @@ def split_leakage_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike decontamination, BOTH sides are corpus-sized — the candidate
     join is a big-big hash join on 60-bit gram HASHES (8-byte keys, the
     repo's fingerprint-shuffle rule), never gram text; per-doc distinct
-    grams keep the join input minimal. Output per source: test docs,
-    leaked docs, leak rate in micros (production k≈8–13; the short
-    synthetic fixtures use k=3)."""
-    from ..functions import md5_hash60, tokens, word_shingles
+    grams keep the join input minimal. r13 (the r12 verdict's task 6):
+    the gram stream reads the committed shingle base instead of
+    re-tokenizing the corpus — same-session A/B at sf0.1 measured
+    0.48 s inline vs 0.42 s stored, a modest local cut whose real
+    content is removing the second full-corpus tokenize→shingle pass at
+    scale; values are identical (the stored sset IS the distinct gram
+    set, and sub-3-token docs have no grams on either path — they still
+    count in n_test via the raw doc scan). Output per source: test
+    docs, leaked docs, leak rate in micros (production k≈8–13; the
+    short synthetic fixtures use k=3)."""
+    from ..functions import md5_hash60
+    from .dedup import shingle_base_probe
 
     docs = load_table(spark, sf_dir, "documents")
     sp = docs.select(
         "doc_id",
         "source",
-        "text",
         (md5_hash60(F.col("doc_id").cast("string")) % 100).alias("b"),
     )
-    grams = sp.select(
-        "doc_id",
-        "b",
-        tokens(F.col("text")).alias("toks"),
-    ).select(
-        "doc_id",
-        "b",
-        F.explode(
-            F.array_distinct(word_shingles(F.col("toks"), 3))
-        ).alias("gram"),
+    base, _ = shingle_base_probe(spark, sf_dir)
+    grams = base.select(
+        F.col("id").alias("doc_id"),
+        (md5_hash60(F.col("id").cast("string")) % 100).alias("b"),
+        F.explode("sset").alias("gram"),
     ).select("doc_id", "b", md5_hash60(F.col("gram")).alias("gram_h"))
     train_g = grams.filter(F.col("b") < 80).select("gram_h").distinct()
     leaked = (
