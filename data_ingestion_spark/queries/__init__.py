@@ -27,9 +27,11 @@ from __future__ import annotations
 #: r9×44, r8×45, r7×42, r6×14, never×2 — the never rows are the two r12-new
 #: signature builds, slots 1-2 of this window).
 #:
-#: ROUND-14 window: pre-enumerated at r13 close (below the cutoff) once the
-#: r13-changed query set is final. Everything stays registered and locally
-#: verified by tools/check_oracle.py at 3 SFs regardless of position.
+#: ROUND-14 window: pre-enumerated IN ORDER below the cutoff (the 6
+#: r13-changed queries — the two r13-new stored-index builds lead — then
+#: the 14 remaining r7-era rows and the 30 alphabetically-first r8-era
+#: rows). Everything stays registered and locally verified by
+#: tools/check_oracle.py at 3 SFs regardless of position.
 _PRIORITY = [
     # ---- ROUND-13 driver window (the first 50) ----
     # Landed VERBATIM as pre-enumerated at r12 close (r12 verdict task #1):
@@ -96,8 +98,70 @@ _PRIORITY = [
     "multi_distinct_events",
     "neyman_allocation_events",
     # ---- driver window cutoff (first 50 above) ----
-    # ROUND-14 window: pre-enumerated at r13 close (see the block comment
-    # above _PRIORITY) once the r13-changed query set is final.
+    # ROUND-14 window, pre-enumerated IN ORDER at r13 close (rotate to
+    # front at r14 — the only edit r14 needs):
+    # (a) the 6 r13-changed queries — the two stored-index builds
+    # (r13-new, never driver-checked; each registered AHEAD of its
+    # probe), the two probes converted to stored-read-only, and the
+    # two consumers re-plumbed onto the stored shingle base (all 6
+    # locally oracle-green at ALL THREE SFs in r13 against unchanged
+    # oracles; equality + plan shapes pytest-pinned):
+    "pq_ivf_index_build_embeddings",
+    "knn_ivf_index_build_embeddings",
+    "pq_ivf_stored_probe",
+    "knn_ivf_stored_probe",
+    "decontaminate_docs",
+    "split_leakage_ngram_docs",
+    # (b) the 14 remaining r7-era rows (the oldest driver signal once
+    # the r13 window lands):
+    "ntile_customer_quartiles",
+    "pareto_quality_docs",
+    "percentile_lineitem",
+    "pivot_priority_by_status",
+    "pmi_bigrams_corpus",
+    "range_join_event_pairs",
+    "rank_dist_orders",
+    "robust_scale_events",
+    "rollup_order_priority",
+    "rtbf_delete_docs",
+    "schema_evolution_orders",
+    "session_window_events",
+    "theta_intersection_events",
+    "time_window_events",
+    # (c) the 30 alphabetically-first r8-era rows to fill 50 (these
+    # were previously registered via the non-priority registry tail;
+    # listing them here only fixes their order, nothing else):
+    "cap_per_source_docs",
+    "chunk_docs",
+    "diversity_index_sources",
+    "dp_noisy_counts_docs",
+    "dup_ngram_fraction_docs",
+    "embedding_centroids_by_label",
+    "fingerprint_docs",
+    "funnel_windowfunnel_exact_events",
+    "ingest_metrics_by_source",
+    "json_extract_events",
+    "lang_id_docs",
+    "multimodal_metadata_docs",
+    "ndcg_ivf_retrieval_qc",
+    "ndv_hll_events",
+    "ngram_topk_corpus",
+    "normalize_text_docs",
+    "pack_sequences_docs",
+    "percentile_approx_lineitem",
+    "pii_scrub_docs",
+    "quality_filter_docs",
+    "quantize_embeddings",
+    "regexp_extract_docs",
+    "repetition_stats_docs",
+    "rtbf_delete_dv_docs",
+    "sample_docs_hash",
+    "scalar_functions_part",
+    "semi_join_active_customers",
+    "setop_customer_supplier_nations",
+    "skew_autogate_join_events",
+    "skew_salted_agg_events",
+    # ---- r14 window end (50 names above) ----
     # Round-12 driver window names, all driver-green in CORRECTNESS_r12
     # (50):
     "shingle_base_build_docs",
@@ -211,16 +275,10 @@ _PRIORITY = [
     "compaction_plan_docs",
     "l_diversity_docs",
     "seasonality_dow_events",
-    # r13: the stored-index build registered immediately BEFORE its probe
-    # so bench/driver order pays the corpus-scale train/encode/commit in
-    # the build query, never in the probe (r12 verdict task 5)
-    "pq_ivf_index_build_embeddings",
-    "pq_ivf_stored_probe",
     "t_closeness_docs",
     "ess_importance_docs",
     "dedup_impact_report_docs",
     "doremi_reweight_sources",
-    "split_leakage_ngram_docs",
     "quantile_normalize_scores_docs",
     "hard_negatives_embeddings",
     "spearman_len_tokens_sources",
@@ -263,10 +321,6 @@ _PRIORITY = [
     # r9-window names, driver-green in CORRECTNESS_r09 (12 changed +
     # 20 r8-late + 18 r3-era rotations):
     "dedup_embedding_pairs_stress",
-    # r13: stored-index build registered immediately BEFORE its probe
-    # (same honest-billing split as pq_ivf_index_build_embeddings)
-    "knn_ivf_index_build_embeddings",
-    "knn_ivf_stored_probe",
     "dedup_incremental_docs",
     "dedup_nightly_pipeline_docs",
     "sessionize_events",

@@ -65,10 +65,16 @@ def test_registry_consistency():
     assert window == set(r13_precommitted)
     # the window must also land IN ORDER (the pre-commitment is verbatim)
     assert names[:50] == list(r13_precommitted)
-    # the rotated-out r12 window sits right after the cutoff, its
-    # stored-shingle-base head intact
-    assert names[50:52] == ["shingle_base_build_docs",
-                            "dedup_jaccard_pairs_docs"]
+    # the r14 window head is pre-committed right after the cutoff: the
+    # two r13-new stored-index builds ahead of their probes, then the
+    # re-plumbed shingle consumers and the r7-era tail
+    assert names[50:56] == [
+        "pq_ivf_index_build_embeddings", "knn_ivf_index_build_embeddings",
+        "pq_ivf_stored_probe", "knn_ivf_stored_probe",
+        "decontaminate_docs", "split_leakage_ngram_docs",
+    ]
+    assert names[56:58] == ["ntile_customer_quartiles",
+                            "pareto_quality_docs"]
     for fresh_green in ("cap_per_source_docs", "word_count_docs",
                         "rtbf_delete_dv_docs", "skew_autogate_join_events",
                         "session_window_events", "ingest_csv_docs",
