@@ -1029,29 +1029,33 @@ def connected_components(
     """
     # Materialize the (possibly expensive) upstream pair pipeline ONCE,
     # then mirror the cheap checkpointed edge list — a union of two selects
-    # over `edges` would evaluate the whole upstream plan twice.
+    # over `edges` would evaluate the whole upstream plan twice. (r14: the
+    # mirrored union is NOT checkpointed again — it is a zero-shuffle map
+    # over the already-materialized edge blocks, so a second eager cut only
+    # added a redundant materialization job per call.)
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("ncomp"))
-        )
+        # r14 (guide §2.3/§2.4): one join + union + ONE grouped min per
+        # round, replacing join + grouped min + second join. Every node
+        # appears as `a` in the symmetric edge list, and its own label
+        # rides the union tagged own=1, so min(comp) over the union is
+        # exactly least(own, min neighbor) and max(own-tagged comp)
+        # recovers old_comp for the convergence count — same fixpoint,
+        # same labels, one exchange fewer per round.
         stepped = (
-            labels.join(neigh, labels["id"] == neigh["a"], "left")
-            .select(
-                labels["id"],
-                labels["comp"].alias("old_comp"),
-                F.least(
-                    labels["comp"], F.coalesce(F.col("ncomp"), labels["comp"])
-                ).alias("comp"),
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .select(F.col("a").alias("id"), "comp", F.lit(False).alias("own"))
+            .unionByName(labels.withColumn("own", F.lit(True)))
+            .groupBy("id")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.max(F.when(F.col("own"), F.col("comp"))).alias("old_comp"),
             )
             .localCheckpoint(eager=True)
         )

@@ -26,6 +26,7 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     every_node_has_out_edges: bool = False,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -52,9 +53,21 @@ def pagerank(
     # Iterative algorithms MUST pin their loop-invariant inputs: without the
     # persists below, every iteration re-executes the upstream edge
     # derivation (often an expensive join+distinct), and the final action
-    # replays the whole chain once more per reference. Eager localCheckpoint
-    # on pr truncates the growing lineage each round — at cluster scale use
-    # reliable checkpointing; the shape is identical.
+    # replays the whole chain once more per reference (the persisted blocks
+    # are computed once inside the single final job and read from cache by
+    # every later stage that references them).
+    #
+    # r14 (guide §1.2/§2.4): the per-iteration EAGER localCheckpoint is now a
+    # CADENCE (``checkpoint_every``) — for the registered 3-iteration runs the
+    # whole rank recursion folds into ONE lazy plan executed by ONE job,
+    # instead of one materialization job per iteration. The driver-side
+    # ``nodes.count()`` is KEPT deliberately: it is the action that populates
+    # the e/outdeg/nodes caches before the folded plan runs — measured r14,
+    # folding WITHOUT it made the auto-broadcast subqueries of the unrolled
+    # iterations race to compute the un-cached edge derivation concurrently
+    # (7 s → 30-50 s per call). A deep n_iter still gets periodic cuts so
+    # unrolled plans can't stack unboundedly; the final eager cut both
+    # truncates lineage for the caller and makes the unpersists below safe.
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     if every_node_has_out_edges:
@@ -72,7 +85,7 @@ def pagerank(
     n = nodes.count()
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     base = (1.0 - damping) / n
-    for _ in range(n_iter):
+    for it in range(n_iter):
         # rank/outdeg emission rates: a node-count-sized join (tiny next to
         # the edge list). Joining the big edge list against this SMALL side
         # lets AQE broadcast it — the edges themselves are never re-keyed
@@ -109,8 +122,13 @@ def pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            pr = pr.localCheckpoint(eager=True)
+    # one eager cut at the end: materializes the whole folded recursion in a
+    # single job and detaches the result from the persisted inputs so the
+    # unpersists below cannot force recomputation for the caller's action
+    pr = pr.localCheckpoint(eager=True)
     out = pr.select(
         "node", F.floor(F.col("pr") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("pr_nano")
     )
@@ -177,11 +195,13 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     )
     # closure against the canonical undirected edge set (also x < y)
     tri = wedges.join(e, ["x", "y"])
-    n_tri = tri.count()
-    n_edges = e.count()
-    n_nodes = deg.count()
-    spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(n_nodes, n_edges, n_tri)],
-        "n_nodes long, n_edges long, n_triangles long",
+    # r14 (guide §1.2): the three counts used to be three separate driver
+    # actions stitched into a literal DataFrame; they are now three count
+    # aggregates cross-joined into ONE lazy single-row plan, so the caller's
+    # action computes all of them in a single job (the checkpointed edge set
+    # is the shared input of all three subtrees). Same row, same schema.
+    return (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
     )

@@ -1709,9 +1709,13 @@ def label_propagation_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame
     # directed edges dst <- src mode; suppliers odd, customers even.
     # Edges are checkpointed ONCE (the pagerank lineage-truncation
     # discipline: without it every later half-round re-executes the
-    # orders⋈lineitem join through the growing lineage), and each
-    # half-round checkpoints its label table so round i+1's plan starts
-    # from materialized labels, not the full chain.
+    # orders⋈lineitem join through the growing lineage). r14 (guide
+    # §1.2): the per-half-round label checkpoints are GONE — the round
+    # count is FIXED (3) with no convergence action between rounds, so
+    # the three half-rounds fold into one lazy plan executed by the
+    # caller's single action (3 materialization jobs saved per call);
+    # the checkpointed edge list bounds the unrolled depth at 3 shallow
+    # join+window layers.
     pairs = pairs.localCheckpoint(eager=True)
     to_s = pairs.select(F.col("s").alias("node"), F.col("c").alias("nbr"))
     to_c = pairs.select(F.col("c").alias("node"), F.col("s").alias("nbr"))
@@ -1742,7 +1746,7 @@ def label_propagation_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame
         return labels.join(upd, "node", "left").select(
             "node",
             F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab"),
-        ).localCheckpoint(eager=True)
+        )
 
     labels = half_round(labels, to_s)  # suppliers adopt customer labels
     labels = half_round(labels, to_c)  # customers adopt supplier labels
