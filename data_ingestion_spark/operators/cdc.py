@@ -281,14 +281,32 @@ def merge_upsert(
         # (the upsert rows come back after the anti-join) — count it as
         # updated, not deleted, or rows_after double-subtracts it
         gone = deletes.join(upserts.select(*keys).distinct(), keys, "left_anti")
-        n_deleted = tgt.join(gone, keys, "left_semi").count()
     else:
         deletes = None
         upserts = updates
-        n_deleted = 0
-    n_updated = tgt.join(upserts.select(*keys).distinct(), keys, "left_semi").count()
-    rows_before = tgt.count()
-    n_updates = upserts.count()
+    # r14 (optimization guide §1.2): the three (four with deletes) stat
+    # counts used to be separate driver actions — one scheduled job each.
+    # CrossJoined scalar aggregates collect them in ONE job; the collect
+    # stays EAGER and BEFORE the staging write below, because the counts
+    # scan the pre-swap target directory.
+    _cnt = lambda df, name: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias(name)
+    )
+    stats = _cnt(tgt, "rows_before").crossJoin(
+        _cnt(
+            tgt.join(upserts.select(*keys).distinct(), keys, "left_semi"),
+            "n_updated",
+        )
+    ).crossJoin(_cnt(upserts, "n_updates"))
+    if deletes is not None:
+        stats = stats.crossJoin(
+            _cnt(tgt.join(gone, keys, "left_semi"), "n_deleted")
+        )
+    srow = stats.collect()[0]
+    rows_before = srow["rows_before"]
+    n_updated = srow["n_updated"]
+    n_updates = srow["n_updates"]
+    n_deleted = srow["n_deleted"] if deletes is not None else 0
     # one anti-join against EVERY touched key (upserted or tombstoned),
     # then the upsert rows come back in — deletes simply never do
     touched = upserts.select(*keys).distinct()

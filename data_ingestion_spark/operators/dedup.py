@@ -1048,6 +1048,9 @@ def connected_components(
         # exactly least(own, min neighbor) and max(own-tagged comp)
         # recovers old_comp for the convergence count — same fixpoint,
         # same labels, one exchange fewer per round.
+        # r14: the checkpoint is LAZY — the convergence count right below
+        # is the action that materializes it, so each round runs ONE
+        # driver-visible job instead of materialize-then-count (two).
         stepped = (
             sym.join(labels.withColumnRenamed("id", "b"), "b")
             .select(F.col("a").alias("id"), "comp", F.lit(False).alias("own"))
@@ -1057,7 +1060,7 @@ def connected_components(
                 F.min("comp").alias("comp"),
                 F.max(F.when(F.col("own"), F.col("comp"))).alias("old_comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
         labels = stepped.select("id", "comp")
@@ -1127,15 +1130,26 @@ def connected_components_twostar(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r14 (guide §1.2): `nodes` is consumed exactly once, by the final
+    # star join after the loop — checkpointing it eagerly here was a pure
+    # extra materialization job per call. It stays a lazy derivation of
+    # the checkpointed INITIAL edge set (the loop rebinds `e`, not the
+    # plan this closure captured).
     nodes = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window as W
 
     converged = False
+    # r14: the old fixpoint check re-counted the (checkpointed) PREVIOUS
+    # edge set every round — `n_e` carries the count across rounds instead
+    # (round N's ss.count() IS round N+1's e.count()), and the ss
+    # checkpoint is lazy so its count doubles as the materializing action:
+    # 3 driver jobs per round become 1 (+1 subtract job only on the
+    # candidate-fixpoint round).
+    n_e = e.count()
     for _ in range(max_iter):
         # large-star over the symmetric adjacency: larger neighbors of
         # each node re-point to min(closed neighborhood)
@@ -1160,14 +1174,16 @@ def connected_components_twostar(
             .filter(F.col("n") != F.col("m"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # fixpoint: the (u, v) multiset is unchanged (both sides distinct)
-        if ss.count() == e.count() and ss.subtract(e).count() == 0:
+        n_ss = ss.count()
+        if n_ss == n_e and ss.subtract(e).count() == 0:
             e = ss
             converged = True
             break
         e = ss
+        n_e = n_ss
     if not converged:
         # A non-converged edge set may still contain nodes with multiple
         # outgoing edges; the final left join would then fan out and emit

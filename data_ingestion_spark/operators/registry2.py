@@ -182,7 +182,27 @@ def zorder_prune_demo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ymid, yspan = (ylo + yhi) / 2.0, (yhi - ylo) * 0.01
     preds = {"user_id": (xmid - xspan, xmid + xspan), "value": (ymid - yspan, ymid + yspan)}
 
-    n_total = ev.count()
+    # r14 (guide §1.2): the total count and the two per-dimension band
+    # counts used to be three separate driver count() actions; one agg
+    # pass computes all three (sum-of-when band counts are the same
+    # double comparisons the filters ran — values unchanged).
+    crow = ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col(dim) >= F.lit(lo)) & (F.col(dim) <= F.lit(hi)), 1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"band_{dim}")
+            for dim, (lo, hi) in preds.items()
+        ],
+    ).first()
+    n_total = crow["n_total"]
     base = stores.scratch_dir("zorder_demo_")
     rows = []
     try:
@@ -192,9 +212,7 @@ def zorder_prune_demo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ev.repartition(64).write.mode("overwrite").parquet(cdir)
         for dim, (lo, hi) in preds.items():
-            n_band = ev.filter(
-                (F.col(dim) >= F.lit(lo)) & (F.col(dim) <= F.lit(hi))
-            ).count()
+            n_band = crow[f"band_{dim}"]
             _, _, gh, _ = layout.parquet_rowgroups_overlapping(zdir, dim, lo, hi)
             _, _, cgh, _ = layout.parquet_rowgroups_overlapping(cdir, dim, lo, hi)
             rows.append((dim, n_band, n_total, bool(gh < cgh)))
@@ -1809,24 +1827,26 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (price + F.lit("1.50").cast("decimal(18,2)")).cast("double"),
         )
         assert tf.commit_version(mutated, root) == 1
-        out = []
-        for v in (0, 1):
-            r = (
-                tf.read_version(spark, root, v)
-                .agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    # integer cents: exact BIGINT on both Spark and oracle
-                    # sides (Decimal-vs-float64 breaks the driver's hash)
-                    F.round(
-                        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                        * 100
-                    )
-                    .cast("long")
-                    .alias("sum_price_cents"),
+        # r14 (guide §1.2): ONE collect for both versions (union of the
+        # two per-version aggregates, each tagged with its version
+        # literal) instead of one driver action per version. The collect
+        # stays EAGER — the finally below deletes the scratch table, so a
+        # lazy return would read a vanished root. Same rows, same schema.
+        aggs = [
+            tf.read_version(spark, root, v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                # integer cents: exact BIGINT on both Spark and oracle
+                # sides (Decimal-vs-float64 breaks the driver's hash)
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
                 )
-                .collect()[0]
+                .cast("long")
+                .alias("sum_price_cents"),
             )
-            out.append((v, r["n_rows"], r["sum_price_cents"]))
+            for v in (0, 1)
+        ]
+        out = [tuple(r) for r in aggs[0].unionByName(aggs[1]).collect()]
         return spark.createDataFrame(
             out, "version long, n_rows long, sum_price_cents long"
         ).orderBy("version")
@@ -2274,11 +2294,13 @@ def join_cardinality_orders_customer(spark: SparkSession, sf_dir: str) -> DataFr
     cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "custkey"
     )
-    pred = stats.join_cardinality(ords, cust, ["custkey"]).collect()[0]
-    actual = ords.join(cust, "custkey").count()
-    return spark.createDataFrame(
-        [(pred["est_join_rows"], pred["n_join_keys"], pred["max_key_fanout"], actual)],
-        "est_join_rows long, n_join_keys long, max_key_fanout long, actual_join_rows long",
+    # r14 (guide §1.2): prediction collect + actual join count were two
+    # driver actions; one crossJoined single-row plan runs both subtrees
+    # in the caller's single job. Same row, same schema.
+    return stats.join_cardinality(ords, cust, ["custkey"]).crossJoin(
+        ords.join(cust, "custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("actual_join_rows")
+        )
     )
 
 
@@ -4982,33 +5004,48 @@ def rtbf_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     erase_gate = md5_hash60(F.col("doc_id").cast("string")) % 20 == 0
     v0 = tableformat.commit_version(docs, root)
     v1 = tableformat.commit_version(docs.filter(~erase_gate), root)
-    rows_v0 = tableformat.read_version(spark, root, v0).count()
-    rows_v1 = tableformat.read_version(spark, root, v1).count()
+    # r14 (guide §1.2): five driver actions (two counts, a grouped
+    # collect, a filter count) folded into ONE lazy single-row plan of
+    # crossJoined scalar aggregates — the commits above stay eager (they
+    # are the scenario; scratch dirs live until process exit, so the lazy
+    # read-back is safe). Same row, same schema, same values.
     feed = tableformat.table_changes(spark, root, v0, v1, ["doc_id"])
-    by_type = {
-        r["change_type"]: r["n"]
-        for r in feed.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_delete_feed = int(by_type.get("delete", 0))
-    feed_clean = set(by_type) <= {"delete"}
-    remaining_erased = (
-        tableformat.read_version(spark, root, v1)
-        .filter(erase_gate)
-        .count()
+    cnt = lambda df, name: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias(name)
     )
-    return spark.createDataFrame(
-        [
-            (
-                rows_v0,
-                rows_v1,
-                rows_v0 - rows_v1,
-                n_delete_feed,
-                bool(feed_clean and n_delete_feed == rows_v0 - rows_v1),
-                remaining_erased == 0,
+    feed_agg = feed.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("change_type") == "delete", 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_delete_feed"),
+        F.coalesce(
+            F.sum(F.when(F.col("change_type") != "delete", 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("_n_other_feed"),
+    )
+    return (
+        cnt(tableformat.read_version(spark, root, v0), "rows_v0")
+        .crossJoin(cnt(tableformat.read_version(spark, root, v1), "rows_v1"))
+        .crossJoin(feed_agg)
+        .crossJoin(
+            cnt(
+                tableformat.read_version(spark, root, v1).filter(erase_gate),
+                "_remaining",
             )
-        ],
-        "rows_v0 long, rows_v1 long, n_deleted long, n_delete_feed long,"
-        " feed_matches boolean, none_remaining boolean",
+        )
+        .select(
+            "rows_v0",
+            "rows_v1",
+            (F.col("rows_v0") - F.col("rows_v1")).cast("long").alias("n_deleted"),
+            "n_delete_feed",
+            (
+                (F.col("_n_other_feed") == 0)
+                & (F.col("n_delete_feed") == F.col("rows_v0") - F.col("rows_v1"))
+            ).alias("feed_matches"),
+            (F.col("_remaining") == 0).alias("none_remaining"),
+        )
     )
 
 
@@ -5059,39 +5096,56 @@ def rtbf_delete_dv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = tableformat.commit_version(docs, root)
     v1 = tableformat.commit_deletion_vector(erase_keys, root, "doc_id")
     masked = tableformat.read_version(spark, root, v1)
-    rows_v0 = tableformat.read_version(spark, root, v0).count()
-    rows_v1 = masked.count()
-    mask_rows = spark.read.parquet(root + "/v1").count()
-    feed = tableformat.table_changes(spark, root, v0, v1, ["doc_id"])
-    by_type = {
-        r["change_type"]: r["n"]
-        for r in feed.groupBy("change_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    n_delete_feed = int(by_type.get("delete", 0))
-    feed_clean = set(by_type) <= {"delete"}
-    remaining_erased = masked.filter(erase_gate).count()
+    # r14 (optimization guide §1.2/§2.6): the audit used to issue SEVEN
+    # separate driver actions (three counts, a grouped collect, a filter
+    # count, two exceptAll counts) — each a full job with its own
+    # scheduling round-trip, 34 driver-visible jobs per call. The commits
+    # above stay eager (they ARE the scenario); every check below folds
+    # into ONE lazy single-row plan via crossJoined scalar aggregates, so
+    # the caller's single action computes all subtrees concurrently.
+    # Values are unchanged — including dv_equals_cow, where Python's
+    # short-circuit `and` merely skipped the second exceptAll when the
+    # first was non-zero; the fold always evaluates both, same boolean.
     cow = docs.filter(~erase_gate)
-    dv_equals_cow = (
-        masked.exceptAll(cow).count() == 0 and cow.exceptAll(masked).count() == 0
+    cnt = lambda df, name: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias(name)
     )
-    return spark.createDataFrame(
-        [
+    feed = tableformat.table_changes(spark, root, v0, v1, ["doc_id"])
+    feed_agg = feed.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("change_type") == "delete", 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_delete_feed"),
+        F.coalesce(
+            F.sum(F.when(F.col("change_type") != "delete", 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("_n_other_feed"),
+    )
+    return (
+        cnt(tableformat.read_version(spark, root, v0), "rows_v0")
+        .crossJoin(cnt(masked, "rows_v1"))
+        .crossJoin(cnt(spark.read.parquet(root + "/v1"), "mask_rows"))
+        .crossJoin(feed_agg)
+        .crossJoin(cnt(masked.filter(erase_gate), "_remaining"))
+        .crossJoin(cnt(masked.exceptAll(cow), "_dv_minus_cow"))
+        .crossJoin(cnt(cow.exceptAll(masked), "_cow_minus_dv"))
+        .select(
+            "rows_v0",
+            "rows_v1",
+            (F.col("rows_v0") - F.col("rows_v1")).cast("long").alias("n_deleted"),
+            "mask_rows",
+            "n_delete_feed",
             (
-                rows_v0,
-                rows_v1,
-                rows_v0 - rows_v1,
-                mask_rows,
-                n_delete_feed,
-                bool(feed_clean and n_delete_feed == rows_v0 - rows_v1),
-                remaining_erased == 0,
-                bool(dv_equals_cow),
-            )
-        ],
-        "rows_v0 long, rows_v1 long, n_deleted long, mask_rows long,"
-        " n_delete_feed long, feed_matches boolean, none_remaining boolean,"
-        " dv_equals_cow boolean",
+                (F.col("_n_other_feed") == 0)
+                & (F.col("n_delete_feed") == F.col("rows_v0") - F.col("rows_v1"))
+            ).alias("feed_matches"),
+            (F.col("_remaining") == 0).alias("none_remaining"),
+            ((F.col("_dv_minus_cow") == 0) & (F.col("_cow_minus_dv") == 0)).alias(
+                "dv_equals_cow"
+            ),
+        )
     )
 
 
@@ -5274,21 +5328,32 @@ def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = tableformat.read_version(spark, root, v0)
     t1 = tableformat.read_version(spark, root, v1)
     feed = tableformat.table_changes(spark, root, v0, v1, ["o_orderkey"])
-    n_changes = feed.count()
-    n_urgent = t1.filter(F.col("is_urgent")).count()
-    return spark.createDataFrame(
-        [
-            (
-                t0.count(),
-                t1.count(),
-                "is_urgent" not in t0.columns,
-                "is_urgent" in t1.columns,
-                n_changes,
-                n_urgent,
+    # r14 (guide §1.2): four driver count() actions folded into ONE lazy
+    # single-row plan (crossJoined scalar aggregates — the caller's single
+    # action runs all four subtrees in one job). The schema containment
+    # checks are driver-side metadata (no job) and ride along as literals.
+    # Same row, same schema, same values.
+    return (
+        t0.agg(F.count(F.lit(1)).cast("long").alias("rows_v0"))
+        .crossJoin(t1.agg(F.count(F.lit(1)).cast("long").alias("rows_v1")))
+        .crossJoin(
+            feed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_spurious_changes")
             )
-        ],
-        "rows_v0 long, rows_v1 long, v0_schema_unchanged boolean,"
-        " v1_has_column boolean, n_spurious_changes long, n_urgent long",
+        )
+        .crossJoin(
+            t1.filter(F.col("is_urgent")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_urgent")
+            )
+        )
+        .select(
+            "rows_v0",
+            "rows_v1",
+            F.lit("is_urgent" not in t0.columns).alias("v0_schema_unchanged"),
+            F.lit("is_urgent" in t1.columns).alias("v1_has_column"),
+            "n_spurious_changes",
+            "n_urgent",
+        )
     )
 
 

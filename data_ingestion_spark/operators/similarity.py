@@ -259,7 +259,11 @@ def hyperplane_lsh_pairs(
 
 
 def lsh_pairs_from_base(
-    base: DataFrame, bits: int, band_bits: int, threshold: float
+    base: DataFrame,
+    bits: int,
+    band_bits: int,
+    threshold: float,
+    respread: bool | None = None,
 ) -> DataFrame:
     """Band join + first-agree dedup + exact-cosine verify over a
     prepared ``(id, v, sig, nrm)`` base — the shared tail of
@@ -313,20 +317,32 @@ def lsh_pairs_from_base(
             F.shiftright(xor, bi * band_bits).bitwiseAND(F.lit(mask)) == 0,
             F.lit(bi),
         ).otherwise(first_agree)
-    # The band join leaves cand partitioned by the LOW-ENTROPY (band, key)
-    # space (e.g. 16 bands x 8 keys = 128 groups for 3-bit bands) — a few
-    # huge partitions that serialize the downstream cosine verify
-    # (measured: 25s verify on skewed vs 4s after respreading). One
-    # exchange of the skinny (id_a, id_b) stream restores parallelism and
-    # co-keys the first verify join; AQE picks broadcast for the small
-    # vector sides on its own (never forced — they are corpus-sized at
-    # 100 TB).
+    # Respread (r7, made CONDITIONAL r14): narrow band keys (3-bit = 8
+    # keys/band) collide nearly everything into a few hot (band, key)
+    # cells, and when the verify's vector joins broadcast, the whole
+    # quadratic verify runs map-side on those cells — measured 25 s
+    # serialized vs 4 s after one exchange of the skinny (id_a, id_b)
+    # stream (and re-measured r14: the 3-bit stress geometry is 8.9 s
+    # with the respread vs 23.8 s fused). But for the production
+    # geometries (band_bits >= 4: 16+ keys/band), the candidate stream is
+    # orders of magnitude lighter and the exchange costs MORE than it
+    # buys: dropping it fuses candidate generation and verify into one
+    # codegen stage with no 464k-row materialization — measured r14
+    # same-session: knn_lsh_pairs 4.32 -> 1.28 s, dedup_embedding_pairs
+    # 1.30 -> 0.66 s, output identical. At 100 TB the vector sides stop
+    # broadcasting and the verify equi-joins introduce their own id_a/id_b
+    # exchanges, which respread the work regardless of this flag — the
+    # flag only governs the broadcast-verify regime. Default: auto by
+    # band width (the collision-mass proxy): respread iff band_bits < 4.
+    if respread is None:
+        respread = band_bits < 4
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
         .filter(F.floor(F.col("a.bk") / n_keys).cast("int") == first_agree)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .repartition("id_a")
     )
+    if respread:
+        cand = cand.repartition("id_a")
     va = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
