@@ -652,8 +652,18 @@ def phash_hamming_pairs(
     pairer (dedup.simhash_hamming_pairs): only (id, 8-byte key) rows
     shuffle, pairs bounded by band-bucket sizes, never all-pairs."""
     n_bands = 64 // band_bits
-    sig = sig_df.filter(F.col(sig_col).isNotNull()).withColumnRenamed(
-        sig_col, "__sig"
+    # r14 (guide §4): the band self-join below references the signature
+    # frame on BOTH sides, and the broadcast build side defeats exchange
+    # reuse — so an expensive upstream (the synth→decode→DCT/FFT Arrow
+    # pipelines of the image/audio dedup queries) re-ran once per side
+    # (plan-measured: 4 Arrow stages). The signature table is (id, 8-byte
+    # hash) — metadata-scale at any corpus size — so one EAGER
+    # localCheckpoint runs the decode exactly once and both join sides
+    # read the materialized rows.
+    sig = (
+        sig_df.filter(F.col(sig_col).isNotNull())
+        .withColumnRenamed(sig_col, "__sig")
+        .localCheckpoint(eager=True)
     )
     bands = F.array(
         *[

@@ -1395,7 +1395,14 @@ def multimodal_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"path": paths, "content": blobs})
 
-    binary = docs.mapInPandas(_synth, schema="path string, content binary")
+    # r14 (guide §4): `binary` feeds both the sniff and the metadata
+    # extract, and the join between them re-ran the Python synth on each
+    # side (plan-measured: 3 Arrow stages). The blobs here are header-only
+    # fixtures (tens of bytes/row), so one EAGER localCheckpoint runs the
+    # synth once and both branches read the materialized rows.
+    binary = docs.mapInPandas(
+        _synth, schema="path string, content binary"
+    ).localCheckpoint(eager=True)
     sniffed = multimodal.sniff_format(binary).select(
         "path", F.col("format").alias("sniffed")
     )

@@ -2076,8 +2076,17 @@ def corpus_build_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     four-stage chain as one CTE program. Output: per-shard doc/char
     totals."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = text.nfc_normalize(docs, "doc_id", "text").select(
-        "id", "text_nfc"
+    # r14 (guide §4): `norm` (the corpus-scale NFC Arrow pass) feeds the
+    # dedup winner, the semi-join back, the top-50 vocabulary collect, the
+    # OOV coverage, and the shard input — five consumers whose subtrees
+    # each re-ran the normalization (plan-measured: 4 Arrow stages in the
+    # final plan plus one more in the vocab collect). One EAGER
+    # localCheckpoint runs NFC once; everything downstream reads the
+    # materialized (id, text_nfc) rows.
+    norm = (
+        text.nfc_normalize(docs, "doc_id", "text")
+        .select("id", "text_nfc")
+        .localCheckpoint(eager=True)
     )
     win = norm.groupBy(F.md5("text_nfc").alias("fp")).agg(
         F.min("id").alias("id")

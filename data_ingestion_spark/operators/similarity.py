@@ -541,7 +541,19 @@ def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     partials = df.select(F.col(vec_col).alias("_v")).mapInPandas(
         gram, "p long, s double"
     )
-    agg = partials.groupBy("p").agg(F.sum("s").alias("s"))
+    # r14 (guide §4/§2.1): the reduced partial-sum table is consumed by
+    # FOUR subtrees below (n_df, means twice, stats) whose per-branch
+    # column pruning makes the exchanges non-identical, so ReuseExchange
+    # never fires and the corpus-scale Arrow dgemm pass replicated into
+    # every branch (plan-measured: 4 MapInPandas stages). One EAGER
+    # localCheckpoint of the d(d+1)/2+d+1-row reduction (~KBs at any
+    # corpus size) runs the scan ONCE; eager, not lazy, so concurrent
+    # broadcast subtrees cannot race the materialization.
+    agg = (
+        partials.groupBy("p")
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=True)
+    )
     n_df = agg.filter(F.col("p") == n_tri + dim).select(F.col("s").alias("n"))
     means = agg.filter(
         (F.col("p") >= n_tri) & (F.col("p") < n_tri + dim)
@@ -1049,9 +1061,13 @@ def pq_train(
     m·k·d_sub floats — for 1B-vector corpora this is still KBs; train on a
     sample and broadcast, the search path below is unchanged).
     """
-    dim = len(df.select(vec_col).first()[0])
-    d_sub = dim // m
+    # r14 (guide §5.3): dim used to be a separate first() driver action;
+    # the seed collect below already fetches k full vectors, so the
+    # dimension rides along (rows[0] = the lowest-id vector — any row
+    # works, the column is fixed-width) — one job instead of two.
     rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    dim = len(rows[0][0])
+    d_sub = dim // m
     books = [
         [[float(r[0][s * d_sub + j]) for j in range(d_sub)] for r in rows]
         for s in range(m)

@@ -228,11 +228,25 @@ def test_lsh_band_exchange_carries_no_vector(spark):
 
 def test_covariance_is_gram_mapinpandas_not_explode(spark):
     """covariance_embeddings must use the per-partition Gram accumulation
-    (one MapInPandas stage, shuffle invariant to row count), never the
-    retired product-explode plan (a Generate of d(d+1)/2 cells per row)."""
+    (one MapInPandas pass, shuffle invariant to row count), never the
+    retired product-explode plan (a Generate of d(d+1)/2 cells per row).
+    r14: the Gram pass runs ONCE behind an eager localCheckpoint of the
+    d(d+1)/2+d+1-row reduction (before, per-branch column pruning
+    replicated the corpus-scale Arrow scan into all four consumer
+    subtrees), so the final plan shows the checkpoint scan, not the
+    MapInPandas node — pinned both ways below."""
     plan = plan_of(spark, "covariance_embeddings")
-    assert "MapInPandas" in plan
     assert "posexplode" not in plan
+    assert "MapInPandas" not in plan  # the Gram pass must NOT re-run per branch
+    assert "localCheckpoint" in plan  # ...it is the checkpointed reduction
+    # the Gram pass itself is still MapInPandas (guards against a future
+    # re-explode inside covariance_matrix, which the checkpoint would hide)
+    import inspect
+
+    from data_ingestion_spark.operators import similarity
+
+    src = inspect.getsource(similarity.covariance_matrix)
+    assert "mapInPandas" in src and "posexplode" not in src
 
 
 def test_extension_ops_no_nested_loop_no_python(spark):
