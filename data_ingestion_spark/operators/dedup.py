@@ -669,6 +669,8 @@ def minhash_incremental_pairs(
     band_r: int = 1,
     materialize: bool = False,
     prehash_fn=None,
+    prebuilt_shingles_corpus: DataFrame | None = None,
+    prebuilt_shingles_batch: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup: pair a NEW batch against the existing corpus
     only — the production ingest pattern. Nightly ingest must answer "is
@@ -685,15 +687,21 @@ def minhash_incremental_pairs(
     frame — the JOIN SHAPE is the thing this operator pins. Ids must be
     disjoint across the two frames.
 
+    ``prebuilt_shingles_corpus`` / ``prebuilt_shingles_batch``: the same
+    (id, shingles) seam minhash_near_dup exposes, per side — minhash over
+    a stored sorted-distinct shingle set equals minhash over the inline
+    derivation (array_min is order-free, the set is identical), so both
+    sides can ride the committed shingle base instead of re-tokenizing.
+
     Output: (corpus_id, batch_id, est_jaccard ≥ 1−threshold).
     """
     cbase, cbands = _minhash_bands(
         corpus, id_col, text_col, k, num_hash_tables, seed, hash_fn, band_r,
-        materialize, prehash_fn,
+        materialize, prehash_fn, prebuilt_shingles=prebuilt_shingles_corpus,
     )
     bbase, bbands = _minhash_bands(
         batch, id_col, text_col, k, num_hash_tables, seed, hash_fn, band_r,
-        materialize, prehash_fn,
+        materialize, prehash_fn, prebuilt_shingles=prebuilt_shingles_batch,
     )
     cand = (
         cbands.alias("a")

@@ -188,10 +188,18 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-vs-corpus pairs are generated — corpus×corpus is never
     re-paired (the nightly-ingest join shape). Same portable md5 hash
     family as dedup_minhash_docs so the oracle replays signature →
-    banding → cross-side candidate join → exact-Jaccard verify."""
+    banding → cross-side candidate join → exact-Jaccard verify.
+
+    r14: both sides probe the COMMITTED shingle-base snapshot instead of
+    re-tokenizing documents — minhash over the stored sorted-distinct
+    sset equals minhash over the inline shingle derivation (array_min is
+    order-free over the identical set), and the exact-Jaccard verify is
+    set-arithmetic over the same sets, so every emitted value is
+    unchanged (same oracle)."""
     from ..functions import md5_hash60
 
-    docs = load_table(spark, sf_dir, "documents")
+    base, _fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
+    stored = base.select("id", F.col("sset").alias("shingles"))
 
     def prehash(s):
         return md5_hash60(s) % _MINHASH_P
@@ -201,14 +209,16 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return h * F.lit(a) % _MINHASH_P + F.lit(b)
 
     return dedup.minhash_incremental_pairs(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
+        None,
+        None,
         id_col="doc_id", text_col="text", k=3,
         jaccard_distance_threshold=0.7,
         hash_fn=portable,
         band_r=2,
         materialize=True,
         prehash_fn=prehash,
+        prebuilt_shingles_corpus=stored.filter(F.col("id") % 2 == 0),
+        prebuilt_shingles_batch=stored.filter(F.col("id") % 2 == 1),
     ).orderBy("corpus_id", "batch_id")
 
 
@@ -2878,6 +2888,13 @@ def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
+    # r14: the signature derivations ride the COMMITTED shingle-base
+    # snapshot (the dedup_minhash_docs/dedup_incremental_docs plumbing;
+    # value-identical — array_min is order-free over the same set, the
+    # verify is set arithmetic). corpus/batch stay full-width: the doc
+    # COMMITS below are the scenario, only the shingle pass is stored.
+    sstore, _fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
+    sstore = sstore.select("id", F.col("sset").alias("shingles"))
 
     def prehash(s):
         return md5_hash60(s) % _MINHASH_P
@@ -2890,8 +2907,14 @@ def dedup_nightly_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, num_hash_tables=8, seed=42, hash_fn=portable, band_r=2,
         materialize=True, prehash_fn=prehash,
     )
-    cbase, cbands = dedup._minhash_bands(corpus, "doc_id", "text", **kwargs)
-    bbase, bbands = dedup._minhash_bands(batch, "doc_id", "text", **kwargs)
+    cbase, cbands = dedup._minhash_bands(
+        None, "doc_id", "text",
+        prebuilt_shingles=sstore.filter(F.col("id") % 2 == 0), **kwargs
+    )
+    bbase, bbands = dedup._minhash_bands(
+        None, "doc_id", "text",
+        prebuilt_shingles=sstore.filter(F.col("id") % 2 == 1), **kwargs
+    )
 
     root = stores.scratch_dir("nightly_dedup_")
     # bkey packs (band, key) into ONE column — 'band:key' with ':' absent
@@ -3815,10 +3838,15 @@ def minhash_band_precision_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the verify stage — the only per-candidate cost — burns compute
     on junk collisions; it is the number that justifies band_r tuning
     (r=1 floods this by ~100× on repetitive corpora, per the
-    minhash_near_dup docstring). The banding replays fully in SQL."""
+    minhash_near_dup docstring). The banding replays fully in SQL.
+
+    r14: shingles come from the COMMITTED shingle-base snapshot via the
+    prebuilt_shingles seam (the dedup_minhash_docs plumbing; minhash over
+    the stored sorted-distinct sset is value-identical — array_min is
+    order-free over the same set, the verify is set arithmetic)."""
     from ..functions import md5_hash60
 
-    docs = load_table(spark, sf_dir, "documents")
+    sbase, _fpos = dedup.shingle_base_probe(spark, sf_dir, k=3)
 
     def prehash(s):
         return md5_hash60(s) % _MINHASH_P
@@ -3828,8 +3856,9 @@ def minhash_band_precision_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return h * F.lit(a) % _MINHASH_P + F.lit(b)
 
     base, exploded = dedup._minhash_bands(
-        docs, "doc_id", "text", k=3, num_hash_tables=8, seed=42,
+        None, "doc_id", "text", k=3, num_hash_tables=8, seed=42,
         hash_fn=portable, band_r=2, materialize=True, prehash_fn=prehash,
+        prebuilt_shingles=sbase.select("id", F.col("sset").alias("shingles")),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (

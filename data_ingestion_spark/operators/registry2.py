@@ -6227,29 +6227,37 @@ def item_cf_similarity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     squaring keeps the metric rational (no sqrt in either engine) and
     preserves the ranking (x² is monotone on x ≥ 0). This is the
     co-occurrence item-CF every recommender starts from (Linden et al.,
-    IEEE IC'03, Amazon item-to-item) re-expressed as joins/aggs: pair
-    generation is the co-order self-join capped to the top-20k strongest
-    pairs (the same constant-bounded edge budget as
-    triangle_count_suppliers — a 100 TB co-occurrence projection is
+    IEEE IC'03, Amazon item-to-item) re-expressed as aggs: pair
+    generation collects each order's distinct supplier set in one keyed
+    aggregation (collect_set dedups — no separate DISTINCT pass) and
+    expands the sa<sb pairs JVM-side with nested array transforms over
+    the sorted set — the same Σ C(d,2) wedge fan-out the former co-order
+    self-join paid, generated post-shuffle with zero joins — capped to
+    the top-20k strongest pairs (the same constant-bounded edge budget
+    as triangle_count_suppliers — a 100 TB co-occurrence projection is
     near-complete and MUST be budgeted), then one broadcast join against
     the per-supplier order counts. Top-50 pairs by similarity with full
     tie-break."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
-    ).distinct()
-    counts = li.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    a, b = li.alias("a"), li.alias("b")
+    counts = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " y -> struct(x AS sa, y AS sb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
-        )
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
         .orderBy(F.col("co").desc(), F.col("sa").asc(), F.col("sb").asc())
         .limit(20000)
@@ -7092,14 +7100,21 @@ def session_cooccurrence_lift_events(spark: SparkSession, sf_dir: str) -> DataFr
     integer micros (DECIMAL(38,0) numerator — the int64-headroom
     discipline). Types that co-sessionize above independence reveal
     coupled behaviors the per-event transition matrix can't see (it only
-    looks one step ahead). One user-keyed window + session-keyed aggs."""
+    looks one step ahead). One user-keyed window + ONE session-keyed
+    collect_set agg (dedups — no separate DISTINCT pass), eagerly cut at
+    the session-set frame (session-count-scale) so its three consumers —
+    the n_sessions scalar (now a broadcast crossJoin, not a driver
+    count() that re-ran the whole sessionization), the per-type session
+    counts, and the type-pair expansion (JVM nested transforms over the
+    sorted set, replacing the per-session self-join) — share one
+    materialization."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
     tus = F.unix_micros(F.col("ts"))
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = tus - F.lag(tus).over(w)
-    sess = (
+    sess_sets = (
         ev.select(
             "user_id",
             "event_type",
@@ -7117,25 +7132,27 @@ def session_cooccurrence_lift_events(spark: SparkSession, sf_dir: str) -> DataFr
                 .rowsBetween(W.unboundedPreceding, W.currentRow)
             ),
         )
-        .select("user_id", "sid", "event_type")
-        .distinct()
+        .groupBy("user_id", "sid")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("tt"))
+        .localCheckpoint(eager=True)
     )
-    n_sessions = sess.select("user_id", "sid").distinct().count()
-    singles = sess.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_t")
+    ns = sess_sets.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    singles = (
+        sess_sets.select(F.explode("tt").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
     )
-    a, b = sess.alias("a"), sess.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.sid") == F.col("b.sid"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        sess_sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(tt, (x, i) ->"
+                    " transform(slice(tt, i + 2, size(tt)),"
+                    " y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
     return (
@@ -7147,12 +7164,13 @@ def session_cooccurrence_lift_events(spark: SparkSession, sf_dir: str) -> DataFr
             F.broadcast(singles.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))),
             "type_b",
         )
+        .crossJoin(F.broadcast(ns))
         .select(
             "type_a",
             "type_b",
             "n_ab",
             F.expr(
-                f"(CAST(1000000 AS DECIMAL(38,0)) * n_ab * {n_sessions})"
+                "(CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_sessions)"
                 " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
             )
             .cast("long")

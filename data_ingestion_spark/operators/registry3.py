@@ -2615,16 +2615,23 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = W.partitionBy("qid").orderBy(
         F.col("rel_micro").desc(), F.col("doc_id").asc()
     )
+    # eager cut at the shortlist (≤ 8 rows/query): cand has FOUR consumers
+    # (ce→sims, s1, st2, st3) and each would otherwise replay the
+    # corpus×queries rel pass + window — the covariance_embeddings r14
+    # lesson (per-branch pruning defeats ReuseExchange)
     cand = (
         rel.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 8)
         .select("qid", "doc_id", "rel_micro")
+        .localCheckpoint(eager=True)
     )
     ce = cand.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
     a = ce.select("qid", F.col("doc_id").alias("da"), F.col("embedding").alias("ea"), F.col("rel_micro").alias("rel_a"))
     b = ce.select("qid", F.col("doc_id").alias("db"), F.col("embedding").alias("eb"))
+    # eager cut at the candidate×candidate similarity table (≤ 112 rows):
+    # three consumers (st2, st3 twice), each would replay the emb rejoin
     sims = (
         a.join(b, "qid")
         .filter(F.col("da") != F.col("db"))
@@ -2637,6 +2644,7 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.5)
             ).cast("long").alias("sim_micro"),
         )
+        .localCheckpoint(eager=True)
     )
     w1 = W.partitionBy("qid").orderBy(
         F.col("rel_micro").desc(), F.col("doc_id").asc()
@@ -3577,37 +3585,45 @@ def adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong-tie (quantity > 45) graph as label propagation; each term
     freezes to micros BEFORE the pair sum (the char_entropy per-term
     discipline that makes ln engine-safe), degree-1 customers cannot be
-    common neighbors so ln(1) never divides. Plan: one degree agg + the
-    per-customer self-join of the edge list (fan-out Σdeg² — bounded by
-    the strong-tie filter; the classic triangle/wedge shape) + top-20
-    TakeOrdered."""
-    from pyspark.sql import Window as W
-
+    common neighbors so ln(1) never divides. The AA weight depends ONLY
+    on the customer, so the classic degree-join + per-customer self-join
+    is unnecessary: collect each customer's distinct supplier set in one
+    keyed aggregation (collect_set dedups, so the separate DISTINCT
+    exchange disappears too), derive d and w from the set itself, and
+    expand the s1<s2 wedge pairs JVM-side with nested array transforms
+    over the sorted set — same Σ C(d,2) fan-out the self-join paid, but
+    generated post-shuffle with zero joins. Plan: one agg by customer +
+    one agg by pair + top-20 TakeOrdered."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity") > 45
     ).select("l_orderkey", "l_suppkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
     )
-    deg = edges.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    weighted = edges.join(deg, "c").filter(F.col("d") >= 2).select(
-        "c",
-        "s",
-        F.expr("CAST(floor(1000000.0D / ln(CAST(d AS DOUBLE)) + 0.5D) AS BIGINT)").alias(
-            "w"
-        ),
+    grp = (
+        edges.groupBy("c")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            F.expr(
+                "CAST(floor(1000000.0D / ln(CAST(size(ss) AS DOUBLE)) + 0.5D)"
+                " AS BIGINT)"
+            ).alias("w"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " y -> struct(x AS s1, y AS s2))))"
+                )
+            ).alias("p"),
+        )
     )
-    a = weighted.select("c", F.col("s").alias("s1"), F.col("w").alias("w1"))
-    b = weighted.select("c", F.col("s").alias("s2"))
     pairs = (
-        a.join(b, "c")
-        .filter(F.col("s1") < F.col("s2"))
+        grp.select(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"), "w")
         .groupBy("s1", "s2")
         .agg(
-            F.sum("w1").cast("long").alias("aa_micro"),
+            F.sum("w").cast("long").alias("aa_micro"),
             F.count(F.lit(1)).cast("long").alias("n_common"),
         )
     )
@@ -5194,8 +5210,11 @@ def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rnd in range(4):
         exprs = [d2_expr(c) for _, c in centers]
         mind = exprs[0] if len(exprs) == 1 else f"least({', '.join(exprs)})"
+        # the argmax row CARRIES its embedding through the TakeOrdered, so
+        # the next center needs no second filtered corpus scan per round
+        # (2 driver actions/round -> 1; same row, vec_id is unique)
         scored = emb.select(
-            "vec_id", F.expr(mind).alias("min_d2")
+            "vec_id", "embedding", F.expr(mind).alias("min_d2")
         )
         far = (
             scored.orderBy(F.col("min_d2").desc(), F.col("vec_id").asc())
@@ -5207,11 +5226,8 @@ def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out_rows.append((rnd, centers[-1][0], radius_micro))
         if rnd < 3:
-            nxt = emb.filter(F.col("vec_id") == int(far["vec_id"])).select(
-                "vec_id", "embedding"
-            ).collect()[0]
             centers.append(
-                (int(nxt["vec_id"]), [float(v) for v in nxt["embedding"]])
+                (int(far["vec_id"]), [float(v) for v in far["embedding"]])
             )
     return spark.createDataFrame(
         out_rows, "round int, center_id long, coverage_radius_micro long"

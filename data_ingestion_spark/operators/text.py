@@ -362,20 +362,17 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fraction, most-frequent-token fraction, duplicate-bigram fraction
     (Rae et al. 2021 §A1.1 "repetition" filters).
 
-    Scale shape: token/bigram distinctness is a narrow array pass fused into
-    the scan; the top-token count is explode → (id, token) partial-agg →
-    (id) max — two shuffles on narrow keys — joined back to the narrow stats
-    on id. All ratios are single int/int IEEE divisions (bit-identical in
-    any engine; no rounding), so the DuckDB oracle hash-matches exactly.
+    Scale shape: EVERY signal — including the top-token count — is a narrow
+    per-row array pass fused into the scan, so the operator is shuffle-free.
+    The top-token count is the longest equal-run in the doc's SORTED token
+    array (sorting groups equal tokens adjacently), computed by one
+    ``aggregate`` fold carrying (prev, run, best) — O(n log n) per doc
+    instead of the former explode → (id, token) agg → (id) max → join-back,
+    which shuffled every (doc, token) pair twice plus the join. All ratios
+    are single int/int IEEE divisions (bit-identical in any engine; no
+    rounding), so the DuckDB oracle hash-matches exactly.
     """
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    top = (
-        base.select(F.col(id_col), F.explode("_toks").alias("_t"))
-        .groupBy(id_col, "_t")
-        .agg(F.count("*").alias("_c"))
-        .groupBy(id_col)
-        .agg(F.max("_c").alias("top_token_count"))
-    )
     bigrams = word_shingles(F.col("_toks"), 2)
     narrow = base.select(
         F.col(id_col),
@@ -383,11 +380,20 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.array_distinct("_toks")).alias("n_distinct_tokens"),
         F.size(bigrams).alias("n_bigrams"),
         F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+        F.expr(
+            "aggregate(sort_array(_toks),"
+            " struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),"
+            " (s, t) -> struct(t AS prev,"
+            "   CASE WHEN s.prev <=> t THEN s.run + 1L ELSE 1L END AS run,"
+            "   greatest(s.best,"
+            "     CASE WHEN s.prev <=> t THEN s.run + 1L ELSE 1L END) AS best),"
+            " s -> s.best)"
+        ).alias("top_token_count"),
     )
     n = F.col("n_tokens")
     nb = F.col("n_bigrams")
-    top_c = F.coalesce(F.col("top_token_count"), F.lit(0).cast("long"))
-    return narrow.join(top, on=id_col, how="left").select(
+    top_c = F.col("top_token_count")
+    return narrow.select(
         F.col(id_col),
         n,
         F.col("n_distinct_tokens"),

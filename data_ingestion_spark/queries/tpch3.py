@@ -299,11 +299,15 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 # --------------------------------------------------------------------------
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers that were the SOLE late supplier (ship > order + 90 days)
-    on a finished multi-supplier order. EXISTS → left-semi join (another
-    supplier on the order), NOT EXISTS → left-anti join (another LATE
-    supplier) — both equi-joins on orderkey with a supplier-inequality
-    post-filter, so the self-joins shuffle once each on the shared key and
-    never devolve to nested loops."""
+    on a finished multi-supplier order. The EXISTS/NOT EXISTS pair is
+    decided per ORDER, so both correlated self-joins fold into one
+    order-keyed aggregation: a supplier row survives iff its order has
+    >= 2 distinct suppliers (EXISTS another supplier) and exactly 1
+    distinct LATE supplier (NOT EXISTS another late one) — and that sole
+    late supplier is recoverable as max(late supplier) within the order.
+    Two keyed aggregations ((orderkey, suppkey) then orderkey) replace the
+    semi- and anti-joins that each reshuffled lineitem-scale rows with a
+    supplier-inequality post-filter."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -314,28 +318,16 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
-    l1 = (
-        with_late.filter(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    sup_order = with_late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    ).distinct()
-    l3 = l1.select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    per_order = sup_order.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("l_suppkey"),
     )
-    waiting = (
-        l1.join(
-            l2,
-            (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3),
-            "left_anti",
-        )
+    waiting = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
