@@ -2157,10 +2157,15 @@ def zipf_slope_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
+    # r14: eager cut at the vocab-scale freq table — it feeds FOUR
+    # subtrees (the bucket-total collect, hist→higher, toks, poff) and
+    # each would otherwise replay the corpus tokenize+explode+agg
+    # (per-branch pruning defeats ReuseExchange — the covariance lesson)
     freqs = (
         docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
     )
     # (a) tokens with strictly higher freq, per distinct freq value
     hist = (

@@ -5404,26 +5404,52 @@ def assoc_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with a full deterministic tie-break, so the
     cut is stable and oracle-replayable."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # r14: one keyed agg collapses the old DISTINCT + per-basket self-join
+    # (the adamic_adar wedge-fold pattern): collect_set dedups (bid, item)
+    # in the same exchange, and the a<b pair fan-out is generated JVM-side
+    # from the sorted per-basket set AFTER the shuffle — zero joins touch
+    # basket-scale rows. Eager cut: three consumers (nb, supp, pairs)
+    # would otherwise each replay the basket agg (per-branch pruning
+    # defeats ReuseExchange — the covariance_embeddings r14 lesson).
+    baskets = (
+        li.select(F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item"))
+        .groupBy("bid")
+        .agg(F.sort_array(F.collect_set("item")).alias("ss"))
+        .localCheckpoint(eager=True)
+    )
     # scalar-subquery crossJoin (not .count()): the basket total rides the
     # same job instead of costing an extra driver round-trip
-    nb = baskets.agg(
-        F.countDistinct("bid").cast("long").alias("n_baskets")
+    nb = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    supp = (
+        baskets.select(F.explode("ss").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    supp = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     freq = supp.filter(F.col("n_item") >= _ASSOC_MIN_ITEM)
-    fb = baskets.join(F.broadcast(freq), "item")
-    a, b = fb.alias("a"), fb.alias("b")
+    # Apriori prune BEFORE pair expansion: drop infrequent items from each
+    # basket set (explode → broadcast-join → regroup stays on the bid
+    # partitioning, so no new exchange), then expand a<b pairs from the
+    # sorted frequent set — Σ C(f,2) fan-out, same volume the self-join
+    # paid, generated post-shuffle.
+    fs = (
+        baskets.select("bid", F.explode("ss").alias("item"))
+        .join(F.broadcast(freq.select("item")), "item")
+        .groupBy("bid")
+        .agg(F.sort_array(F.collect_set("item")).alias("fs"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bid") == F.col("b.bid"))
-            & (F.col("a.item") < F.col("b.item")),
+        fs.filter(F.size("fs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(fs, (x, i) ->"
+                    " transform(slice(fs, i + 2, size(fs)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+            F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _ASSOC_MIN_PAIR)

@@ -3675,13 +3675,23 @@ def encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs on the same scan)."""
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_returnflag").cast("string").alias("c_returnflag"),
-        F.col("l_linestatus").cast("string").alias("c_linestatus"),
-        F.col("l_shipdate").cast("date").cast("string").alias("c_shipdate"),
-        F.col("l_quantity").cast("long").cast("string").alias("c_quantity"),
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_returnflag").cast("string").alias("c_returnflag"),
+            F.col("l_linestatus").cast("string").alias("c_linestatus"),
+            F.col("l_shipdate").cast("date").cast("string").alias("c_shipdate"),
+            F.col("l_quantity").cast("long").cast("string").alias("c_quantity"),
+        )
+        # r14: all four advised columns window on the SAME l_orderkey
+        # partitioning — establish it once and eager-cut, so each branch
+        # runs sort-only over the shared blocks (4 table scans + 4 wide
+        # window exchanges → 1 scan + 1 exchange; the 4 branch sorts stay
+        # separate and run concurrently, the cms_token_freq lesson)
+        .repartition("l_orderkey")
+        .localCheckpoint(eager=True)
     )
     out = None
     for col in ("c_returnflag", "c_linestatus", "c_shipdate", "c_quantity"):
@@ -4670,25 +4680,50 @@ def assoc_triples_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relative floor still resolves to 2, so the registered values
     are unchanged). Top-20 by support, fully tie-broken."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
-    ).distinct()
-    nb = baskets.agg(F.countDistinct("bid").cast("long").alias("n_baskets"))
-    supp = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    # r14 wedge-fold (see assoc_rules_lineitem): ONE keyed agg replaces the
+    # DISTINCT + both basket-scale self-join families — collect_set dedups
+    # (bid, item) in the same exchange; pair AND triple fan-out are
+    # generated JVM-side from the sorted per-basket frequent-item set
+    # after the shuffle. Eager cut: nb / supp / pairs / triples would each
+    # replay the basket agg otherwise.
+    baskets = (
+        li.select(F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item"))
+        .groupBy("bid")
+        .agg(F.sort_array(F.collect_set("item")).alias("ss"))
+        .localCheckpoint(eager=True)
+    )
+    nb = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    supp = (
+        baskets.select(F.explode("ss").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     freq_items = (
         supp.crossJoin(F.broadcast(nb))
         .filter(F.col("n_item") >= F.expr("greatest(2, n_baskets div 10000)"))
         .select("item")
     )
-    fb = baskets.join(F.broadcast(freq_items), "item")
-    p1, p2 = fb.alias("p1"), fb.alias("p2")
+    # per-basket sorted FREQUENT-item set (explode → broadcast-join →
+    # regroup rides the existing bid partitioning: no new exchange)
+    fs = (
+        baskets.select("bid", F.explode("ss").alias("item"))
+        .join(F.broadcast(freq_items), "item")
+        .groupBy("bid")
+        .agg(F.sort_array(F.collect_set("item")).alias("fs"))
+        .localCheckpoint(eager=True)  # reused by pairs AND triple counting
+    )
     pairs = (
-        p1.join(
-            p2,
-            (F.col("p1.bid") == F.col("p2.bid"))
-            & (F.col("p1.item") < F.col("p2.item")),
+        fs.filter(F.size("fs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(fs, (x, i) ->"
+                    " transform(slice(fs, i + 2, size(fs)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("p1.item").alias("a"), F.col("p2.item").alias("b"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .crossJoin(F.broadcast(nb))
         .filter(F.col("n_ab") >= F.expr("greatest(2, n_baskets div 10000)"))
@@ -4711,14 +4746,24 @@ def assoc_triples_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("a").alias("b"), F.col("b").alias("c")),
         ["b", "c"],
     )
-    # count survivors against the baskets
-    t1 = fb.select(F.col("bid"), F.col("item").alias("a"))
-    t2 = fb.select(F.col("bid"), F.col("item").alias("b"))
-    t3 = fb.select(F.col("bid"), F.col("item").alias("c"))
+    # count survivors against the baskets: expand each basket's a<b<c
+    # triples from its sorted frequent set and broadcast-hash-join the
+    # pruned candidates IN THE SAME codegen stage — only candidate hits
+    # reach the (a,b,c) exchange. Replaces the pruned⋈t1⋈t2⋈t3 chain
+    # (two basket-scale shuffles) with post-shuffle generation whose
+    # Σ C(f,3) fan-out is bounded by the basket cap, like the pair level.
+    triples = fs.filter(F.size("fs") >= 3).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(fs, (x, i) ->"
+                " flatten(transform(slice(fs, i + 2, size(fs)), (y, j) ->"
+                " transform(slice(fs, i + j + 3, size(fs)),"
+                " z -> struct(x AS a, y AS b, z AS c))))))"
+            )
+        ).alias("t")
+    ).select(F.col("t.a").alias("a"), F.col("t.b").alias("b"), F.col("t.c").alias("c"))
     counted = (
-        pruned.join(t1, "a")
-        .join(t2, ["bid", "b"])
-        .join(t3, ["bid", "c"])
+        triples.join(F.broadcast(pruned), ["a", "b", "c"])
         .groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("n_abc"))
         .crossJoin(F.broadcast(nb))

@@ -332,6 +332,14 @@ def assign_contiguous_ids(
     cluster's parallelism.
     """
     first = order_cols[0]
+    # r14: eager cut of the (already key-projected) input — the quantile
+    # probe, the per-bucket count, and the final ranked plan are THREE
+    # full passes that would each replay the source scan + key derivation
+    # (shuffle_ids' md5 ran 3x). The callers pass metadata-scale (id, key)
+    # projections, so the checkpoint is bounded. Cuts computed from the
+    # materialized blocks are identical to cuts from the source: same
+    # rows, same approxQuantile sketch.
+    df = df.localCheckpoint(eager=True)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     # n_buckets=1 -> no cuts, one bucket (approxQuantile rejects an empty
     # probability list)
