@@ -3320,7 +3320,12 @@ def ndcg_ivf_retrieval_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.cosine_topk(emb, queries, k=10)
+    # r14: eager cut at the exact top-k (≤50 rows) — it feeds TWO
+    # subtrees (rel for the join, idcg for the ideal gain), and each
+    # would otherwise replay the corpus×queries cosine ranking
+    exact = similarity.cosine_topk(emb, queries, k=10).localCheckpoint(
+        eager=True
+    )
     cents = similarity.ivf_centroids_from_sample(emb, n_lists=8)
     approx = similarity.ivf_topk(emb, queries, cents, k=10, n_probe=2)
     rel = exact.select(

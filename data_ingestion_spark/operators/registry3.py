@@ -2380,12 +2380,22 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions import md5_hash60
 
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # r14: the final output keeps ONLY custkey % 7 == 0 rows, and every
+    # step (candidate generation, anti-join, dedup, top-4 rank) is
+    # per-custkey independent — so the thinning filter commutes all the
+    # way to the SOURCES. 6/7 of the candidate/positive/window work was
+    # being computed and thrown away (guide §1.2: don't compute things
+    # you discard). Values identical by per-key independence.
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").filter(
+        F.col("o_custkey") % 7 == 0
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    o_full = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
+    o_full = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey") % 7 == 0)
     )
     positives = (
         li.join(o_full, li.l_orderkey == o_full.o_orderkey)
@@ -2422,15 +2432,16 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     neg = cand.join(positives, ["custkey", "item"], "left_anti")
-    # collapse duplicate draws (same item at two j's) keep-lowest-j
-    wdup = W.partitionBy("custkey", "item").orderBy("j")
+    # collapse duplicate draws (same item at two j's) keep-lowest-j:
+    # row_number==1 over (custkey, item) ORDER BY j is exactly min(j) per
+    # (custkey, item) — a partial-aggregating groupBy instead of a second
+    # windowed sort (guide §2.3: aggregate before you shuffle)
     wrank = W.partitionBy("custkey").orderBy("j")
     return (
-        neg.withColumn("dup", F.row_number().over(wdup))
-        .filter(F.col("dup") == 1)
+        neg.groupBy("custkey", "item")
+        .agg(F.min("j").alias("j"))
         .withColumn("rk", F.row_number().over(wrank))
         .filter(F.col("rk") <= 4)
-        .filter(F.col("custkey") % 7 == 0)
         .select(
             "custkey",
             F.col("item").alias("neg_partkey"),
@@ -5151,14 +5162,18 @@ def int8_recall_qc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     wex = W.partitionBy("qid").orderBy(
         F.col("cos").desc(), F.col("doc_id").asc()
     )
-    top8 = scored.withColumn("r8", F.row_number().over(w8)).filter(
-        F.col("r8") <= 10
-    ).select("qid", "doc_id")
-    topex = scored.withColumn("rx", F.row_number().over(wex)).filter(
-        F.col("rx") <= 10
-    ).select("qid", "doc_id")
+    # r14: both rankings ride ONE pass — the top-10∩top-10 join on
+    # (qid, doc_id) is exactly "rows where BOTH ranks <= 10", and the two
+    # windows share the qid partitioning, so one exchange carries both
+    # sorts. Before, the corpus×queries scoring (two 64-dim dot products
+    # per pair) computed once PER WINDOW BRANCH plus a join (scoring 2x,
+    # 2 exchanges, 1 join -> 1x, 1 exchange, 0 joins). Same rows: scored
+    # has one row per (qid, doc_id), so the inner join kept precisely the
+    # both-ranks-<=10 rows.
     return (
-        top8.join(topex, ["qid", "doc_id"])
+        scored.withColumn("r8", F.row_number().over(w8))
+        .withColumn("rx", F.row_number().over(wex))
+        .filter((F.col("r8") <= 10) & (F.col("rx") <= 10))
         .groupBy("qid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
         .select(
@@ -5385,9 +5400,12 @@ def cluster_keywords_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding"), cents, vec_col="embedding",
         n_probe=1, list_col="grp",
     ).select("vec_id", "grp")
+    # r14: eager cut at the distinct-token stream — it feeds BOTH the
+    # corpus-df agg and the per-cluster tf agg, and each branch would
+    # otherwise replay the tokenize+explode over the full corpus
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
-    )
+    ).localCheckpoint(eager=True)
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     df_t = toks.groupBy("t").agg(
         F.countDistinct("doc_id").cast("long").alias("df")
