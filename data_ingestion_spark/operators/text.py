@@ -187,7 +187,13 @@ def tfidf_top_terms(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r14: eager cut at the (id, term, tf) table — dfreq and the scored
+    # join would each replay the corpus tokenize+explode+agg otherwise
+    tf = (
+        toks.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
     # N fetched driver-side (one-row action, like IVF's centroid seeds) and
     # folded in as a literal — a one-row crossJoin would plan a
@@ -723,8 +729,13 @@ def bm25_topk(
         base.select("id", "dl", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(terms))
     )
-    tf = hits.groupBy("id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    # r14: eager cut at the term-filtered tf table (≤|q| rows per doc) —
+    # dfreq and the scored join would each replay the corpus
+    # tokenize+explode pass otherwise
+    tf = (
+        hits.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
     stats = df.select(
@@ -871,13 +882,20 @@ def lm_perplexity_scores(
     tokens are absent (no bigram evidence — same rows absent in the SQL
     twin).
     """
+    # r14: eager cut at the tokenized corpus — it feeds the unigram agg
+    # and BOTH bigram subtrees (the c2 vocab agg and the per-doc scoring
+    # stream), so the tokenize would otherwise run 3x in the final plan
+    # plus once for the |vocab| action below
     base = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    )
+    ).localCheckpoint(eager=True)
+    # vocab-scale cut: the |vocab| driver action and the scored join both
+    # consume the unigram table
     uni = (
         base.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
     )
     v = uni.count()  # |vocab|: bounded driver metadata
     bigrams = base.filter(F.size("toks") >= 2).select(
@@ -1460,7 +1478,12 @@ def kneser_ney_bigrams(
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # r14: eager cut at the bigram-type table — it feeds FOUR consumers
+    # (the |bigrams| driver count, left, right, and the scored join) and
+    # each would otherwise replay the corpus bigram explode+agg
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).localCheckpoint(
+        eager=True
+    )
     left = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_fw")
     )
