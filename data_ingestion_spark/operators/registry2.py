@@ -568,11 +568,15 @@ def llm_data_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    d1 = docs.join(keep_ids, "doc_id")
+    # r14: eager cuts at each stage's surviving frame — the docstring's
+    # "materialized table between jobs" production shape, now mirrored in
+    # the lazy chain: without them every downstream gate re-ran the whole
+    # upstream pipeline per branch (8 documents scans in one plan)
+    d1 = docs.join(keep_ids, "doc_id").localCheckpoint(eager=True)
     winners = d1.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    d2 = d1.join(winners.select("doc_id"), "doc_id")
+    d2 = d1.join(winners.select("doc_id"), "doc_id").localCheckpoint(eager=True)
     score_ids = (
         inference.classifier_scores(d2, "doc_id", "text")
         .filter(F.col("score_micro") >= F.lit(_PIPE_SCORE_MIN))

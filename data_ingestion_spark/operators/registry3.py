@@ -1838,8 +1838,11 @@ def quantile_merge_summaries_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    # r14: eager cut of the 3-column value table — it feeds the summary
+    # build, the truth side, the total, and the three per-quartile
+    # rank-error aggs; the audit counted 24 documents scans in this plan
     vals = docs.select("source", F.col("n_chars").cast("long").alias("v"),
-                       "doc_id")
+                       "doc_id").localCheckpoint(eager=True)
     wsrc = W.partitionBy("source").orderBy("v", "doc_id")
     ranked = vals.select(
         "source",
@@ -1868,9 +1871,11 @@ def quantile_merge_summaries_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     wmerge = W.orderBy("v", "source", "r").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
+    # summary-scale (≤33 rows/source) and value-domain-scale cuts: each
+    # quartile's est/exact agg replayed the full window chain otherwise
     merged = summ.select(
         "v", "source", "r", F.sum("wt").over(wmerge).alias("cum")
-    ).crossJoin(F.broadcast(tot))
+    ).crossJoin(F.broadcast(tot)).localCheckpoint(eager=True)
     # truth side: distinct values with exact cumulative counts
     truth = (
         vals.groupBy("v")
@@ -1882,6 +1887,7 @@ def quantile_merge_summaries_docs(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("cum_true"),
         )
         .crossJoin(F.broadcast(tot))
+        .localCheckpoint(eager=True)
     )
     out = []
     for p_micro in (250000, 500000, 750000):

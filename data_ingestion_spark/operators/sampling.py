@@ -417,9 +417,16 @@ def dsir_importance(
             F.concat(F.col("toks"), word_shingles(F.col("toks"), 2))
         ).alias("g"),
     )
-    doc_b = grams.groupBy(
-        id_col, "is_target", F.pmod(md5_hash60(F.col("g")), n_buckets).alias("b")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # r14: eager cut at the (doc, bucket, count) table — the bucket
+    # log-ratio chain and the final per-doc dot product would each replay
+    # the corpus tokenize+shingle+explode otherwise
+    doc_b = (
+        grams.groupBy(
+            id_col, "is_target", F.pmod(md5_hash60(F.col("g")), n_buckets).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     bs = doc_b.groupBy("b").agg(
         F.sum("c").alias("cr"),
         F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias("ct"),

@@ -196,7 +196,13 @@ def cms_table(
     bounded."""
     from ..functions import md5_hash60, tokens
 
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    # r14: eager cut at the token stream — each of the ``depth`` union
+    # branches re-tokenized the corpus otherwise (the branches themselves
+    # stay separate so they keep running concurrently; folding them into
+    # one explode was measured-and-REJECTED this round for serializing)
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("t")).localCheckpoint(
+        eager=True
+    )
     rows = [
         tok.select(
             F.lit(i).alias("row"),

@@ -355,11 +355,14 @@ def funnel_steps(
     (hence oracle-replayable): min() over a fixed predicate has no tie
     ambiguity, and one anchor per user keeps every stage |users|-rows.
     """
+    # r14: eager cut of the 3-column step-filtered stream — each stage's
+    # right side re-scanned the event source otherwise (see
+    # window_funnel_exact; same rationale)
     ev = events.select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("et"),
         F.col(ts_col).alias("t"),
-    ).filter(F.col(type_col).isin(list(steps)))
+    ).filter(F.col(type_col).isin(list(steps))).localCheckpoint(eager=True)
     reached = (
         ev.filter(F.col("et") == steps[0])
         .groupBy("u")
@@ -440,11 +443,14 @@ def window_funnel_exact(
     where n_users counts DISTINCT users reaching the stage from any
     anchor.
     """
+    # r14: eager cut of the 3-column step-filtered stream — every stage's
+    # right side re-scanned the event source otherwise (the combo query
+    # funnel_windowfunnel_exact_events held 13 event scans in one plan)
     ev = events.select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("et"),
         F.col(ts_col).alias("t"),
-    ).filter(F.col(type_col).isin(list(steps)))
+    ).filter(F.col(type_col).isin(list(steps))).localCheckpoint(eager=True)
     reached = (
         ev.filter(F.col("et") == steps[0])
         .select("u", F.col("t").alias("t0"))

@@ -1545,16 +1545,23 @@ def nb_classify(df: DataFrame, id_col: str, label_col: str, text_col: str) -> Da
     """
     from pyspark.sql import Window as W
 
+    # r14 eager cuts: ``base`` feeds dt AND the doc-count/prior aggs (the
+    # tokenize ran 4x in the final plan); ``dt`` feeds the model chain and
+    # the score join; ``ct`` feeds the class totals, the vocab, and the
+    # dense-grid left join — every one a separate replay otherwise
     base = df.select(
         F.col(id_col), F.col(label_col).alias("_label"), tokens(F.col(text_col)).alias("toks")
-    ).filter(F.size("toks") >= 1)
+    ).filter(F.size("toks") >= 1).localCheckpoint(eager=True)
     dt = (
         base.select(id_col, "_label", F.explode("toks").alias("t"))
         .groupBy(id_col, "_label", "t")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     # class-token counts, class totals, global vocab — all vocab-collapsed
-    ct = dt.groupBy("_label", "t").agg(F.sum("c").alias("nct"))
+    ct = dt.groupBy("_label", "t").agg(F.sum("c").alias("nct")).localCheckpoint(
+        eager=True
+    )
     cls = ct.groupBy("_label").agg(F.sum("nct").alias("nc"))
     vocab = ct.select("t").distinct()
     v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
