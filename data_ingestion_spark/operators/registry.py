@@ -2252,7 +2252,12 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the exact-duplicate mass cnt*(cnt-1)/2, computed WITHOUT pairing).
     """
     c = load_table(spark, sf_dir, "customer").select("c_name")
-    names = c.groupBy("c_name").agg(F.count(F.lit(1)).alias("cnt"))
+    # r14: eager cut at the distinct-name table — both block sides of the
+    # pair join AND the exact-duplicate agg replayed the scan+agg (3
+    # customer scans in one plan); the Levenshtein stays the real cost
+    names = c.groupBy("c_name").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=True
+    )
     a = names.select(
         F.col("c_name").alias("name_a"),
         F.col("cnt").alias("cnt_a"),

@@ -6268,6 +6268,10 @@ def item_cf_similarity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-complete and MUST be budgeted), then one broadcast join against
     the per-supplier order counts. Top-50 pairs by similarity with full
     tie-break."""
+    # r14 note: checkpointing li and/or the counts agg was measured and
+    # REJECTED (isolates 2.29 -> 2.67/2.72 s): the duplicated count
+    # subtrees are cheap pruned concurrent scans, and materialization
+    # costs more than it saves here.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )

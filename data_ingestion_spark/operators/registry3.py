@@ -401,14 +401,18 @@ def pq_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r["cv"]]
         for r in stored_cents.orderBy("list_id").collect()
     ]
+    # r14 eager cuts: queries feeds the probe assignment AND the ADC LUT
+    # (each replay = a corpus TakeOrdered); probes feeds the driver
+    # list-id collect AND the broadcast candidate join
     queries = (
         emb.orderBy("vec_id")
         .limit(2)
         .select(F.col("vec_id").alias("qid"), "embedding")
+        .localCheckpoint(eager=True)
     )
     probes = similarity.ivf_assign(
         queries, cent_list, vec_col="embedding", n_probe=n_probe
-    ).select("qid", "list_id")
+    ).select("qid", "list_id").localCheckpoint(eager=True)
     probed = sorted(
         r["list_id"] for r in probes.select("list_id").distinct().collect()
     )
@@ -1561,6 +1565,8 @@ def pq_ivf_residual_topk_embeddings(
         .limit(n_q)
         .select(F.col("vec_id").alias("qid"), "embedding")
     )
+    # r14: eager cut — probes feeds the residual LUT explode AND the
+    # broadcast candidate join; each replay re-ran the query TakeOrdered
     probes = similarity.ivf_assign(
         queries, cents, vec_col="embedding", n_probe=n_probe
     ).select(
@@ -1570,7 +1576,7 @@ def pq_ivf_residual_topk_embeddings(
             f"zip_with(embedding, {case_cv},"
             " (x, y) -> CAST(x AS DOUBLE) - y)"
         ).alias("qrv"),
-    )
+    ).localCheckpoint(eager=True)
     lut_struct = ", ".join(
         f"struct({s} AS m, {c} AS code, CAST(floor("
         f"{_sql_l2sq('qrv', s * d_sub, books[s][c])} * 1e6 + 0.5D)"

@@ -1216,6 +1216,10 @@ def pq_ivf_topk(
     Output: (qid, vec_id, adc_micro, rk).
     """
     cents = ivf_centroids_from_sample(corpus, n_lists, id_col, vec_col)
+    # r14: eager cut of the tiny query frame — it feeds the probe
+    # assignment AND the ADC LUT, and each replay is a full corpus
+    # TakeOrdered when the caller passes emb.orderBy(...).limit(q)
+    queries = queries.localCheckpoint(eager=True)
     assigned = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col)), cents,
         vec_col=vec_col, n_probe=1,
