@@ -1040,7 +1040,11 @@ def test_unpartitioned_windows_whitelisted():
         "neyman_allocation_events": "|strata| allocation rows",
         "ood_mahalanobis_embeddings": "post-top-20 rank only",
         "pareto_quality_docs": "|distinct n_chars| grid (bounded domain)",
-        "quantile_merge_summaries_docs": "merged |summaries| rows",
+        # quantile_merge_summaries_docs: its merged-|summaries| and
+        # truth-grid windows are still unpartitioned-but-metadata-scale,
+        # but since the r14 eager cuts they run at build time behind
+        # localCheckpoints, so the audited final plan no longer shows
+        # them — removed from the whitelist to keep the gate exact.
         "rrf_fusion_topk_docs": "post-top-k shortlists",
         "unimax_mixture_sources": "|sources| allocation rows",
     }
