@@ -2560,7 +2560,11 @@ def pit_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import temporal
 
     ev = load_table(spark, sf_dir, "events")
-    users = ev.select(F.col("user_id")).distinct()
+    # r15 (duplicate-scan audit tail): v1 and v2 each replayed the events
+    # scan + user_id distinct — 3 events scans in one plan → 1 behind an
+    # eager cut of the distinct user list. A/B + plan pair in
+    # OPTIMIZATION_r15.md.
+    users = ev.select(F.col("user_id")).distinct().localCheckpoint(eager=True)
     boundary = F.lit("2024-01-15 00:00:00").cast("timestamp")
     v1 = users.select(
         "user_id",
@@ -7292,6 +7296,12 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "cents",
         )
+        # r15 (duplicate-scan audit tail): the quintile-boundary agg and
+        # the scoring pass each replayed the per-customer agg (+ its ref
+        # scan) — 4 orders scans in one plan. One eager cut of the
+        # |customers|-row 4-column reduction runs the groupBy once.
+        # A/B + plan pair in OPTIMIZATION_r15.md.
+        .localCheckpoint(eager=True)
     )
     probs = [0.2, 0.4, 0.6, 0.8]
     bounds = per.agg(

@@ -590,16 +590,22 @@ def t_closeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     per = docs.select("lang", "source", F.expr("n_chars div 200").alias("s"))
-    cls = per.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    glob = per.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("g"))
-    tot = per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_tot"),
-        F.countDistinct("s").cast("long").alias("n_bkt"),
-    )
+    # r15 (duplicate-scan audit tail): cls, glob, tot, and the grid's
+    # left join each replayed the corpus scan + agg — 4 documents scans
+    # in one plan. The finest-grain (QI, bucket) count agg runs once
+    # behind an eager cut; class/global/total aggregates derive from it
+    # (Σ counts ≡ counts — value-identical). A/B + plan pair in
+    # OPTIMIZATION_r15.md.
     cb = per.groupBy("lang", "source", "s").agg(
         F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    cls = cb.groupBy("lang", "source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    glob = cb.groupBy("s").agg(F.sum("c").cast("long").alias("g"))
+    tot = cb.agg(
+        F.sum("c").cast("long").alias("n_tot"),
+        F.countDistinct("s").cast("long").alias("n_bkt"),
     )
     grid = (
         cls.crossJoin(F.broadcast(glob))
@@ -760,9 +766,15 @@ def dedup_impact_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e6-scaled char shares run in DECIMAL(38,0)/HUGEINT (1e6·chars
     clears 2^63 past ~9e12 chars — one 10 TB source)."""
     docs = load_table(spark, sf_dir, "documents")
+    # r15 (duplicate-scan audit tail): the final plan held SIX documents
+    # scans, each recomputing md5 over the full text (winners ×2, before,
+    # after→winners ×2, totals via both). One eager cut of the narrow
+    # (id, source, n_chars, fp) frame — text never materializes — runs
+    # the hash pass once; every downstream agg reads the 16-byte
+    # fingerprints. Same-session A/B + plan pair in OPTIMIZATION_r15.md.
     fp = docs.select(
         "doc_id", "source", "n_chars", F.md5(F.col("text")).alias("fp")
-    )
+    ).localCheckpoint(eager=True)
     winners = (
         fp.groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -2030,10 +2042,16 @@ def conformal_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import inference
 
     docs = load_table(spark, sf_dir, "documents")
+    # r15 (duplicate-scan audit tail): the calibration count, the
+    # threshold cumulative, and the evaluation agg each replayed the
+    # classifier pass (tokenize + logistic) — 4 full-text scans in one
+    # plan. One eager cut of the 16-byte-per-row (doc_id, nc) frame runs
+    # the classifier once; everything downstream is integer arithmetic
+    # on the cut blocks. A/B + plan pair in OPTIMIZATION_r15.md.
     scored = inference.classifier_scores(docs, "doc_id", "text").select(
         F.col("id").alias("doc_id"),
         (F.lit(1000000) - F.col("score_micro")).cast("long").alias("nc"),
-    )
+    ).localCheckpoint(eager=True)
     cal = scored.filter(F.col("doc_id") % 5 == 0)
     ev = scored.filter(F.col("doc_id") % 5 != 0)
     n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
@@ -3708,13 +3726,13 @@ def encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date").cast("string").alias("c_shipdate"),
             F.col("l_quantity").cast("long").cast("string").alias("c_quantity"),
         )
-        # r14: all four advised columns window on the SAME l_orderkey
-        # partitioning — establish it once and eager-cut, so each branch
-        # runs sort-only over the shared blocks (4 table scans + 4 wide
-        # window exchanges → 1 scan + 1 exchange; the 4 branch sorts stay
-        # separate and run concurrently, the cms_token_freq lesson)
-        .repartition("l_orderkey")
-        .localCheckpoint(eager=True)
+        # r15: the r14 repartition+eager-cut (4 scans + 4 window exchanges
+        # → 1 scan + 1 exchange) was REVERTED — the driver's ground truth
+        # measured it slower (1.54 → 2.11 s) and the r15 same-session
+        # interleaved A/B confirmed (cut 1.556 s vs 4-concurrent-scans
+        # 1.303 s, min of 4): the materialization + serial branch reads
+        # cost more than 4 concurrent pruned scans — the item_cf lesson
+        # (an eager cut must pay for itself; bare pruned scans don't).
     )
     out = None
     for col in ("c_returnflag", "c_linestatus", "c_shipdate", "c_quantity"):
@@ -4300,7 +4318,11 @@ def forecast_mase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     daily = ev.groupBy(F.col("event_type"), day.alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    # r15 (duplicate-scan audit tail): lag7/lag1 and both join left sides
+    # each replayed the events scan + (type, day) agg — 4 scans in one
+    # plan → 1 behind an eager cut of the |types|·|days|-row daily table.
+    # A/B + plan pair in OPTIMIZATION_r15.md.
+    ).localCheckpoint(eager=True)
     lag7 = daily.select(
         "event_type", (F.col("d") + 7).alias("d"), F.col("c").alias("c7")
     )
@@ -4457,13 +4479,20 @@ def wasserstein_pairs_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     per = docs.select("source", F.expr("n_chars div 200").alias("b"))
+    # r15 (duplicate-scan audit tail): totals, buckets, nb, and both cum
+    # sides each replayed the corpus scan + agg — SEVEN documents scans in
+    # one plan. The finest-grain (source, bucket) count agg is computed
+    # once behind an eager cut, and every coarser aggregate derives from
+    # it (Σ counts per source ≡ per-source count; distinct buckets of the
+    # count table ≡ distinct buckets of the corpus — value-identical).
+    # A/B + plan pair in OPTIMIZATION_r15.md.
     counts = per.groupBy("source", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
     )
-    totals = per.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    buckets = per.select("b").distinct()
+    buckets = counts.select("b").distinct()
     nb = buckets.agg(F.count(F.lit(1)).cast("long").alias("n_bkt"))
     grid = (
         totals.crossJoin(F.broadcast(buckets))
@@ -4875,7 +4904,13 @@ def rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.datediff(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     ).cast("long")
-    active = ev.select("user_id", day.alias("d")).distinct()
+    # r15 (duplicate-scan audit tail): dau, the 7-day explode, and the
+    # bounds agg each replayed the events scan + (user, day) distinct —
+    # 3 scans+distincts in one plan → 1 behind an eager cut of the
+    # distinct (user, day) table. A/B + plan pair in OPTIMIZATION_r15.md.
+    active = ev.select("user_id", day.alias("d")).distinct().localCheckpoint(
+        eager=True
+    )
     dau = active.groupBy("d").agg(
         F.countDistinct("user_id").cast("long").alias("dau")
     )
@@ -4955,9 +4990,16 @@ def mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
+    # r15 (duplicate-scan audit tail): the final plan replayed the events
+    # scan + exact-percentile buffer SIX times (med and mad are broadcast
+    # into every consumer subtree, and each broadcast build replayed its
+    # whole upstream). Eager cuts of the two |event_type|-row frames pin
+    # each percentile pass to run once: 6 events scans → 3 (the three
+    # genuinely distinct passes — median, MAD, outlier count).
+    # A/B + plan pair in OPTIMIZATION_r15.md.
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(cents, 0.5)").alias("med_c")
-    )
+    ).localCheckpoint(eager=True)
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "med_c",
@@ -4966,7 +5008,7 @@ def mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.max("med_c").alias("med_c"),
         F.expr("percentile(adev, 0.5)").alias("mad_c"),
-    )
+    ).localCheckpoint(eager=True)
     out = (
         dev.select("event_type", "adev")
         .join(F.broadcast(mad.select("event_type", "mad_c")), "event_type")

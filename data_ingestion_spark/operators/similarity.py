@@ -1198,6 +1198,7 @@ def pq_ivf_topk(
     k: int = 8,
     n_iter: int = 2,
     topk: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF-PQ composition (FAISS's IVFPQ shape, here without residual
     re-encoding — by_residual=False): a coarse quantizer routes each
@@ -1218,8 +1219,12 @@ def pq_ivf_topk(
     cents = ivf_centroids_from_sample(corpus, n_lists, id_col, vec_col)
     # r14: eager cut of the tiny query frame — it feeds the probe
     # assignment AND the ADC LUT, and each replay is a full corpus
-    # TakeOrdered when the caller passes emb.orderBy(...).limit(q)
-    queries = queries.localCheckpoint(eager=True)
+    # TakeOrdered when the caller passes emb.orderBy(...).limit(q).
+    # r15: ``materialize=False`` opts out for already-materialized
+    # query frames (lazy-construction contract; avoids the
+    # double-checkpoint a pre-cut caller would otherwise pay).
+    if materialize:
+        queries = queries.localCheckpoint(eager=True)
     assigned = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col)), cents,
         vec_col=vec_col, n_probe=1,

@@ -180,7 +180,11 @@ def kmv_union_stats(bottom_k_union: DataFrame, k: int) -> DataFrame:
 # Count-Min sketch (point-frequency estimates)
 # --------------------------------------------------------------------------
 def cms_table(
-    df: DataFrame, text_col: str, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    text_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    materialize: bool = True,
 ) -> DataFrame:
     """Count-Min sketch of the token stream as a (row, col, cnt) table
     (Cormode & Muthukrishnan, J.Alg 2005): row i counts tokens at column
@@ -196,26 +200,37 @@ def cms_table(
     bounded."""
     from ..functions import md5_hash60, tokens
 
-    # r14: eager cut at the token stream — each of the ``depth`` union
-    # branches re-tokenized the corpus otherwise (the branches themselves
-    # stay separate so they keep running concurrently; folding them into
-    # one explode was measured-and-REJECTED this round for serializing)
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("t")).localCheckpoint(
-        eager=True
+    # r14 cut the raw one-row-per-token stream so the ``depth`` union
+    # branches stop re-tokenizing (the branches stay separate so they
+    # keep running concurrently; folding them into one explode was
+    # measured-and-REJECTED for serializing). r15: the cut moves to the
+    # VOCAB-SCALE (token, count) table — cell values are identical
+    # (count of occurrences ≡ sum of per-token counts), the pinned
+    # executor-local footprint drops from corpus-scale to |vocab| (the
+    # r14 ADVICE executor-loss/footprint finding), and each branch now
+    # hashes |vocab| rows instead of every token occurrence.
+    # ``materialize=False`` opts out (lazy-construction contract).
+    tok = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    if materialize:
+        tok = tok.localCheckpoint(eager=True)
     rows = [
         tok.select(
             F.lit(i).alias("row"),
             (md5_hash60(F.concat(F.lit(str(i)), F.col("t"))) % width).alias(
                 "col"
             ),
+            "c",
         )
         for i in range(depth)
     ]
     stream = rows[0]
     for r in rows[1:]:
         stream = stream.unionByName(r)
-    return stream.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    return stream.groupBy("row", "col").agg(F.sum("c").alias("cnt"))
 
 
 def cms_estimate(

@@ -166,13 +166,21 @@ def psi_by_group(
     bucket = F.lit(0)
     for k in range(max_pow):
         bucket = bucket + (v >= F.lit(2 ** k)).cast("int")
+    # r15 (duplicate-scan audit tail): base, the grp universe, grp_n, and
+    # the dense left join each replayed the corpus scan + bucket agg, and
+    # df.count() was a separate driver action over a FIFTH scan. One eager
+    # cut of the ≤|groups|·(max_pow+1)-row count table feeds everything,
+    # and the total folds into the same plan as a broadcast scalar
+    # (Σ counts ≡ df.count(); (n_total + n_bins) cast to double is the
+    # bit-identical divisor float(n_total + n_bins) was).
+    # A/B in OPTIMIZATION_r15.md.
     counts = (
         df.select(F.col(group_col).alias("grp"), bucket.alias("bkt"))
         .groupBy("grp", "bkt")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).localCheckpoint(eager=True)
     base = counts.groupBy("bkt").agg(F.sum("c").alias("cq"))
-    n_total = df.count()  # one driver scalar
+    nt = counts.agg(F.sum("c").cast("long").alias("n_total"))
     n_bins = max_pow + 1
     universe = (
         counts.select("grp")
@@ -190,13 +198,14 @@ def psi_by_group(
         .join(F.broadcast(base), "bkt", "left")
         .withColumn("cq", F.coalesce(F.col("cq"), F.lit(0)))
         .join(F.broadcast(grp_n), "grp")
+        .crossJoin(F.broadcast(nt))
     )
     p = (F.col("c") + F.lit(1)).cast("double") / (
         F.col("n_rows") + F.lit(n_bins)
     ).cast("double")
-    q = (F.col("cq") + F.lit(1)).cast("double") / F.lit(
-        float(n_total + n_bins)
-    )
+    q = (F.col("cq") + F.lit(1)).cast("double") / (
+        F.col("n_total") + F.lit(n_bins)
+    ).cast("double")
     term = F.floor((p - q) * F.log(p / q) * F.lit(1e6) + F.lit(0.5)).cast(
         "long"
     )
@@ -286,9 +295,14 @@ def ks_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    # r15 (duplicate-scan audit tail): vals, groups, the grid's left join,
+    # and n_all each replayed the corpus scan + (group, value) agg — 4-5
+    # scans in one plan → 1 behind an eager cut of the
+    # |groups|·|distinct values|-row count table (metadata-scale by the
+    # docstring's own grid argument). A/B in OPTIMIZATION_r15.md.
     gv = df.groupBy(F.col(group_col).alias("grp"), F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)
     vals = gv.groupBy("v").agg(F.sum("c").alias("c_all"))
     groups = gv.groupBy("grp").agg(F.sum("c").alias("n_g"))
     n_all = vals.agg(F.sum("c_all").alias("n_all"))
@@ -354,9 +368,13 @@ def chi_square_independence(
     |levels_a| × |levels_b| contingency grid. Returns one row:
     (n_rows, n_cells, dof, chi2_micro).
     """
+    # r15 (duplicate-scan audit tail): ra, cb, n, and the grid's left join
+    # each replayed the corpus scan + contingency agg — 4 scans in one
+    # plan → 1 behind an eager cut of the |levels_a|·|levels_b|-row
+    # table. A/B in OPTIMIZATION_r15.md.
     ab = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)
     ra = ab.groupBy("a").agg(F.sum("c").alias("ra"))
     cb = ab.groupBy("b").agg(F.sum("c").alias("cb"))
     n = ab.agg(F.sum("c").alias("n"))
